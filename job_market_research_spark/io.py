@@ -1,0 +1,54 @@
+"""Testdata table loading helpers.
+
+The driver's synthetic tables (TESTDATA.md) are the substrate every
+registry query runs on. Loading is plain columnar parquet scans —
+Catalyst prunes columns and pushes filters into the scan, so callers
+just `load()` and express the plan declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one synthetic table.
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS); with
+    `spark.sql.legacy.parquet.nanosAsLong` it scans as long nanoseconds
+    and is converted here to a microsecond timestamp via exact integer
+    division (`div` — no double round-trip, which would lose precision
+    above 2^53 ns). Truncation-toward-zero equals DuckDB's ns→µs
+    truncation for positive epochs, so oracle values match.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for `spark.sql` queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,501 @@
+"""The analytical query surface (SURVEY §2.4-§2.6, §3.3).
+
+The reference's end-user query surface is the set of Superset chart /
+dataset SQL queries over its Postgres star schema (reference:
+superset/dashboard_export_20250807T121001.zip → datasets/PostgreSQL/
+*.yaml, charts/*.yaml). Each is re-expressed here as a declarative
+DataFrame plan over the driver's star-shaped testdata:
+
+  fact tables  : orders, lineitem (the offre fact + offre_skill bridge)
+  dimensions   : customer, nation, region, part, supplier
+
+Catalyst broadcast-joins every dimension automatically (all are far
+below the 10 MB auto-broadcast threshold at any scale factor; at 100 TB
+the fact side scales but dimensions stay broadcastable). Aggregations
+are partial (map-side combine) before the single hash shuffle on the
+group keys — no extra shuffle is introduced anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.exact import (
+    ORACLE_REVENUE,
+    ORACLE_SUM,
+    exact_sum,
+    revenue_expr,
+)
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+@query(
+    "join_sector_count",
+    oracle="""
+    SELECT c_mktsegment AS sector, COUNT(*) AS n_offers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY sector
+    """,
+)
+def join_sector_count(spark, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim grouped by a dim attribute (reference:
+    zip:datasets/PostgreSQL/metrics.yaml:9 — fact_offre ⋈ dim_compagnie
+    GROUP BY secteur). Flagship query: dim side broadcasts, one shuffle
+    on the group key with map-side partial counts."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("sector"))
+        .agg(F.count("*").alias("n_offers"))
+        .orderBy("sector")
+    )
+
+
+@query(
+    "agg_count_by_sector",
+    oracle="""
+    SELECT c_mktsegment AS sector, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY sector
+    """,
+)
+def agg_count_by_sector(spark, sf_dir: str) -> DataFrame:
+    """COUNT(*) GROUP BY one key (reference: metrics.yaml:9)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("sector"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("sector")
+    )
+
+
+@query(
+    "agg_count_2keys",
+    oracle="""
+    SELECT l_returnflag AS type_skill, l_linestatus AS nom, COUNT(*) AS occurrences
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_count_2keys(spark, sf_dir: str) -> DataFrame:
+    """2-level hierarchy counts (reference sunburst:
+    zip:datasets/PostgreSQL/KPI-Categories_de_competences.yaml:9 —
+    COUNT(*) GROUP BY type_skill, nom)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("type_skill"),
+            F.col("l_linestatus").alias("nom"),
+        )
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy("type_skill", "nom")
+    )
+
+
+@query(
+    "agg_matrix",
+    oracle="""
+    SELECT n_name AS row_dim, c_mktsegment AS col_dim, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_matrix(spark, sf_dir: str) -> DataFrame:
+    """dim × dim count matrix (reference heatmap:
+    zip:datasets/PostgreSQL/KPI-Competences_Profils.yaml:9)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("row_dim"), F.col("c_mktsegment").alias("col_dim"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("row_dim", "col_dim")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders",
+)
+def agg_count_distinct(spark, sf_dir: str) -> DataFrame:
+    """COUNT_DISTINCT KPI big-number (reference:
+    zip:charts/Nombre_total_doffres_Data_5.yaml, COUNT_DISTINCT(id_offer)).
+    Exact here; `agg_approx_count_distinct` is the 100 TB-scale twin."""
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the scale path for the
+    COUNT_DISTINCT KPI (no exact-match oracle possible; driver records
+    a rows-only check). At 100 TB this replaces the exact distinct's
+    full shuffle with a constant-size mergeable sketch."""
+    return load(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx")
+    )
+
+
+@query(
+    "agg_monthly_growth",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_offers,
+           {ORACLE_SUM.format(col="o_totalprice")} AS total_value
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+)
+def agg_monthly_growth(spark, sf_dir: str) -> DataFrame:
+    """Month-grain rollup ordered by month (reference:
+    zip:charts/Croissance_Mensuelle_7.yaml, time_grain_sqla P1M)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_offers"),
+            exact_sum("o_totalprice", "total_value"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "agg_by_dimension",
+    oracle="""
+    SELECT o_orderpriority AS dim_value, COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY n DESC, dim_value
+    """,
+)
+def agg_by_dimension(spark, sf_dir: str) -> DataFrame:
+    """Count by a categorical dimension, sorted by metric desc
+    (reference bar/pie charts: zip:charts/Sources_de_recrutement_9.yaml,
+    Repartition_par_type_de_contrat_11.yaml — order_desc: true)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("dim_value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "dim_value")
+    )
+
+
+@query(
+    "agg_case_when_flag",
+    oracle="""
+    SELECT o_orderpriority AS dim_value,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open
+    FROM orders GROUP BY 1 ORDER BY dim_value
+    """,
+)
+def agg_case_when_flag(spark, sf_dir: str) -> DataFrame:
+    """Conditional-count metric (reference:
+    zip:datasets/PostgreSQL/join1.yaml:9 — CASE WHEN id_niveau_experience
+    IS NOT NULL THEN 1 ELSE 0 END summed as avec_experience_requise)."""
+    flag = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("dim_value"))
+        .agg(
+            F.sum(flag).alias("n_finished"),
+            F.sum(F.lit(1) - flag).alias("n_open"),
+        )
+        .orderBy("dim_value")
+    )
+
+
+@query(
+    "agg_minmax_dates",
+    oracle="""
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date,
+           CAST(MAX(o_orderdate) AS DATE) AS max_date
+    FROM orders
+    """,
+)
+def agg_minmax_dates(spark, sf_dir: str) -> DataFrame:
+    """min/max of the date column bounding the calendar dimension
+    (reference: insert_to_postgres.py:86-114)."""
+    return load(spark, sf_dir, "orders").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )
+
+
+@query(
+    "join_star_wide",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation, c_mktsegment AS segment,
+           COUNT(*) AS n_lines,
+           {ORACLE_REVENUE} AS revenue,
+           SUM(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS with_part
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    LEFT JOIN part ON l_partkey = p_partkey AND p_size > 25
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def join_star_wide(spark, sf_dir: str) -> DataFrame:
+    """7-way star equi-join — 6 INNER + 1 LEFT with derived metrics
+    (reference: zip:datasets/PostgreSQL/join1.yaml:9, the flat `join1`
+    view: fact_offre ⋈ 6 dims INNER + dim_niveau_experience LEFT).
+
+    All six dimension joins broadcast (map-side, zero shuffle); the only
+    shuffle is the final group-by. At 100 TB the fact⋈orders join is the
+    large one — orders co-partitions with lineitem on orderkey in real
+    deployments (bucketing); here AQE picks shuffle strategy."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    supplier = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+
+    wide = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (part.p_size > 25),
+            "left",
+        )
+    )
+    return (
+        wide.groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.sum(F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0)).alias(
+                "with_part"
+            ),
+        )
+        .orderBy("region", "nation", "segment")
+    )
+
+
+@query(
+    "join_skill_bridge",
+    oracle="""
+    SELECT p_brand AS skill, COUNT(*) AS occurrences
+    FROM lineitem
+    JOIN part   ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_skill_bridge(spark, sf_dir: str) -> DataFrame:
+    """fact ⋈ bridge ⋈ dim (M:N resolution; reference:
+    zip:datasets/PostgreSQL/KPI-Categories_de_competences.yaml:9 —
+    offre_skill bridge joined to dim_skill and fact_offre). lineitem
+    plays the bridge; part the skill dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("p_brand").alias("skill"))
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy("skill")
+    )
+
+
+@query(
+    "join_skill_profile",
+    oracle="""
+    SELECT p_brand AS skill, c_mktsegment AS profile, COUNT(*) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def join_skill_profile(spark, sf_dir: str) -> DataFrame:
+    """4-way join powering the skills×titles heatmap (reference:
+    zip:datasets/PostgreSQL/KPI-Competences_Profils.yaml:9)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("p_brand").alias("skill"), F.col("c_mktsegment").alias("profile"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("skill", "profile")
+    )
+
+
+@query(
+    "join_skill_experience",
+    oracle="""
+    SELECT p_brand AS source, o_orderpriority AS target, COUNT(*) AS value
+    FROM lineitem
+    JOIN part   ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def join_skill_experience(spark, sf_dir: str) -> DataFrame:
+    """4-way sankey source/target/value (reference:
+    zip:datasets/PostgreSQL/KPI-Competences_Niveau_dexperience.yaml:9)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("p_brand").alias("source"), F.col("o_orderpriority").alias("target"))
+        .agg(F.count("*").alias("value"))
+        .orderBy("source", "target")
+    )
+
+
+@query(
+    "topk_hard_skills",
+    oracle="""
+    SELECT p_brand AS skill, COUNT(*) AS occurrences
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1
+    ORDER BY occurrences DESC, skill
+    LIMIT 20
+    """,
+)
+def topk_hard_skills(spark, sf_dir: str) -> DataFrame:
+    """Filtered top-20 by occurrence count (reference:
+    zip:datasets/PostgreSQL/KPI-Top_20_skills_techniques_hard.yaml:9 —
+    WHERE type_skill='hard' ORDER BY occurrences DESC LIMIT 20).
+    Deterministic tie-break on the key so the oracle hash matches.
+    The p_type filter pushes down into the broadcast dim scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("skill"))
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "skill")
+        .limit(20)
+    )
+
+
+@query(
+    "topk_companies",
+    oracle="""
+    SELECT c_name AS company, COUNT(*) AS n_offers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY n_offers DESC, company LIMIT 20
+    """,
+)
+def topk_companies(spark, sf_dir: str) -> DataFrame:
+    """Top-20 entities by activity (reference:
+    zip:charts/Top_20_des_entreprises_qui_recrutent_le_plus_8.yaml)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_name").alias("company"))
+        .agg(F.count("*").alias("n_offers"))
+        .orderBy(F.desc("n_offers"), "company")
+        .limit(20)
+    )
+
+
+@query(
+    "filter_metric_threshold",
+    oracle="""
+    SELECT n_nationkey AS nation_id, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1
+    """,
+)
+def filter_metric_threshold(spark, sf_dir: str) -> DataFrame:
+    """HAVING-style post-aggregation filter (reference:
+    zip:charts/Repartition_par_secteur_6.yaml — adhoc filter count >= 5)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nation_id"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy("nation_id")
+    )
+
+
+@query(
+    "filter_skill_type",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part WHERE p_type = 'ECONOMY' ORDER BY p_partkey
+    """,
+)
+def filter_skill_type(spark, sf_dir: str) -> DataFrame:
+    """Simple typed predicate before downstream top-k (reference:
+    zip:datasets/PostgreSQL/KPI-Top_20_skills_techniques_hard.yaml:9 —
+    WHERE type_skill = 'hard'). Pushed into the parquet scan."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "filter_temporal_range",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def filter_temporal_range(spark, sf_dir: str) -> DataFrame:
+    """Temporal-range predicate (reference: Superset TEMPORAL_RANGE
+    adhoc filter on full_date, zip:charts/Croissance_Mensuelle_7.yaml).
+    The timestamp bounds push down to the parquet row-group stats."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sort_row_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def sort_row_limit(spark, sf_dir: str) -> DataFrame:
+    """Generic chart row cap: ORDER BY metric LIMIT n (reference:
+    zip:charts/Sources_de_recrutement_9.yaml row_limit). Spark executes
+    this as TakeOrderedAndProject — no global sort materialized."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

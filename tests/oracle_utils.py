@@ -1,0 +1,65 @@
+"""Local mirror of the driver's Spark-vs-DuckDB compare.
+
+Normalizes both result sets to column-name-sorted, row-sorted tuples of
+canonical strings and asserts exact equality — the same invariant the
+driver's order-insensitive value-hash checks.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr round-trips doubles exactly; identical doubles → identical text
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def spark_result(df) -> tuple[list[str], list[tuple]]:
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def assert_parity(df, con, sql: str, name: str = "?") -> None:
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duck_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    sn = normalize(s_cols, s_rows)
+    dn = normalize(d_cols, d_rows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
