@@ -1,1 +1,263 @@
-"""(filled in incrementally)"""
+"""Scalar string / conditional / JSON functions (SURVEY §2.8).
+
+Native-expression re-implementations of the reference's scattered
+Python string munging: regex segmentation of raw posting text
+(bayt.py:79-113, MarocAnn.py:66-129), JSON payload extraction from LLM
+output (pipline.py:50-79, init_groq.py:122-162), keyword rule
+classification (init_groq.py:164-228), filename-derived source
+attribution (backup.py:30-33) and unique output naming
+(transform_job.py:241-249).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.operators.cleaning import lower_norm, split_csv, trim_cast
+from job_market_research_spark.registry import query
+
+
+def classify_by_keywords(col: str | Column, rules: list[tuple[str, str]], default: str) -> Column:
+    """CASE-WHEN keyword classifier — the reference's deterministic
+    fallback for LLM enrichment (init_groq.py:164-228). `rules` is an
+    ordered [(substring, label)] list; first hit wins."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for kw, label in rules:
+        cond = c.contains(kw)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
+@query(
+    "fn_split_csv",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           string_split(p_name, ' ')[1] AS first_token
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_fn_split_csv(spark, sf_dir: str) -> DataFrame:
+    """Separator-split into arrays (reference: transform_job.py:205-217
+    splits secteur/hard_skills/soft_skills on ',\\s*')."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.size(split_csv("p_name", " ")).cast("long").alias("n_tokens"),
+            F.element_at(split_csv("p_name", " "), 1).alias("first_token"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_trim_cast",
+    oracle="""
+    SELECT p_partkey, TRIM(CAST(p_size AS VARCHAR)) AS size_str,
+           TRIM('  ' || p_type || ' ') AS type_norm
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_fn_trim_cast(spark, sf_dir: str) -> DataFrame:
+    """trim(cast(...)) normalization (reference: transform_job.py:218-220)."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            trim_cast("p_size").alias("size_str"),
+            F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_norm"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_lower_norm",
+    oracle="""
+    SELECT DISTINCT LOWER(TRIM(c_mktsegment)) AS segment_key
+    FROM customer ORDER BY segment_key
+    """,
+)
+def q_fn_lower_norm(spark, sf_dir: str) -> DataFrame:
+    """Natural-key normalization before dimension matching."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select(lower_norm("c_mktsegment").alias("segment_key"))
+        .distinct()
+        .orderBy("segment_key")
+    )
+
+
+@query(
+    "fn_length",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fn_length(spark, sf_dir: str) -> DataFrame:
+    """LENGTH-derived metrics (reference: join1.yaml derived
+    description_length/competences_length columns)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").cast("long").alias("text_len"), "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fn_case_when",
+    oracle="""
+    SELECT CASE WHEN p_name LIKE '%widget%' THEN 'hardware'
+                WHEN p_name LIKE '%bolt%'   THEN 'fastener'
+                WHEN p_name LIKE '%ring%'   THEN 'jewelry'
+                ELSE 'other' END AS category,
+           COUNT(*) AS n
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fn_case_when(spark, sf_dir: str) -> DataFrame:
+    """Ordered keyword rule classification (the LLM fallback rules)."""
+    rules = [("widget", "hardware"), ("bolt", "fastener"), ("ring", "jewelry")]
+    return (
+        load(spark, sf_dir, "part")
+        .select(classify_by_keywords("p_name", rules, "other").alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .orderBy("category")
+    )
+
+
+@query(
+    "fn_concat_text",
+    oracle="""
+    SELECT c_custkey, concat_ws(' | ', c_name, c_mktsegment) AS blob
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q_fn_concat_text(spark, sf_dir: str) -> DataFrame:
+    """Text concatenation for downstream NER input (reference:
+    skillner_logic.py:47 description+competences concat)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", F.concat_ws(" | ", "c_name", "c_mktsegment").alias("blob"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "fn_regex_segment",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(regexp_extract(text, '(join|scan|merge)', 1), ''), 'none')
+             AS first_op,
+           COALESCE(NULLIF(regexp_extract(text, '([a-z]+) (fast|slow)', 2), ''), 'none')
+             AS speed_word
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fn_regex_segment(spark, sf_dir: str) -> DataFrame:
+    """Regex text segmentation (reference: bayt.py:79-113 splits raw
+    postings into description/competences blocks by header patterns)."""
+    none_if_empty = lambda c: F.coalesce(F.nullif(c, F.lit("")), F.lit("none"))  # noqa: E731
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            none_if_empty(F.regexp_extract("text", r"(join|scan|merge)", 1)).alias(
+                "first_op"
+            ),
+            none_if_empty(F.regexp_extract("text", r"([a-z]+) (fast|slow)", 2)).alias(
+                "speed_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def q_fn_json_extract(spark, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (reference: init_groq.py:122-162 pulls
+    the JSON object out of LLM text). `get_json_object` evaluates
+    JVM-side; for full-record parsing use `from_json` with a schema."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", F.get_json_object("props", "$.k").try_cast("long").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_uuid_name",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_wellformed, COUNT(*) AS n_unique
+    FROM part
+    """,
+)
+def q_fn_uuid_name(spark, sf_dir: str) -> DataFrame:
+    """Unique run naming via uuid (reference: transform_job.py:241-249
+    `processed_jobs_<date>_<uuid8>.json`). The uuid values are
+    nondeterministic, so the oracle checks the *invariants*: every row
+    gets a well-formed id and ids never collide."""
+    df = load(spark, sf_dir, "part").withColumn("run_id", F.expr("uuid()"))
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("run_id").rlike(
+                    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_wellformed"),
+        F.countDistinct("run_id").alias("n_unique"),
+    )
+
+
+@query("fn_source_from_filename", oracle="SELECT 'lineitem' AS source_name")
+def q_fn_source_from_filename(spark, sf_dir: str) -> DataFrame:
+    """Derive the source label from the input filename (reference:
+    backup.py:30-33 — `offres_emploi_(.+)\\.json` → via). Uses
+    `input_file_name()` over the scan, so it distributes."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.regexp_extract(F.input_file_name(), r"([a-z]+)\.parquet", 1).alias(
+                "source_name"
+            )
+        )
+        .distinct()
+    )
+
+
+@query(
+    "fn_qualification_int",
+    oracle="""
+    SELECT CASE WHEN p_size % 7 BETWEEN 1 AND 5 THEN p_size % 7 ELSE 3 END
+             AS qualification,
+           COUNT(*) AS n
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fn_qualification_int(spark, sf_dir: str) -> DataFrame:
+    """Tolerant bounded-int coercion (reference: pipline.py:60-66 —
+    LLM's niveau_qualification clamped to 1-5, junk → default)."""
+    raw = (F.col("p_size") % 7).cast("int")
+    qual = F.when(raw.between(1, 5), raw).otherwise(F.lit(3)).cast("int")
+    return (
+        load(spark, sf_dir, "part")
+        .select(qual.alias("qualification"))
+        .groupBy("qualification")
+        .agg(F.count("*").alias("n"))
+        .orderBy("qualification")
+    )

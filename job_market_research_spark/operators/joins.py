@@ -1,1 +1,174 @@
-"""(filled in incrementally)"""
+"""Dimensional-ETL join operators (SURVEY §2.4).
+
+The reference's warehouse loader resolves every dimension value with a
+per-row SELECT-probe + INSERT round-trip ("get_or_create",
+insert_to_postgres.py:47-83) — its scalability cliff. Here the same
+semantics are one `distinct` + window surrogate-key assignment per
+dimension and a broadcast equi-join to key the fact — map-side only,
+no RPCs, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+def build_dimension(df: DataFrame, natural_key: str, id_col: str, value_col: str) -> DataFrame:
+    """Distinct natural keys + dense surrogate ids (reference
+    get_or_create, insert_to_postgres.py:47-64, done set-wise).
+
+    `row_number` over a global ordering of the distinct key set — the
+    distinct output is tiny (it's a dimension), so the single-partition
+    window is not a bottleneck even at 100 TB fact scale.
+    """
+    w = Window.orderBy(F.col(value_col))
+    return (
+        df.select(F.col(natural_key).alias(value_col))
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+        .withColumn(id_col, F.row_number().over(w).cast("long"))
+        .select(id_col, value_col)
+    )
+
+
+def key_fact_against_dimension(
+    fact: DataFrame, dim: DataFrame, natural_key: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Replace the fact's natural key with the dimension surrogate id
+    via broadcast join (the designed-in speedup over the reference's
+    row-at-a-time probe loop)."""
+    return (
+        fact.join(
+            F.broadcast(dim), fact[natural_key] == dim[value_col], "left"
+        )
+        .drop(value_col)
+    )
+
+
+@query(
+    "join_lookup_upsert",
+    oracle="""
+    WITH dim AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS id_segment,
+             c_mktsegment AS segment
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT d.id_segment, d.segment, COUNT(*) AS n_customers
+    FROM customer c JOIN dim d ON c.c_mktsegment = d.segment
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_join_lookup_upsert(spark, sf_dir: str) -> DataFrame:
+    """get_or_create as set-wise dimension build + broadcast re-key."""
+    customer = load(spark, sf_dir, "customer")
+    dim = build_dimension(customer, "c_mktsegment", "id_segment", "segment")
+    keyed = customer.join(
+        F.broadcast(dim), customer.c_mktsegment == dim.segment, "inner"
+    )
+    return (
+        keyed.groupBy("id_segment", "segment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("id_segment")
+    )
+
+
+@query(
+    "join_positional_zip",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b AS (
+      SELECT o_orderkey AS bk, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT a.o_orderkey, a.o_totalprice, b.o_orderpriority
+    FROM a JOIN b ON a.rn = b.rn ORDER BY a.o_orderkey
+    """,
+)
+def q_join_positional_zip(spark, sf_dir: str) -> DataFrame:
+    """Positional zip-merge of two equally-ordered datasets (reference:
+    zip(batch, processed), pipline.py:184-187). The reference's
+    positional contract is fragile; here each side gets an explicit
+    row_number over a total order and the join is keyed — same
+    semantics, restart-safe. (SURVEY §7 hard-point (d).)"""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy("o_orderkey")
+    a = orders.select("o_orderkey", "o_totalprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("bk"), "o_orderpriority"
+    ).withColumn("rn", F.row_number().over(Window.orderBy("bk")))
+    return (
+        a.join(b, "rn")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_key_fallback",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS sector,
+             CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE NULL END AS domaine
+      FROM customer
+    )
+    SELECT COALESCE(sector, domaine, 'Unspecified') AS sector_key,
+           COUNT(*) AS n
+    FROM src GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_key_fallback(spark, sf_dir: str) -> DataFrame:
+    """Coalescing key variants across source schemas (reference:
+    `secteur` or `domaine`, `company_name` or `companie` —
+    insert_to_postgres.py:172-201, utils__init__.py:211-226)."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("sector"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment")).alias("domaine"),
+    )
+    return (
+        customer.select(
+            F.coalesce("sector", "domaine", F.lit("Unspecified")).alias("sector_key")
+        )
+        .groupBy("sector_key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("sector_key")
+    )
+
+
+@query(
+    "join_semi_probe",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def q_join_semi_probe(spark, sf_dir: str) -> DataFrame:
+    """EXISTS-style probe as left-semi join (reference: SELECT 1 FROM
+    dim_calendar WHERE date_id=%s, insert_to_postgres.py:94,117)."""
+    customer = load(spark, sf_dir, "customer")
+    open_orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
