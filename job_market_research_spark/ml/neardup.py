@@ -1,1 +1,470 @@
-"""(filled in incrementally)"""
+"""Near-duplicate detection at training-data scale (beyond-reference).
+
+The reference only dedups on an exact natural key (SURVEY §2.3). A
+100 TB training-data pipeline needs content-level dedup: exact hash,
+MinHash+LSH, SimHash and n-gram Jaccard. All four are implemented as
+pure relational plans — tokenize/shingle → explode → hash → group —
+so they scale with the shuffle layer rather than any driver-side
+state.
+
+Cross-engine hash portability: every hash here is
+``int(md5(x)[:8], 16)`` — Spark ``conv(substr(md5(x),1,8),16,10)``,
+DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT`` — so the oracle can
+replay the *same* signatures, bands and buckets bit-for-bit. (At
+production scale you'd swap md5 for xxhash64 — same plan shape,
+cheaper hash; md5 is the cross-engine-verifiable choice.)
+
+The testdata corpus has no natural duplicates, so each query first
+constructs a deterministic augmented corpus: for every 10th document a
+mutated copy (doc_id + 1_000_000, first token dropped) is unioned in.
+Both engines build the identical corpus; the operator must find
+exactly those planted near-dups (plus any incidental ones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: Shared corpus-augmentation SQL for the oracles.
+AUGMENTED_CORPUS_SQL = """
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             regexp_replace(text, '^[^ ]+ ', '') AS text,
+             lang, source
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def augmented_corpus(spark, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies of every 10th doc (near-dup seeds)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(mutants)
+
+
+def portable_hash(col: Column) -> Column:
+    """32-bit integer hash identical in Spark and DuckDB (md5-based)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (native:
+    split → sequence → transform; no UDF)."""
+    c = text_col if isinstance(text_col, str) else "text"
+    # sequence(1, 0) would produce a *descending* range in Spark, so the
+    # too-short case must short-circuit to an empty array explicitly.
+    return F.expr(
+        f"""array_distinct(filter(
+              if(size(split(trim({c}), ' ')) < {n},
+                 array(),
+                 transform(
+                   sequence(1, size(split(trim({c}), ' ')) - {n - 1}),
+                   i -> concat_ws(' ', slice(split(trim({c}), ' '), i, {n})))),
+              x -> x <> ''))"""
+    )
+
+
+def _shingle_rows(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return corpus.select(
+        "doc_id", F.explode(word_shingles("text", n)).alias("sh")
+    )
+
+
+@query(
+    "dedup_exact_hash",
+    oracle=f"""
+    WITH corpus AS (
+      {AUGMENTED_CORPUS_SQL}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT h AS content_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, md5(text) AS h FROM corpus)
+    GROUP BY h HAVING COUNT(*) > 1 ORDER BY content_hash
+    """,
+)
+def q_dedup_exact_hash(spark, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy: md5 the payload, group,
+    keep the minimum id as canonical. One shuffle on the hash — the
+    100 TB-safe shape (no sort, no driver state). Note the corpus'
+    mutated copies are NOT exact dups; only every-100th doc (mutant of
+    a doc whose first token drop is a no-op) could collide — so this
+    finds exact-duplicate groups only."""
+    corpus = augmented_corpus(spark, sf_dir)
+    # Plant true exact duplicates too: every 20th doc copied verbatim.
+    docs = load(spark, sf_dir, "documents")
+    exact_copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = corpus.unionByName(exact_copies)
+    return (
+        corpus.select("doc_id", F.md5("text").alias("h"))
+        .groupBy(F.col("h").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+MINHASH_K = 16
+BAND_SIZE = 4
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks) WHERE sh IS NOT NULL AND sh <> ''
+    ),
+    sigs AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || sh), 1, 8))::BIGINT)
+               AS minh
+      FROM shingles, range(0, {MINHASH_K}) AS r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, i // {BAND_SIZE}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter, sa.n AS na, sb.n AS nb
+      FROM candidates c
+      JOIN shingles x ON x.doc_id = c.doc_a
+      JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, end to end:
+
+    shingle(3-word) → {MINHASH_K}-function minhash signature → band
+    into {MINHASH_K // BAND_SIZE} buckets of {BAND_SIZE} → bucket-join
+    for candidates → exact-Jaccard verification ≥ {JACCARD_THRESHOLD}.
+
+    Every stage is a shuffle-on-key relational op; candidate
+    generation never compares all pairs (the LSH point). At 100 TB the
+    band join is the only large shuffle and it is key-balanced by the
+    band hash itself."""
+    shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
+
+    hash_ids = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
+    sigs = (
+        shingles.select("doc_id", "sh", hash_ids)
+        .withColumn(
+            "h",
+            portable_hash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("sh"))),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("i"), F.col("minh")))
+                        ),
+                        lambda s: s.getField("minh").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = shingles.alias("x")
+    y = shingles.alias("y")
+    inter = (
+        candidates.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sh") == F.col("x.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT DISTINCT doc_id, t.token, lang, source
+      FROM corpus, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    bits AS (
+      SELECT doc_id, r.j,
+             SUM(CASE WHEN (('0x' || substr(md5(token), 1, 8))::BIGINT >> r.j) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, range(0, {SIMHASH_BITS}) AS r(j)
+      GROUP BY doc_id, r.j
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT s.doc_id, s.simhash, c.lang, c.source
+      FROM sims s JOIN corpus c ON s.doc_id = c.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token hash bits vote ±1 per position, the
+    sign vector packs into a {SIMHASH_BITS}-bit fingerprint; pairs in
+    the same (lang, source) block with Hamming distance ≤ {HAMMING_MAX}
+    are near-dups. Blocking keeps the pair join linear-ish; at scale
+    the block key becomes the simhash's high bits."""
+    corpus = augmented_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.trim("text"), " "), lambda x: x != ""))
+        ).alias("token"),
+    )
+    bits = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+            portable_hash(F.col("token")).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sims = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("1 << j")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+    keyed = sims.join(corpus.select("doc_id", "lang", "source"), "doc_id")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g, lang, source FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks) WHERE g IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup via inverted index: explode grams,
+    self-join on (gram, block) so only docs *sharing* a gram are ever
+    paired, then exact Jaccard from intersection/sizes. No all-pairs
+    product; the gram join is the candidate generator."""
+    corpus = augmented_corpus(spark, sf_dir)
+    grams = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(word_shingles("text", 2)).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.93
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: same-label (cluster) blocking, pair
+    cosine ≥ 0.93. Blocking by the coarse cluster id is the IVF trick:
+    the pair join is per-block instead of global. Rounded to 6 dp so
+    cross-engine float summation order can't flip the hash."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    emb = emb.withColumn("nrm", norm)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.93)
+        .orderBy("vec_a", "vec_b")
+    )

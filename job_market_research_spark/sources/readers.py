@@ -1,1 +1,238 @@
-"""(filled in incrementally)"""
+"""Source / scan operators (SURVEY §2.1).
+
+The reference ingests semi-structured JSON from staged object-store
+buckets: schema'd multiLine reads (transform_job.py:95-112), client-side
+file pruning by extension+size (transform_job.py:75-92), tolerant
+readers for concatenated/NDJSON payloads (insert_to_postgres.py:137-142)
+and whole-bucket union reads (database/__init__.py:124-171).
+
+Spark-first mapping: `spark.read.schema(...).json(glob)` covers the
+schema'd multi-file union natively; size-based pruning is a filesystem
+listing (Spark has no built-in size filter); the "}{"-concatenated
+repair is a wholetext read + native regexp + `from_json` + `explode` —
+no driver-side file munging.
+
+Registry queries write deterministic JSON into a scratch area first
+(testdata is parquet; the reference's scan surface is JSON) and then
+exercise the reader path; the oracle checks the round-trip against the
+parquet source of truth.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def scratch_dir(name: str, fresh: bool = True) -> str:
+    path = os.path.join(SCRATCH, name)
+    if fresh and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def read_json_with_schema(
+    spark: SparkSession, paths: list[str] | str, schema: T.StructType, multiline: bool = False
+) -> DataFrame:
+    """Schema'd JSON read merging many files into one relation
+    (reference: spark.read.schema(global_schema).option('multiLine',
+    True).json(valid_files), transform_job.py:110). The explicit schema
+    skips the inference pass — one scan, pruned to the declared columns."""
+    return spark.read.schema(schema).option("multiLine", multiline).json(paths)
+
+
+def prune_files(directory: str, suffix: str = ".json", min_bytes: int = 10) -> list[str]:
+    """Pre-scan file filter: only `suffix` files larger than
+    `min_bytes` (reference: transform_job.py:75-92; skillner/utils.py:
+    94-111). A listing-level concern — on object stores this is the
+    bucket listing; locally os.scandir. Spark never opens pruned files."""
+    out = []
+    for entry in sorted(os.scandir(directory), key=lambda e: e.name):
+        if entry.is_file() and entry.name.endswith(suffix) and entry.stat().st_size > min_bytes:
+            out.append(entry.path)
+    return out
+
+
+def read_concatenated_json(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Tolerant reader for a file of back-to-back pretty-printed JSON
+    objects ("}\\n{" breakage; reference: insert_to_postgres.py:137-142
+    repairs with string replace in the driver). Here the repair is a
+    distributed plan: wholetext read → native regexp splice → from_json
+    array → explode."""
+    raw = spark.read.text(path, wholetext=True)
+    arr_type = T.ArrayType(schema)
+    repaired = F.concat(
+        F.lit("["),
+        F.regexp_replace(F.col("value"), r"\}\s*\{", "},{"),
+        F.lit("]"),
+    )
+    return (
+        raw.select(F.explode(F.from_json(repaired, arr_type)).alias("rec"))
+        .select("rec.*")
+    )
+
+
+DOCS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _write_docs_json(spark: SparkSession, sf_dir: str, name: str, parts: int = 4) -> str:
+    """Stage documents (sans text) as a multi-file JSON directory."""
+    out = scratch_dir(name)
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(parts, "doc_id")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return out
+
+
+@query(
+    "scan_json_schema",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+)
+def q_scan_json_schema(spark, sf_dir: str) -> DataFrame:
+    """Round-trip: stage as multi-file JSON, read back with an explicit
+    schema (no inference), union-by-glob."""
+    out = _write_docs_json(spark, sf_dir, "scan_json_schema")
+    return read_json_with_schema(spark, out + "/*.json", DOCS_JSON_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "scan_file_pruning",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def q_scan_file_pruning(spark, sf_dir: str) -> DataFrame:
+    """Size/extension pruning: a <10-byte decoy json and a non-json
+    file are planted next to the real staged files; only the pruned
+    listing is handed to the reader, so the decoys never reach Spark."""
+    out = _write_docs_json(spark, sf_dir, "scan_file_pruning")
+    with open(os.path.join(out, "tiny.json"), "w") as f:
+        f.write("{}")  # 2 bytes — pruned by size
+    with open(os.path.join(out, "notes.txt"), "w") as f:
+        f.write('{"doc_id": 999999999}')  # wrong extension — pruned
+    good = prune_files(out)
+    df = read_json_with_schema(spark, good, DOCS_JSON_SCHEMA)
+    return df.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("source").alias("n_sources")
+    )
+
+
+@query(
+    "scan_jsonl_repair",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q_scan_jsonl_repair(spark, sf_dir: str) -> DataFrame:
+    """Repair-and-parse a file of concatenated pretty-printed JSON
+    objects entirely inside the plan."""
+    out = scratch_dir("scan_jsonl_repair")
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    # Stage the pathological input shape the reference tolerates:
+    # pretty-printed objects back to back with no array wrapper.
+    import json
+
+    path = os.path.join(out, "concat.json")
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r.asDict(), indent=2) for r in rows))
+    return read_concatenated_json(spark, path, DOCS_JSON_SCHEMA).orderBy("doc_id")
+
+
+@query(
+    "scan_bucket_union",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+)
+def q_scan_bucket_union(spark, sf_dir: str) -> DataFrame:
+    """Whole-stage-area union read (reference: database/__init__.py:
+    124-171 accumulates every object in a bucket): two staged batches
+    under one prefix, one glob read unions them."""
+    root = scratch_dir("scan_bucket_union")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    for label, residue in (("batch_a", 0), ("batch_b", 1)):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == residue)
+            .write.mode("overwrite")
+            .json(os.path.join(root, label))
+        )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    return read_json_with_schema(spark, root + "/*/*.json", schema).orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "sort_files",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS VARCHAR) AS bucket, COUNT(*) AS n
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_sort_files(spark, sf_dir: str) -> DataFrame:
+    """Deterministic file-order processing (reference: backup.py:45-47
+    sorts the listing): stage partitioned by bucket, recover each row's
+    source file via input_file_name(), aggregate per file bucket."""
+    out = scratch_dir("sort_files")
+    (
+        load(spark, sf_dir, "documents")
+        .withColumn("bucket", (F.col("doc_id") % 4).cast("string"))
+        .select("doc_id", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .json(out)
+    )
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    df = spark.read.schema(schema).option("basePath", out).json(out + "/bucket=*/")
+    return (
+        df.withColumn(
+            "bucket", F.regexp_extract(F.input_file_name(), r"bucket=(\d)", 1)
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )

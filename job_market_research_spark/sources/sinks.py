@@ -1,1 +1,197 @@
-"""(filled in incrementally)"""
+"""Sink operators (SURVEY §2.1 sinks).
+
+The reference's sinks: single-file JSON via driver collect
+(transform_job.py:252-269 — replaced here by `coalesce(1)` partitioned
+write, no driver materialization), overwrite-mode JSON
+(transform_job.py:272-278), uniquely-named object-store uploads
+(transform_job.py:241-249), row-by-row Postgres star load
+(insert_to_postgres.py:145-264 — replaced by bulk `df.write.jdbc`),
+and per-date Excel sheets (backup.py:98-107 — semantically a
+partitioned write).
+
+Every registry query is a write→read-back round-trip checked against
+the parquet source of truth, so the sink path itself is under the
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import date
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+from job_market_research_spark.sources.readers import read_json_with_schema, scratch_dir
+
+
+def write_json_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-file JSON output without collect(): `coalesce(1)` folds
+    the final stage to one task; upstream stages keep full parallelism
+    (unlike the reference's toJSON().collect() which serializes the
+    whole result through the driver)."""
+    df.coalesce(1).write.mode(mode).json(path)
+
+
+def run_output_path(base: str, prefix: str = "processed_jobs") -> str:
+    """Uniquely-named per-run output location (reference:
+    transform_job.py:241-249 `processed_jobs_<date>_<uuid8>.json`)."""
+    return os.path.join(base, f"{prefix}_{date.today():%Y%m%d}_{uuid.uuid4().hex[:8]}")
+
+
+def write_jdbc_star(df: DataFrame, url: str, table: str, mode: str = "append", **props) -> None:
+    """Bulk JDBC append for star-schema persistence (reference ships
+    the Postgres JDBC jar but loads row-by-row over pg8000;
+    insert_to_postgres.py:145-264). One executor-parallel batch insert
+    per table. Requires the JDBC driver jar on the classpath — raises
+    cleanly when absent (not bundled in this environment)."""
+    try:
+        df.write.mode(mode).format("jdbc").options(url=url, dbtable=table, **props).save()
+    except Exception as exc:  # pragma: no cover - no JDBC server in test env
+        raise RuntimeError(
+            "JDBC sink unavailable (driver jar or server missing); "
+            "use write.parquet staging + external bulk load instead"
+        ) from exc
+
+
+ORDERS_MINI_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@query(
+    "sink_json_single",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey
+    """,
+)
+def q_sink_json_single(spark, sf_dir: str) -> DataFrame:
+    """Single-file JSON write (no collect) → schema'd read-back."""
+    out = scratch_dir("sink_json_single")
+    df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    write_json_single(df, out)
+    return read_json_with_schema(spark, out + "/*.json", ORDERS_MINI_SCHEMA).orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "sink_json_overwrite",
+    oracle="""
+    SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_sink_json_overwrite(spark, sf_dir: str) -> DataFrame:
+    """Overwrite-mode idempotence: write twice, read once — the second
+    overwrite fully replaces the first (reference: transform_job.py:
+    272-278)."""
+    out = scratch_dir("sink_json_overwrite")
+    df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    write_json_single(df, out, mode="overwrite")
+    write_json_single(df, out, mode="overwrite")
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    back = read_json_with_schema(spark, out + "/*.json", schema)
+    return back.agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "sink_object_store",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_sink_object_store(spark, sf_dir: str) -> DataFrame:
+    """Uniquely-named per-run upload: each invocation writes to a fresh
+    `<prefix>_<date>_<uuid8>` path (the reference's bucket hand-off
+    naming), then the result is read back from exactly that path."""
+    base = scratch_dir("sink_object_store", fresh=True)
+    run_path = run_output_path(base)
+    df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey")
+    )
+    df.write.mode("error").json(run_path)  # fresh path must not exist
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    back = read_json_with_schema(spark, run_path + "/*.json", schema)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@query(
+    "sink_excel_by_date",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sink_excel_by_date(spark, sf_dir: str) -> DataFrame:
+    """One output partition per group (reference: backup.py:98-107
+    writes one Excel sheet per collect_date — semantically a
+    `partitionBy` write). Round-trip through hive-partitioned parquet."""
+    out = scratch_dir("sink_excel_by_date")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@query(
+    "sink_jdbc_star",
+    oracle="""
+    WITH dim AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS id_priority,
+             o_orderpriority AS priority
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT d.id_priority, d.priority, COUNT(*) AS n_facts
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.priority
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_sink_jdbc_star(spark, sf_dir: str) -> DataFrame:
+    """Star-schema persistence: build dim + keyed fact, persist both
+    as warehouse tables (parquet staging — the JDBC path is the same
+    `df.write` call with format('jdbc'); see `write_jdbc_star`), then
+    answer the query from the persisted tables only."""
+    from job_market_research_spark.operators.joins import build_dimension
+
+    out = scratch_dir("sink_jdbc_star")
+    orders = load(spark, sf_dir, "orders")
+    dim = build_dimension(orders, "o_orderpriority", "id_priority", "priority")
+    fact = orders.join(
+        F.broadcast(dim), orders.o_orderpriority == dim.priority
+    ).select("o_orderkey", "id_priority")
+    dim.write.mode("overwrite").parquet(os.path.join(out, "dim_priority"))
+    fact.write.mode("overwrite").parquet(os.path.join(out, "fact_orders"))
+
+    dim_b = spark.read.parquet(os.path.join(out, "dim_priority"))
+    fact_b = spark.read.parquet(os.path.join(out, "fact_orders"))
+    return (
+        fact_b.join(F.broadcast(dim_b), "id_priority")
+        .groupBy("id_priority", "priority")
+        .agg(F.count("*").alias("n_facts"))
+        .orderBy("id_priority")
+    )

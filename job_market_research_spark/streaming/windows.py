@@ -1,1 +1,197 @@
-"""(filled in incrementally)"""
+"""Structured Streaming operators (SURVEY §2.11).
+
+The reference has no streaming engine — incrementality is Celery-chain
+batch re-runs with append-only URL dedup and idempotent warehouse
+upsert (celery_app/tasks.py:220-230). Structured Streaming reproduces
+exactly that: a file source per stage directory, `availableNow` trigger
+for the batch-chain behavior, watermarked `dropDuplicates` for the
+new-URL gate, and `foreachBatch` for the dimensional upsert.
+
+The registry queries stage the `events` table as an arrival directory
+(multiple parquet files = multiple arriving batches), run a real
+streaming query to completion, and return the materialized result — so
+the driver's batch oracle can check streaming output value-for-value.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+from job_market_research_spark.sources.readers import scratch_dir
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, name: str, parts: int = 4) -> str:
+    """Write events as `parts` parquet files — the simulated arrivals."""
+    out = scratch_dir(name)
+    load(spark, sf_dir, "events").repartition(parts, "event_id").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str, max_files: int | None = None) -> str:
+    """Run a streaming frame to a memory sink with availableNow; return
+    the sink table name. availableNow drains everything then stops —
+    the reproduction of one Celery chain run."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_stream_window_tumbling(spark, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts over a file stream: 5-minute epoch-
+    aligned windows per event_type, 10-minute watermark bounding state.
+    Complete output mode so the one-shot drain emits every window (the
+    watermark still limits state at a real continuous scale)."""
+    src = _stage_events(spark, sf_dir, "stream_tumbling")
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = _run_to_memory(agg, "complete")
+    return (
+        spark.table(sink)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * k.k)
+             AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events, range(0, 2) AS k(k)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_stream_window_sliding(spark, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10-minute window, 5-minute slide): each
+    event lands in exactly window/slide = 2 overlapping windows."""
+    src = _stage_events(spark, sf_dir, "stream_sliding")
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = _run_to_memory(agg, "complete")
+    return (
+        spark.table(sink)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_dedup_watermark(spark, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup — the reference's append-only
+    new-URL gate (SURVEY §2.3 dedup_incremental) as a streaming
+    operator. Duplicates are planted by staging the event set twice;
+    `dropDuplicates` with a watermark keeps bounded state and exactly
+    one row per event_id survives."""
+    out = scratch_dir("stream_dedup")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(2, "event_id").write.mode("overwrite").parquet(
+        os.path.join(out, "arrival_1")
+    )
+    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
+        os.path.join(out, "arrival_2")
+    )
+    stream = spark.readStream.schema(ev.schema).option("pathGlobFilter", "*.parquet").parquet(
+        out + "/arrival_*"
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    sink = _run_to_memory(deduped, "append")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_incremental_pipeline",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    """,
+)
+def q_stream_incremental_pipeline(spark, sf_dir: str) -> DataFrame:
+    """The full incremental-load semantic, streaming edition: arriving
+    order batches (with overlap between batches) flow through
+    `foreachBatch`, which anti-joins each micro-batch against the
+    warehouse target before appending (reference: idempotent
+    SELECT-before-INSERT, run per Celery chain). Whatever the
+    micro-batch split, the target ends with exactly one row per key."""
+    root = scratch_dir("stream_incremental")
+    src = os.path.join(root, "arrivals")
+    target = os.path.join(root, "warehouse")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # Overlapping arrival batches: thirds with shared boundaries.
+    for i, cond in enumerate(
+        [
+            F.col("o_orderkey") % 3 <= 1,  # residues 0,1
+            F.col("o_orderkey") % 3 >= 1,  # residues 1,2  (overlap on 1)
+        ]
+    ):
+        orders.filter(cond).write.mode("overwrite").parquet(
+            os.path.join(src, f"batch_{i}")
+        )
+    # Seed the warehouse empty.
+    orders.limit(0).write.mode("overwrite").parquet(target)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        existing = batch_df.sparkSession.read.parquet(target)
+        fresh = batch_df.dropDuplicates(["o_orderkey"]).join(
+            existing.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+        fresh.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(src + "/batch_*")
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = spark.read.parquet(target)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
