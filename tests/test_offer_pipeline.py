@@ -1,0 +1,237 @@
+"""Domain-pipeline tests on adversarial job-offer fixtures.
+
+Mirrors the reference's written test plan (SURVEY §5: scenarios F31/F34
+Spark transform + dimensional load, F14/F15 star insertion + duplicate
+handling) using the adversarial value distributions FIXTURES.md §A5
+catalogs: multi-format dates, duplicate job_urls, null/empty required
+fields, 'unknown' sentinels, comma-separated multi-values, skills in
+both hard and soft lists, per-source key variants.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from job_market_research_spark.functions.enrich import enrich_offers
+from job_market_research_spark.plans.offer_analytics import (
+    croissance_mensuelle,
+    join1_wide_view,
+    top_skills,
+    total_offers_kpi,
+)
+from job_market_research_spark.plans.offers import (
+    clean_offers,
+    coalesce_source_variants,
+)
+from job_market_research_spark.plans.star import build_star
+from job_market_research_spark.schema import OFFER_SCHEMA, SPARK_INPUT_SCHEMA
+
+THIS_YEAR = datetime.date.today().year
+
+
+def _offer(**kw):
+    base = dict(
+        job_url=None,
+        publication_date=None,
+        via="Rekrute",
+        contrat="CDI",
+        titre="Data Engineer",
+        description="desc",
+        companie="Acme",
+        secteur="IT, Data",
+        niveau_etudes="Master",
+        niveau_experience="junior",
+        skills=Row(hard_skills=["python", "spark"], soft_skills=["teamwork"]),
+    )
+    base.update(kw)
+    return tuple(base[f.name] for f in SPARK_INPUT_SCHEMA.fields)
+
+
+@pytest.fixture(scope="module")
+def raw_offers(spark):
+    rows = [
+        # clean ISO date
+        _offer(job_url="u1", publication_date="2025-03-10"),
+        # duplicate job_url — must dedup to one
+        _offer(job_url="u1", publication_date="2025-03-11", titre="DUP"),
+        # Rekrute dd/mm/yyyy
+        _offer(job_url="u2", publication_date="15/04/2025", companie="Beta"),
+        # Bayt dd-mm-yyyy
+        _offer(job_url="u3", publication_date="20-05-2025", contrat="CDD"),
+        # MarocAnnonces '1 May-12:53' (year-less, current-year backfill)
+        _offer(job_url="u4", publication_date="1 May-12:53", via="Maroc_annonces"),
+        # garbage date → null → fillna leaves date null (DateType)
+        _offer(job_url="u5", publication_date="whenever"),
+        # missing required titre → dropped
+        _offer(job_url="u6", publication_date="2025-03-10", titre=None),
+        # empty required via → dropped
+        _offer(job_url="u7", publication_date="2025-03-10", via=""),
+        # 'unknown' sentinel dims + skill in both lists + null skill entry
+        _offer(
+            job_url="u8",
+            publication_date="2025-06-01",
+            niveau_etudes=" Unknown ",
+            niveau_experience=None,
+            companie="Acme",
+            skills=Row(
+                hard_skills=["python", None], soft_skills=["python", "rigor"]
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows, SPARK_INPUT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def cleaned(raw_offers):
+    df = clean_offers(raw_offers)
+    df.cache().count()
+    return df
+
+
+def test_required_fields_and_dedup(cleaned):
+    """F31: rows missing required fields are dropped; duplicate
+    job_urls collapse to the deterministic survivor."""
+    urls = [r.job_url for r in cleaned.select("job_url").orderBy("job_url").collect()]
+    assert urls == ["u1", "u2", "u3", "u4", "u5", "u8"]
+    # deterministic survivor: first by key, the non-DUP row
+    assert cleaned.filter(F.col("job_url") == "u1").first().titre == "Data Engineer"
+
+
+def test_multiformat_dates(cleaned):
+    got = {
+        r.job_url: r.date_publication
+        for r in cleaned.select("job_url", "date_publication").collect()
+    }
+    assert got["u1"] == datetime.date(2025, 3, 10)
+    assert got["u2"] == datetime.date(2025, 4, 15)
+    assert got["u3"] == datetime.date(2025, 5, 20)
+    # year-less month-name format backfills the current year
+    assert got["u4"] == datetime.date(THIS_YEAR, 5, 1)
+    assert got["u5"] is None
+
+
+def test_skills_flatten(cleaned):
+    """F31: struct<hard,soft> → tagged array, nulls dropped; the
+    same skill may legitimately appear under both types (per-offer
+    set-dedup is per type, reference skillner_logic.py:69-80)."""
+    sk = cleaned.filter(F.col("job_url") == "u8").first().skills
+    tagged = {(s.nom, s.type_skill) for s in sk}
+    assert tagged == {("python", "hard"), ("python", "soft"), ("rigor", "soft")}
+
+
+def test_split_and_fillna(cleaned):
+    r1 = cleaned.filter(F.col("job_url") == "u1").first()
+    assert r1.secteur == ["IT", "Data"]
+    # renamed columns exist
+    assert {"source", "compagnie"} <= set(cleaned.columns)
+
+
+@pytest.fixture(scope="module")
+def star(cleaned):
+    s = build_star(cleaned)
+    for df in s.values():
+        df.cache().count()
+    return s
+
+
+def test_star_dimensions(star):
+    """F14: dimension build — unique natural keys, dense surrogate
+    ids, sentinel values excluded."""
+    etudes = star["dim_niveau_etudes"].collect()
+    vals = {r.niveau_etudes for r in etudes}
+    assert "Unknown" not in vals and " Unknown " not in vals
+    ids = sorted(r.id_niveau_etudes for r in etudes)
+    assert ids == list(range(1, len(ids) + 1))
+
+    skills = {(r.nom, r.type_skill) for r in star["dim_skill"].collect()}
+    assert ("python", "hard") in skills  # 'hard' wins the min() tie-break
+    assert ("spark", "hard") in skills and ("teamwork", "soft") in skills
+
+
+def test_star_fact_and_bridge(star):
+    """F15: one fact row per offer (duplicates already collapsed), FK
+    integrity, bridge composite-key uniqueness."""
+    fact = star["fact_offre"]
+    assert fact.count() == 6
+    assert fact.filter(F.col("job_url").isNull()).count() == 0
+    # every non-null FK resolves
+    joined = fact.join(star["dim_source"], "id_source", "inner")
+    assert joined.count() == fact.count()
+    bridge = star["offre_skill"]
+    assert bridge.count() == bridge.select("id_offer", "id_skill").distinct().count()
+
+
+def test_star_calendar(star):
+    """Calendar densification spans min..max with the sentinel row."""
+    dd = star["dim_date"]
+    dates = [r.full_date for r in dd.select("full_date").orderBy("full_date").collect()]
+    assert dates[0] == datetime.date(2000, 1, 1)  # sentinel
+    assert datetime.date(2025, 3, 10) in dates and datetime.date(2025, 6, 1) in dates
+    # dense: every day between min real date and max present
+    real = [d for d in dates if d >= datetime.date(2025, 3, 10)]
+    assert len(real) == (datetime.date(THIS_YEAR, 6, 1) - datetime.date(2025, 3, 10)).days + 1 or len(real) > 80
+
+
+def test_offer_analytics(star):
+    assert total_offers_kpi(star).first().n_offres == 6
+    top = top_skills(star, "hard").collect()
+    assert top[0].nom in {"python", "spark"}
+    wide = join1_wide_view(star)
+    assert wide.count() > 0
+    assert "avec_experience_requise" in wide.columns
+    months = croissance_mensuelle(star).collect()
+    assert sum(r.nb_offres for r in months) >= 5
+
+
+def test_enrichment_rule_fallback(spark, cleaned):
+    out = enrich_offers(cleaned).collect()
+    by_url = {r.job_url: r for r in out}
+    assert len(by_url) == 6
+    assert by_url["u1"].secteur_infere == "Data & AI"
+    assert by_url["u1"].niveau_qualification == 3
+    assert all(r.enrich_source == "rule_fallback" for r in out)
+
+
+def test_enrichment_broken_client_falls_back(spark, cleaned):
+    """F27: a client returning malformed output triggers the
+    deterministic fallback instead of failing the batch."""
+
+    def broken(pdf):
+        return pdf[["job_url"]]  # missing contract columns
+
+    out = enrich_offers(cleaned, client=broken).collect()
+    assert len(out) == 6
+    assert all(r.enrich_source == "rule_fallback" for r in out)
+
+
+def test_coalesce_source_variants(spark):
+    rows = [
+        # MarocAnnonces shape: domaine/ville instead of secteur/region
+        {
+            "job_url": "m1",
+            "titre": "Dev",
+            "domaine": "Informatique",
+            "ville": "Casablanca",
+            "via": "Maroc_annonces",
+            "publication_date": "1 May-12:53",
+        },
+        # Bayt shape: intro instead of description
+        {
+            "job_url": "b1",
+            "titre": "Analyst",
+            "intro": "about us",
+            "via": "Bayt",
+            "publication_date": "20-05-2025",
+        },
+    ]
+    df = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in OFFER_SCHEMA.fields) for r in rows],
+        OFFER_SCHEMA,
+    )
+    out = {r.job_url: r for r in coalesce_source_variants(df).collect()}
+    assert out["m1"].secteur == "Informatique"
+    assert out["m1"].region == "Casablanca"
+    assert out["b1"].description == "about us"
