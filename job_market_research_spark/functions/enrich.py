@@ -21,7 +21,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 ENRICH_OUTPUT_SCHEMA = (
     "job_url string, titre string, titre_homogene string, secteur_infere string, "
@@ -105,3 +105,47 @@ def enrich_offers(
     if batch_partitions:
         src = src.repartition(batch_partitions)
     return src.mapInPandas(run, schema=ENRICH_OUTPUT_SCHEMA)
+
+
+from job_market_research_spark.io import load  # noqa: E402
+from job_market_research_spark.registry import query  # noqa: E402
+
+
+@query(
+    "text_llm_enrich",
+    oracle=r"""
+    WITH src AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS job_url, p_name AS titre,
+             lower(trim(p_name)) AS t
+      FROM part
+    )
+    SELECT job_url, titre,
+      regexp_replace(regexp_replace(regexp_replace(t,
+          '\bsr\.?\b|\bsenior\b', 'senior', 'g'),
+          '\bjr\.?\b|\bjunior\b', 'junior', 'g'),
+          '\s+', ' ', 'g') AS titre_homogene,
+      CASE WHEN t LIKE '%data%' THEN 'Data & AI'
+           WHEN t LIKE '%engineer%' THEN 'Engineering'
+           WHEN t LIKE '%market%' THEN 'Marketing'
+           WHEN t LIKE '%finance%' THEN 'Finance'
+           WHEN t LIKE '%developer%' THEN 'IT'
+           ELSE 'Autre' END AS secteur_infere,
+      CAST(CASE WHEN t LIKE '%senior%' OR t LIKE '%lead%' THEN 4
+                WHEN t LIKE '%junior%' OR t LIKE '%stagiaire%' THEN 2
+                ELSE 3 END AS INTEGER) AS niveau_qualification,
+      'rule_fallback' AS enrich_source
+    FROM src ORDER BY job_url
+    """,
+)
+def q_text_llm_enrich(spark, sf_dir: str) -> DataFrame:
+    """Batch LLM-enrichment stage on its deterministic fallback path
+    (the only reproducible one — SURVEY §2.10): `part` rows stand in
+    for offers (p_partkey→job_url, p_name→titre). The plan shape is
+    the production one — Arrow-batched mapInPandas, keyed (not
+    positional) output — with the rule client in place of the remote
+    model; the oracle replays the same rules in SQL."""
+    offers = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("job_url"),
+        F.col("p_name").alias("titre"),
+    )
+    return enrich_offers(offers).orderBy("job_url")

@@ -63,7 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         nested,
         setops,
     )
-    from job_market_research_spark.functions import dates, scalars, text  # noqa: F401
+    from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
     from job_market_research_spark.ml import similarity, neardup  # noqa: F401
     from job_market_research_spark.multimodal import binary_ops  # noqa: F401

@@ -236,3 +236,47 @@ def q_sort_files(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+def configure_s3a(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+) -> None:
+    """S3-compatible object-store wiring (reference: transform_job.py:
+    53-67 sets endpoint/keys/path-style on the Hadoop conf for MinIO).
+    Credentials default to the standard AWS env vars — never inline
+    literals (the reference hardcodes them; its own test doc flags
+    that as a defect). Safe to call on a session with no object store
+    attached: the conf only takes effect when an s3a:// path is read."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    conf.set("fs.s3a.path.style.access", str(path_style).lower())
+    conf.set("fs.s3a.connection.ssl.enabled", "false")
+    conf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+
+@query(
+    "source_s3a_config",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def q_source_s3a_config(spark, sf_dir: str) -> DataFrame:
+    """Object-store config path: apply the full s3a conf to the live
+    session (endpoint/path-style/creds), then read through the Hadoop
+    FS layer — the same reader code serves file:// here and s3a:// on
+    a cluster; only the URI scheme changes."""
+    configure_s3a(spark, endpoint="http://localhost:9000")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy(
+        "r_regionkey"
+    )

@@ -195,3 +195,88 @@ def q_sink_jdbc_star(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_facts"))
         .orderBy("id_priority")
     )
+
+
+@query(
+    "agg_group_export",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS export_month,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_agg_group_export(spark, sf_dir: str) -> DataFrame:
+    """Per-group export (reference: backup.py:101-107 pandas
+    groupby(date) → one Excel sheet per date). Spark-first: one
+    partitioned write — each month lands in its own directory, the
+    write itself is the group-by, and the read-back proves every group
+    arrived intact. At 100 TB this is the standard date-partitioned
+    lake layout; no driver-side group loop."""
+    out = scratch_dir("agg_group_export")
+    (
+        load(spark, sf_dir, "orders")
+        .withColumn(
+            "export_month", F.date_trunc("month", "o_orderdate").cast("date")
+        )
+        .select("o_orderkey", "export_month")
+        .write.mode("overwrite")
+        .partitionBy("export_month")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("export_month")
+        .agg(F.count("*").alias("n"))
+        .orderBy("export_month")
+    )
+
+
+def to_mongo_documents(df: DataFrame, id_col: str) -> DataFrame:
+    """Rows → MongoDB-style JSON documents with an `_id` field
+    (reference: mongodb_connect.py:8-30 insert_many of scraped dicts).
+    The real connector is `df.write.format('mongodb')` with the Spark
+    connector on the classpath; the document construction — the part
+    with query semantics — is this native to_json projection."""
+    cols = [F.col(id_col).alias("_id")] + [
+        F.col(c) for c in df.columns if c != id_col
+    ]
+    return df.select(F.to_json(F.struct(*cols)).alias("doc"))
+
+
+@query(
+    "sink_mongo",
+    oracle="""
+    SELECT o_orderkey AS _id, o_custkey AS custkey,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 13 = 0 ORDER BY _id
+    """,
+)
+def q_sink_mongo(spark, sf_dir: str) -> DataFrame:
+    """Mongo-sink semantics without a server: build `_id`-keyed JSON
+    documents, stage them (insert_many ≙ partitioned append), then
+    parse them back and prove the document payload is lossless."""
+    out = scratch_dir("sink_mongo")
+    docs = to_mongo_documents(
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        id_col="o_orderkey",
+    )
+    docs.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("priority", T.StringType()),
+        ]
+    )
+    back = spark.read.text(out)
+    return (
+        back.select(F.from_json("value", schema).alias("d"))
+        .select("d.*")
+        .orderBy("_id")
+    )
