@@ -1,0 +1,118 @@
+"""Skew-mitigation operators: salting for hot keys (100 TB design).
+
+The reference never hits skew (2k rows); at training-data scale a hot
+group key (one giant company, one dominant event_type) makes a single
+reducer the straggler. Two standard mitigations, both pure relational
+rewrites whose RESULTS are identical to the naive plan — so the DuckDB
+oracle checks the un-salted SQL:
+
+- salted aggregation: group by (key, salt) first — every partition
+  does bounded work — then re-aggregate by key. Count/sum/min/max are
+  mergeable, so the two-stage result is exact.
+- salted join: the build side is replicated SALT ways, the probe side
+  tags each row with a salt derived from a NON-join column; the join
+  key becomes (key, salt), spreading one hot key over SALT reducers.
+
+Salts must be deterministic (no rand(): retried tasks would re-salt
+differently and break exactly-once shuffle file reuse) — derived from
+stable row attributes via pmod(hash(...)).
+
+AQE's skewedJoin handles the join case automatically when statistics
+surface the skew (enabled in session.py); explicit salting is the
+belt-and-braces for aggregation skew and for engines/joins AQE can't
+split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+SALT_BUCKETS = 16
+
+
+def salt_column(*stable_cols: str, buckets: int = SALT_BUCKETS) -> Column:
+    """Deterministic salt in [0, buckets) from non-join-key columns."""
+    return F.pmod(F.hash(*[F.col(c) for c in stable_cols]), F.lit(buckets))
+
+
+def salted_count(
+    df: DataFrame, group_col: str, salt_src: str, buckets: int = SALT_BUCKETS
+) -> DataFrame:
+    """Two-stage skew-proof COUNT(*) GROUP BY: partial counts on
+    (key, salt), exact merge on key. One extra (tiny) shuffle of
+    |keys|×buckets rows buys bounded per-reducer work on the big one."""
+    partial = (
+        df.withColumn("_salt", salt_column(salt_src, buckets=buckets))
+        .groupBy(group_col, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(group_col).agg(F.sum("_partial").alias("n"))
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY flag
+    """,
+)
+def q_agg_salted_skew(spark, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation on lineitem's 3-value l_returnflag — a
+    genuinely skewed key (3 groups over any number of reducers). The
+    salted two-stage plan spreads each flag over 16 partial groups;
+    the merged result is exactly COUNT(*) GROUP BY."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        salted_count(li, "l_returnflag", "l_orderkey")
+        .select(F.col("l_returnflag").alias("flag"), "n")
+        .orderBy("flag")
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt_src: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Hot-key equi-join: replicate the build side `buckets` ways and
+    join on (key, salt). Build-side blowup is buckets×|build| — use for
+    moderate build sides with a skewed probe; for small builds plain
+    broadcast wins, and AQE skew-split covers the sort-merge case."""
+    salted_probe = probe.withColumn("_salt", salt_column(salt_src, buckets=buckets))
+    salted_build = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    cond = (salted_probe[probe_key] == salted_build[build_key]) & (
+        salted_probe["_salt"] == salted_build["_salt"]
+    )
+    return salted_probe.join(salted_build, cond).drop("_salt")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def q_join_salted_skew(spark, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders with a salted key: each orderkey's lineitem
+    rows scatter over 16 salt buckets (salt from l_linenumber — stable,
+    independent of the join key), orders rows are replicated to meet
+    them. Same rows out as the plain equi-join, no reducer ever owns a
+    whole hot key."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", "l_linenumber")
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("priority")
+    )

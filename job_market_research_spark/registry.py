@@ -57,17 +57,19 @@ def load_all() -> dict[str, QuerySpec]:
     # Imports are for the registration side effects.
     from job_market_research_spark.plans import analytics  # noqa: F401
     from job_market_research_spark.operators import (  # noqa: F401
+        bucketing,
         cleaning,
         dedup,
         joins,
         nested,
         setops,
+        skew,
     )
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
     from job_market_research_spark.ml import similarity, neardup  # noqa: F401
     from job_market_research_spark.multimodal import binary_ops  # noqa: F401
-    from job_market_research_spark.streaming import windows  # noqa: F401
+    from job_market_research_spark.streaming import sessions, windows  # noqa: F401
 
     return REGISTRY
 

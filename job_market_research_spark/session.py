@@ -63,8 +63,8 @@ def get_spark(
 def configure_s3a(
     spark: SparkSession,
     endpoint: str,
-    access_key: str,
-    secret_key: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
     path_style: bool = True,
 ) -> SparkSession:
     """S3-compatible object-store wiring (SURVEY §2.1 `source_s3a_config`;
@@ -77,8 +77,12 @@ def configure_s3a(
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.endpoint", endpoint)
-    hconf.set("fs.s3a.access.key", access_key)
-    hconf.set("fs.s3a.secret.key", secret_key)
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if access_key:
+        hconf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        hconf.set("fs.s3a.secret.key", secret_key)
     hconf.set("fs.s3a.path.style.access", "true" if path_style else "false")
     hconf.set("fs.s3a.connection.ssl.enabled", "false" if endpoint.startswith("http:") else "true")
     hconf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")

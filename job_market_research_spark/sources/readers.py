@@ -238,31 +238,7 @@ def q_sort_files(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def configure_s3a(
-    spark: SparkSession,
-    endpoint: str | None = None,
-    access_key: str | None = None,
-    secret_key: str | None = None,
-    path_style: bool = True,
-) -> None:
-    """S3-compatible object-store wiring (reference: transform_job.py:
-    53-67 sets endpoint/keys/path-style on the Hadoop conf for MinIO).
-    Credentials default to the standard AWS env vars — never inline
-    literals (the reference hardcodes them; its own test doc flags
-    that as a defect). Safe to call on a session with no object store
-    attached: the conf only takes effect when an s3a:// path is read."""
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    if endpoint:
-        conf.set("fs.s3a.endpoint", endpoint)
-    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
-    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
-    if access_key:
-        conf.set("fs.s3a.access.key", access_key)
-    if secret_key:
-        conf.set("fs.s3a.secret.key", secret_key)
-    conf.set("fs.s3a.path.style.access", str(path_style).lower())
-    conf.set("fs.s3a.connection.ssl.enabled", "false")
-    conf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+from job_market_research_spark.session import configure_s3a  # noqa: E402
 
 
 @query(

@@ -1,0 +1,164 @@
+"""Stateful streaming operators: sessionization + custom pandas state.
+
+Beyond-reference streaming surface (the reference's incrementality is
+batch re-runs; SURVEY §2.11). Two genuinely stateful operators a
+training-data/event pipeline needs:
+
+- `session_window` gap-based sessionization — native Spark state store,
+  identical semantics in batch and streaming, so one definition serves
+  both the backfill and the live path.
+- `applyInPandasWithState` — the escape hatch for custom per-key state
+  machines the built-in operators can't express (running counters here;
+  the same shape carries fraud scoring, dedup-with-TTL, CDC folding).
+
+Both registry queries run REAL streaming queries (availableNow drain
+over staged arrival files) and still hash-match a batch DuckDB oracle —
+complete-mode session output equals the batch plan; the stateful
+counter's last emission per key equals the batch count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+from job_market_research_spark.sources.readers import scratch_dir
+from job_market_research_spark.streaming.windows import _run_to_memory
+
+#: Gap after which a user's activity starts a new session.
+SESSION_GAP = "2 hours"
+
+
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts", gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based sessions per key — one definition for batch AND
+    streaming input frames (`session_window` runs on both; state store
+    only engages on the streaming side). Output: key, session bounds,
+    event count. The shuffle is on the session key; at 100 TB state is
+    partitioned per key and bounded by the watermark on the caller."""
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+#: DuckDB twin of session_window: a new session opens when the gap to
+#: the previous event is >= the gap duration (Spark session windows are
+#: end-exclusive: an event landing exactly at last_ts + gap does NOT
+#: merge). session_end = last event + gap.
+SESSIONIZE_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL '2 hours'
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '2 hours' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
+@query("stream_sessionize", oracle=SESSIONIZE_ORACLE)
+def q_stream_sessionize(spark, sf_dir: str) -> DataFrame:
+    """Streaming sessionization over arriving event files: 2-hour gap
+    sessions per user, watermarked state, complete-output drain. The
+    memory-sink result hash-matches the pure-batch oracle — the
+    batch/streaming unification `session_window` promises."""
+    out = scratch_dir("stream_sessionize")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
+        os.path.join(out, "arrivals")
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(os.path.join(out, "arrivals"))
+    sessions = sessionize(stream.withWatermark("ts", "1 hour"))
+    sink = _run_to_memory(sessions, "complete")
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+COUNTER_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+COUNTER_STATE = T.StructType([T.StructField("count", T.LongType())])
+
+
+def _count_events(key, pdfs, state: GroupState):
+    """Per-user running counter: fold each arriving pandas batch into
+    keyed state, emit the cumulative count. Arrow-batched both ways."""
+    (user_id,) = key
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [total]})
+
+
+def stateful_event_counts(stream: DataFrame) -> DataFrame:
+    """Custom per-key state machine via applyInPandasWithState. The
+    built-ins could express a plain count — the point is the shape:
+    arbitrary pandas logic + explicit state schema + timeout control,
+    partitioned by key, Arrow on both boundaries."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=COUNTER_OUTPUT,
+        stateStructType=COUNTER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_stateful_counter(spark, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState counter drained over multiple
+    micro-batches (maxFilesPerTrigger=1 forces ≥3). Each batch emits
+    the running total per user; the max emission per user is the final
+    state and must equal the batch COUNT(*) — whatever the batch
+    split."""
+    out = scratch_dir("stream_stateful_counter")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
+        os.path.join(out, "arrivals")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(out, "arrivals"))
+    )
+    counts = stateful_event_counts(stream)
+    sink = _run_to_memory(counts, "append")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
