@@ -146,3 +146,101 @@ def q_multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+RESIZE_SCHEMA = "doc_id long, width long, height long, out_width long, out_height long, resize_status string"
+
+#: Bounding box for the resize target (common vision-model input).
+RESIZE_TARGET = 224
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stage: compute aspect-preserving target
+    dimensions with pure integer arithmetic (exactly replayable by the
+    oracle); the pixel resample itself is the stubbed codec call."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        w = (ids % 640) + 16
+        h = (ids % 480) + 16
+        long_side = pd.concat([w, h], axis=1).max(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "width": w,
+                "height": h,
+                "out_width": (w * RESIZE_TARGET) // long_side,
+                "out_height": (h * RESIZE_TARGET) // long_side,
+                "resize_status": "stubbed",
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           doc_id % 640 + 16 AS width,
+           doc_id % 480 + 16 AS height,
+           (doc_id % 640 + 16) * {RESIZE_TARGET}
+             // greatest(doc_id % 640 + 16, doc_id % 480 + 16) AS out_width,
+           (doc_id % 480 + 16) * {RESIZE_TARGET}
+             // greatest(doc_id % 640 + 16, doc_id % 480 + 16) AS out_height,
+           'stubbed' AS resize_status
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_resize(spark, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: per-item aspect-preserving fit into a
+    224-box. Target-dimension math is integer-exact on both engines;
+    only the pixel resample is the stubbed library call. Batch shape
+    and schema are the production contract."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("content", F.encode("text", "UTF-8"))
+        .select("doc_id", "content")
+    )
+    return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA).orderBy("doc_id")
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction stage: media bytes → fixed-dim embedding.
+    The model forward pass is stubbed with a deterministic projection
+    of the id (both engines replay it exactly: integer mod, then one
+    IEEE double division)."""
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "embedding": [
+                    [((int(d) * 7 + i) % 97) / 97.0 for i in range(EMBED_DIM)]
+                    for d in ids
+                ],
+            }
+        )
+
+
+@query(
+    "multimodal_embed_extract",
+    oracle=f"""
+    SELECT doc_id,
+           list_transform(range(0, {EMBED_DIM}),
+                          i -> ((doc_id * 7 + i) % 97) / 97.0) AS embedding
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_embed_extract(spark, sf_dir: str) -> DataFrame:
+    """Media → embedding column (`array<double>`): the feature-extract
+    operator that feeds the ANN / near-dup stages (ml/similarity.py).
+    Arrow carries the list column back without row-by-row conversion;
+    downstream similarity queries consume it unchanged."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("content", F.encode("text", "UTF-8"))
+        .select("doc_id", "content")
+    )
+    return docs.mapInPandas(_embed_batches, schema=EMBED_SCHEMA).orderBy("doc_id")
