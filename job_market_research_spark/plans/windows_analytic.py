@@ -1,0 +1,157 @@
+"""Windowed analytics + hierarchical rollups (beyond-reference).
+
+The reference's dashboard SQL has no window functions and no grouping
+sets (SURVEY §2.5) — but its chart shapes (monthly growth, top-k per
+category) are one step away from them, and any analytics engine a
+reference user switches to must have them. Four canonical shapes:
+
+- moving average over a time series (frame-based window)
+- rank-within-partition top-k (the per-category leaderboard)
+- lag/delta month-over-month change (the growth chart, properly)
+- ROLLUP hierarchy totals (region → nation → grand total)
+
+All are single-shuffle plans: the window partition key or group key is
+the only exchange; frames evaluate within partitions. At 100 TB the
+partition key must be the high-cardinality one (here: segment/month) so
+no single window partition exceeds an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n,
+           CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS moving_avg_3m
+    FROM monthly
+    WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY month
+    """,
+)
+def q_window_moving_avg(spark, sf_dir: str) -> DataFrame:
+    """3-month moving average of monthly order volume. Expressed as
+    exact integer sum / count in DOUBLE on both engines (no AVG — its
+    internal accumulation order differs across engines). The monthly
+    pre-aggregation shrinks the window input to |months| rows, so the
+    unpartitioned ordered window is trivially single-node safe."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count("n").over(w)).alias(
+            "moving_avg_3m"
+        ),
+    ).orderBy("month")
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment AS segment, c_name AS company, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT segment, company, n,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY n DESC, company) AS rk
+      FROM counts
+    )
+    SELECT segment, company, n, rk FROM ranked
+    WHERE rk <= 3 ORDER BY segment, rk
+    """,
+)
+def q_window_rank_topk(spark, sf_dir: str) -> DataFrame:
+    """Top-3 companies per segment — rank within partition, the
+    grouped-top-k the reference approximates with per-chart LIMITs.
+    Deterministic tie-break (count desc, then name). Partitioned by
+    segment: each executor ranks its own segments; no global sort."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    counts = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("c_name").alias("company")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("n"), "company")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("segment", "rk")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n,
+           n - lag(n) OVER (ORDER BY month) AS delta_prev_month
+    FROM monthly ORDER BY month
+    """,
+)
+def q_window_lag_delta(spark, sf_dir: str) -> DataFrame:
+    """Month-over-month change via lag — the growth metric behind the
+    reference's Croissance_Mensuelle chart, computed in-engine instead
+    of client-side."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta_prev_month"),
+    ).orderBy("month")
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation, COUNT(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def q_agg_rollup(spark, sf_dir: str) -> DataFrame:
+    """Hierarchy totals in one pass: per-(region, nation), per-region
+    subtotal, grand total — `rollup` computes all three grains in a
+    single shuffle (partial aggregation covers every level)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )

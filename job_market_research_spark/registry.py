@@ -55,7 +55,7 @@ def query(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry."""
     # Imports are for the registration side effects.
-    from job_market_research_spark.plans import analytics  # noqa: F401
+    from job_market_research_spark.plans import analytics, windows_analytic  # noqa: F401
     from job_market_research_spark.operators import (  # noqa: F401
         bucketing,
         cleaning,
