@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the operators whose
+correctness is an algebraic invariant, not a fixed fixture:
+
+- multi-format date parsing inverts date formatting for every date and
+  format, and garbage never parses (model: Python strptime)
+- salted aggregation is exactly COUNT(*) GROUP BY for any key
+  distribution, including pathological single-key skew
+- keyed dedup keeps exactly the deterministic min survivor
+- batch sessionization partitions the event set: counts sum to the
+  total and intra-session gaps stay under the gap threshold
+
+Each example is a whole row batch (one Spark job per example, small
+max_examples) — Spark job latency makes per-row examples impractical.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F, types as T
+
+from job_market_research_spark.functions.dates import parse_multiformat_date
+from job_market_research_spark.operators.dedup import dedup_keep_min
+from job_market_research_spark.operators.skew import salted_count
+from job_market_research_spark.streaming.sessions import sessionize
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+DATES = st.dates(min_value=datetime.date(1990, 1, 1), max_value=datetime.date(2099, 12, 28))
+FMT = st.sampled_from([("yyyy-MM-dd", "%Y-%m-%d"), ("dd/MM/yyyy", "%d/%m/%Y"), ("dd-MM-yyyy", "%d-%m-%Y")])
+
+
+@SLOW
+@given(batch=st.lists(st.tuples(DATES, FMT), min_size=1, max_size=40))
+def test_date_parse_inverts_format(spark, batch):
+    rows = [(d.strftime(pyfmt), d) for d, (_sparkfmt, pyfmt) in batch]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("raw", T.StringType()),
+                T.StructField("expected", T.DateType()),
+            ]
+        ),
+    )
+    out = df.select(
+        parse_multiformat_date("raw").alias("got"), "expected"
+    ).collect()
+    for r in out:
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+@SLOW
+@given(
+    garbage=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll")), max_size=12
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_date_parse_rejects_garbage(spark, garbage):
+    """Pure-letter strings can never satisfy any accepted format."""
+    df = spark.createDataFrame([(g,) for g in garbage], ["raw"])
+    out = df.select(parse_multiformat_date("raw").alias("got")).collect()
+    assert all(r.got is None for r in out)
+
+
+@SLOW
+@given(
+    keys=st.lists(
+        st.sampled_from(["hot", "hot", "hot", "warm", "cold"]),  # skewed draw
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_salted_count_equals_plain_count(spark, keys):
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["k", "rid"])
+    got = {
+        r.k: r.n for r in salted_count(df, "k", "rid", buckets=4).collect()
+    }
+    expected = {}
+    for k in keys:
+        expected[k] = expected.get(k, 0) + 1
+    assert got == expected
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=-1000, max_value=1000),  # payload
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_dedup_keep_min_survivor(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r.k: r.v for r in dedup_keep_min(df, ["k"], "v").collect()}
+    expected = {}
+    for k, v in rows:
+        expected[k] = v if k not in expected else min(expected[k], v)
+    assert got == expected
+
+
+@SLOW
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=60 * 60 * 24),  # seconds within a day
+        min_size=1,
+        max_size=120,
+    ),
+    users=st.lists(st.integers(min_value=1, max_value=3), min_size=1, max_size=120),
+)
+def test_sessionize_partitions_events(spark, offsets, users):
+    base = datetime.datetime(2024, 1, 1)
+    n = min(len(offsets), len(users))
+    rows = [
+        (users[i], base + datetime.timedelta(seconds=offsets[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    sessions = sessionize(df, gap="2 hours").collect()
+    # counts partition the events
+    assert sum(s.n_events for s in sessions) == n
+    # per user: session spans don't overlap, and each span is tight
+    gap = datetime.timedelta(hours=2)
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s.session_start)
+        for a, b in zip(ss, ss[1:]):
+            # end = last event + gap; next session starts >= that end
+            assert b.session_start >= a.session_end
+        user_ts = sorted(ts for u, ts in rows if u == user)
+        # every event falls inside exactly one session span
+        covered = sum(
+            1
+            for ts in user_ts
+            if any(s.session_start <= ts < s.session_end for s in ss)
+        )
+        assert covered == len(user_ts)
+        # no intra-session gap reaches the threshold: consecutive events
+        # inside one session are < gap apart
+        for s in ss:
+            inside = [ts for ts in user_ts if s.session_start <= ts < s.session_end]
+            for t1, t2 in zip(inside, inside[1:]):
+                assert t2 - t1 < gap
