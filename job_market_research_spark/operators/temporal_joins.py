@@ -1,0 +1,162 @@
+"""As-of and range joins — temporal operators Spark lacks natively.
+
+Neither exists in the reference (SURVEY §2.4: "No theta, range, as-of,
+or interval joins") or in Spark's built-in join menu, but both are
+table stakes for event/feature pipelines (latest dimension state as of
+an event; value-to-bucket classification). Re-expressed as compositions
+of existing DataFrame ops — no UDF, no cartesian:
+
+- **as-of join**: union both sides tagged, one window pass per key
+  carrying the last-seen right-side row forward (`last(ignorenulls)`
+  over an ordered frame). ONE shuffle on the join key, state flows
+  within partitions — at 100 TB this beats the naive range-join plan
+  (which explodes to |left|×|right-per-key| intermediate rows).
+- **range join**: non-equi predicate against a broadcast bucket table
+  (BroadcastNestedLoopJoin). Legal only because the bucket side is
+  tiny-by-construction; for two large range sides you'd bucketize to
+  convert it into an equi-join first.
+
+The DuckDB oracle replays the as-of join with its native `ASOF JOIN` —
+an independent implementation agreeing value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: str,
+) -> DataFrame:
+    """For each left row: the right row with the greatest `right_ts`
+    <= `left_ts` within the same key (ties: the right row wins, i.e.
+    "on or before"). Right side must be unique per (key, ts) —
+    pre-aggregate if not.
+
+    Plan: tag + unionByName + `last(struct, ignorenulls)` over a
+    per-key window ordered by (ts, side) with side=right first, then
+    keep left rows. Single hash shuffle on the key; no row explosion.
+    """
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        F.lit(None).cast(right.schema[right_payload].dataType).alias("_rp"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+        F.col(right_payload).alias("_rp"),
+        F.col(right_ts).alias("_rt"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # The carried struct must be NULL (not struct(NULL, NULL)) on left
+    # rows, or last(ignorenulls) would pick the left row's own empties.
+    right_struct = F.when(F.col("_side") == 0, F.struct("_rt", "_rp"))
+    carried = u.select(
+        "*",
+        F.last(right_struct, ignorenulls=True).over(w).alias("_match"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_left.*"),
+        F.col("_match._rp").alias("matched_payload"),
+        F.col("_match._rt").alias("matched_ts"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS odate,
+             MAX(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.okey AS matched_payload, o.odate AS matched_ts
+    FROM events e ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.odate
+    ORDER BY e.event_id
+    """,
+)
+def q_join_asof(spark, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's most recent order on-or-before
+    the event time — the canonical feature-lookup as-of join. The
+    oracle replays it with DuckDB's native ASOF JOIN; the Spark plan is
+    the union+window composition (one shuffle on user key)."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").alias("odate"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="odate",
+        right_payload="okey",
+    ).orderBy("event_id")
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH buckets AS (
+      SELECT r AS lo, r + 10 AS hi,
+             'q' || CAST(r AS VARCHAR) AS bucket
+      FROM unnest(range(0, 50, 10)) AS t(r)
+    )
+    SELECT b.bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+    FROM lineitem l JOIN buckets b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_join_range(spark, sf_dir: str) -> DataFrame:
+    """Value-to-interval classification: lineitem quantities against a
+    generated bucket table via a non-equi range predicate. The bucket
+    side is broadcast (5 rows) so the plan is a broadcast nested-loop
+    — the right call when one side is tiny; bucketize-to-equi when
+    both sides are large."""
+    li = load(spark, sf_dir, "lineitem").select("l_quantity")
+    buckets = spark.range(0, 50, 10).select(
+        F.col("id").cast("double").alias("lo"),
+        (F.col("id") + 10).cast("double").alias("hi"),
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("bucket"),
+    )
+    joined = li.join(
+        F.broadcast(buckets),
+        (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("qty_sum"),
+        )
+        .orderBy("bucket")
+    )

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         nested,
         setops,
         skew,
+        temporal_joins,
     )
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
