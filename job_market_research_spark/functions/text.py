@@ -267,3 +267,55 @@ def q_text_fingerprint(spark, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     canon = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
     return docs.select("doc_id", F.md5(canon).alias("fingerprint")).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 50
+    ORDER BY doc_id, token
+    """,
+)
+def q_text_tfidf(spark, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring over the corpus — the quality/relevance feature a
+    training-data pipeline ranks and filters by. Three aggregations
+    (term freq, doc freq, corpus size), document frequency joined back
+    broadcast (|vocab| rows ≪ |corpus×vocab|). Scores use the round-6
+    float policy (ln is libm-dependent). The doc_id cap only bounds the
+    RESULT — tf/df/n are computed over the full corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: corpus size (one tiny job)
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id", "token")
+    )

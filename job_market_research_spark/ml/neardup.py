@@ -468,3 +468,40 @@ def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.93)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: candidate pairs are
+    generated only within a blocking key (brand) — the standard trick
+    that turns O(n²) fuzzy matching into Σ O(block²). The blocked
+    self-join shuffles once on the block key; each executor compares
+    only its own block's pairs. At 100 TB, blocking keys come from a
+    cheap canopy (prefix, simhash band) instead of an attribute."""
+    a = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("block"),
+    )
+    b = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("block"),
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 5)
+        .select("id_a", "id_b", "distance")
+        .orderBy("id_a", "id_b")
+    )

@@ -155,3 +155,58 @@ def q_agg_rollup(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT r_name AS region, c_mktsegment AS segment, COUNT(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    ORDER BY region NULLS FIRST, segment NULLS FIRST
+    """,
+)
+def q_agg_cube(spark, sf_dir: str) -> DataFrame:
+    """All four grains (region×segment, per-region, per-segment, grand
+    total) in one shuffle — `cube` is rollup's full-lattice sibling."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.cube(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("segment"))
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def q_agg_percentiles(spark, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group (the reference has no
+    percentile anywhere; any switched-over user will want them).
+    `percentile` needs the group's values sorted in one place — fine
+    per group; at 100 TB swap in `approx_percentile` (t-digest sketch,
+    mergeable map-side) for the same call shape."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+        )
+        .orderBy("priority")
+    )
