@@ -319,3 +319,62 @@ def q_text_tfidf(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .orderBy("doc_id", "token")
     )
+
+
+#: Redaction patterns (kept to the regex subset Java and RE2 share:
+#: no backrefs, no lookaround).
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE = "\\+?[0-9][0-9 -]{7,14}[0-9]"
+
+
+def redact_pii(col) -> "F.Column":
+    """Mask emails then phone numbers in a text column — the scrub
+    pass every training-data pipeline runs before tokenization. Pure
+    native regexp_replace: JVM-side, codegen-friendly, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +212 6' || CAST(doc_id % 100 AS VARCHAR)
+                  || ' 12 34 56.' AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+                            '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9 -]{7,14}[0-9]', '[PHONE]', 'g') AS clean_text
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def q_text_pii_redact(spark, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: deterministic emails/phone numbers
+    are seeded into each document (the testdata has none), then both
+    engines redact with the same patterns. Spark's global-replace
+    semantics match DuckDB's 'g' flag."""
+    seeded = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +212 6"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" 12 34 56."),
+            ).alias("text"),
+        )
+    )
+    return seeded.select(
+        "doc_id", redact_pii("text").alias("clean_text")
+    ).orderBy("doc_id")
