@@ -505,3 +505,148 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "distance")
         .orderBy("id_a", "id_b")
     )
+
+
+#: Edge CTEs shared with the recursive-CC oracle: bigram-Jaccard
+#: near-dup pairs (mutant ↔ original) plus exact-copy pairs.
+_CC_EDGES_SQL = """
+    corpus AS (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '^[^ ]+ ', ''), lang, source
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, lang, source
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g, lang, source FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks) WHERE g IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    jpairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT p.a, p.b FROM jpairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym)
+"""
+
+
+def _cc_corpus(spark, sf_dir: str) -> DataFrame:
+    """augmented corpus (mutants) + exact copies of every 20th doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source"
+    )
+    return augmented_corpus(spark, sf_dir).unionByName(exact)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iters: int = 10
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (node,
+    component). The iterative-algorithm pattern: each round is one
+    join + one min-aggregation (two shuffles), converging in
+    graph-diameter rounds with a driver-side fixpoint check — the
+    standard large-graph CC shape (GraphX/pregel-style) expressed in
+    plain DataFrame ops. Near-dup clusters have tiny diameters, so
+    2-3 rounds close them."""
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_SQL},
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON r.node = s.src
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: bigram-Jaccard edges over a
+    corpus seeded with mutants (+1M) and verbatim copies (+2M) — every
+    20th doc yields a 3-node component {x, x+1M, x+2M}. Spark runs
+    iterative min-label propagation over the edge list; DuckDB replays
+    it as a recursive CTE — two independent CC implementations
+    agreeing on every cluster id."""
+    corpus = _cc_corpus(spark, sf_dir)
+    grams = corpus.select(
+        "doc_id", "lang", "source", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    edges = (
+        pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b"))
+        .filter(jac >= 0.4)
+        .select("a", "b")
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,107 @@
+"""Deterministic sampling & splitting (beyond-reference).
+
+Training-data pipelines carve corpora into train/test splits and
+per-stratum samples. `df.sample()` is seed-dependent and
+partition-order-sensitive — useless for reproducible splits and
+impossible to oracle. Both operators here hash a STABLE KEY instead:
+the split/sample decision is a pure function of the row, identical on
+re-runs, across engines, and after repartitioning. That is also the
+100 TB-correct design: assignment is embarrassingly parallel, no
+global sampling state, no driver coordination.
+
+Hashes use the md5-based `portable_hash` (ml/neardup.py) so DuckDB
+replays the exact assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.ml.neardup import portable_hash
+from job_market_research_spark.registry import query
+
+#: Oracle twin of portable_hash(CAST(x AS VARCHAR)).
+_ORACLE_HASH = "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def hash_bucket(key: Column, buckets: int) -> Column:
+    """Stable bucket in [0, buckets) from a key column."""
+    return F.pmod(portable_hash(key.cast("string")), F.lit(buckets))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_buckets: int = 1, buckets: int = 10
+) -> DataFrame:
+    """Adds a `split` column: 'test' for the first `test_buckets`
+    hash buckets, else 'train'. Re-running, repartitioning or
+    resharding never moves a row between splits — the property
+    `df.randomSplit` cannot give you."""
+    b = hash_bucket(F.col(key), buckets)
+    return df.withColumn(
+        "split", F.when(b < test_buckets, "test").otherwise("train")
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_ORACLE_HASH.format(col="doc_id")} % 10 < 1
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY 1 ORDER BY split
+    """,
+)
+def q_sample_train_test_split(spark, sf_dir: str) -> DataFrame:
+    """~10% deterministic test split of the corpus; the id checksum
+    proves the exact same documents land in each split on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, keep_buckets: int, buckets: int
+) -> DataFrame:
+    """Keep keep_buckets/buckets of each stratum, hash-deterministic
+    within stratum (the hash mixes stratum + key so the kept set is
+    independent across strata)."""
+    b = F.pmod(
+        portable_hash(F.concat_ws("|", F.col(stratum), F.col(key).cast("string"))),
+        F.lit(buckets),
+    )
+    return df.filter(b < keep_buckets)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH kept AS (
+      SELECT lang, doc_id FROM documents
+      WHERE {_ORACLE_HASH.format(col="lang || '|' || CAST(doc_id AS VARCHAR)")} % 5 < 2
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM kept GROUP BY 1 ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark, sf_dir: str) -> DataFrame:
+    """~40% per-language stratified sample: every language keeps its
+    own deterministic 2-of-5 hash buckets, so rebalancing the corpus
+    never changes which documents survive."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, "doc_id", "lang", keep_buckets=2, buckets=5)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )

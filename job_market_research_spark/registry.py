@@ -68,7 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
-    from job_market_research_spark.ml import similarity, neardup  # noqa: F401
+    from job_market_research_spark.ml import neardup, sampling, similarity  # noqa: F401
     from job_market_research_spark.multimodal import binary_ops  # noqa: F401
     from job_market_research_spark.streaming import sessions, windows  # noqa: F401
 
