@@ -149,3 +149,61 @@ def q_text_llm_enrich(spark, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("titre"),
     )
     return enrich_offers(offers).orderBy("job_url")
+
+
+MINMAX_SCHEMA = (
+    "o_orderkey long, priority string, totalprice double, scaled double"
+)
+
+
+def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: min-max scale one group's prices to [0, 1].
+    min/max are exact and order-independent, the scale is one IEEE
+    division per row — deterministic whatever the partitioning."""
+    lo, hi = pdf["totalprice"].min(), pdf["totalprice"].max()
+    span = hi - lo
+    scaled = (pdf["totalprice"] - lo) / span if span > 0 else pdf["totalprice"] * 0.0
+    return pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "priority": pdf["priority"],
+            "totalprice": pdf["totalprice"],
+            "scaled": scaled.round(6),
+        }
+    )
+
+
+@query(
+    "grouped_pandas_minmax",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+           o_totalprice AS totalprice,
+           round((o_totalprice - MIN(o_totalprice) OVER w)
+                 / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w),
+                 6) AS scaled
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
+def q_grouped_pandas_minmax(spark, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling via applyInPandas (grouped map) — the
+    third pandas-boundary shape next to mapInPandas and
+    applyInPandasWithState: whole group as one pandas frame, Arrow both
+    ways. The oracle replays it with window min/max — two independent
+    implementations of the same normalization. At 100 TB the group key
+    must be high-cardinality (here 5 priorities is the DEMO; a real
+    feature pipeline groups by entity)."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    return orders.groupBy("priority").applyInPandas(
+        _minmax_scale, schema=MINMAX_SCHEMA
+    ).orderBy("o_orderkey")

@@ -210,3 +210,66 @@ def q_agg_percentiles(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def q_agg_pivot(spark, sf_dir: str) -> DataFrame:
+    """Wide pivot: one column per order status (the matrix shape the
+    reference's Superset heatmaps assemble client-side, computed
+    in-engine). Explicit pivot values keep the plan single-pass —
+    without them Spark runs an extra distinct-values job."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "segment",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority AS priority, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM counts ORDER BY priority
+    """,
+)
+def q_window_share_of_total(spark, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of the grand total via an
+    unbounded window over the (tiny) aggregated frame — the percentage
+    every dashboard pie chart needs. Integer window sum → one double
+    division; deterministic on both engines."""
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "priority",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    ).orderBy("priority")
