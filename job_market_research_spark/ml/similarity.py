@@ -233,3 +233,72 @@ def q_ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS qnrm
+      FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * q.qv[i])) / (e.nrm * q.qnrm), 6) AS cosine
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine, rk FROM ranked
+    WHERE rk <= {TOP_K} ORDER BY qid, rk
+    """,
+)
+def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
+    """Batch kNN — the realistic similarity-search workload: a SET of
+    query vectors against the corpus in one plan. The query set
+    broadcasts (tiny), scoring is corpus-partition-parallel, and the
+    per-query top-k is a window over the query id — no global sort, no
+    per-query jobs. Ranking is on the ROUNDED score (+vec_id
+    tie-break) so both engines select the identical k. At 100 TB the
+    same plan holds: |corpus| × |batch| scored rows, partitioned by
+    corpus shard."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 7)
+        .select(F.col("vec_id").alias("qid"), as_double_vec("embedding").alias("qv"))
+        .withColumn("qnrm", l2_norm(F.col("qv")))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
