@@ -273,3 +273,79 @@ def q_window_share_of_total(spark, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
     ).orderBy("priority")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY priority NULLS FIRST, status NULLS FIRST
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL surface —
+    two independent groupings in one shuffle, and proof that every
+    registered table is queryable as plain `spark.sql` (the interface
+    a Superset-style dashboard would attach to)."""
+    from job_market_research_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority NULLS FIRST, status NULLS FIRST
+        """
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_non_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def q_profile_table(spark, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality report (row/null/distinct
+    counts, min/max) every ingest stage should emit. One aggregation
+    pass per profiled column, unioned; at 100 TB swap exact distinct
+    for approx_count_distinct and run all columns in a single
+    multi-aggregate pass."""
+    orders = load(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    out = profile("o_custkey")
+    for c in ("o_orderstatus", "o_orderpriority"):
+        out = out.unionByName(profile(c))
+    return out.orderBy("column_name")
