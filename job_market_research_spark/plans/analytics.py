@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.exact import (
+    ORACLE_AVG,
     ORACLE_REVENUE,
     ORACLE_SUM,
+    exact_avg,
     exact_sum,
     revenue_expr,
 )
@@ -498,4 +500,42 @@ def sort_row_limit(spark, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {ORACLE_SUM.format(col="l_quantity")} AS sum_qty,
+           {ORACLE_SUM.format(col="l_extendedprice")} AS sum_base_price,
+           {ORACLE_REVENUE} AS sum_disc_price,
+           {ORACLE_AVG.format(col="l_quantity")} AS avg_qty,
+           {ORACLE_AVG.format(col="l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-01-01 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_pricing_summary(spark, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — the canonical scan-heavy
+    aggregate a Spark analytics engine is judged by: one full fact
+    scan, map-side partial aggregation into a handful of groups, all
+    money math in exact decimal (`exact.py` policy). The date predicate
+    pushes to the parquet row-group stats."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2002-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )
