@@ -256,3 +256,69 @@ def q_source_s3a_config(spark, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy(
         "r_regionkey"
     )
+
+
+@query(
+    "scan_corrupt_records",
+    oracle="""
+    WITH parsed AS (
+      SELECT doc_id % 3 = 2 AS corrupt FROM documents WHERE doc_id < 300
+    )
+    SELECT CASE WHEN corrupt THEN 'corrupt' ELSE 'valid' END AS record_class,
+           COUNT(*) AS n
+    FROM parsed GROUP BY 1 ORDER BY record_class
+    """,
+)
+def q_scan_corrupt_records(spark, sf_dir: str) -> DataFrame:
+    """Corrupt-record routing — the Spark-first replacement for the
+    reference's per-record jsonschema gate (Websites/__init__.py:
+    210-235): PERMISSIVE JSON parsing captures unparseable lines in
+    `_corrupt_record` instead of failing the job, and the stream
+    forks into a valid path and a quarantine path. Every 3rd staged
+    line is deterministically mangled; the oracle recomputes the
+    split arithmetically."""
+    out = scratch_dir("scan_corrupt_records")
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    import json
+
+    path = os.path.join(out, "mixed.json")
+    with open(path, "w") as f:
+        for r in rows:
+            line = json.dumps({"doc_id": r.doc_id, "lang": r.lang})
+            if r.doc_id % 3 == 2:
+                line = line[:-1] + ",,,"  # mangle → unparseable
+            f.write(line + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark disallows plans referencing ONLY the corrupt column over
+        # a raw scan; materializing the parse first is the documented
+        # pattern (and what a quarantine fork does anyway).
+        .cache()
+    )
+    return (
+        df.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("valid")
+            .alias("record_class")
+        )
+        .groupBy("record_class")
+        .agg(F.count("*").alias("n"))
+        .orderBy("record_class")
+    )
