@@ -349,3 +349,29 @@ def q_profile_table(spark, sf_dir: str) -> DataFrame:
     for c in ("o_orderstatus", "o_orderpriority"):
         out = out.unionByName(profile(c))
     return out.orderBy("column_name")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def q_agg_histogram(spark, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucket arithmetic — the
+    distribution profile behind every dashboard histogram, computed as
+    one map-side-combinable group-by (not a sort, not a percentile
+    pass). Bucket math is floor division: exact on both engines."""
+    price = F.col("o_totalprice")
+    bucket = F.floor(price / 50000).cast("long")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )

@@ -195,3 +195,36 @@ def q_stream_incremental_pipeline(spark, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name AS nation, COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def q_stream_static_join(spark, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: arriving events join a STATIC
+    dimension inside the streaming plan (no state store needed — the
+    static side broadcasts into every micro-batch; dimension updates
+    are picked up per batch on a real deployment). The drained result
+    equals the pure-batch join — the invariant that makes streaming
+    enrichment trustworthy."""
+    src = _stage_events(spark, sf_dir, "stream_static_join")
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_events")
+    )
+    sink = _run_to_memory(agg, "complete")
+    return spark.table(sink).orderBy("nation")
