@@ -228,3 +228,61 @@ def q_stream_static_join(spark, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(agg, "complete")
     return spark.table(sink).orderBy("nation")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+           a.event_type AS a_type, b.event_type AS b_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+     AND a.event_type <> b.event_type
+    ORDER BY a_id, b_id
+    """,
+)
+def q_stream_stream_join(spark, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: follow-up events of a
+    different type within 5 minutes of the same user. Both sides are
+    watermarked streams; the event-time range condition bounds each
+    side's join state so it is GC-able at scale. Drained in one
+    availableNow batch (the whole staged set), the emitted matches
+    equal the batch interval join exactly."""
+    src = _stage_events(spark, sf_dir, "stream_stream_join", parts=3)
+    schema = load(spark, sf_dir, "events").schema
+    a = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_type").alias("a_type"),
+        )
+        .withWatermark("a_ts", "10 minutes")
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_type").alias("b_type"),
+        )
+        .withWatermark("b_ts", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("a_type") != F.col("b_type")),
+    )
+    sink = _run_to_memory(joined, "append")
+    return (
+        spark.table(sink)
+        .select("a_id", "b_id", "user_id", "a_type", "b_type")
+        .orderBy("a_id", "b_id")
+    )
