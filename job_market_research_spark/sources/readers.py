@@ -322,3 +322,40 @@ def q_scan_corrupt_records(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("record_class")
     )
+
+
+@query(
+    "scan_csv_schema",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 4 = 1 ORDER BY doc_id
+    """,
+)
+def q_scan_csv_schema(spark, sf_dir: str) -> DataFrame:
+    """Schema'd CSV round-trip (the reference's tabular artifact
+    surface: data_extraction/scraping_output/processed_jobs.csv,
+    backup.py Excel sheets): header write, explicit-schema header read
+    — no inference pass, columns pruned at the scan like any other
+    source."""
+    out = scratch_dir("scan_csv_schema")
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(out + "/*.csv")
+        .orderBy("doc_id")
+    )
