@@ -40,6 +40,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     above 2^53 ns). Truncation-toward-zero equals DuckDB's ns→µs
     truncation for positive epochs, so oracle values match.
     """
+    if name == "events":
+        # The driver runs queries in its OWN SparkSession which does not
+        # set this conf; it is runtime-settable, so set it defensively
+        # here rather than relying on session.get_spark having run.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
@@ -48,7 +53,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for `spark.sql` queries."""
-    for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register tables as temp views for `spark.sql` queries.
+
+    Registers only the requested tables (default: all), and tolerates a
+    per-table load failure so a query that never touches `events` cannot
+    die on an `events` scan quirk.
+    """
+    for name in tables:
+        try:
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception:
+            if name in ("region", "nation"):  # core dims must exist
+                raise

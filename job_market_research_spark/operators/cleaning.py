@@ -218,14 +218,14 @@ def q_fillna_unspecified(spark, sf_dir: str) -> DataFrame:
     "filter_schema_validate",
     oracle="""
     SELECT
-      SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                     IS NOT NULL
                 AND event_type IN ('click','view','purchase','signup','error')
-               THEN 1 ELSE 0 END) AS n_valid,
-      SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                     IS NULL
                 OR event_type NOT IN ('click','view','purchase','signup','error')
-               THEN 1 ELSE 0 END) AS n_invalid
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
     FROM events
     """,
 )

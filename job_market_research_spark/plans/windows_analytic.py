@@ -85,7 +85,8 @@ def q_window_rank_topk(spark, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     counts = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # No broadcast hint: customer scales with sf — let AQE decide.
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"), F.col("c_name").alias("company")
         )
@@ -216,9 +217,9 @@ def q_agg_percentiles(spark, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT c_mktsegment AS segment,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY segment
     """,
@@ -231,7 +232,8 @@ def q_agg_pivot(spark, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # No broadcast hint: customer scales with sf — let AQE decide.
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -292,7 +294,7 @@ def q_agg_grouping_sets(spark, sf_dir: str) -> DataFrame:
     a Superset-style dashboard would attach to)."""
     from job_market_research_spark.io import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderpriority AS priority, o_orderstatus AS status,

@@ -52,8 +52,146 @@ def query(
     return deco
 
 
+def _driver_green_evidence() -> set[str]:
+    """Query names with a fully-green driver CORRECTNESS row in any
+    prior round (CORRECTNESS_r*.json at the repo root).
+
+    The driver's correctness pass covers a bounded window of the
+    registry in iteration order, so `load_all` fronts queries that have
+    no green evidence yet — each round the window rotates onto unproven
+    queries until every operator has a hard driver-side row.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") in (None, "")
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+#: Explicit front-of-window order for driver-unproven queries. Round 2:
+#: the 7 round-1 red rows first (proving the session/typing fixes), then
+#: every remaining SURVEY §2 ID with no driver row (sinks last of the
+#: batch, streaming + ml + multimodal rotate into the next round).
+UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # round-1 red rows — fixed this round, must re-enter the window
+    "filter_temporal_range",
+    "agg_grouping_sets",
+    "filter_schema_validate",
+    "agg_case_when_flag",
+    "join_star_wide",
+    "agg_pivot",
+    "agg_approx_count_distinct",
+    # §2.3 dedup / §2.4 joins / §2.9 nested — zero driver evidence
+    "dedup_secondary_date",
+    "dedup_skill_set",
+    "dedup_bridge_conflict",
+    "join_lookup_upsert",
+    "join_positional_zip",
+    "join_key_fallback",
+    "join_semi_probe",
+    "nested_flatten_skills",
+    "nested_explode_skills",
+    "nested_first_element",
+    "nested_struct_access",
+    "nested_collect_skills",
+    # §2.7 set ops + §2.5 remaining aggregates
+    "set_union_all",
+    "source_append_merge",
+    "agg_total_offers",
+    "agg_insert_counters",
+    "agg_word_freq",
+    # §2.8 scalar functions (all 16)
+    "fn_split_csv",
+    "fn_trim_cast",
+    "fn_lower_norm",
+    "fn_date_multiformat",
+    "fn_relative_date",
+    "fn_calendar_attrs",
+    "fn_calendar_range",
+    "fn_default_date",
+    "fn_length",
+    "fn_case_when",
+    "fn_concat_text",
+    "fn_regex_segment",
+    "fn_json_extract",
+    "fn_uuid_name",
+    "fn_source_from_filename",
+    "fn_qualification_int",
+    # §2.10 text
+    "text_token_dist",
+    "text_skill_ner",
+    "text_llm_enrich",
+    # §2.1 sinks
+    "sink_json_single",
+    "sink_json_overwrite",
+    "sink_object_store",
+    "sink_excel_by_date",
+    "sink_jdbc_star",
+    "agg_group_export",
+    "sink_mongo",
+    # ---- next window (round 3+): streaming §2.11, then beyond-§2 ----
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_dedup_watermark",
+    "stream_incremental_pipeline",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_sessionize",
+    "stream_stateful_counter",
+    "join_asof",
+    "join_range",
+    "agg_salted_skew",
+    "join_salted_skew",
+    "grouped_pandas_minmax",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_levenshtein",
+    "dedup_cluster_cc",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_pii_redact",
+    "sample_train_test_split",
+    "sample_stratified",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_batch_topk",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_embed_extract",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query-defining module, then return the registry."""
+    """Import every query-defining module, then return the registry
+    ordered so driver-unproven queries iterate first."""
     # Imports are for the registration side effects.
     from job_market_research_spark.plans import analytics, windows_analytic  # noqa: F401
     from job_market_research_spark.operators import (  # noqa: F401
@@ -72,7 +210,16 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.multimodal import binary_ops  # noqa: F401
     from job_market_research_spark.streaming import sessions, windows  # noqa: F401
 
-    return REGISTRY
+    green = _driver_green_evidence()
+    reg_pos = {name: i for i, name in enumerate(REGISTRY)}
+    prio = {name: i for i, name in enumerate(UNPROVEN_PRIORITY)}
+
+    def key(name: str) -> tuple[int, int]:
+        if name not in green:
+            return (0, prio.get(name, len(prio) + reg_pos[name]))
+        return (1, reg_pos[name])
+
+    return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -222,7 +222,10 @@ def q_stream_static_join(spark, sf_dir: str) -> DataFrame:
     dim = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
         "c_custkey", "n_name"
     )
-    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    # No broadcast hint on the customer-derived dim: it scales with sf.
+    # Catalyst broadcasts it while small; at 100× it falls back to a
+    # per-batch shuffle join instead of OOMing executors.
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
     agg = joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.count("*").alias("n_events")
     )

@@ -49,12 +49,61 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+def _kind(type_str: str) -> str:
+    """Collapse a Spark simpleString / DuckDB type name to a hash-kind.
+
+    The driver's value hash goes through pandas, where DuckDB HUGEINT
+    (the result type of SUM over integers) becomes float64 while Spark
+    bigint stays int64 — identical values, different hash. Giving
+    HUGEINT its own kind makes the local suite fail exactly where the
+    driver would.
+    """
+    t = type_str.strip().upper()
+    if t.endswith("[]") or t.startswith("ARRAY"):
+        return "list"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "LONG"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("STRING", "VARCHAR", "TEXT"):
+        return "str"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    return "other"
+
+
+def assert_type_parity(df, con, sql: str, name: str = "?") -> None:
+    """Column-name-matched type-kind compare (mirrors the driver hash)."""
+    s_types = {f.name: _kind(f.dataType.simpleString()) for f in df.schema.fields}
+    rel = con.sql(sql)
+    d_types = {c: _kind(str(t)) for c, t in zip(rel.columns, rel.types)}
+    mism = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
+    assert not mism, (
+        f"{name}: type-kind mismatch (spark, duck): {mism} — the driver's "
+        f"pandas-based value hash WILL diverge here (e.g. wrap integer "
+        f"SUM oracles in CAST(... AS BIGINT))"
+    )
+
+
 def assert_parity(df, con, sql: str, name: str = "?") -> None:
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    assert_type_parity(df, con, sql, name)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )
