@@ -56,6 +56,44 @@ def portable_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash (15 hex md5 chars — fits signed int64 on
+    both engines; DuckDB twin ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: Document-frequency cap for inverted-index candidate joins. A gram
+#: occurring in k documents emits O(k²) candidate pairs, so web-scale
+#: stop-word grams turn the index self-join into a skew bomb. Grams
+#: with df > cap are dropped from the CANDIDATE index only (set sizes
+#: keep counting them), bounding every per-gram join fan-out at cap².
+GRAM_DF_CAP = 100
+
+
+def df_capped(grams: DataFrame, gram_col: str) -> DataFrame:
+    """Drop grams whose document frequency exceeds GRAM_DF_CAP.
+
+    Input must be one row per (doc, gram). One extra count+anti-join
+    shuffle buys a provably bounded pair join — the 100 TB trade.
+    """
+    hot = (
+        grams.groupBy(gram_col)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > GRAM_DF_CAP)
+        .select(gram_col)
+    )
+    return grams.join(hot, gram_col, "left_anti")
+
+
+def _df_cap_sql(src: str, gram_col: str) -> str:
+    """DuckDB twin of df_capped as a CTE body."""
+    return f"""
+      SELECT * FROM {src} WHERE {gram_col} NOT IN (
+        SELECT {gram_col} FROM {src}
+        GROUP BY {gram_col} HAVING COUNT(*) > {GRAM_DF_CAP})
+    """
+
+
 def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (native:
     split → sequence → transform; no UDF)."""
@@ -155,11 +193,12 @@ JACCARD_THRESHOLD = 0.5
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    idx AS ({_df_cap_sql("shingles", "sh")}),
     verified AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS inter, sa.n AS na, sb.n AS nb
       FROM candidates c
-      JOIN shingles x ON x.doc_id = c.doc_a
-      JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      JOIN idx x ON x.doc_id = c.doc_a
+      JOIN idx y ON y.doc_id = c.doc_b AND y.sh = x.sh
       JOIN sizes sa ON sa.doc_id = c.doc_a
       JOIN sizes sb ON sb.doc_id = c.doc_b
       GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
@@ -181,7 +220,11 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     Every stage is a shuffle-on-key relational op; candidate
     generation never compares all pairs (the LSH point). At 100 TB the
     band join is the only large shuffle and it is key-balanced by the
-    band hash itself."""
+    band hash itself. The verification intersection join runs on a
+    df-capped shingle index (df_capped) so no single hot shingle can
+    emit a quadratic row burst; set sizes still count every shingle,
+    so capped Jaccard only ever under-estimates (scale-safe recall
+    trade, mirrored exactly in the oracle)."""
     shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
 
     hash_ids = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
@@ -224,8 +267,9 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = shingles.alias("x")
-    y = shingles.alias("y")
+    idx = df_capped(shingles, "sh")
+    x = idx.alias("x")
+    y = idx.alias("y")
     inter = (
         candidates.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
@@ -249,8 +293,17 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60
 HAMMING_MAX = 3
+#: Pigeonhole banding: two fingerprints ≤ HAMMING_MAX bits apart must
+#: agree exactly on at least one of HAMMING_MAX+1 disjoint bands, so a
+#: band-keyed equi-join finds EVERY qualifying pair (exact recall) while
+#: only comparing docs that collide on a 15-bit band value — candidate
+#: volume ~ B·N²/2^width instead of the O((N/blocks)²) of attribute
+#: blocking.
+SIMHASH_BANDS = HAMMING_MAX + 1
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 15 bits → 32768 values
+_BAND_MASK = (1 << SIMHASH_BAND_WIDTH) - 1
 
 
 @query(
@@ -258,45 +311,57 @@ HAMMING_MAX = 3
     oracle=f"""
     WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
     toks AS (
-      SELECT DISTINCT doc_id, t.token, lang, source
+      SELECT DISTINCT doc_id, t.token
       FROM corpus, unnest(string_split(trim(text), ' ')) AS t(token)
       WHERE t.token <> ''
     ),
     bits AS (
       SELECT doc_id, r.j,
-             SUM(CASE WHEN (('0x' || substr(md5(token), 1, 8))::BIGINT >> r.j) & 1 = 1
+             SUM(CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT >> r.j) & 1 = 1
                       THEN 1 ELSE -1 END) AS s
       FROM toks, range(0, {SIMHASH_BITS}) AS r(j)
       GROUP BY doc_id, r.j
     ),
     sims AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS simhash
       FROM bits GROUP BY doc_id
     ),
-    keyed AS (
-      SELECT s.doc_id, s.simhash, c.lang, c.source
-      FROM sims s JOIN corpus c ON s.doc_id = c.doc_id
+    bands AS (
+      SELECT doc_id, simhash, r.band,
+             (simhash >> (r.band * {SIMHASH_BAND_WIDTH})) & {_BAND_MASK} AS band_val
+      FROM sims, range(0, {SIMHASH_BANDS}) AS r(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM keyed a JOIN keyed b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
     ORDER BY doc_a, doc_b
     """,
 )
 def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
     """SimHash near-dup: per-token hash bits vote ±1 per position, the
-    sign vector packs into a {SIMHASH_BITS}-bit fingerprint; pairs in
-    the same (lang, source) block with Hamming distance ≤ {HAMMING_MAX}
-    are near-dups. Blocking keeps the pair join linear-ish; at scale
-    the block key becomes the simhash's high bits."""
+    sign vector packs into a {SIMHASH_BITS}-bit fingerprint; pairs with
+    Hamming distance ≤ {HAMMING_MAX} are near-dups.
+
+    Candidate generation bands the fingerprint itself: {SIMHASH_BANDS}
+    disjoint {SIMHASH_BAND_WIDTH}-bit bands, equi-join on (band,
+    band_val). Pigeonhole guarantees every pair within HAMMING_MAX
+    lands in some band bucket together — exact recall with candidate
+    volume bounded by band-bucket collisions (2^{SIMHASH_BAND_WIDTH}
+    values per band), not by attribute-block sizes. This is the
+    standard web-dedup plan (Manku et al., WWW'07) expressed
+    relationally."""
     corpus = augmented_corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id",
-        "lang",
-        "source",
         F.explode(
             F.array_distinct(F.filter(F.split(F.trim("text"), " "), lambda x: x != ""))
         ).alias("token"),
@@ -305,7 +370,7 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
         toks.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-            portable_hash(F.col("token")).alias("h"),
+            portable_hash60(F.col("token")).alias("h"),
         )
         .groupBy("doc_id", "j")
         .agg(
@@ -315,29 +380,44 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
         )
     )
     sims = bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("1 << j")).otherwise(0))
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
         .cast("long")
         .alias("simhash")
     )
-    keyed = sims.join(corpus.select("doc_id", "lang", "source"), "doc_id")
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {SIMHASH_BAND_WIDTH})) & {_BAND_MASK}"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -357,9 +437,10 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
         FROM toks) WHERE g IS NOT NULL
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    idx AS ({_df_cap_sql("grams", "g")}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM grams a JOIN grams b
+      FROM idx a JOIN idx b
         ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
        AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -377,7 +458,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup via inverted index: explode grams,
     self-join on (gram, block) so only docs *sharing* a gram are ever
     paired, then exact Jaccard from intersection/sizes. No all-pairs
-    product; the gram join is the candidate generator."""
+    product; the gram join is the candidate generator, and it runs on a
+    df-capped index (GRAM_DF_CAP): a stop-word gram shared by k docs
+    would emit k² pairs, so grams over the cap are dropped from the
+    index (sizes still count them — capped Jaccard under-estimates,
+    never inflates). Mirrored in the oracle."""
     corpus = augmented_corpus(spark, sf_dir)
     grams = corpus.select(
         "doc_id",
@@ -386,8 +471,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         F.explode(word_shingles("text", 2)).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    idx = df_capped(grams, "g")
+    a = idx.alias("a")
+    b = idx.alias("b")
     pairs = (
         a.join(
             b,
@@ -509,7 +595,7 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
 
 #: Edge CTEs shared with the recursive-CC oracle: bigram-Jaccard
 #: near-dup pairs (mutant ↔ original) plus exact-copy pairs.
-_CC_EDGES_SQL = """
+_CC_EDGES_SQL = f"""
     corpus AS (
       SELECT doc_id, text, lang, source FROM documents
       UNION ALL
@@ -530,9 +616,13 @@ _CC_EDGES_SQL = """
         FROM toks) WHERE g IS NOT NULL
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    gidx AS (
+      SELECT * FROM grams WHERE g NOT IN (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) > {GRAM_DF_CAP})
+    ),
     jpairs AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
-      FROM grams a JOIN grams b
+      FROM gidx a JOIN gidx b
         ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
        AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -560,6 +650,20 @@ def _cc_corpus(spark, sf_dir: str) -> DataFrame:
     return augmented_corpus(spark, sf_dir).unionByName(exact)
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the executor storage behind a localCheckpoint'ed frame.
+
+    ``DataFrame.unpersist`` only talks to the CacheManager and does NOT
+    free localCheckpoint blocks; the checkpointed RDD itself must be
+    unpersisted. Only call this on frames no downstream plan will read
+    again — the truncated lineage cannot be recomputed.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: storage cleanup must never fail the job
+
+
 def connected_components(
     edges: DataFrame, src: str = "a", dst: str = "b", max_iters: int = 10
 ) -> DataFrame:
@@ -569,33 +673,53 @@ def connected_components(
     graph-diameter rounds with a driver-side fixpoint check — the
     standard large-graph CC shape (GraphX/pregel-style) expressed in
     plain DataFrame ops. Near-dup clusters have tiny diameters, so
-    2-3 rounds close them."""
-    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    2-3 rounds close them.
+
+    Two iterative-plan hazards are handled explicitly:
+    - ``localCheckpoint(eager=True)`` per round truncates the logical
+      plan — without it the lineage doubles every iteration and the
+      DRIVER dies on plan analysis long before any executor sweats
+      (observed: OOM at ~12 rounds on a 12-node chain).
+    - the superseded label frame's checkpoint blocks are freed each
+      round (_free_checkpoint), so executor storage stays O(1) in the
+      iteration count instead of accruing one frame per round.
+    On a real cluster swap localCheckpoint for reliable
+    ``checkpoint()`` into HDFS/S3 so executor loss can't kill the run.
+    """
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    sym = sym.cache()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
         new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).cache()
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        _free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    # labels is materialized + lineage-truncated, so the edge frame's
+    # storage can go too.
+    _free_checkpoint(sym)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -624,7 +748,8 @@ def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.explode(word_shingles("text", 2)).alias("g")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
+    idx = df_capped(grams, "g")
+    a, b = idx.alias("a"), idx.alias("b")
     pairs = (
         a.join(
             b,

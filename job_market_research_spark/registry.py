@@ -46,7 +46,9 @@ def query(
     """Register an operator query with its oracle-SQL twin."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tuple(tags)
+        )
         return fn
 
     return deco

@@ -1,0 +1,57 @@
+"""Scale-hardening invariants for the near-dup family.
+
+These tests pin the round-2 hardening: bounded candidate generation
+(df-capped inverted index, simhash fingerprint banding) and stable
+executor storage across connected-components iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.ml.neardup import (
+    GRAM_DF_CAP,
+    HAMMING_MAX,
+    SIMHASH_BANDS,
+    SIMHASH_BAND_WIDTH,
+    SIMHASH_BITS,
+    connected_components,
+    df_capped,
+)
+
+
+def test_df_cap_drops_hot_grams(spark):
+    # 1 gram in GRAM_DF_CAP+1 docs (hot), 1 gram in 2 docs (kept)
+    rows = [(i, "the quick") for i in range(GRAM_DF_CAP + 1)]
+    rows += [(0, "rare gram"), (1, "rare gram")]
+    grams = spark.createDataFrame(rows, "doc_id int, g string")
+    kept = df_capped(grams, "g")
+    assert kept.select("g").distinct().collect() == [("rare gram",)]
+    # every surviving gram's fan-out is bounded by the cap
+    assert (
+        kept.groupBy("g").count().filter(F.col("count") > GRAM_DF_CAP).count() == 0
+    )
+
+
+def test_simhash_banding_covers_hamming_radius():
+    # pigeonhole: bands * width == bits and bands > HAMMING_MAX, so any
+    # pair within the radius shares at least one exact band.
+    assert SIMHASH_BANDS * SIMHASH_BAND_WIDTH == SIMHASH_BITS
+    assert SIMHASH_BANDS == HAMMING_MAX + 1
+
+
+def test_connected_components_chain_storage_stable(spark):
+    # a 12-node chain needs >10 label-propagation rounds worst case;
+    # with per-round unpersist, cached frames must not accumulate.
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    comp = connected_components(edges, max_iters=20)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+    sc = spark.sparkContext
+    cached = [r for r in sc._jsc.sc().getRDDStorageInfo()]
+    # at most the final label frame (+ its shuffle lineage) stays cached
+    assert len(cached) <= 2, f"cached frames leaked: {len(cached)}"
