@@ -149,24 +149,29 @@ def q_scan_file_pruning(spark, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scan_jsonl_repair(spark, sf_dir: str) -> DataFrame:
-    """Repair-and-parse a file of concatenated pretty-printed JSON
-    objects entirely inside the plan."""
+    """Repair-and-parse files of concatenated pretty-printed JSON
+    objects entirely inside the plan. The pathological fixture itself
+    is staged DISTRIBUTED (format_string → write.text) — no
+    driver-side collect, so staging scales with the corpus."""
     out = scratch_dir("scan_jsonl_repair")
-    rows = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-        .collect()
-    )
     # Stage the pathological input shape the reference tolerates:
     # pretty-printed objects back to back with no array wrapper.
-    import json
-
-    path = os.path.join(out, "concat.json")
-    with open(path, "w") as f:
-        f.write("\n".join(json.dumps(r.asDict(), indent=2) for r in rows))
-    return read_concatenated_json(spark, path, DOCS_JSON_SCHEMA).orderBy("doc_id")
+    pretty = F.format_string(
+        '{\n  "doc_id": %d,\n  "lang": "%s",\n  "source": "%s",\n  "n_chars": %d\n}',
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(pretty.alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return read_concatenated_json(spark, out, DOCS_JSON_SCHEMA).orderBy("doc_id")
 
 
 @query(
@@ -276,24 +281,24 @@ def q_scan_corrupt_records(spark, sf_dir: str) -> DataFrame:
     `_corrupt_record` instead of failing the job, and the stream
     forks into a valid path and a quarantine path. Every 3rd staged
     line is deterministically mangled; the oracle recomputes the
-    split arithmetically."""
+    split arithmetically. Staging is a distributed to_json →
+    write.text plan — no driver-side collect."""
     out = scratch_dir("scan_corrupt_records")
-    rows = (
+    line = F.to_json(F.struct("doc_id", "lang"))
+    mangled = F.when(
+        F.col("doc_id") % 3 == 2,
+        # strip the closing brace, append garbage → unparseable
+        F.concat(F.expr("substring(l, 1, length(l) - 1)"), F.lit(",,,")),
+    ).otherwise(F.col("l"))
+    (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-        .collect()
+        .select("doc_id", line.alias("l"))
+        .select(mangled.alias("value"))
+        .write.mode("overwrite")
+        .text(out)
     )
-    import json
-
-    path = os.path.join(out, "mixed.json")
-    with open(path, "w") as f:
-        for r in rows:
-            line = json.dumps({"doc_id": r.doc_id, "lang": r.lang})
-            if r.doc_id % 3 == 2:
-                line = line[:-1] + ",,,"  # mangle → unparseable
-            f.write(line + "\n")
+    path = out
 
     schema = T.StructType(
         [
