@@ -41,19 +41,58 @@ def run_output_path(base: str, prefix: str = "processed_jobs") -> str:
     return os.path.join(base, f"{prefix}_{date.today():%Y%m%d}_{uuid.uuid4().hex[:8]}")
 
 
+#: Embedded Derby driver (ships in Spark's own jars/ — always on the
+#: classpath), used to exercise the real JDBC code path server-less.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_memory_url(db: str) -> str:
+    """In-memory Derby JDBC URL. Same-JVM only — right for local[N]
+    tests; production swaps in a server URL (postgresql://...) and the
+    exact same write/read calls apply."""
+    return f"jdbc:derby:memory:{db};create=true"
+
+
 def write_jdbc_star(df: DataFrame, url: str, table: str, mode: str = "append", **props) -> None:
-    """Bulk JDBC append for star-schema persistence (reference ships
+    """Bulk JDBC write for star-schema persistence (reference ships
     the Postgres JDBC jar but loads row-by-row over pg8000;
     insert_to_postgres.py:145-264). One executor-parallel batch insert
-    per table. Requires the JDBC driver jar on the classpath — raises
-    cleanly when absent (not bundled in this environment)."""
+    per partition — at scale, `df.repartition(n)` upstream controls
+    insert concurrency against the database. Raises cleanly when the
+    driver jar or server is missing."""
     try:
         df.write.mode(mode).format("jdbc").options(url=url, dbtable=table, **props).save()
-    except Exception as exc:  # pragma: no cover - no JDBC server in test env
+    except Exception as exc:
         raise RuntimeError(
             "JDBC sink unavailable (driver jar or server missing); "
             "use write.parquet staging + external bulk load instead"
         ) from exc
+
+
+def read_jdbc_partitioned(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 4,
+    lower: int = 0,
+    upper: int = 1_000_000,
+    **props,
+) -> DataFrame:
+    """Parallel JDBC read: with a numeric partition column the scan
+    splits into `num_partitions` range-strided queries, one per task —
+    the only way a JDBC source scales past one connection. Bounds only
+    shape the stride; rows outside them are still read (Spark clamps
+    the first/last stride to unbounded)."""
+    reader = spark.read.format("jdbc").options(url=url, dbtable=table, **props)
+    if partition_column is not None:
+        reader = reader.options(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower),
+            upperBound=str(upper),
+        )
+    return reader.load()
 
 
 ORDERS_MINI_SCHEMA = T.StructType(
@@ -172,23 +211,36 @@ def q_sink_excel_by_date(spark, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sink_jdbc_star(spark, sf_dir: str) -> DataFrame:
-    """Star-schema persistence: build dim + keyed fact, persist both
-    as warehouse tables (parquet staging — the JDBC path is the same
-    `df.write` call with format('jdbc'); see `write_jdbc_star`), then
-    answer the query from the persisted tables only."""
+    """Star-schema persistence through the REAL JDBC code path: build
+    dim + keyed fact, bulk-insert both via `df.write.format('jdbc')`
+    into embedded Derby (in Spark's own jars, so the format path —
+    dialect, DDL generation, batched executor inserts — is exercised
+    end-to-end, server-less), then answer the query from a parallel
+    range-partitioned JDBC read-back only. Production = same calls
+    with a Postgres URL (reference: insert_to_postgres.py:145-264,
+    which loops rows in the driver instead)."""
     from job_market_research_spark.operators.joins import build_dimension
 
-    out = scratch_dir("sink_jdbc_star")
+    url = derby_memory_url("sink_jdbc_star")
     orders = load(spark, sf_dir, "orders")
     dim = build_dimension(orders, "o_orderpriority", "id_priority", "priority")
     fact = orders.join(
         F.broadcast(dim), orders.o_orderpriority == dim.priority
     ).select("o_orderkey", "id_priority")
-    dim.write.mode("overwrite").parquet(os.path.join(out, "dim_priority"))
-    fact.write.mode("overwrite").parquet(os.path.join(out, "fact_orders"))
+    write_jdbc_star(dim, url, "dim_priority", mode="overwrite", driver=DERBY_DRIVER)
+    write_jdbc_star(fact, url, "fact_orders", mode="overwrite", driver=DERBY_DRIVER)
 
-    dim_b = spark.read.parquet(os.path.join(out, "dim_priority"))
-    fact_b = spark.read.parquet(os.path.join(out, "fact_orders"))
+    dim_b = read_jdbc_partitioned(spark, url, "dim_priority", driver=DERBY_DRIVER)
+    fact_b = read_jdbc_partitioned(
+        spark,
+        url,
+        "fact_orders",
+        partition_column="id_priority",
+        num_partitions=4,
+        lower=1,
+        upper=8,
+        driver=DERBY_DRIVER,
+    )
     return (
         fact_b.join(F.broadcast(dim_b), "id_priority")
         .groupBy("id_priority", "priority")
