@@ -78,6 +78,81 @@ def rule_based_enrich(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: Output columns, in schema order (derived once from the DDL string).
+_ENRICH_COLS = [c.strip().split(" ")[0] for c in ENRICH_OUTPUT_SCHEMA.split(",")]
+
+
+def endpoint_client(
+    call: Callable[[dict], dict],
+    retries: int = 3,
+    backoff_s: float = 1.0,
+    backoff_mult: float = 2.0,
+    pause_s: float = 0.0,
+    sleep: Callable[[float], None] | None = None,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Wrap a per-record external endpoint (LLM, enrichment API) into a
+    batch client for `enrich_offers`, with the reference's resilience
+    semantics re-expressed for executor-side batches
+    (enrechissement_process/pipline.py:112-149: per-call pause,
+    3 retries with exponential backoff, deterministic rule fallback
+    when retries exhaust):
+
+    - ``pause_s`` seconds between consecutive calls (rate limit — runs
+      per partition, so cluster-wide rate = partitions / pause_s; cap
+      concurrency with `enrich_offers(batch_partitions=...)`),
+    - each record retried ``retries`` times with delay
+      ``backoff_s * backoff_mult**attempt``,
+    - a record whose retries exhaust (or whose response is not a dict)
+      degrades to the rule fallback for THAT record only, tagged
+      ``enrich_source='rule_fallback'``; successes tag ``'endpoint'``.
+
+    ``sleep`` is injectable for tests; endpoint responses supply
+    ``titre_homogene`` / ``secteur_infere`` / ``niveau_qualification``,
+    with per-field rule-fallback defaults for partial responses."""
+    do_sleep = sleep if sleep is not None else __import__("time").sleep
+
+    def client(pdf: pd.DataFrame) -> pd.DataFrame:
+        fallback = rule_based_enrich(pdf).reset_index(drop=True)
+        rows: list[dict] = []
+        for i, rec in enumerate(pdf.reset_index(drop=True).to_dict("records")):
+            if pause_s and i:
+                do_sleep(pause_s)
+            resp: dict | None = None
+            delay = backoff_s
+            for attempt in range(retries + 1):
+                try:
+                    out = call(rec)
+                    if isinstance(out, dict):
+                        resp = out
+                        break
+                except Exception:
+                    pass
+                if attempt < retries:
+                    do_sleep(delay)
+                    delay *= backoff_mult
+            fb = fallback.iloc[i]
+            if resp is None:
+                row = {c: fb[c] for c in _ENRICH_COLS}
+                row["enrich_source"] = "rule_fallback"
+            else:
+                row = {
+                    "job_url": rec["job_url"],
+                    "titre": rec["titre"],
+                    "titre_homogene": resp.get("titre_homogene", fb["titre_homogene"]),
+                    "secteur_infere": resp.get("secteur_infere", fb["secteur_infere"]),
+                    "niveau_qualification": int(
+                        resp.get("niveau_qualification", fb["niveau_qualification"])
+                    ),
+                    "enrich_source": "endpoint",
+                }
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=_ENRICH_COLS)
+        out["niveau_qualification"] = out["niveau_qualification"].astype("int32")
+        return out
+
+    return client
+
+
 def enrich_offers(
     df: DataFrame,
     client: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
