@@ -29,11 +29,16 @@ from job_market_research_spark.registry import query
 
 
 def decode_media(payload: bytes) -> dict:
-    """Real media decode — requires codec libraries not present in
-    this environment. The pipeline substitutes `fake_decode_header`."""
-    raise NotImplementedError(
-        "media decode requires PIL/ffmpeg; wire a codec here in production"
-    )
+    """Media decode boundary. Formats with a dependency-free codec
+    (netpbm images, WAV PCM — see `multimodal.codecs`) decode for REAL
+    when SPARK_GRAFT_REAL_CODEC is on (default); everything else
+    (JPEG/PNG/MP4) raises NotImplementedError until PIL/ffmpeg is wired
+    in production. The `multimodal_*_real` queries exercise the real
+    path end-to-end; the `*_stub` queries pin the contract for formats
+    without an installed codec."""
+    from job_market_research_spark.multimodal.codecs import decode_media as _real
+
+    return _real(payload)
 
 
 def fake_decode_header(doc_id: int) -> tuple[int, int, int]:

@@ -209,7 +209,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
     from job_market_research_spark.ml import neardup, sampling, similarity  # noqa: F401
-    from job_market_research_spark.multimodal import binary_ops  # noqa: F401
+    from job_market_research_spark.multimodal import binary_ops, real_media  # noqa: F401
     from job_market_research_spark.streaming import sessions, windows  # noqa: F401
 
     green = _driver_green_evidence()

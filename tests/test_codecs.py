@@ -1,0 +1,67 @@
+"""Dependency-free media codecs: real byte-level round-trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from job_market_research_spark.multimodal import codecs
+
+
+def test_pgm_roundtrip():
+    img = np.arange(12 * 7, dtype=np.uint8).reshape(7, 12)
+    payload = codecs.encode_pgm(img)
+    assert payload.startswith(b"P5\n12 7\n255\n")
+    assert codecs.sniff_kind(payload) == "pgm"
+    np.testing.assert_array_equal(codecs.decode_netpbm(payload), img)
+
+
+def test_ppm_roundtrip():
+    img = (np.arange(5 * 4 * 3, dtype=np.uint8) * 3 % 256).reshape(4, 5, 3)
+    payload = codecs.encode_ppm(img)
+    assert codecs.sniff_kind(payload) == "ppm"
+    np.testing.assert_array_equal(codecs.decode_netpbm(payload), img)
+
+
+def test_netpbm_header_comments_and_whitespace():
+    img = np.full((2, 3), 9, dtype=np.uint8)
+    payload = b"P5\n# a comment\n 3  2 \n# another\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(codecs.decode_netpbm(payload), img)
+
+
+def test_wav_roundtrip_preserves_samples_and_rate():
+    samples = (np.sin(np.linspace(0, 20, 480)) * 20000).astype(np.int16)
+    payload = codecs.encode_wav_pcm16(samples, 16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert codecs.sniff_kind(payload) == "wav"
+    back, rate = codecs.decode_wav(payload)
+    assert rate == 16000
+    np.testing.assert_array_equal(back, samples)
+
+
+def test_resize_nearest_floor_mapping():
+    img = np.arange(8 * 6, dtype=np.uint8).reshape(6, 8)
+    out = codecs.resize_nearest(img, 3, 4)
+    # src index = (dst * src_dim) // dst_dim, exactly
+    want = img[[(i * 6) // 3 for i in range(3)]][:, [(j * 8) // 4 for j in range(4)]]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_decode_media_dispatch():
+    img_meta = codecs.decode_media(codecs.encode_pgm(np.zeros((4, 6), np.uint8)))
+    assert img_meta == {"kind": "pgm", "width": 6, "height": 4, "channels": 1}
+    wav_meta = codecs.decode_media(
+        codecs.encode_wav_pcm16(np.zeros(100, np.int16), 8000)
+    )
+    assert wav_meta == {"kind": "wav", "sample_rate": 8000, "n_samples": 100, "channels": 1}
+
+
+def test_unknown_format_still_raises():
+    with pytest.raises(NotImplementedError):
+        codecs.decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_flag_off_forces_stub_path(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_REAL_CODEC", "0")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_media(codecs.encode_pgm(np.zeros((2, 2), np.uint8)))
