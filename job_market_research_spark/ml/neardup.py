@@ -366,28 +366,27 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(F.split(F.trim("text"), " "), lambda x: x != ""))
         ).alias("token"),
     )
-    bits = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-            portable_hash60(F.col("token")).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+    # Per-bit ±1 voting WITHOUT the 60× row explode: one aggregate over
+    # (doc, token) rows with 60 bit-sum columns. vote_j = Σ(2·bit_j − 1)
+    # = 2·Σbit_j − n_tokens, so bit j of the fingerprint is set iff
+    # 2·b_j > n. Shuffle volume stays at one row per (doc, token)
+    # instead of SIMHASH_BITS rows — the 100 TB-relevant saving.
+    hashed = toks.select("doc_id", portable_hash60(F.col("token")).alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    fingerprint = sum(
+        (
+            F.when(
+                2 * F.col(f"b{j}") > F.col("n"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("long"),
     )
-    sims = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    sims = per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -584,10 +583,18 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("block"),
     )
-    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "block").filter(
+        (F.col("id_a") < F.col("id_b"))
+        # provable bound: levenshtein >= |len(a) - len(b)|, so pairs
+        # whose lengths differ by >5 can't qualify — pruned before any
+        # edit-distance work (and before the DP even allocates).
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 5)
+    )
+    # thresholded levenshtein: banded O(n*k) DP that early-exits and
+    # returns -1 once distance exceeds 5, instead of full O(n^2) DP.
     return (
-        pairs.withColumn("distance", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("distance") <= 5)
+        pairs.withColumn("distance", F.levenshtein("name_a", "name_b", 5))
+        .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
         .orderBy("id_a", "id_b")
     )
