@@ -34,19 +34,39 @@ def _stage_events(spark: SparkSession, sf_dir: str, name: str, parts: int = 4) -
     return out
 
 
+#: State-store partition count for the one-shot drains. Streaming state
+#: overhead (checkpoint dirs, provider instances, per-batch commits) is
+#: partitions × micro-batches, while these drains' keyspaces are tiny —
+#: results are partition-count-invariant, so fewer partitions is pure
+#: overhead reduction. A continuous production stream sizes this to its
+#: key cardinality instead.
+_STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str, max_files: int | None = None) -> str:
     """Run a streaming frame to a memory sink with availableNow; return
     the sink table name. availableNow drains everything then stops —
-    the reproduction of one Celery chain run."""
+    the reproduction of one Celery chain run. Shuffle partitions are
+    lowered for the drain (streaming fixes state partitioning at query
+    start from this conf) and restored after."""
     name = f"sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev), _STREAM_SHUFFLE_PARTITIONS)),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
