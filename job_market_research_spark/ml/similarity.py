@@ -300,5 +300,4 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .orderBy("qid", "rk")
     )

@@ -70,7 +70,7 @@ def q_multimodal_binary_meta(spark, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_id"),
         F.col("source").alias("media_kind"),
-    ).orderBy("doc_id")
+    )
 
 
 DECODE_SCHEMA = (
@@ -115,7 +115,7 @@ def q_multimodal_decode_stub(spark, sf_dir: str) -> DataFrame:
         .withColumn("content", F.encode("text", "UTF-8"))
         .select("doc_id", "content")
     )
-    return docs.mapInPandas(_decode_batches, schema=DECODE_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_fingerprint string"
@@ -148,9 +148,7 @@ def q_multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     yields ceil(n_frames/2) output rows) — the UDTF-shaped multimodal
     operator."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
-    )
+    return docs.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, width long, height long, out_width long, out_height long, resize_status string"
@@ -204,7 +202,7 @@ def q_multimodal_resize(spark, sf_dir: str) -> DataFrame:
         .withColumn("content", F.encode("text", "UTF-8"))
         .select("doc_id", "content")
     )
-    return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
 
 
 EMBED_DIM = 8
@@ -248,4 +246,4 @@ def q_multimodal_embed_extract(spark, sf_dir: str) -> DataFrame:
         .withColumn("content", F.encode("text", "UTF-8"))
         .select("doc_id", "content")
     )
-    return docs.mapInPandas(_embed_batches, schema=EMBED_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_embed_batches, schema=EMBED_SCHEMA)

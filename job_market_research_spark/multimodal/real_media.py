@@ -89,7 +89,7 @@ def q_multimodal_decode_real(spark, sf_dir: str) -> DataFrame:
     integer-exact features the oracle replays pixel-by-pixel. The
     production stage is identical with parquet-sourced bytes."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
-    return docs.mapInPandas(_decode_real, schema=DECODE_REAL_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_decode_real, schema=DECODE_REAL_SCHEMA)
 
 
 RESIZE_REAL_SCHEMA = "doc_id long, out_h long, out_w long, resized_sum long"
@@ -129,7 +129,7 @@ def q_multimodal_resize_real(spark, sf_dir: str) -> DataFrame:
     pixel through the same index arithmetic, so this checks actual
     resampled values, not just target dimensions."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
-    return docs.mapInPandas(_resize_real, schema=RESIZE_REAL_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_resize_real, schema=RESIZE_REAL_SCHEMA)
 
 
 #: Deterministic audio recipe: n = d%1600+160 PCM16 mono samples at
@@ -188,4 +188,4 @@ def q_multimodal_audio_real(spark, sf_dir: str) -> DataFrame:
     magic-sniffing dispatcher, and verify container metadata AND the
     sample values themselves via an absolute-sum the oracle replays."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
-    return docs.mapInPandas(_audio_real, schema=AUDIO_REAL_SCHEMA).orderBy("doc_id")
+    return docs.mapInPandas(_audio_real, schema=AUDIO_REAL_SCHEMA)
