@@ -373,3 +373,74 @@ def q_text_pii_redact(spark, sf_dir: str) -> DataFrame:
     return seeded.select(
         "doc_id", redact_pii("text").alias("clean_text")
     )
+
+
+@query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    totals AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT token) AS v FROM tok
+    ),
+    scored AS (
+      SELECT tok.doc_id,
+             -ln(CAST(counts.c + 1 AS DOUBLE) / (totals.n + totals.v))
+               AS neg_logp
+      FROM tok JOIN counts USING (token) CROSS JOIN totals
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(SUM(neg_logp) / COUNT(*), 6) AS avg_neg_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_neg_logp,
+           round(exp(avg_neg_logp), 6) AS perplexity
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def q_text_lm_perplexity(spark, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity per document — the CCNet-style
+    quality signal a training-data pipeline filters on (docs whose
+    token distribution diverges from the corpus LM score high).
+
+    Add-one-smoothed unigram model fitted on the corpus itself:
+    p(t) = (c(t)+1) / (N+V). Plan shape: one tokenize scan, one
+    vocab-sized count aggregate joined back BROADCAST (|vocab| ≪
+    |corpus|), one per-doc aggregate — two shuffles total, no
+    all-pairs, no Python. N and V are driver scalars from a tiny
+    aggregate job (at 100 TB this is one count per executor, not a
+    collect of rows). Float policy: -ln(p) is libm math, so the
+    per-doc mean is rounded to 6 decimals on both engines and the
+    perplexity is exp() OF THE ROUNDED mean — both engines feed
+    identical doubles into exp, making the hash deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n_total, n_vocab = tok.agg(
+        F.count("*"), F.countDistinct("token")
+    ).first()
+    neg_logp = -F.log(
+        (F.col("c") + 1).cast("double") / F.lit(float(n_total + n_vocab))
+    )
+    per_doc = (
+        tok.join(F.broadcast(counts), "token")
+        .select("doc_id", neg_logp.alias("neg_logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("neg_logp") / F.count("*"), 6).alias("avg_neg_logp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logp",
+        F.round(F.exp("avg_neg_logp"), 6).alias("perplexity"),
+    )

@@ -202,6 +202,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         joins,
         nested,
+        scd,
         sessionize,
         setops,
         skew,
