@@ -288,27 +288,50 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    idx = df_capped(shingles, "sh")
-    x = idx.alias("x")
-    y = idx.alias("y")
-    inter = (
-        candidates.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sh") == F.col("x.sh")),
+    # Verification via per-doc shingle ARRAYS instead of a double
+    # exploded-index join: one aggregation builds (n = total shingle
+    # count, arr = df-capped shingle set) per doc, then each candidate
+    # pair picks up both profiles by key and intersects natively
+    # (array_intersect, JVM-side). Same capped-Jaccard semantics —
+    # hot shingles are excluded from the INTERSECTION only, n counts
+    # everything — with 2 key-balanced joins instead of 4 plus a
+    # re-group. Per-doc arrays are bounded by document length, so no
+    # row ever exceeds executor memory at corpus scale.
+    hot = (
+        shingles.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > GRAM_DF_CAP)
+        .select("sh", F.lit(True).alias("_hot"))
+    )
+    profiles = (
+        shingles.join(F.broadcast(hot), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_list(
+                F.when(F.col("_hot").isNull(), F.col("sh"))
+            ).alias("arr"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
-    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        candidates.join(
+            profiles.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("arr").alias("arr_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            profiles.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("arr").alias("arr_b"),
+            ),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
