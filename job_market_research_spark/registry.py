@@ -54,25 +54,32 @@ def query(
     return deco
 
 
-def _driver_green_evidence() -> set[str]:
+def _driver_green_evidence() -> dict[str, float]:
     """Query names with a fully-green driver CORRECTNESS row in any
-    prior round (CORRECTNESS_r*.json at the repo root).
+    prior round (CORRECTNESS_r*.json at the repo root), mapped to the
+    newest proving file's mtime.
 
     The driver's correctness pass covers a bounded window of the
     registry in iteration order, so `load_all` fronts queries that have
     no green evidence yet — each round the window rotates onto unproven
     queries until every operator has a hard driver-side row.
+
+    The mtime lets `load_all` treat evidence as STALE when the query's
+    defining module was edited after the green row was recorded: a
+    reworked operator re-enters the driver window instead of coasting
+    on proof for code that no longer exists.
     """
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    green: dict[str, float] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 data = json.load(f)
+            mtime = os.path.getmtime(path)
         except Exception:
             continue
         if not isinstance(data, dict):
@@ -85,8 +92,22 @@ def _driver_green_evidence() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0.0), mtime)
     return green
+
+
+def _module_mtime(fn: Callable) -> float:
+    """mtime of the module file that defines a registered query, or 0.0
+    when it cannot be resolved (evidence then never goes stale)."""
+    import os
+    import sys
+
+    mod = sys.modules.get(getattr(fn, "__module__", ""))
+    path = getattr(mod, "__file__", None)
+    try:
+        return os.path.getmtime(path) if path else 0.0
+    except OSError:
+        return 0.0
 
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
@@ -188,6 +209,14 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_embed_extract",
+    # round-2 late additions — explicit for deterministic window order
+    "merge_scd2",
+    "agg_sessionize_batch",
+    "maintenance_compact_small_files",
+    "text_lm_perplexity",
+    "multimodal_decode_real",
+    "multimodal_resize_real",
+    "multimodal_audio_real",
 )
 
 
@@ -219,9 +248,18 @@ def load_all() -> dict[str, QuerySpec]:
     prio = {name: i for i, name in enumerate(UNPROVEN_PRIORITY)}
 
     def key(name: str) -> tuple[int, int]:
+        # Tier 0: never driver-green. Tier 1: green but the defining
+        # module changed since the proving round (stale — re-prove).
+        # Tier 2: green on current code.
         if name not in green:
-            return (0, prio.get(name, len(prio) + reg_pos[name]))
-        return (1, reg_pos[name])
+            tier = 0
+        elif _module_mtime(REGISTRY[name].fn) > green[name]:
+            tier = 1
+        else:
+            tier = 2
+        if tier < 2:
+            return (tier, prio.get(name, len(prio) + reg_pos[name]))
+        return (2, reg_pos[name])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
 
