@@ -602,38 +602,45 @@ def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
            levenshtein(a.p_name, b.p_name) AS distance
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 5
     ORDER BY id_a, id_b
     """,
 )
 def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs with blocking: candidate pairs are
-    generated only within a blocking key (brand) — the standard trick
-    that turns O(n²) fuzzy matching into Σ O(block²). At 100 TB,
-    blocking keys come from a cheap canopy (prefix, simhash band)
-    instead of an attribute.
+    """Edit-distance near-dup pairs with canopy blocking: candidate
+    pairs are generated only within a blocking key — the standard trick
+    that turns O(n²) fuzzy matching into Σ O(block²). The canopy is
+    composite (brand × first name token, ~25×90 values), so per-block
+    pair volume is (N/2250)² instead of the (N/25)² a brand-only block
+    gives; the canopy stays CHEAP (one substring, no DP) and scales its
+    cardinality with the data because token diversity grows with N.
 
-    Execution shape: the pair explosion and the edit-distance DP happen
-    INSIDE the join task, so their cost is invisible to AQE's byte-based
-    partition sizing — a plain shuffle join on 25 block values gets
-    coalesced to a handful of tasks and the DP runs near-serially. We
-    broadcast the (small, dictionary-sized) build side and explicitly
-    repartition the probe side so the DP fans out across every core;
-    explicit numPartitions is exempt from AQE coalescing. Output order
-    is unspecified (the correctness gate hashes order-insensitively;
-    globally sorting a pair list is a pointless full sort at scale)."""
+    Execution shape: both sides hash-partition on the block key — a
+    co-partitioned shuffle join, NO broadcast. Broadcasting the build
+    side would ship an sf-scaling table to every executor and OOM at
+    100×; a 2 250-value key shuffles fine. The explicit
+    `repartition(n, block)` on both sides doubles as the AQE guard: the
+    pair explosion and the edit-distance DP happen INSIDE the join
+    task, invisible to AQE's byte-based partition sizing, and explicit
+    numPartitions is exempt from coalescing, so the DP fans out across
+    every core. Output order is unspecified (the correctness gate
+    hashes order-insensitively; globally sorting a pair list is a
+    pointless full sort at scale)."""
+    canopy = F.concat_ws("|", F.col("p_brand"), F.substring_index("p_name", " ", 1))
     a = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("block"),
+        canopy.alias("block"),
     )
     b = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("block"),
+        canopy.alias("block"),
     )
-    pairs = a.repartition(64).join(F.broadcast(b), "block").filter(
+    pairs = a.repartition(64, "block").join(b.repartition(64, "block"), "block").filter(
         (F.col("id_a") < F.col("id_b"))
         # provable bound: levenshtein >= |len(a) - len(b)|, so pairs
         # whose lengths differ by >5 can't qualify — pruned before any
