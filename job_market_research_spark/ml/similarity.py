@@ -146,6 +146,11 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: Banded hyperplane LSH geometry: LSH_BANDS independent bands of
+#: LSH_BITS hyperplanes each (global plane index j = band*LSH_BITS+bit).
+LSH_BANDS, LSH_BITS = 8, 4
+
+
 @query(
     "ann_lsh_bucketed",
     oracle=_ORACLE_BASE
@@ -153,78 +158,91 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     , planes AS (
       SELECT j, list_transform(range(1, 65),
                i -> CAST((i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
-      FROM range(0, 8) AS r(j)
+      FROM range(0, {LSH_BANDS * LSH_BITS}) AS r(j)
     ),
     sig AS (
-      SELECT e.vec_id, e.label, e.v, e.nrm,
+      SELECT e.vec_id, p.j // {LSH_BITS} AS band,
              string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
                               i -> e.v[i] * p.p[i])) > 0
-                        THEN '1' ELSE '0' END, '' ORDER BY p.j) AS bucket
-      FROM e, planes p GROUP BY e.vec_id, e.label, e.v, e.nrm
+                        THEN '1' ELSE '0' END, '' ORDER BY p.j) AS bsig
+      FROM e, planes p GROUP BY e.vec_id, p.j // {LSH_BITS}
     ),
     qsig AS (
-      SELECT q.qv, q.qnrm,
+      SELECT p.j // {LSH_BITS} AS band,
              string_agg(CASE WHEN list_sum(list_transform(range(1, len(q.qv) + 1),
                               i -> q.qv[i] * p.p[i])) > 0
-                        THEN '1' ELSE '0' END, '' ORDER BY p.j) AS qbucket
-      FROM q, planes p GROUP BY q.qv, q.qnrm
+                        THEN '1' ELSE '0' END, '' ORDER BY p.j) AS bsig
+      FROM q, planes p GROUP BY p.j // {LSH_BITS}
+    ),
+    cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM sig s JOIN qsig qs ON s.band = qs.band AND s.bsig = qs.bsig
+      WHERE s.vec_id <> {QUERY_VEC_ID}
     )
-    SELECT s.vec_id,
-           round(list_sum(list_transform(range(1, len(s.v) + 1),
-                          i -> s.v[i] * qs.qv[i])) / (s.nrm * qs.qnrm), 6) AS cosine
-    FROM sig s, qsig qs
-    WHERE s.bucket = qs.qbucket AND s.vec_id <> {QUERY_VEC_ID}
-    ORDER BY cosine DESC, s.vec_id
+    SELECT e.vec_id, {_ORACLE_COSINE} AS cosine
+    FROM e JOIN cand c ON e.vec_id = c.vec_id, q
+    ORDER BY cosine DESC, e.vec_id
     LIMIT {TOP_K}
     """,
 )
 def q_ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 8 fixed pseudo-random hyperplanes
-    (deterministic integer formula so the oracle replays them) sign
-    each vector into an 8-bit bucket; only the query's bucket is
-    scanned. At scale the bucket string is the shuffle/partition key —
-    candidate generation is a hash lookup, not a scan."""
-    n_planes, dim = 8, 64
-    # plane j, component i (1-based): ((i*31 + j*17) % 7) - 3  ∈ [-3, 3]
-    planes = F.expr(
-        f"""transform(sequence(0, {n_planes - 1}),
-              j -> transform(sequence(1, {dim}),
-                     i -> cast((i * 31 + j * 17) % 7 - 3 as double)))"""
+    """Banded random-hyperplane LSH ANN: LSH_BANDS independent bands
+    of LSH_BITS fixed pseudo-random hyperplanes (deterministic
+    integer formula so the oracle replays them) sign each vector into
+    one bucket string PER BAND; a vector is a candidate if it collides
+    with the query in ANY band (union), then candidates are exactly
+    re-ranked by cosine. Multi-band fixes single-band LSH's two
+    failures: recall (a near neighbor that flips one plane of one band
+    still collides in another band) and bucket size (each band's key
+    has 2^bits values, and at corpus scale you raise bits per band so
+    buckets stay bounded while extra bands hold recall — the same
+    banding math as dedup_minhash_lsh).
+
+    Execution shape: signatures are one scan (all bands computed in a
+    single projection, exploded ×bands); candidate generation is an
+    equi-join on (band, bucket) against the query's broadcast
+    signatures — a hash lookup, never a scan; `distinct` dedups the
+    cross-band union BEFORE the exact re-rank so each candidate is
+    scored once. At 100 TB the (band, bucket) pair is the partition
+    key of a pre-materialized index table."""
+    dim = 64
+    # band b, bit t → plane j = b*BITS+t; component i (1-based):
+    # ((i*31 + j*17) % 7) - 3 ∈ [-3, 3] — replayed verbatim in DuckDB.
+    bands_expr = F.expr(
+        f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+              array_join(transform(sequence(0, {LSH_BITS - 1}), t ->
+                case when aggregate(
+                       zip_with(v,
+                                transform(sequence(1, {dim}),
+                                  i -> cast((i * 31 + (b * {LSH_BITS} + t) * 17) % 7 - 3
+                                            as double)),
+                                (x, y) -> x * y),
+                       0.0d, (a, x) -> a + x) > 0
+                then '1' else '0' end), ''))"""
     )
-
-    def bucket_of(vec: Column) -> Column:
-        return F.array_join(
-            F.transform(
-                planes,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(vec, p, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
-                    > 0,
-                    "1",
-                ).otherwise("0"),
-            ),
-            "",
-        )
-
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("bucket", bucket_of(F.col("v")))
     )
-    qv = (
-        _query_vector(spark, sf_dir)
-        .withColumn("qnrm", l2_norm(F.col("qv")))
-        .withColumn("qbucket", bucket_of(F.col("qv")))
+    emb_sigs = emb.select(
+        "vec_id", F.posexplode(bands_expr).alias("band", "bsig")
     )
-    cand = emb.join(F.broadcast(qv), emb.bucket == qv.qbucket).filter(
-        F.col("vec_id") != QUERY_VEC_ID
+    qv = _query_vector(spark, sf_dir).withColumn("qnrm", l2_norm(F.col("qv")))
+    q_sigs = (
+        qv.withColumnRenamed("qv", "v")
+        .select(F.posexplode(bands_expr).alias("band", "bsig"))
+    )
+    cand_ids = (
+        emb_sigs.join(F.broadcast(q_sigs), ["band", "bsig"])
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
     )
     return (
-        cand.select(
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
             "vec_id",
             cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
                 "cosine"
