@@ -18,6 +18,10 @@ from job_market_research_spark.registry import query
 
 #: Skill lexicon standing in for the reference's SKILL_DB phrase
 #: dictionary (skillner_logic.py:15-30). type mirrors hard/soft.
+#: Includes MULTI-WORD surface forms — the reference's PhraseMatcher
+#: matches full phrases (skillner_logic.py:69-80 merges full_matches
+#: with scored n-gram matches), so the token stream must carry
+#: 2-/3-gram shingles, not just unigrams.
 SKILL_LEXICON: list[tuple[str, str]] = [
     ("join", "hard"),
     ("scan", "hard"),
@@ -27,9 +31,14 @@ SKILL_LEXICON: list[tuple[str, str]] = [
     ("filter", "hard"),
     ("window", "hard"),
     ("stream", "hard"),
+    ("hash join", "hard"),
+    ("sort merge", "hard"),
+    ("window scan", "hard"),
+    ("hash join scan", "hard"),
     ("fast", "soft"),
     ("slow", "soft"),
     ("small", "soft"),
+    ("fast sort", "soft"),
 ]
 
 #: One high-frequency marker token per language for the n-gram
@@ -99,11 +108,22 @@ def q_agg_word_freq(spark, sf_dir: str) -> DataFrame:
     WITH lexicon(nom, type_skill) AS (VALUES
       ('join','hard'),('scan','hard'),('merge','hard'),('hash','hard'),
       ('sort','hard'),('filter','hard'),('window','hard'),('stream','hard'),
-      ('fast','soft'),('slow','soft'),('small','soft')),
+      ('hash join','hard'),('sort merge','hard'),('window scan','hard'),
+      ('hash join scan','hard'),
+      ('fast','soft'),('slow','soft'),('small','soft'),('fast sort','soft')),
+    t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shingles AS (
+      SELECT doc_id, unnest(t) AS token FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i+1])) FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM t
+    ),
     toks AS (
-      SELECT DISTINCT doc_id, t.token
-      FROM documents, unnest(string_split(text, ' ')) AS t(token)
-      WHERE t.token <> ''
+      SELECT DISTINCT doc_id, token FROM shingles
+      WHERE token <> '' AND token IS NOT NULL
     )
     SELECT doc_id,
            COALESCE(string_agg(CASE WHEN type_skill = 'hard' THEN nom END, ','
@@ -116,16 +136,38 @@ def q_agg_word_freq(spark, sf_dir: str) -> DataFrame:
 )
 def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
     """Dictionary NER as a broadcast-lexicon join (reference:
-    skillner_logic.py:15-125 spaCy PhraseMatcher over SKILL_DB).
+    skillner_logic.py:15-125 spaCy PhraseMatcher over SKILL_DB; the
+    PhraseMatcher matches MULTI-WORD surface forms, so the token
+    stream here carries unigrams + 2-/3-gram shingles before the
+    join — "hash join"-style skills match as phrases).
 
-    tokenize → distinct (doc, token) → broadcast join against the
-    lexicon → collect per-type skill sets. The lexicon broadcasts (it
-    is tiny by construction), so the corpus is scanned exactly once
-    with no shuffle except the final per-doc grouping."""
+    tokenize → shingle (1/2/3-grams in one projection) → distinct
+    (doc, gram) → broadcast join against the lexicon → collect
+    per-type skill sets. The lexicon broadcasts (it is tiny by
+    construction), so the corpus is scanned exactly once with no
+    shuffle except the final per-doc grouping; shingling triples the
+    exploded row count but the lexicon join prunes it immediately
+    map-side."""
     lex = spark.createDataFrame(SKILL_LEXICON, ["nom", "type_skill"])
+    # sequence(1, n) is DESCENDING when n < 1, so gate each shingle
+    # arm on array size instead of relying on greatest().
+    grams = F.expr(
+        """concat(
+             t,
+             case when size(t) >= 2 then
+               transform(sequence(1, size(t) - 1),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))
+             else array() end,
+             case when size(t) >= 3 then
+               transform(sequence(1, size(t) - 2),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                                element_at(t, i + 2)))
+             else array() end)"""
+    )
     toks = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(grams).alias("token"))
         .distinct()
     )
     matched = toks.join(F.broadcast(lex), toks.token == lex.nom)
