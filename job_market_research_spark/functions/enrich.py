@@ -131,20 +131,35 @@ def endpoint_client(
                     do_sleep(delay)
                     delay *= backoff_mult
             fb = fallback.iloc[i]
-            if resp is None:
+            row = None
+            if resp is not None:
+                # Per-record degradation contract: a well-formed dict
+                # with a malformed FIELD (e.g. niveau_qualification=
+                # 'senior' from an LLM) must degrade THIS record to the
+                # rule row, not raise out of the batch and fail the
+                # whole mapInPandas task.
+                try:
+                    row = {
+                        "job_url": rec["job_url"],
+                        "titre": rec["titre"],
+                        "titre_homogene": resp.get(
+                            "titre_homogene", fb["titre_homogene"]
+                        ),
+                        "secteur_infere": resp.get(
+                            "secteur_infere", fb["secteur_infere"]
+                        ),
+                        "niveau_qualification": int(
+                            resp.get(
+                                "niveau_qualification", fb["niveau_qualification"]
+                            )
+                        ),
+                        "enrich_source": "endpoint",
+                    }
+                except (TypeError, ValueError, KeyError):
+                    row = None
+            if row is None:
                 row = {c: fb[c] for c in _ENRICH_COLS}
                 row["enrich_source"] = "rule_fallback"
-            else:
-                row = {
-                    "job_url": rec["job_url"],
-                    "titre": rec["titre"],
-                    "titre_homogene": resp.get("titre_homogene", fb["titre_homogene"]),
-                    "secteur_infere": resp.get("secteur_infere", fb["secteur_infere"]),
-                    "niveau_qualification": int(
-                        resp.get("niveau_qualification", fb["niveau_qualification"])
-                    ),
-                    "enrich_source": "endpoint",
-                }
             rows.append(row)
         out = pd.DataFrame(rows, columns=_ENRICH_COLS)
         out["niveau_qualification"] = out["niveau_qualification"].astype("int32")
@@ -226,51 +241,8 @@ def q_text_llm_enrich(spark, sf_dir: str) -> DataFrame:
     return enrich_offers(offers).orderBy("job_url")
 
 
-MINMAX_SCHEMA = (
-    "o_orderkey long, priority string, totalprice double, scaled double"
-)
-
-
-def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map body: min-max scale one group's prices to [0, 1].
-    min/max are exact and order-independent, the scale is one IEEE
-    division per row — deterministic whatever the partitioning."""
-    lo, hi = pdf["totalprice"].min(), pdf["totalprice"].max()
-    span = hi - lo
-    scaled = (pdf["totalprice"] - lo) / span if span > 0 else pdf["totalprice"] * 0.0
-    return pd.DataFrame(
-        {
-            "o_orderkey": pdf["o_orderkey"],
-            "priority": pdf["priority"],
-            "totalprice": pdf["totalprice"],
-            "scaled": scaled.round(6),
-        }
-    )
-
-
-@query(
-    "grouped_pandas_minmax",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority AS priority,
-           o_totalprice AS totalprice,
-           round((o_totalprice - MIN(o_totalprice) OVER w)
-                 / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w),
-                 6) AS scaled
-    FROM orders
-    WHERE o_orderkey % 10 = 0
-    WINDOW w AS (PARTITION BY o_orderpriority)
-    ORDER BY o_orderkey
-    """,
-)
-def q_grouped_pandas_minmax(spark, sf_dir: str) -> DataFrame:
-    """Per-group feature scaling via applyInPandas (grouped map) — the
-    third pandas-boundary shape next to mapInPandas and
-    applyInPandasWithState: whole group as one pandas frame, Arrow both
-    ways. The oracle replays it with window min/max — two independent
-    implementations of the same normalization. At 100 TB the group key
-    must be high-cardinality (here 5 priorities is the DEMO; a real
-    feature pipeline groups by entity)."""
-    orders = (
+def _scaling_src(spark, sf_dir: str) -> DataFrame:
+    return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 10 == 0)
         .select(
@@ -279,6 +251,115 @@ def q_grouped_pandas_minmax(spark, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("totalprice"),
         )
     )
-    return orders.groupBy("priority").applyInPandas(
-        _minmax_scale, schema=MINMAX_SCHEMA
-    ).orderBy("o_orderkey")
+
+
+@query(
+    "grouped_minmax_native",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+           o_totalprice AS totalprice,
+           round(CASE WHEN MAX(o_totalprice) OVER w = MIN(o_totalprice) OVER w
+                      THEN 0.0
+                      ELSE (o_totalprice - MIN(o_totalprice) OVER w)
+                           / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w)
+                 END, 6) AS scaled
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
+def q_grouped_minmax_native(spark, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling as NATIVE window aggregates —
+    the built-in-beats-pandas policy applied: min/max over an unordered
+    group window plus one division stays entirely inside whole-stage
+    codegen, with no Arrow hop and no whole-group materialization.
+    (This replaced an applyInPandas version of the same normalization;
+    grouped-map is reserved for transforms window functions cannot
+    express — see grouped_pandas_ewma.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("priority")
+    lo, hi = F.min("totalprice").over(w), F.max("totalprice").over(w)
+    scaled = F.when(hi == lo, F.lit(0.0)).otherwise(
+        (F.col("totalprice") - lo) / (hi - lo)
+    )
+    return (
+        _scaling_src(spark, sf_dir)
+        .withColumn("scaled", F.round(scaled, 6))
+        .orderBy("o_orderkey")
+    )
+
+
+EWMA_ALPHA = 0.5  # exactly representable in binary → both engines
+# compute bit-identical 0.5*x + 0.5*prev chains and round(6) is safe.
+EWMA_SCHEMA = "o_orderkey long, priority string, totalprice double, ewma double"
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: exponential smoothing over the group ordered
+    by key — y_0 = x_0, y_t = (1-a)*y_{t-1} + a*x_t. The recursion is
+    SEQUENTIAL: each output depends on the previous one, which no
+    Spark built-in window aggregate expresses — this is what
+    applyInPandas is for (whole ordered group as one frame).
+
+    The recurrence is written out explicitly (not pandas `ewm`, whose
+    internal divide-by-weight form rounds differently in the 12th
+    decimal) so each step is literally `0.5*x + 0.5*prev` — the same
+    IEEE ops in the same order as the oracle's recursive CTE."""
+    pdf = pdf.sort_values("o_orderkey")
+    vals = pdf["totalprice"].to_numpy()
+    smoothed = []
+    prev = 0.0
+    for i, x in enumerate(vals):
+        prev = x if i == 0 else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * prev
+        smoothed.append(prev)
+    out = pdf[["o_orderkey", "priority", "totalprice"]].copy()
+    # no rounding here: pandas .round is banker's; the query rounds
+    # with F.round (half-up, same rule as DuckDB's round()).
+    out["ewma"] = pd.Series(smoothed, index=pdf.index)
+    return out
+
+
+@query(
+    "grouped_pandas_ewma",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             o_totalprice AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    rec AS (
+      SELECT priority, o_orderkey, totalprice, rn, totalprice AS y
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.priority, s.o_orderkey, s.totalprice, s.rn,
+             0.5 * s.totalprice + 0.5 * r.y
+      FROM src s JOIN rec r ON s.priority = r.priority AND s.rn = r.rn + 1
+    )
+    SELECT o_orderkey, priority, totalprice, round(y, 6) AS ewma
+    FROM rec ORDER BY o_orderkey
+    """,
+)
+def q_grouped_pandas_ewma(spark, sf_dir: str) -> DataFrame:
+    """Per-group exponential smoothing via applyInPandas (grouped map)
+    — the pandas boundary EARNING its place: y_t = (1-a)*y_{t-1} +
+    a*x_t is sequentially recursive, so no native window aggregate can
+    express it; the whole ordered group must be visible at once. Arrow
+    ships the group both ways and the recurrence runs once per row
+    inside the group. The oracle replays it as a recursive CTE — two
+    independent engines walking the same recurrence (alpha=0.5 keeps
+    every step binary-exact so the chains match bitwise). At 100 TB
+    the group key must be high-cardinality (entity id, not a 5-value
+    priority — the 5-value key here is correctness-scale DEMO data);
+    skewed giant groups are the failure mode to watch, same as any
+    grouped map."""
+    return (
+        _scaling_src(spark, sf_dir)
+        .groupBy("priority")
+        .applyInPandas(_ewma_group, schema=EWMA_SCHEMA)
+        .withColumn("ewma", F.round("ewma", 6))
+        .orderBy("o_orderkey")
+    )

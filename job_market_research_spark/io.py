@@ -60,11 +60,20 @@ def register_views(
 
     Registers only the requested tables (default: all), and tolerates a
     per-table load failure so a query that never touches `events` cannot
-    die on an `events` scan quirk.
+    die on an `events` scan quirk. A swallowed failure is printed —
+    otherwise the query that DOES touch the table dies later with an
+    opaque TABLE_OR_VIEW_NOT_FOUND far from the root cause.
     """
+    import sys
+
     for name in tables:
         try:
             load(spark, sf_dir, name).createOrReplaceTempView(name)
-        except Exception:
+        except Exception as exc:
             if name in ("region", "nation"):  # core dims must exist
                 raise
+            print(
+                f"register_views: skipped view '{name}' "
+                f"({type(exc).__name__}: {exc})",
+                file=sys.stderr,
+            )

@@ -713,6 +713,9 @@ def _cc_corpus(spark, sf_dir: str) -> DataFrame:
     return augmented_corpus(spark, sf_dir).unionByName(exact)
 
 
+_FREE_CHECKPOINT_WARNED = False
+
+
 def _free_checkpoint(df: DataFrame) -> None:
     """Release the executor storage behind a localCheckpoint'ed frame.
 
@@ -720,15 +723,33 @@ def _free_checkpoint(df: DataFrame) -> None:
     free localCheckpoint blocks; the checkpointed RDD itself must be
     unpersisted. Only call this on frames no downstream plan will read
     again — the truncated lineage cannot be recomputed.
+
+    Cleanup is best-effort (it must never fail the job), but a broken
+    cleanup path means executor storage grows by one frame per CC
+    round again — so the first failure warns once instead of silently
+    no-opping forever (the py4j accessor below is version-sensitive).
     """
+    global _FREE_CHECKPOINT_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # best-effort: storage cleanup must never fail the job
+    except Exception as exc:  # pragma: no cover - version-drift guard
+        if not _FREE_CHECKPOINT_WARNED:
+            _FREE_CHECKPOINT_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "checkpoint-storage cleanup failed (%r); executor "
+                "storage will grow per CC iteration" % (exc,),
+                RuntimeWarning,
+            )
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iters: int = 10
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node,
     component). The iterative-algorithm pattern: each round is one
@@ -746,29 +767,42 @@ def connected_components(
     - the superseded label frame's checkpoint blocks are freed each
       round (_free_checkpoint), so executor storage stays O(1) in the
       iteration count instead of accruing one frame per round.
-    On a real cluster swap localCheckpoint for reliable
-    ``checkpoint()`` into HDFS/S3 so executor loss can't kill the run.
+    ``checkpoint_dir`` selects the durability tier: ``None`` uses
+    ``localCheckpoint`` (executor-local blocks — fast, but an executor
+    loss kills the run, fine on local[*]); a path switches every
+    truncation to reliable ``checkpoint()`` into that directory
+    (HDFS/S3 on a real cluster), so the 100 TB fault-tolerant story is
+    a parameter, not a code edit.
     """
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    sym = _truncate(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

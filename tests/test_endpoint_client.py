@@ -105,3 +105,23 @@ def test_enrich_offers_distributed_with_endpoint(spark):
         else:
             assert r.enrich_source == "endpoint"
             assert r.niveau_qualification == 5
+
+
+def test_malformed_field_degrades_only_that_record():
+    """A response that IS a dict but whose field cannot be coerced
+    (e.g. niveau_qualification='senior' from an LLM) must degrade that
+    one record to the rule row — not raise int() out of the batch and
+    fail the whole mapInPandas task."""
+
+    def endpoint(rec):
+        if rec["job_url"] == "bad":
+            return {"niveau_qualification": "senior"}  # un-int-able
+        return {"secteur_infere": "FromEndpoint"}
+
+    client = endpoint_client(endpoint, retries=0, backoff_s=0.0, sleep=lambda s: None)
+    out = client(_batch([("bad", "Lead Dev"), ("ok", "Junior Analyst")]))
+    by_url = out.set_index("job_url")
+    assert by_url.loc["bad", "enrich_source"] == "rule_fallback"
+    assert by_url.loc["ok", "enrich_source"] == "endpoint"
+    # the degraded record still carries the full rule enrichment
+    assert by_url.loc["bad", "niveau_qualification"] == 4  # 'lead' → 4

@@ -43,15 +43,35 @@ def test_simhash_banding_covers_hamming_radius():
 def test_connected_components_chain_storage_stable(spark):
     # a 12-node chain needs >10 label-propagation rounds worst case;
     # with per-round unpersist, cached frames must not accumulate.
+    # Delta-based: the session is shared across tests, so assert what
+    # CC itself added over the pre-call snapshot, not a global count.
     n = 12
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
     comp = connected_components(edges, max_iters=20)
     rows = comp.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
-    sc = spark.sparkContext
-    cached = [r for r in sc._jsc.sc().getRDDStorageInfo()]
-    # at most the final label frame (+ its shuffle lineage) stays cached
-    assert len(cached) <= 2, f"cached frames leaked: {len(cached)}"
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # >10 rounds each localCheckpoint a frame; if per-round unpersist
+    # never ran the delta would be ~12+. At most the final label frame
+    # (+ its shuffle lineage) may stay cached.
+    assert after - before <= 2, f"cached frames leaked: {before} -> {after}"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation to reliable
+    # checkpoint() files — same result, and the files actually land in
+    # the directory (the 100 TB fault-tolerance path is executable).
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    comp = connected_components(edges, checkpoint_dir=ckpt)
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert ckpt_files, "no reliable checkpoint files were written"
