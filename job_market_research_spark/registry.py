@@ -115,6 +115,9 @@ def _module_mtime(fn: Callable) -> float:
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # semantics changed in round 3 → must re-prove ahead of any
+    # cosmetically-stale green (position here orders tier 1 too)
+    "text_skill_ner",
     # round-1 red rows — fixed this round, must re-enter the window
     "filter_temporal_range",
     "agg_grouping_sets",
@@ -161,7 +164,6 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "fn_qualification_int",
     # §2.10 text
     "text_token_dist",
-    "text_skill_ner",
     "text_llm_enrich",
     # §2.1 sinks
     "sink_json_single",
@@ -184,7 +186,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "join_range",
     "agg_salted_skew",
     "join_salted_skew",
-    "grouped_pandas_minmax",
+    "grouped_minmax_native",
+    "grouped_pandas_ewma",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -217,6 +220,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_real",
     "multimodal_resize_real",
     "multimodal_audio_real",
+    # round-3 additions: the second star variant + harmonization
+    "star2_dim_location",
+    "star2_fact_offer",
+    "star2_harmonize_dims",
 )
 
 
@@ -224,7 +231,11 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry
     ordered so driver-unproven queries iterate first."""
     # Imports are for the registration side effects.
-    from job_market_research_spark.plans import analytics, windows_analytic  # noqa: F401
+    from job_market_research_spark.plans import (  # noqa: F401
+        analytics,
+        star_v2,
+        windows_analytic,
+    )
     from job_market_research_spark.operators import (  # noqa: F401
         bucketing,
         cleaning,
