@@ -1,0 +1,395 @@
+"""Training-data curation operators (beyond-reference).
+
+Three ops every large-scale LLM training pipeline runs between raw
+corpus and tokenizer, none of which the reference (an exact-key ETL)
+has — expressed as pure relational plans so they scale with the
+shuffle layer:
+
+- **benchmark decontamination**: flag training documents sharing any
+  word n-gram with an eval/benchmark set (the standard n-gram-overlap
+  decontamination used for public-benchmark hygiene). The benchmark
+  shingle index is bounded by the EVAL suite size, not the corpus, so
+  broadcasting it is the genuinely-safe broadcast; the training side
+  streams through a map-side semi-join and never shuffles its text.
+- **weighted mixture sampling**: hit per-source target rates with the
+  same stable md5 keying as ml/sampling.py — re-running, resharding or
+  growing the corpus never flips a survivor decision, which is what
+  makes mixture recipes reproducible across pipeline versions.
+- **sequence packing**: greedy concat-and-chunk packing of documents
+  into fixed-length training sequences as a running token sum per
+  (source, shard-bucket) — exact integer math over a partitioned
+  window. The hash sub-bucket bounds every window partition at
+  corpus_size / (sources × buckets), so no single reducer ever sees a
+  whole source — the 100 TB window-partitioning story, not just a
+  single-partition demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.ml.neardup import portable_hash, word_shingles
+from job_market_research_spark.registry import query
+
+#: Oracle twin of portable_hash (see ml/sampling.py).
+_ORACLE_HASH = "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+#: Decontamination n-gram width. 5 words is the common public choice
+#: (large enough to avoid idiom collisions, small enough to catch
+#: paraphrase-free quoting).
+DECON_NGRAM = 5
+
+#: Packed-sequence length in whitespace tokens (demo value; a real
+#: pipeline uses the model context length).
+SEQ_LEN = 128
+
+#: Shard sub-buckets for the packing window partition key.
+PACK_BUCKETS = 4
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Adds `contaminated` (0/1) to `train`: 1 iff the document shares
+    at least one word n-gram with any benchmark document.
+
+    Plan: benchmark → distinct shingles (eval-suite-bounded →
+    broadcast) ⟕ train shingles (explode, map-side hash-join, distinct
+    doc_ids) → left join back onto train. The train table is scanned
+    once for shingling and once for the flag join; at 100 TB both are
+    embarrassingly parallel and the only shuffle is the doc_id
+    distinct, keyed uniformly.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles("text", n)).alias("sh")).distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode(word_shingles("text", n)).alias("sh"))
+        .join(F.broadcast(bench_grams), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return train.join(hits, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(0))
+    )
+
+
+def mixture_sample(
+    df: DataFrame, rates: dict[str, float], key: str = "doc_id",
+    stratum: str = "source", buckets: int = 10000
+) -> DataFrame:
+    """Keep each stratum at its target rate, hash-deterministically.
+
+    `rates` maps stratum value → keep fraction in [0, 1]. The rates
+    table is a bounded dictionary (one row per source), so it joins by
+    broadcast; the survivor decision is a pure function of
+    (stratum, key) exactly as in ml/sampling.py. Strata absent from
+    `rates` are dropped (rate 0).
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, int(round(v * buckets))) for k, v in sorted(rates.items())]
+    rate_df = spark.createDataFrame(rate_rows, f"{stratum} string, keep_lt int")
+    b = F.pmod(
+        portable_hash(F.concat_ws("|", F.col(stratum), F.col(key).cast("string"))),
+        F.lit(buckets),
+    )
+    return (
+        df.join(F.broadcast(rate_df), stratum)
+        .filter(b < F.col("keep_lt"))
+        .drop("keep_lt")
+    )
+
+
+def upsample_mixture(
+    df: DataFrame, rates: dict[str, float], key: str = "doc_id",
+    stratum: str = "source", buckets: int = 10000
+) -> DataFrame:
+    """Mixture sampling with rates ABOVE 1: rate 2.3 emits every row
+    twice (epochs) plus a deterministic 30% hash-kept third copy —
+    how training recipes upsample scarce high-quality sources.
+
+    Adds `copy_id` (1..n) so downstream shuffling/packing can spread
+    the repeats. The per-row copy count is a pure function of
+    (stratum, key): floor(rate) everywhere, +1 for rows whose hash
+    bucket falls under the fractional part. Rows from strata absent in
+    `rates` are dropped. The explode is by a tiny integer sequence —
+    no join, no shuffle; output size is exactly rate × input per
+    stratum in expectation, deterministic per row.
+    """
+    spark = df.sparkSession
+    rate_rows = [
+        (k, int(v), int(round((v - int(v)) * buckets)))
+        for k, v in sorted(rates.items())
+    ]
+    rate_df = spark.createDataFrame(
+        rate_rows, f"{stratum} string, whole int, frac_lt int"
+    )
+    b = F.pmod(
+        portable_hash(F.concat_ws("|", F.col(stratum), F.col(key).cast("string"))),
+        F.lit(buckets),
+    )
+    n_copies = F.col("whole") + F.when(b < F.col("frac_lt"), 1).otherwise(0)
+    # sequence(1, 0) is a DESCENDING range in Spark, not empty — rows
+    # with zero copies must short-circuit to an empty array so explode
+    # drops them.
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.join(F.broadcast(rate_df), stratum)
+        .withColumn("copy_id", F.explode(copies))
+        .drop("whole", "frac_lt")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    stratum: str = "source",
+    seq_len: int = SEQ_LEN,
+    pack_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing: documents are laid
+    end-to-end in deterministic key order within each
+    (stratum, hash-bucket) shard and chunked every `seq_len` tokens.
+
+    Emits per document: `n_tokens`, `bucket`, `seq_id` (which packed
+    sequence the document STARTS in) and `offset` (token offset inside
+    that sequence) — exact integers from one partitioned running sum,
+    so both engines agree bit-for-bit. The hash bucket keeps every
+    window partition at shard size regardless of how big one source
+    is; packing has no semantic order requirement, so any
+    deterministic order per shard is valid.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), " "))
+    bucket = F.pmod(portable_hash(F.col(key).cast("string")), F.lit(pack_buckets))
+    w = (
+        Window.partitionBy(stratum, "bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("bucket", bucket)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return (
+        out.withColumn(
+            "seq_id", F.expr(f"(cum - n_tokens) div {seq_len}").cast("long")
+        )
+        .withColumn("offset", F.pmod(start, F.lit(seq_len)).cast("long"))
+        .drop("cum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+#: Train corpus with PLANTED contamination (mirrors neardup's
+#: augmented-corpus trick): every benchmark doc (doc_id % 97 == 0)
+#: gets a "quoting" train doc (doc_id + 3000000) that drops the first
+#: token — guaranteed shared 5-grams, deterministic on both engines.
+_DECON_CORPUS_SQL = """
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             regexp_replace(text, '^[^ ]+ ', '') AS text, source
+      FROM documents WHERE doc_id % 97 = 0
+"""
+
+
+def _decon_frames(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    quoting = benchmark.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+        "source",
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(quoting)
+    return train, benchmark
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH train AS ({_DECON_CORPUS_SQL}),
+    bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+    bgrams AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(string_split(trim(text), ' ')) - {DECON_NGRAM - 2}, 1)),
+                 i -> array_to_string(string_split(trim(text), ' ')[i : i + {DECON_NGRAM - 1}], ' ')))
+               AS g
+        FROM bench) WHERE g IS NOT NULL
+    ),
+    tgrams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(string_split(trim(text), ' ')) - {DECON_NGRAM - 2}, 1)),
+                 i -> array_to_string(string_split(trim(text), ' ')[i : i + {DECON_NGRAM - 1}], ' ')))
+               AS g
+        FROM train) WHERE g IS NOT NULL
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM tgrams JOIN bgrams USING (g))
+    SELECT t.source,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN t.doc_id END) AS BIGINT)
+             AS contaminated_checksum
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_text_decontaminate(spark, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination over the documents corpus with
+    planted quoting docs: per source, how many training documents
+    share a 5-gram with the benchmark slice (doc_id % 97 == 0), with
+    an id checksum proving BOTH engines flag the same documents. Every
+    planted quote (+3M ids) must be caught."""
+    train, benchmark = _decon_frames(spark, sf_dir)
+    flagged = decontaminate(train, benchmark)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("contaminated").alias("n_contaminated"),
+            F.sum(1 - F.col("contaminated")).alias("n_clean"),
+            F.sum(
+                F.when(F.col("contaminated") == 1, F.col("doc_id"))
+            ).alias("contaminated_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             (CAST(substr(source, 4) AS INT) % 4 + 1) * 2500 AS keep_lt
+      FROM documents
+    )
+    SELECT source, CAST(MIN(keep_lt) AS DOUBLE) / 10000 AS rate,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM rated
+    WHERE {_ORACLE_HASH.format(col="source || '|' || CAST(doc_id AS VARCHAR)")}
+            % 10000 < keep_lt
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sample_mixture_weighted(spark, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each source keeps its own target
+    fraction (here src{{i}} keeps (i%4+1)/4 — a 25/50/75/100% recipe),
+    decided by the stable hash so the mixture is reproducible. The
+    checksum proves the exact survivor sets match across engines."""
+    docs = load(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    rates = {s: (int(s[3:]) % 4 + 1) / 4 for s in sources}
+    kept = mixture_sample(docs, rates)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .withColumn(
+            "rate",
+            ((F.expr("CAST(substr(source, 4) AS INT)") % 4 + 1) * F.lit(2500.0))
+            / 10000,
+        )
+        .select("source", "rate", "n_kept", "id_checksum")
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_mixture_upsample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             1 + (CAST(substr(source, 4) AS INT) % 2) AS whole,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 0
+                  THEN 5000 ELSE 0 END AS frac_lt
+      FROM documents
+    ),
+    copies AS (
+      SELECT doc_id, source,
+             whole + CASE WHEN
+               {_ORACLE_HASH.format(col="source || '|' || CAST(doc_id AS VARCHAR)")}
+                 % 10000 < frac_lt THEN 1 ELSE 0 END AS n_copies
+      FROM rated
+    ),
+    exploded AS (
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_id
+      FROM copies
+    )
+    SELECT source, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id * copy_id) AS BIGINT) AS copy_checksum
+    FROM exploded GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sample_mixture_upsample(spark, sf_dir: str) -> DataFrame:
+    """Epoch-style upsampling: src{{i}} repeats 1+(i%2) times, plus a
+    deterministic half-weight extra copy where i%4==0 (rates 1.0/1.5/
+    2.0/2.5 cycling). The copy-weighted checksum proves both engines
+    emit the identical multiset of (doc, copy) rows."""
+    docs = load(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    rates = {
+        s: (1 + int(s[3:]) % 2) + (0.5 if int(s[3:]) % 4 == 0 else 0.0)
+        for s in sources
+    }
+    up = upsample_mixture(docs, rates)
+    return (
+        up.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("copy_id")).alias("copy_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             {_ORACLE_HASH.format(col="doc_id")} % {PACK_BUCKETS} AS bucket
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, source, bucket, n_tokens,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {SEQ_LEN} AS BIGINT) AS offset
+    FROM runs ORDER BY source, bucket, doc_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir: str) -> DataFrame:
+    """Sequence packing over the corpus: per (source, hash-bucket)
+    shard, documents are concatenated in doc_id order and chunked into
+    {SEQ_LEN}-token training sequences; each doc reports its sequence
+    id and intra-sequence offset. Pure integer window math — both
+    engines agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    # per-row output, order-insensitive driver hash → no trailing sort
+    return packed.select(
+        "doc_id", "source", "bucket", "n_tokens", "seq_id", "offset"
+    )

@@ -168,6 +168,10 @@ def build_star_v2(offers: DataFrame) -> dict[str, DataFrame]:
     # fact_offer: surrogate offer_id; every dim FK attached via
     # broadcast LEFT join on the normalized value (NULL value → NULL
     # FK, the v2 sentinel policy); date falls back to DEFAULT_DATE.
+    # The global row_number mirrors the reference's sequential ids and
+    # is fine at dimension/demo scale; at 100 TB swap it for the
+    # natural key (job_url) or xxhash64(job_url) — a global-order
+    # window over the fact is a single-reducer sort.
     fact = src.withColumn(
         "offer_id", F.row_number().over(Window.orderBy("job_url")).cast("long")
     ).withColumn(
@@ -405,13 +409,16 @@ def q_star2_fact_offer(spark, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim_segment), on="segment_v", how="left")
         .join(F.broadcast(dim_location), on=["city", "country"], how="left")
     )
+    # no trailing sort: the output is fact-sized and the driver's
+    # value hash is order-insensitive — a presentational orderBy here
+    # is a pure range-shuffle tax.
     return fact.select(
         F.col("o_orderkey").alias("offer_id"),
         F.lower(F.col("o_orderpriority")).alias("contract_type"),
         "segment_id",
         "location_id",
         F.col("o_orderdate").cast("date").alias("date_id"),
-    ).orderBy("offer_id")
+    )
 
 
 @query(

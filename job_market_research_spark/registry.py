@@ -110,6 +110,12 @@ def _module_mtime(fn: Callable) -> float:
         return 0.0
 
 
+#: Queries whose SEMANTICS changed after their last green round: treat
+#: as never-proven (tier 0) so they cannot be crowded out of the driver
+#: window by brand-new queries — a stale green here is WORSE than no
+#: evidence, it looks like proof of code that no longer exists.
+FORCE_REPROVE: frozenset[str] = frozenset({"text_skill_ner"})
+
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
@@ -220,10 +226,15 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_real",
     "multimodal_resize_real",
     "multimodal_audio_real",
-    # round-3 additions: the second star variant + harmonization
+    # round-3 additions: the second star variant + harmonization,
+    # then the training-data curation family
     "star2_dim_location",
     "star2_fact_offer",
     "star2_harmonize_dims",
+    "text_decontaminate",
+    "sample_mixture_weighted",
+    "pack_sequences",
+    "sample_mixture_upsample",
 )
 
 
@@ -250,7 +261,12 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
-    from job_market_research_spark.ml import neardup, sampling, similarity  # noqa: F401
+    from job_market_research_spark.ml import (  # noqa: F401
+        curation,
+        neardup,
+        sampling,
+        similarity,
+    )
     from job_market_research_spark.multimodal import binary_ops, real_media  # noqa: F401
     from job_market_research_spark.streaming import sessions, windows  # noqa: F401
 
@@ -259,10 +275,11 @@ def load_all() -> dict[str, QuerySpec]:
     prio = {name: i for i, name in enumerate(UNPROVEN_PRIORITY)}
 
     def key(name: str) -> tuple[int, int]:
-        # Tier 0: never driver-green. Tier 1: green but the defining
-        # module changed since the proving round (stale — re-prove).
-        # Tier 2: green on current code.
-        if name not in green:
+        # Tier 0: never driver-green (or semantics force-reproven).
+        # Tier 1: green but the defining module changed since the
+        # proving round (stale — re-prove). Tier 2: green on current
+        # code.
+        if name not in green or name in FORCE_REPROVE:
             tier = 0
         elif _module_mtime(REGISTRY[name].fn) > green[name]:
             tier = 1
