@@ -293,8 +293,10 @@ def q_sample_mixture_weighted(spark, sf_dir: str) -> DataFrame:
     decided by the stable hash so the mixture is reproducible. The
     checksum proves the exact survivor sets match across engines."""
     docs = load(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
-    rates = {s: (int(s[3:]) % 4 + 1) / 4 for s in sources}
+    # the recipe is CONFIG (src{i} keeps (i%4+1)/4), not derived from
+    # the data — no collect()-an-extra-job to discover sources; keys
+    # for sources absent at this sf are harmless (inner rate join).
+    rates = {f"src{i}": (i % 4 + 1) / 4 for i in range(100)}
     kept = mixture_sample(docs, rates)
     return (
         kept.groupBy("source")
@@ -343,10 +345,9 @@ def q_sample_mixture_upsample(spark, sf_dir: str) -> DataFrame:
     2.0/2.5 cycling). The copy-weighted checksum proves both engines
     emit the identical multiset of (doc, copy) rows."""
     docs = load(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
+    # static recipe, same rationale as sample_mixture_weighted
     rates = {
-        s: (1 + int(s[3:]) % 2) + (0.5 if int(s[3:]) % 4 == 0 else 0.0)
-        for s in sources
+        f"src{i}": (1 + i % 2) + (0.5 if i % 4 == 0 else 0.0) for i in range(100)
     }
     up = upsample_mixture(docs, rates)
     return (
