@@ -206,3 +206,90 @@ def q_dedup_bridge_conflict(spark, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_offer", "id_skill")
     )
+
+
+def canonicalize_url(col: F.Column) -> F.Column:
+    """URL canonicalization for dedup keys (training pipelines dedup
+    crawl URLs BEFORE content dedup; the reference's natural key is the
+    raw job_url, which misses trivial variants). Steps, all native
+    regexp expressions: drop the #fragment, drop utm_* tracking
+    params, drop a then-empty '?', strip scheme + 'www.', lowercase
+    the host (path case is preserved — it can be significant), strip
+    one trailing slash. Simplification: a utm param sandwiched between
+    other params leaves a '&' artifact — acceptable for a dedup KEY
+    (it is applied identically to every variant)."""
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, "[?&]utm_[^&]*", "")
+    u = F.regexp_replace(u, "\\?$", "")
+    u = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(www\\.)?", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, "^[^/]*", 0)),
+        F.regexp_replace(u, "^[^/]*", ""),
+    )
+    return F.regexp_replace(u, "/$", "")
+
+
+#: Deterministic URL-variant synthesis shared with the oracle: four
+#: scrapes of the same posting differ by trailing slash, utm tracking
+#: and fragment; host case varies with the doc id.
+_URL_SQL = """
+      SELECT doc_id,
+             'HTTPS://Jobs.Example.COM/post/' || CAST(doc_id % 125 AS VARCHAR)
+             || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+                 WHEN 2 THEN '?utm_source=feed' ELSE '#apply' END AS url
+      FROM documents
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS ({_URL_SQL}),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(u4, '^[^/]*'))
+                 || regexp_replace(u4, '^[^/]*', ''),
+               '/$', '') AS canonical_url
+      FROM (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                   '[?&]utm_[^&]*', ''),
+                 '\\?$', ''),
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(www\\.)?', '') AS u4
+        FROM urls)
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc,
+           COUNT(*) AS n_variants
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dedup_url_canonical(spark, sf_dir: str) -> DataFrame:
+    """URL dedup AFTER canonicalization: four scrape variants of each
+    posting (slash / utm / fragment / bare, synthesized
+    deterministically) collapse onto one canonical key; survivor =
+    min doc_id per key, with the variant count proving all four forms
+    merged. One narrow projection + one hash aggregation — no text
+    shuffle, scales as a single pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Jobs.Example.COM/post/"),
+        (F.col("doc_id") % 125).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("#apply")),
+    )
+    return (
+        docs.withColumn("canonical_url", canonicalize_url(url))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("survivor_doc"),
+            F.count("*").alias("n_variants"),
+        )
+        .orderBy("canonical_url")
+    )

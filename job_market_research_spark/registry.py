@@ -235,6 +235,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "sample_mixture_weighted",
     "pack_sequences",
     "sample_mixture_upsample",
+    "dedup_url_canonical",
 )
 
 

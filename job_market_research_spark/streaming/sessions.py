@@ -10,6 +10,10 @@ training-data/event pipeline needs:
 - `applyInPandasWithState` — the escape hatch for custom per-key state
   machines the built-in operators can't express (running counters here;
   the same shape carries fraud scoring, dedup-with-TTL, CDC folding).
+  (Spark 4's successor `transformWithStateInPandas` — typed named
+  value/list/map state + timers — would be the first choice on a full
+  install, but its state-server protocol needs `google.protobuf`,
+  absent in this environment; the semantics here port 1:1.)
 
 Both registry queries run REAL streaming queries (availableNow drain
 over staged arrival files) and still hash-match a batch DuckDB oracle —

@@ -127,3 +127,22 @@ def test_pack_sequences_bucket_bounds(spark):
     # consistent: offset + position arithmetic stays inside seq_len
     assert out.filter((F.col("bucket") < 0) | (F.col("bucket") > 3)).count() == 0
     assert out.filter((F.col("offset") < 0) | (F.col("offset") >= SEQ_LEN)).count() == 0
+
+
+def test_canonicalize_url_variants(spark):
+    from job_market_research_spark.operators.dedup import canonicalize_url
+
+    urls = [
+        (1, "https://www.Example.com/Jobs/123"),
+        (2, "HTTP://EXAMPLE.COM/Jobs/123/"),
+        (3, "https://example.com/Jobs/123?utm_source=x"),
+        (4, "https://example.com/Jobs/123#apply"),
+        (5, "https://example.com/Jobs/123?utm_campaign=y#frag"),
+        # different PATH case is a different resource
+        (6, "https://example.com/jobs/123"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    out = {r.id: r.c for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == out[5] == "example.com/Jobs/123"
+    assert out[6] == "example.com/jobs/123"
+    assert out[6] != out[1]
