@@ -151,3 +151,98 @@ def q_maintenance_compact_small_files(spark, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+#: Z-order parameters: per-dimension bin bits and target file count.
+ZORDER_BITS = 10
+ZORDER_FILES = 64
+
+
+def morton_interleave(xbin, ybin, bits: int = ZORDER_BITS):
+    """Morton (Z-order) code: interleave the low `bits` bits of two
+    non-negative bin columns — bit i of x lands at 2i, of y at 2i+1.
+    Pure shift/mask arithmetic, exactly replayable in SQL."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftrightunsigned(xbin, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftrightunsigned(ybin, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def _morton_sql(bits: int = ZORDER_BITS) -> str:
+    return " + ".join(
+        f"(((xbin >> {i}) & 1) << {2 * i}) + (((ybin >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+@query(
+    "maintenance_zorder_cluster",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem
+    ),
+    binned AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey * {2**ZORDER_BITS}) // mp AS xbin,
+             (l_suppkey * {2**ZORDER_BITS}) // ms AS ybin
+      FROM lineitem, bounds
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             CAST({_morton_sql()} AS BIGINT) AS zval
+      FROM binned
+    )
+    SELECT CAST(zval >> {2 * ZORDER_BITS - 6} AS BIGINT) AS file_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_maintenance_zorder_cluster(spark, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering assignment — the lakehouse layout
+    pass that makes multi-column data skipping work: each of
+    {ZORDER_FILES} target files covers a bounded RECTANGLE of
+    (partkey, suppkey) space instead of a stripe of one column, so
+    min/max file stats prune scans filtered on EITHER key. Keys are
+    range-binned to {ZORDER_BITS} bits on exact integer arithmetic
+    (bounds from a 1-row broadcast agg — table stats in a real lake),
+    interleaved into the Morton code, and the top 6 bits pick the
+    file. Output: per-file row counts + per-dimension min/max — the
+    exact stats a format's footer would carry; both engines must
+    agree on every file boundary. The physical rewrite is
+    `repartitionByRange(zval)` + write, same shuffle shape as
+    compaction."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        (F.max("l_partkey") + 1).alias("mp"), (F.max("l_suppkey") + 1).alias("ms")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"(l_partkey * {2**ZORDER_BITS}) div mp").alias("xbin"),
+        F.expr(f"(l_suppkey * {2**ZORDER_BITS}) div ms").alias("ybin"),
+    )
+    z = binned.withColumn(
+        "zval", morton_interleave(F.col("xbin"), F.col("ybin"))
+    )
+    return (
+        z.groupBy(
+            F.shiftrightunsigned("zval", 2 * ZORDER_BITS - 6)
+            .cast("long")
+            .alias("file_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("file_id")
+    )

@@ -236,6 +236,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "sample_mixture_upsample",
     "dedup_url_canonical",
+    "maintenance_zorder_cluster",
 )
 
 

@@ -47,3 +47,40 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 50_000
     assert back.selectExpr("sum(id) s").collect()[0].s == 49_999 * 50_000 // 2
+
+
+def test_morton_interleave_known_values(spark):
+    from job_market_research_spark.operators.sessionize import morton_interleave
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    # bit i of x → position 2i; bit i of y → position 2i+1
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    # x=3 (011), y=5 (101) → interleaved y2x2 y1x1 y0x0 = 1 0 0 1 1 1 = 39
+    assert out[(3, 5)] == 0b100111
+
+
+def test_zorder_files_cover_bounded_rectangles(spark, sf_dir):
+    from job_market_research_spark.registry import load_all
+
+    out = load_all()["maintenance_zorder_cluster"].fn(spark, sf_dir).collect()
+    assert len(out) > 8  # data actually spreads over many z-files
+    part_range = max(r.max_part for r in out) - min(r.min_part for r in out)
+    supp_range = max(r.max_supp for r in out) - min(r.min_supp for r in out)
+    # Z-order promise: a single file never spans more than half of
+    # BOTH dimensions (a linear sort would span 100% of the second).
+    for r in out:
+        assert (
+            r.max_part - r.min_part <= part_range / 2 + 1
+            or r.max_supp - r.min_supp <= supp_range / 2 + 1
+        ), (r.file_id, r)
