@@ -261,3 +261,86 @@ def q_fn_qualification_int(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("qualification")
     )
+
+
+def llm_json_fence(col):
+    """Extract the JSON payload from LLM markdown output: the body of
+    a ```json fenced block, or a bare payload when no fence exists
+    (reference: pipline.py:51-57 `clean_response` regex
+    ```(?:json)?\\s*([\\s\\S]*?)\\s*``` with a bare-array fallback;
+    init_groq.py does the same dance). Native regexp_extract — the
+    whole LLM-response post-processing stage stays JVM-side."""
+    fenced = F.regexp_extract(col, r"```(?:json)?\s*([\s\S]*?)\s*```", 1)
+    return F.when(fenced != "", fenced).otherwise(F.trim(col))
+
+
+@query(
+    "fn_llm_json_fence",
+    oracle="""
+    WITH resp AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '```json' || chr(10) ||
+                 '{"niveau_qualification": ' || CAST(doc_id % 7 AS VARCHAR)
+                 || ', "titre_homogene": "dev"}' || chr(10) || '```'
+               WHEN 1 THEN 'Sure, here you go: ```{"niveau_qualification": "senior"}``` hope it helps'
+               WHEN 2 THEN '{"niveau_qualification": 5}'
+               ELSE 'no json here at all'
+             END AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(text, '```(?:json)?\\s*([\\s\\S]*?)\\s*```', 1) <> ''
+                  THEN regexp_extract(text, '```(?:json)?\\s*([\\s\\S]*?)\\s*```', 1)
+                  ELSE trim(text) END AS payload
+      FROM resp
+    )
+    SELECT doc_id,
+           COALESCE(TRY_CAST(CASE WHEN json_valid(payload)
+                  THEN json_extract_string(payload, '$.niveau_qualification')
+                  END AS BIGINT), 0) AS niveau_qualification,
+           COALESCE(CASE WHEN json_valid(payload)
+                  THEN json_extract_string(payload, '$.titre_homogene') END, '')
+             AS titre_homogene
+    FROM ex ORDER BY doc_id
+    """,
+)
+def q_fn_llm_json_fence(spark, sf_dir: str) -> DataFrame:
+    """LLM-response post-processing (reference clean_response,
+    pipline.py:51-80): strip the markdown code fence, tolerant-parse
+    the JSON, coerce niveau_qualification to int with the reference's
+    0 fallback for junk ('senior', no JSON). Four deterministic
+    response shapes cycle through the corpus: proper ```json fence,
+    unlabeled fence with a junk field, bare JSON, no JSON at all."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    text = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('```json\n{"niveau_qualification": '),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(', "titre_homogene": "dev"}\n```'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit('Sure, here you go: ```{"niveau_qualification": "senior"}``` hope it helps'),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit('{"niveau_qualification": 5}'))
+        .otherwise(F.lit("no json here at all"))
+    )
+    payload = llm_json_fence(text)
+    return (
+        docs.select(
+            "doc_id",
+            F.coalesce(
+                F.get_json_object(payload, "$.niveau_qualification").try_cast("long"),
+                F.lit(0),
+            ).alias("niveau_qualification"),
+            F.coalesce(
+                F.get_json_object(payload, "$.titre_homogene"), F.lit("")
+            ).alias("titre_homogene"),
+        )
+        .orderBy("doc_id")
+    )

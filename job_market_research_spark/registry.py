@@ -237,6 +237,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "sample_mixture_upsample",
     "dedup_url_canonical",
     "maintenance_zorder_cluster",
+    "fn_llm_json_fence",
 )
 
 
