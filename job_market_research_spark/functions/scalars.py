@@ -344,3 +344,56 @@ def q_fn_llm_json_fence(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def prepare_llm_payload(title, description, competences):
+    """LLM payload preparation (reference: pipline.py:38-48
+    `prepare_offer`): cap title at 200 chars and description at 1000
+    (prompt-budget hygiene), split the '-'-separated competences
+    string into trimmed non-empty entries. All native — the payload
+    prep for millions of offers never leaves the JVM."""
+    comp = F.filter(
+        F.transform(F.split(competences, "-"), lambda c: F.trim(c)),
+        lambda c: c != "",
+    )
+    return (
+        F.substring(title, 1, 200).alias("title"),
+        F.substring(description, 1, 1000).alias("description"),
+        comp.alias("competences"),
+    )
+
+
+@query(
+    "fn_payload_prepare",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 200) AS title,
+           CAST(length(substr(repeat(text || ' ', 30), 1, 1000)) AS BIGINT)
+             AS desc_len,
+           list_filter(list_transform(string_split(
+               replace(substr(text, 1, 90), ' ', '-'), '-'),
+             c -> trim(c)), c -> c <> '') AS competences
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fn_payload_prepare(spark, sf_dir: str) -> DataFrame:
+    """prepare_offer analog on the documents corpus: text stands in
+    for the title (200-char cap), a 30x repeat for the long
+    description (proving the 1000-char cap bites), and a dash-joined
+    prefix for the competences string. Output must match DuckDB on the
+    exact truncation boundaries and the trimmed split."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    title, desc, comp = prepare_llm_payload(
+        F.col("text"),
+        F.repeat(F.concat(F.col("text"), F.lit(" ")), 30),
+        F.regexp_replace(F.substring("text", 1, 90), " ", "-"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            title,
+            F.length(desc).cast("long").alias("desc_len"),
+            comp,
+        )
+        .orderBy("doc_id")
+    )

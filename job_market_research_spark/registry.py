@@ -238,6 +238,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "dedup_url_canonical",
     "maintenance_zorder_cluster",
     "fn_llm_json_fence",
+    "fn_payload_prepare",
 )
 
 
