@@ -239,6 +239,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "maintenance_zorder_cluster",
     "fn_llm_json_fence",
     "fn_payload_prepare",
+    "ml_kmeans_lite",
 )
 
 
@@ -266,6 +267,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
     from job_market_research_spark.ml import (  # noqa: F401
+        clustering,
         curation,
         neardup,
         sampling,
