@@ -486,3 +486,84 @@ def q_text_lm_perplexity(spark, sf_dir: str) -> DataFrame:
         "avg_neg_logp",
         F.round(F.exp("avg_neg_logp"), 6).alias("perplexity"),
     )
+
+
+#: Fixed linear quality-model weights (a distilled classifier's head;
+#: training it is out of scope — scoring at corpus scale is the op).
+QM_BIAS = -0.25
+QM_W_STOP = 1.8     # stopword ratio: prose-ness signal
+QM_W_AVGLEN = 0.05  # avg token length: gibberish/code detector
+QM_W_TOKENS = 0.001  # length prior
+#: Calibrated to split the synthetic corpus near its median score
+#: (0.19) so the filter demonstrably keeps AND drops documents.
+QM_THRESHOLD = 0.2
+
+
+@query(
+    "text_quality_model",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round({QM_BIAS}
+                   + {QM_W_STOP} * (CAST(n_stop AS DOUBLE) / n_tokens)
+                   + {QM_W_AVGLEN} * (CAST(n_chars_m AS DOUBLE) / n_tokens)
+                   + {QM_W_TOKENS} * n_tokens, 6) AS score
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score > {QM_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN score > {QM_THRESHOLD} THEN doc_id END) AS BIGINT)
+             AS kept_checksum
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_text_quality_model(spark, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-style 'score every
+    document with a small classifier, keep above threshold' pass):
+    a fixed-weight LINEAR head over the quality features — ratios of
+    exact integer counts, weighted in a fixed order, so both engines
+    produce bit-identical scores (deliberately no exp/sigmoid: libm
+    ulp drift across engines could flip a rounded boundary; a
+    monotone linear score thresholds identically). Per-source keep
+    counts + membership checksum. One narrow scan, one aggregation —
+    embarrassingly parallel at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("long")
+    score = F.round(
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_STOP) * (n_stop.cast("double") / n_tokens)
+        + F.lit(QM_W_AVGLEN) * (F.length("text").cast("long").cast("double") / n_tokens)
+        + F.lit(QM_W_TOKENS) * n_tokens,
+        6,
+    )
+    scored = docs.filter(n_tokens > 0).select(
+        "doc_id", "source", score.alias("score")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") > QM_THRESHOLD, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("score") > QM_THRESHOLD, F.col("doc_id"))).alias(
+                "kept_checksum"
+            ),
+        )
+        .orderBy("source")
+    )

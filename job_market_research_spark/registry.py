@@ -240,6 +240,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "fn_llm_json_fence",
     "fn_payload_prepare",
     "ml_kmeans_lite",
+    "text_quality_model",
 )
 
 
