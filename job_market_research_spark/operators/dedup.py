@@ -215,9 +215,11 @@ def canonicalize_url(col: F.Column) -> F.Column:
     regexp expressions: drop the #fragment, drop utm_* tracking
     params, drop a then-empty '?', strip scheme + 'www.', lowercase
     the host (path case is preserved — it can be significant), strip
-    one trailing slash. Simplification: a utm param sandwiched between
-    other params leaves a '&' artifact — acceptable for a dedup KEY
-    (it is applied identically to every variant)."""
+    the trailing-slash RUN ('/+$', so canonicalization is idempotent:
+    canon(canon(u)) == canon(u), pinned by a hypothesis test).
+    Simplification: a utm param sandwiched between other params leaves
+    a '&' artifact — acceptable for a dedup KEY (it is applied
+    identically to every variant)."""
     u = F.regexp_replace(col, "#.*$", "")
     u = F.regexp_replace(u, "[?&]utm_[^&]*", "")
     u = F.regexp_replace(u, "\\?$", "")
@@ -226,7 +228,7 @@ def canonicalize_url(col: F.Column) -> F.Column:
         F.lower(F.regexp_extract(u, "^[^/]*", 0)),
         F.regexp_replace(u, "^[^/]*", ""),
     )
-    return F.regexp_replace(u, "/$", "")
+    return F.regexp_replace(u, "/+$", "")
 
 
 #: Deterministic URL-variant synthesis shared with the oracle: four
@@ -250,7 +252,7 @@ _URL_SQL = """
              regexp_replace(
                lower(regexp_extract(u4, '^[^/]*'))
                  || regexp_replace(u4, '^[^/]*', ''),
-               '/$', '') AS canonical_url
+               '/+$', '') AS canonical_url
       FROM (
         SELECT doc_id,
                regexp_replace(

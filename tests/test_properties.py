@@ -156,3 +156,73 @@ def test_sessionize_partitions_events(spark, offsets, users):
             inside = [ts for ts in user_ts if s.session_start <= ts < s.session_end]
             for t1, t2 in zip(inside, inside[1:]):
                 assert t2 - t1 < gap
+
+
+URL_CHARS = st.text(
+    alphabet=st.sampled_from("abcXYZ019/-_.~%"), min_size=0, max_size=30
+)
+
+
+@SLOW
+@given(paths=st.lists(URL_CHARS, min_size=1, max_size=30))
+def test_canonicalize_url_idempotent(spark, paths):
+    """canon(canon(u)) == canon(u): a canonical form is a fixpoint —
+    re-cleaning an already-clean key never changes it (otherwise
+    incremental dedup against historic keys silently diverges)."""
+    from job_market_research_spark.operators.dedup import canonicalize_url
+
+    urls = [
+        (i, f"https://www.Host{i % 3}.Example.com/{p}?utm_x=1#f")
+        for i, p in enumerate(paths)
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    once = df.select("id", canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "id", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=60, unique=True),
+    lo=st.integers(min_value=0, max_value=4),
+)
+def test_mixture_rate_monotone_supersets(spark, ids, lo):
+    """Raising a stratum's keep rate only ADDS survivors (hash
+    thresholding ⇒ nested keep-sets) — mixture recipes can be tuned
+    up without resampling churn."""
+    from job_market_research_spark.ml.curation import mixture_sample
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    low = {"s": lo / 10}
+    high = {"s": (lo + 3) / 10}
+    kept_lo = {r.doc_id for r in mixture_sample(df, low).collect()}
+    kept_hi = {r.doc_id for r in mixture_sample(df, high).collect()}
+    assert kept_lo <= kept_hi
+
+
+@SLOW
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+def test_morton_interleave_bijective(spark, pairs):
+    """The Morton code is a bijection on (10-bit, 10-bit) pairs:
+    distinct inputs → distinct codes, and deinterleaving the code
+    recovers exactly (x, y)."""
+    from job_market_research_spark.operators.sessionize import morton_interleave
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    out = df.select(
+        "x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    assert len({r.z for r in out}) == len(pairs)
+    for r in out:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (x, y) == (r.x, r.y)
