@@ -319,3 +319,49 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "ann_index_build",
+    oracle=_ORACLE_BASE
+    + f"""
+    SELECT e.vec_id, {_ORACLE_COSINE} AS cosine
+    FROM e, q
+    WHERE e.label = q.qlabel AND e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_index_build(spark, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED IVF index: write the corpus partitioned by
+    cluster id (`label`) — one directory per inverted list — then
+    serve the probe from the index files. The probe's cluster equality
+    becomes real PARTITION PRUNING on the read (PartitionFilters in
+    the scan, asserted by a unit test): at 100 TB the query touches
+    1/n_clusters of the files, which is the entire point of an IVF
+    layout. Results must equal the logical-filter variant
+    (ann_ivf_topk) — same oracle."""
+    from job_market_research_spark.sources.readers import scratch_dir
+
+    idx_dir = scratch_dir("ann_ivf_index")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb.write.mode("overwrite").partitionBy("label").parquet(idx_dir)
+
+    qv = _query_vector(spark, sf_dir).withColumn("qnrm", l2_norm(F.col("qv")))
+    idx = spark.read.parquet(idx_dir).select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    )
+    idx = idx.withColumn("nrm", l2_norm(F.col("v")))
+    probed = idx.join(F.broadcast(qv), idx.label == qv.qlabel).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return (
+        probed.select(
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -241,6 +241,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "fn_payload_prepare",
     "ml_kmeans_lite",
     "text_quality_model",
+    "ann_index_build",
 )
 
 

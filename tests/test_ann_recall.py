@@ -63,3 +63,16 @@ def test_lsh_band_geometry_matches_oracle_planes():
     spec = REGISTRY["ann_lsh_bucketed"]
     assert f"range(0, {LSH_BANDS * LSH_BITS})" in spec.oracle
     assert f"// {LSH_BITS}" in spec.oracle
+
+
+def test_ivf_index_build_partition_pruning(spark, sf_dir):
+    """The materialized IVF index must be read with real partition
+    pruning: the probe's cluster join compiles to a
+    dynamicpruningexpression on the index scan's PartitionFilters —
+    the executable form of 'IVF reads 1/n_clusters of the files'."""
+    from job_market_research_spark.registry import load_all
+
+    df = load_all()["ann_index_build"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
