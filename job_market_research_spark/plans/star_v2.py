@@ -194,21 +194,28 @@ def build_star_v2(offers: DataFrame) -> dict[str, DataFrame]:
     fact = attach(fact, dims["dim_education"], "education_level", "education_id")
     fact = attach(fact, dims["dim_experience"], "seniority", "experience_id")
     fact = attach(fact, dims["dim_sector"], "sector", "sector_id")
+    # NULL-SAFE equality on the composite key: a country-only location
+    # (city NULL) must still key to its dim row — the reference's
+    # lookup breaks here (WHERE city = NULL never matches,
+    # insert_to_postgres.py:52-56, minting a duplicate dim row per
+    # offer); eqNullSafe is the repair, not a faithful copy of the bug.
+    loc = F.broadcast(
+        dims["dim_location"].select(
+            "location_id",
+            F.col("city").alias("__dc"),
+            F.col("country").alias("__dk"),
+        )
+    )
     fact = (
         fact.withColumn("__c", _norm(F.col("city")))
         .withColumn("__k", _norm(F.col("country")))
         .join(
-            F.broadcast(
-                dims["dim_location"].select(
-                    "location_id",
-                    F.col("city").alias("__c"),
-                    F.col("country").alias("__k"),
-                )
-            ),
-            on=["__c", "__k"],
+            loc,
+            F.col("__c").eqNullSafe(F.col("__dc"))
+            & F.col("__k").eqNullSafe(F.col("__dk")),
             how="left",
         )
-        .drop("__c", "__k")
+        .drop("__c", "__k", "__dc", "__dk")
     )
 
     fact_offer = fact.select(

@@ -107,11 +107,14 @@ def test_v2_date_fallback(star2):
 
 
 def test_v2_location_composite_key(star2):
-    locs = {(r.city, r.country) for r in star2["dim_location"].collect()}
-    assert locs == {("casablanca", "morocco"), (None, "morocco")}
+    locs = {(r.city, r.country): r.location_id for r in star2["dim_location"].collect()}
+    assert set(locs) == {("casablanca", "morocco"), (None, "morocco")}
     fact = {r.job_url: r for r in star2["fact_offer"].collect()}
     assert fact["u2"].location_id is None  # fully-missing location
-    assert fact["u1"].location_id != fact["u3"].location_id
+    # country-only location keys NULL-SAFELY to its dim row (the
+    # reference mints a duplicate dim row here instead)
+    assert fact["u3"].location_id == locs[(None, "morocco")]
+    assert fact["u1"].location_id == locs[("casablanca", "morocco")]
 
 
 def test_v2_sector_on_fact(star2):
