@@ -26,6 +26,8 @@ shuffle layer:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
@@ -394,3 +396,124 @@ def q_pack_sequences(spark, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "bucket", "n_tokens", "seq_id", "offset"
     )
+
+
+#: A line (sentence) appearing in at least this many DISTINCT documents
+#: is boilerplate (nav chrome, cookie banners, disclaimers).
+BOILERPLATE_DOC_FREQ = 3
+
+
+def strip_boilerplate_lines(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    sep: str = ". ", min_doc_freq: int = BOILERPLATE_DOC_FREQ
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb line-dedup
+    pass): split each document into lines, count each line's DISTINCT
+    document frequency, drop lines at/above the threshold from EVERY
+    document, and reassemble the text in original line order.
+
+    Plan: explode with position → df-count per line (one aggregation,
+    map-side partial) → broadcast-join the hot-line set back (it is
+    small: boilerplate is by definition the repetitive minority) →
+    re-aggregate lines per doc sorted by position. Two corpus shuffles
+    (the df count and the per-doc rebuild); the hot-line anti-join is
+    map-side.
+    """
+    # F.split takes a REGEX; escape so a literal ". " separator does not
+    # shred the text on any-char-plus-space (DuckDB string_split is literal).
+    lines = df.select(
+        key,
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)))).alias(
+            "pos", "line"
+        ),
+    ).filter(F.col("line") != "")
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(key).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept_lines"),
+    )
+    total = lines.groupBy(key).agg(F.count("*").alias("n_lines"))
+    return total.join(rebuilt, key, "left").select(
+        key,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias("n_kept_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept_lines"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed_lines"),
+    )
+
+
+@query(
+    "text_strip_boilerplate",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'subscribe to our newsletter. ' || text
+                       || '. all rights reserved'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS line,
+               generate_subscripts(string_split(text, '. '), 1) AS pos
+        FROM corpus)
+      WHERE line <> ''
+    ),
+    hot AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_DOC_FREQ}
+    ),
+    kept AS (
+      SELECT l.* FROM lines l LEFT JOIN hot h ON l.line = h.line
+      WHERE h.line IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept_lines
+      FROM kept GROUP BY doc_id
+    ),
+    total AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept_lines, 0) AS BIGINT)
+             AS n_removed_lines
+    FROM total t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_text_strip_boilerplate(spark, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal over the corpus, with planted chrome:
+    every 5th document gets a newsletter banner + rights footer, which
+    cross the document-frequency threshold and must be stripped from
+    ALL of them while every organic line survives. Both engines must
+    rebuild the identical cleaned text in original line order."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("subscribe to our newsletter. "),
+                F.col("text"),
+                F.lit(". all rights reserved"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate_lines(docs).orderBy("doc_id")

@@ -242,6 +242,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_lite",
     "text_quality_model",
     "ann_index_build",
+    "text_strip_boilerplate",
 )
 
 
