@@ -567,3 +567,136 @@ def q_text_quality_model(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' ! ! spam $ $ spam $ $'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS BIGINT) AS n_symbol
+      FROM toks
+    ),
+    words AS (
+      SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+      FROM toks
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+    bga AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY 1
+    )
+    SELECT s.doc_id,
+           s.n_tokens,
+           CAST(s.n_tokens - s.n_distinct AS DOUBLE) / s.n_tokens
+             AS dup_word_fraction,
+           CAST(COALESCE(g.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN COALESCE(g.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(g.top_bigram_count AS DOUBLE) / g.n_bigrams
+           END AS top_bigram_fraction,
+           CAST(s.n_symbol AS DOUBLE) / s.n_tokens AS symbol_word_ratio
+    FROM stats s LEFT JOIN bga g ON s.doc_id = g.doc_id
+    WHERE s.n_tokens > 0
+    ORDER BY s.doc_id
+    """,
+)
+def q_text_repetition_signals(spark, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1)
+    per document: duplicate-word fraction (1 - distinct/total), the
+    most-frequent-bigram dominance fraction, and symbol-to-word ratio.
+    Every 7th document gets planted spam ('! ! spam $ $ ...') so both
+    the repetition and symbol signals separate docs.
+
+    Plan shape: the scalar signals are pure array expressions inside
+    whole-stage codegen (zero shuffle). The bigram dominance needs
+    per-(doc, bigram) counts: explode -> partial-agg on the composite
+    key (well distributed, no skew) -> per-doc max/sum. At 100 TB this
+    is the standard two-level combine; no window function, no
+    collect. All emitted doubles are single divisions of exact longs,
+    so both engines agree bit-for-bit.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" ! ! spam $ $ spam $ $")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks").cast("long")
+    stats = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[^a-z0-9]+$")))
+        .cast("long")
+        .alias("n_symbol"),
+    ).filter(F.col("n_tokens") > 0)
+    # sequence(0, -1) is DESCENDING under Spark semantics: guard docs
+    # with < 2 tokens to an empty bigram array before exploding.
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n.cast("int") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        base.select("doc_id", F.explode(bigram_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bga = bgc.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    return (
+        stats.join(bga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("n_tokens") - F.col("n_distinct")).cast("double")
+             / F.col("n_tokens")).alias("dup_word_fraction"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0))
+            .cast("long")
+            .alias("top_bigram_count"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+            )
+            .alias("top_bigram_fraction"),
+            (F.col("n_symbol").cast("double") / F.col("n_tokens")).alias(
+                "symbol_word_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

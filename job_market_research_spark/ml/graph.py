@@ -1,0 +1,124 @@
+"""Link-graph centrality for crawl curation (beyond-reference).
+
+Web-scale training-data pipelines rank crawl domains by link
+centrality (Common Crawl publishes harmonic centrality / PageRank
+ranks; curation recipes weight sampling by them). PageRank's
+distributed form is purely relational — exactly like the k-means and
+connected-components operators in this package:
+
+    rank' = (1-d)/N + d * SUM(rank_src / out_degree_src)  per dst
+
+Each iteration is one join (edges ⋈ ranks on src — co-partitioned if
+both sides are hash-partitioned by src, so at 100 TB the edge table is
+bucketed by src once and every iteration reuses that layout with NO
+re-shuffle of the big side) plus one keyed aggregation on dst. Dangling
+nodes (no outlinks) contribute their mass uniformly; here the graph is
+constructed total (every node has outlinks) so the oracle stays a
+plain CTE chain.
+
+Determinism: contributions are summed in DECIMAL (order-independent,
+per the registry float policy) and divided as double; two unrolled
+iterations replay in DuckDB as CTEs, mirroring `ml_kmeans_lite`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: Damping factor as an exact decimal-friendly fraction.
+PR_DAMPING = 0.85
+#: Synthetic deterministic out-degree: each doc links to 3 others.
+PR_FANOUT = 3
+
+
+def _edges(docs: DataFrame, n: int) -> DataFrame:
+    """Deterministic synthetic link graph over the documents corpus:
+    doc i links to (i*7+k) mod N for k in 1..PR_FANOUT. Dense enough
+    to mix rank mass, replayable as SQL, and every node has exactly
+    PR_FANOUT outlinks (no dangling-mass correction needed)."""
+    return (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(PR_FANOUT))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("k")) % F.lit(n)).alias("dst"),
+        )
+    )
+
+
+def pagerank_round(edges: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
+    """One PageRank iteration: join ranks into edges on src, sum
+    damped contributions per dst in exact decimal. `edges` carries an
+    `out_deg` column; ranks is (node, rank)."""
+    contrib = edges.join(ranks, edges.src == ranks.node).select(
+        F.col("dst").alias("node"),
+        (F.col("rank").cast("decimal(28,14)") / F.col("out_deg")).alias("c"),
+    )
+    return contrib.groupBy("node").agg(
+        (
+            F.lit((1.0 - PR_DAMPING) / n)
+            + F.lit(PR_DAMPING) * F.sum("c").cast("double")
+        ).alias("rank")
+    )
+
+
+@query(
+    "graph_pagerank_lite",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + k) % (SELECT n FROM n) AS dst,
+             {PR_FANOUT} AS out_deg
+      FROM docs, unnest(generate_series(1, {PR_FANOUT})) AS t(k)
+    ),
+    r0 AS (
+      SELECT doc_id AS node, 1.0 / (SELECT n FROM n) AS rank FROM docs
+    ),
+    r1 AS (
+      SELECT e.dst AS node,
+             (1 - {PR_DAMPING}) / (SELECT n FROM n)
+             + {PR_DAMPING} * CAST(SUM(
+                 CAST(r.rank AS DECIMAL(28,14)) / e.out_deg) AS DOUBLE)
+               AS rank
+      FROM edges e JOIN r0 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             (1 - {PR_DAMPING}) / (SELECT n FROM n)
+             + {PR_DAMPING} * CAST(SUM(
+                 CAST(r.rank AS DECIMAL(28,14)) / e.out_deg) AS DOUBLE)
+               AS rank
+      FROM edges e JOIN r1 r ON e.src = r.node
+      GROUP BY e.dst
+    )
+    SELECT node, round(rank, 9) AS rank FROM r2 ORDER BY node
+    """,
+)
+def q_graph_pagerank_lite(spark, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations over the deterministic link
+    graph, DuckDB-replayable (see module docstring for the 100 TB
+    bucketed-by-src layout). Final ranks rounded to 9 dp: the rank
+    values are tiny (O(1/N)), and the single double multiply+add after
+    the exact-decimal contribution sum is deterministic on both
+    engines — rounding guards the display value only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = _edges(docs, n).withColumn("out_deg", F.lit(PR_FANOUT))
+    ranks = docs.select(
+        F.col("doc_id").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(2):
+        ranks = pagerank_round(edges, ranks, n)
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy(
+        "node"
+    )

@@ -871,3 +871,120 @@ def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "component")
     )
+
+
+#: SemDeDup cluster count / similarity threshold. K is tiny here for
+#: oracle replay; production SemDeDup uses K ≈ sqrt(N) so per-cluster
+#: pair volume stays bounded (see docstring).
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.92
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
+    d AS (
+      SELECT e.vec_id, e.v, e.nrm, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6),
+                        c.cid) AS rn
+      FROM e, c
+    ),
+    a AS (SELECT vec_id, v, nrm, cid FROM d WHERE rn = 1),
+    rem AS (
+      SELECT DISTINCT b.vec_id
+      FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, len(x.v) + 1),
+                  i -> x.v[i] * b.v[i])) / (x.nrm * b.nrm), 6)
+            >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid, (r.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN rem r ON a.vec_id = r.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q_dedup_semantic_semdedup(spark, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then WITHIN each cluster drop every vector that has a
+    higher-similarity twin with a smaller id (cosine ≥ 0.92), keeping
+    one representative per semantic-duplicate set. Centroids are the
+    first K vectors (deterministic seed, same as ml_kmeans_lite) so
+    the DuckDB oracle replays the assignment as a CTE.
+
+    Scale shape: assignment is a broadcast cross-join against K
+    centroid rows + windowed argmin (map-side; the corpus never
+    shuffles for it). The pair stage shuffles once on cluster id and
+    compares pairs only inside a cluster — SemDeDup's whole point is
+    that K grows with N (K ≈ √N) so per-cluster volume stays bounded;
+    K=8 here is the oracle-replayable miniature. The removed set is
+    DISTINCT vec_ids (small by construction) broadcast back as an
+    anti-probe for the keep flag.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    emb = emb.withColumn("nrm", norm)
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sqd = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("dist", sqd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    x = assigned.alias("x")
+    b = assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("b.v"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    cosine = F.round(dot / (F.col("x.nrm") * F.col("b.nrm")), 6)
+    removed = (
+        x.join(
+            b,
+            (F.col("x.cid") == F.col("b.cid"))
+            & (F.col("x.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine >= SEMDEDUP_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        assigned.join(F.broadcast(removed), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("removed").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

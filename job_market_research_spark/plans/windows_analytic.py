@@ -377,3 +377,52 @@ def q_agg_histogram(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_sketch_bounds",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS hll_within_5pct,
+           TRUE AS tdigest_p50_within_1pct
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def q_agg_sketch_bounds(spark, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path is SKETCHES — HyperLogLog++ for
+    distinct counts, t-digest for percentiles: mergeable, map-side
+    partial, constant memory per group where the exact forms need a
+    shuffle of every distinct value (HLL) or a per-group sort
+    (percentile). Sketch outputs are engine-specific, so the oracle
+    asserts the CONTRACT instead of the value: Spark computes both the
+    sketch and the exact answer and emits whether the sketch landed
+    inside its advertised error (HLL rsd=2% checked at ±5%,
+    approx_percentile accuracy=10000 checked at ±1%); the oracle emits
+    the exact values plus literal TRUE — the driver hash matches only
+    if every sketch honors its bound."""
+    approx_distinct = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact_distinct = F.count_distinct("o_custkey").cast("long")
+    approx_p50 = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+    # approx_percentile returns an ELEMENT (no interpolation) — bound it
+    # against the discrete median, not the interpolated one.
+    exact_p50 = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            exact_distinct.alias("exact_distinct"),
+            F.count("*").cast("long").alias("n_orders"),
+            (
+                F.abs(approx_distinct - exact_distinct)
+                <= 0.05 * exact_distinct
+            ).alias("hll_within_5pct"),
+            (F.abs(approx_p50 - exact_p50) <= 0.01 * exact_p50).alias(
+                "tdigest_p50_within_1pct"
+            ),
+        )
+        .orderBy("priority")
+    )

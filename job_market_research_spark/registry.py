@@ -243,6 +243,12 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_quality_model",
     "ann_index_build",
     "text_strip_boilerplate",
+    "text_repetition_signals",
+    "dedup_semantic_semdedup",
+    "agg_sketch_bounds",
+    "graph_pagerank_lite",
+    "scan_csv_permissive",
+    "scan_orc_roundtrip",
 )
 
 
@@ -272,6 +278,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.ml import (  # noqa: F401
         clustering,
         curation,
+        graph,
         neardup,
         sampling,
         similarity,

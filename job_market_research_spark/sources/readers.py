@@ -364,3 +364,88 @@ def q_scan_csv_schema(spark, sf_dir: str) -> DataFrame:
         .csv(out + "/*.csv")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+           CASE WHEN doc_id % 13 = 0
+                THEN CAST(doc_id AS VARCHAR) || ',' || lang || ',BROKEN'
+                ELSE NULL END AS corrupt_raw
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_scan_csv_permissive(spark, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with quarantine (the dirty-feed
+    reality of any scrape pipeline): every 13th staged row carries an
+    unparseable numeric field; the read keeps the parseable columns,
+    nulls the broken one, and captures the raw line in the
+    corrupt-record column so bad rows are quarantinable instead of
+    failing the job. The oracle replays both the damage and the
+    recovery. At scale this is the standard dead-letter pattern: one
+    pass, no pre-validation scan."""
+    out = scratch_dir("scan_csv_permissive")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.format_string("%d,%s,BROKEN", F.col("doc_id"), F.col("lang")),
+    ).otherwise(
+        F.format_string(
+            "%d,%s,%d", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+        )
+    )
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("corrupt_raw", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .csv(out)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice > 150000
+    ORDER BY o_orderkey
+    """,
+)
+def q_scan_orc_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar interchange format (Spark ships the
+    reader/writer natively): stage a slice as zlib ORC, read it back
+    with a pushed-down predicate. ORC carries per-stripe min/max like
+    parquet row groups, so the `o_totalprice > 150000` filter prunes
+    stripes at the scan — same pushdown story as the parquet path,
+    proving the engine is not format-locked."""
+    out = scratch_dir("scan_orc_roundtrip")
+    (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .filter(F.col("o_totalprice") > 150000)
+        .orderBy("o_orderkey")
+    )
