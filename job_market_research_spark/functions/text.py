@@ -700,3 +700,108 @@ def q_text_repetition_signals(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Lowercase accent → ASCII fold map (PAIRED strings for translate()).
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüý"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuy"
+
+
+@query(
+    "text_normalize_unicode",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || '  Café   Résumé naïve  É'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(strip_accents(lower(text)),
+                               '\\s+', ' ', 'g')) AS norm_text
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q_text_normalize_unicode(spark, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (the first pass of every tokenizer
+    pipeline): lowercase, fold accented latin letters to ASCII, and
+    collapse whitespace runs. Every 11th document gets planted
+    accented+multi-space chrome so the fold actually fires. Pure
+    narrow expressions (translate is a char-map, no regex backtracking
+    beyond the whitespace collapse) — zero shuffle, full codegen.
+    DuckDB's `strip_accents` is the oracle twin of the explicit
+    translate map."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("  Café   Résumé naïve  É")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _ACCENT_SRC, _ACCENT_DST),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text")).orderBy("doc_id")
+
+
+#: NSFW/spam term blocklist (tiny demo dictionary — production lists
+#: are thousands of terms and still broadcast-sized).
+BLOCKLIST_TERMS = ("casino", "pills", "viagra")
+
+
+@query(
+    "filter_term_blocklist",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN text || ' buy cheap casino pills now'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')),
+             ['casino', 'pills', 'viagra'])) AS matched,
+           len(list_intersect(
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')),
+             ['casino', 'pills', 'viagra'])) = 0 AS keep
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q_filter_term_blocklist(spark, sf_dir: str) -> DataFrame:
+    """Blocklist content filter (the C4 badwords pass): flag documents
+    whose token set intersects a term blocklist; every 17th document
+    gets planted spam so both branches exist. The blocklist is a
+    literal array folded into the plan — at production size it is a
+    broadcast dictionary either way; the scan stays narrow (set
+    intersection per row, no explode, no shuffle)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" buy cheap casino pills now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    matched = F.array_sort(
+        F.array_intersect(
+            F.array_distinct(tokens("text")),
+            F.array(*[F.lit(t) for t in BLOCKLIST_TERMS]),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        matched.alias("matched"),
+        (F.size(matched) == 0).alias("keep"),
+    ).orderBy("doc_id")

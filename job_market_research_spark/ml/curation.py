@@ -30,6 +30,7 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from job_market_research_spark.functions.text import tokens
 from job_market_research_spark.io import load
 from job_market_research_spark.ml.neardup import portable_hash, word_shingles
 from job_market_research_spark.registry import query
@@ -517,3 +518,75 @@ def q_text_strip_boilerplate(spark, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return strip_boilerplate_lines(docs).orderBy("doc_id")
+
+
+#: Chunking geometry: 32-token chunks, stride 24 (8-token overlap).
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE}))
+               AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_SIZE}, len(toks) - start) AS BIGINT)
+             AS n_chunk_tokens
+    FROM starts
+    WHERE start < len(toks)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_text_chunk_overlap(spark, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the embed-long-docs pipeline
+    op): 32-token chunks on a 24-token stride so consecutive chunks
+    overlap by 8 tokens and no boundary sentence is lost. Pure array
+    expressions — the chunk starts are a sequence, the chunk text a
+    slice — so the whole thing is one narrow codegen stage; the only
+    data growth is the intended ~size/stride duplication factor, and
+    chunks inherit the parent's partitioning (no shuffle at all).
+    """
+    toks_df = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(n - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        ),
+        lambda s: s < n,
+    )
+    return (
+        toks_df.select(
+            "doc_id",
+            "toks",
+            n.alias("n"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -15,7 +15,7 @@ replays the exact assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.ml.neardup import portable_hash
@@ -104,4 +104,53 @@ def q_sample_stratified(spark, sf_dir: str) -> DataFrame:
         sampled.groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").alias("id_checksum"))
         .orderBy("lang")
+    )
+
+
+#: Fixed-size per-stratum sample size.
+RESERVOIR_K = 25
+
+
+@query(
+    "sample_reservoir_fixed_k",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_ORACLE_HASH.format(col="doc_id")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {RESERVOIR_K}
+    ORDER BY source, rn
+    """,
+)
+def q_sample_reservoir_fixed_k(spark, sf_dir: str) -> DataFrame:
+    """Fixed-K-per-stratum sampling, the deterministic replacement for
+    reservoir sampling: rank every row by its portable hash within the
+    stratum and keep the K smallest. Unlike a true streaming reservoir
+    (driver-stateful, order-dependent, unreproducible on retry), the
+    hash rank is a pure function of the key — re-runs, reshards, and
+    stragglers all pick the SAME sample, and appending new data evicts
+    old members exactly as a growing reservoir would (uniformity holds
+    because the hash is uniform on keys).
+
+    Scale shape: one shuffle on the stratum; rank+filter is top-K per
+    group, which Spark executes with a partial per-partition top-K
+    before the shuffle when K is small — no stratum's full row set
+    ever sorts in one place."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .orderBy("source", "rn")
     )

@@ -79,3 +79,78 @@ def q_merge_scd2(spark, sf_dir: str) -> DataFrame:
         F.to_date(F.lit("1995-01-01")).alias("valid_from"),
     )
     return scd2_merge(base, upd, "c_custkey", "valid_from")
+
+
+@query(
+    "merge_cdc_feed",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS k,
+             o_orderstatus AS status,
+             o_totalprice AS price,
+             (o_orderkey * 13 + o_custkey) % 1000 AS seq,
+             CASE WHEN (o_orderkey * 13 + o_custkey) % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey AS k, 'X' AS status, o_totalprice * 2 AS price,
+             1000 + (o_orderkey % 7) AS seq,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    latest AS (
+      SELECT k, status, price, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM feed
+    )
+    SELECT k, status, price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+)
+def q_merge_cdc_feed(spark, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse an insert/update/delete
+    change feed to the final table state with last-writer-wins
+    semantics — the MERGE every incremental lakehouse ingestion runs.
+    The feed is synthesized deterministically from `orders` (a base
+    wave plus a later wave of updates/deletes on every 3rd key; `seq`
+    is the change ordinal). Apply = one per-key window taking the
+    highest-seq change, then dropping keys whose final op is DELETE.
+
+    Scale shape: one shuffle on the merge key. A real 100 TB apply
+    partitions the same way; when the base is stored bucketed by key,
+    the window degenerates to a per-bucket merge with no base
+    re-shuffle — and deletes never resurrect because the window sees
+    the tombstone as the max-seq row."""
+    o = load(spark, sf_dir, "orders")
+    seq1 = (F.col("o_orderkey") * 13 + F.col("o_custkey")) % 1000
+    wave1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        seq1.alias("seq"),
+        F.when(seq1 % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    wave2 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("X").alias("status"),
+            (F.col("o_totalprice") * 2).alias("price"),
+            (F.lit(1000) + F.col("o_orderkey") % 7).alias("seq"),
+            F.when(F.col("o_orderkey") % 5 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    feed = wave1.unionByName(wave2)
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "status", "price")
+        .orderBy("k")
+    )

@@ -249,6 +249,11 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_lite",
     "scan_csv_permissive",
     "scan_orc_roundtrip",
+    "text_chunk_overlap",
+    "text_normalize_unicode",
+    "filter_term_blocklist",
+    "merge_cdc_feed",
+    "sample_reservoir_fixed_k",
 )
 
 

@@ -71,3 +71,41 @@ def test_repetition_signals_separate_planted_spam(spark, sf_dir):
             assert row.symbol_word_ratio == 0.0
         assert 0.0 <= row.dup_word_fraction < 1.0
         assert row.n_bigrams == max(row.n_tokens - 1, 0)
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    from job_market_research_spark.ml.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_text_chunk_overlap,
+    )
+
+    rows = q_text_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].chunk_id == 0
+        # chunk_ids consecutive; every chunk except possibly the last
+        # is full; strided starts cover the doc with overlap.
+        n_total = CHUNK_STRIDE * (len(chunks) - 1) + chunks[-1].n_chunk_tokens
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            expected = min(CHUNK_SIZE, n_total - i * CHUNK_STRIDE)
+            assert c.n_chunk_tokens == expected, (doc_id, i)
+            assert len(c.chunk_text.split(" ")) == c.n_chunk_tokens
+
+
+def test_normalize_unicode_folds_and_collapses(spark, sf_dir):
+    from job_market_research_spark.functions.text import (
+        q_text_normalize_unicode,
+    )
+
+    rows = q_text_normalize_unicode(spark, sf_dir).collect()
+    for r in rows:
+        assert "  " not in r.norm_text
+        assert r.norm_text == r.norm_text.lower()
+        if r.doc_id % 11 == 0:
+            assert r.norm_text.endswith("cafe resume naive e"), r.norm_text

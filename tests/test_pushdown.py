@@ -1,0 +1,67 @@
+"""Pin predicate pushdown and column pruning in the physical plan —
+the two properties that make a 100 TB scan read megabytes instead of
+the whole table. SCALE.md cites these as verified; this is the proof."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.sources.readers import q_scan_orc_roundtrip
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0], plan
+    # ReadSchema must carry ONLY the projected columns.
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema, read_schema
+
+
+def test_orc_scan_pushes_predicate(spark, sf_dir):
+    plan = _formatted_plan(q_scan_orc_roundtrip(spark, sf_dir))
+    scan = plan[plan.index("Scan orc") :]
+    assert "PushedFilters" in scan, plan
+    assert "o_totalprice" in scan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_partition_values_prune_files(spark, sf_dir):
+    """A filter on a hive-partition column must appear as a
+    PartitionFilter (file-level pruning), not a data filter."""
+    import os
+
+    from job_market_research_spark.sources.readers import scratch_dir
+
+    out = scratch_dir("pushdown_partitioned")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _formatted_plan(df)
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "o_orderpriority" in pf, plan
+    # The pruned read returns exactly the partition's rows.
+    expected = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert df.count() == expected > 0
