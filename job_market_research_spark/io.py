@@ -33,12 +33,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one synthetic table.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS); with
-    `spark.sql.legacy.parquet.nanosAsLong` it scans as long nanoseconds
-    and is converted here to a microsecond timestamp via exact integer
-    division (`div` — no double round-trip, which would lose precision
-    above 2^53 ns). Truncation-toward-zero equals DuckDB's ns→µs
-    truncation for positive epochs, so oracle values match.
+    `events.ts` has shipped as two different parquet types across
+    testdata generations, so the shim dispatches on the SCANNED type:
+
+    - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+      scans as long nanoseconds and is converted via exact integer
+      division (`div` — no double round-trip, which would lose
+      precision above 2^53 ns). Truncation-toward-zero equals DuckDB's
+      ns→µs truncation for positive epochs, so oracle values match.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans directly as a
+      (naive) timestamp — pass through unchanged. Naive semantics match
+      DuckDB's TIMESTAMP exactly and are independent of the driver
+      session's timezone.
     """
     if name == "events":
         # The driver runs queries in its OWN SparkSession which does not
@@ -48,8 +54,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
