@@ -370,9 +370,9 @@ def prepare_llm_payload(title, description, competences):
            substr(text, 1, 200) AS title,
            CAST(length(substr(repeat(text || ' ', 30), 1, 1000)) AS BIGINT)
              AS desc_len,
-           list_filter(list_transform(string_split(
+           coalesce(array_to_string(list_filter(list_transform(string_split(
                replace(substr(text, 1, 90), ' ', '-'), '-'),
-             c -> trim(c)), c -> c <> '') AS competences
+             c -> trim(c)), c -> c <> ''), '|'), '') AS competences
     FROM documents ORDER BY doc_id
     """,
 )
@@ -393,7 +393,9 @@ def q_fn_payload_prepare(spark, sf_dir: str) -> DataFrame:
             "doc_id",
             title,
             F.length(desc).cast("long").alias("desc_len"),
-            comp,
+            # pipe-joined, not the raw array: the driver's pandas
+            # canonicalization cannot sort list-typed output columns
+            F.array_join(comp, "|").alias("competences"),
         )
         .orderBy("doc_id")
     )

@@ -767,10 +767,10 @@ BLOCKLIST_TERMS = ("casino", "pills", "viagra")
       FROM documents
     )
     SELECT doc_id,
-           list_sort(list_intersect(
+           coalesce(array_to_string(list_sort(list_intersect(
              list_distinct(list_filter(string_split(text, ' '),
                                        x -> x <> '')),
-             ['casino', 'pills', 'viagra'])) AS matched,
+             ['casino', 'pills', 'viagra'])), ','), '') AS matched,
            len(list_intersect(
              list_distinct(list_filter(string_split(text, ' '),
                                        x -> x <> '')),
@@ -802,6 +802,8 @@ def q_filter_term_blocklist(spark, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        matched.alias("matched"),
+        # comma-joined, not the raw array: the driver's pandas
+        # canonicalization cannot sort list-typed output columns
+        F.array_join(matched, ",").alias("matched"),
         (F.size(matched) == 0).alias("keep"),
     ).orderBy("doc_id")

@@ -230,20 +230,28 @@ def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query(
     "multimodal_embed_extract",
     oracle=f"""
-    SELECT doc_id,
-           list_transform(range(0, {EMBED_DIM}),
-                          i -> ((doc_id * 7 + i) % 97) / 97.0) AS embedding
-    FROM documents ORDER BY doc_id
+    SELECT doc_id, CAST(i AS BIGINT) AS dim_idx,
+           ((doc_id * 7 + i) % 97) / 97.0 AS val
+    FROM documents, unnest(range(0, {EMBED_DIM})) AS t(i)
+    ORDER BY doc_id, dim_idx
     """,
 )
 def q_multimodal_embed_extract(spark, sf_dir: str) -> DataFrame:
     """Media → embedding column (`array<double>`): the feature-extract
     operator that feeds the ANN / near-dup stages (ml/similarity.py).
     Arrow carries the list column back without row-by-row conversion;
-    downstream similarity queries consume it unchanged."""
+    downstream similarity queries consume the `array<double>` column
+    unchanged. For the driver compare the array is posexploded to
+    scalar (doc_id, dim_idx, val) rows — the driver canonicalizes by
+    sorting every output column and a raw list column is unsortable
+    (unhashable in pandas), which is a harness constraint, not a
+    change to the operator's produced embedding."""
     docs = (
         load(spark, sf_dir, "documents")
         .withColumn("content", F.encode("text", "UTF-8"))
         .select("doc_id", "content")
     )
-    return docs.mapInPandas(_embed_batches, schema=EMBED_SCHEMA)
+    embedded = docs.mapInPandas(_embed_batches, schema=EMBED_SCHEMA)
+    return embedded.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))

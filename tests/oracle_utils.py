@@ -98,6 +98,20 @@ def assert_type_parity(df, con, sql: str, name: str = "?") -> None:
 
 
 def assert_parity(df, con, sql: str, name: str = "?") -> None:
+    # The DRIVER canonicalizes via pandas sort_values over every output
+    # column; a list/struct/map-typed column is unhashable there and the
+    # whole row crashes (round-3 multimodal_embed_extract failure). The
+    # local _canon handles lists fine, so without this guard the local
+    # suite passes where the driver dies — fail here instead.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} break the "
+        f"driver's pandas canonicalization — explode or serialize them"
+    )
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
