@@ -1,0 +1,160 @@
+"""Corpus-preparation text operators: HTML stripping + duplicated-span
+inventory (beyond-reference, training-data pipeline family).
+
+- `text_html_strip`: the C4/CommonCrawl first step — markup never
+  reaches the tokenizer. Tag removal is a single JVM-side
+  regexp_replace; no UDF, no explode, scan-shaped (perfectly parallel,
+  zero shuffle).
+- `dedup_span_ngram`: span-level (not document-level) duplication — the
+  "Deduplicating Training Data Makes Language Models Better"
+  (Lee et al., 2022) observation that training corpora repeat
+  SUBSTRINGS (boilerplate sentences, licence headers) across otherwise
+  distinct documents. Full suffix-array dedup is a specialised batch
+  job; the bounded relational form is an 8-token shingle inventory:
+  every 8-gram occurring in ≥2 distinct documents, with its document
+  and occurrence counts. Downstream, those grams drive span excision
+  (same rebuild pattern as text_strip_boilerplate).
+
+Scale shape for the span inventory: explode docs → 8-gram shingles
+(len-7 rows per doc, bounded by the token cap) → groupBy(gram). The
+gram key is high-cardinality and near-uniform, so the one shuffle is
+balanced; a df-cap on pathological grams (cf. GRAM_DF_CAP in
+ml/neardup.py) is the guard to add when corpus-wide stopword runs
+dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.functions.text import tokens
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: Span length (tokens) for the duplicated-span inventory.
+SPAN_N = 8
+
+#: Token cap per document — bounds shingle fan-out per row.
+SPAN_TOKEN_CAP = 40
+
+#: Boilerplate planted into every 23rd document so the corpus
+#: deterministically contains cross-document duplicated spans.
+_PLANT = "please apply online via the official careers portal before deadline"
+
+
+@query(
+    "text_html_strip",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '<html><body><p class="main">' || text ||
+                       '</p><div id="ad">sponsored</div></body></html>'
+                  ELSE text END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags
+    FROM corpus ORDER BY doc_id
+    """,
+)
+def q_text_html_strip(spark, sf_dir: str) -> DataFrame:
+    """Markup removal: every 5th document is wrapped in HTML; tags are
+    stripped with one global regexp_replace, whitespace re-collapsed,
+    and the removed-tag count kept as a quality signal. Scan-shaped —
+    the whole operator is three string expressions inside whole-stage
+    codegen."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<html><body><p class="main">'),
+                F.col("text"),
+                F.lit('</p><div id="ad">sponsored</div></body></html>'),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("raw", r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        stripped.alias("clean_text"),
+        F.size(F.regexp_extract_all("raw", F.lit(r"<[^>]*>"), 0)).cast("long").alias(
+            "n_tags"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_span_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0
+                  THEN list_concat(
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')[1:{SPAN_TOKEN_CAP}],
+                    string_split('{_PLANT}', ' '))
+                  ELSE list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')[1:{SPAN_TOKEN_CAP}]
+             END AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(t[i + 1: i + {SPAN_N}], ' ') AS gram
+      FROM toks, unnest(range(0, greatest(len(t) - {SPAN_N} + 1, 0))) AS s(i)
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans
+    GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY gram
+    """,
+)
+def q_dedup_span_ngram(spark, sf_dir: str) -> DataFrame:
+    """Duplicated-span inventory: 8-token shingles occurring in ≥2
+    distinct documents, with document and occurrence counts. Every 23rd
+    document carries a planted boilerplate sentence so the duplicated
+    set is non-empty and deterministic. One explode + one groupBy(gram)
+    shuffle; per-doc fan-out is bounded by the token cap."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(tokens("text"), 1, SPAN_TOKEN_CAP).alias("t"),
+    )
+    docs = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat("t", F.split(F.lit(_PLANT), " ")),
+        ).otherwise(F.col("t")),
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= SPAN_N,
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SPAN_N}),"
+                    f" i -> array_join(slice(t, i + 1, {SPAN_N}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return (
+        spans.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("gram")
+    )

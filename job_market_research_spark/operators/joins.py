@@ -172,3 +172,49 @@ def q_join_semi_probe(spark, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH fact AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 'construction'
+                  ELSE lower(c_mktsegment) END AS seg_label
+      FROM customer
+    )
+    SELECT d.seg_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM fact f JOIN dim d ON f.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg_label ORDER BY seg_label
+    """,
+)
+def q_join_null_safe(spark, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    dimension lookup where NULL is a legitimate key value ("segment
+    unknown") that must match its dimension row instead of silently
+    dropping — the exact failure mode of the reference's
+    get_or_create loader when a natural key is missing
+    (insert_to_postgres.py:67-72 skips the row entirely). A null-safe
+    equality is still hash-partitionable (NULLs hash to one partition
+    per side), so the plan stays a hash join, not a cartesian."""
+    cust = load(spark, sf_dir, "customer")
+    fact = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    dim = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit("construction"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_label"),
+    ).distinct()
+    return (
+        fact.join(dim, fact.seg.eqNullSafe(dim.seg), "inner")
+        .groupBy("seg_label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("seg_label")
+    )

@@ -1,0 +1,217 @@
+"""Data-quality expectation validation + snapshot change capture
+(beyond-reference, Deequ-style).
+
+The reference validates records one at a time with jsonschema at the
+scrape edge (data_extraction/Websites/__init__.py:210-235) and lets
+Postgres constraints (docker-entrypoint-initdb.d/schema.sql:62,69,87)
+reject bad rows at load. A production pipeline validates RELATIONS:
+declare expectations (domain ranges, key uniqueness, referential
+integrity), evaluate them as aggregates over the whole table, and gate
+the run on the violation report. That is what `validate_expectations`
+expresses.
+
+`cdc_snapshot_diff` is the other warehouse primitive the reference
+lacks: given two snapshots of an entity table, derive the
+insert/update/delete changeset (the input that merge_cdc_feed /
+merge_scd2 consume). The reference instead re-reads everything and
+dedups by URL (insert_to_postgres.py:103-105) — O(full reload) per
+run; a snapshot diff is the scalable alternative.
+
+Scale shape:
+- Expectations over one table collapse into a SINGLE conditional
+  aggregation pass (sum(when(...))) — one scan, map-side partials, no
+  shuffle beyond the 1-row agg. Referential integrity is a left-anti
+  join; at 100 TB the FK side shuffles on the key once (or broadcasts
+  when the PK side is a bounded dimension).
+- Snapshot diff is one full-outer join on the entity key — the same
+  single key-shuffle as any dedup; unchanged rows are filtered
+  pre-output so the changeset, not the table, is what moves downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+def expectation_report(rules: dict[str, DataFrame]) -> DataFrame:
+    """Union per-rule violation counts into one (rule, violations,
+    passed) report relation. Each input DF must be a single row with a
+    `violations` bigint column."""
+    out = None
+    for rule, df in rules.items():
+        row = df.select(
+            F.lit(rule).alias("rule"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "validate_expectations",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS rule,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+               THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_ref_integrity',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def q_validate_expectations(spark, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders/lineitem/customer:
+    domain ranges, PK uniqueness, status domain, FK integrity. All
+    same-table rules share ONE conditional-aggregation scan per table
+    (two scans + one anti-join total — not one scan per rule); the
+    report is a 5-row relation a pipeline can gate on."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+
+    li = lineitem.agg(
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "discount_range"
+        ),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "qty_range"
+        ),
+    )
+    ords = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("pk_unique"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_domain"),
+    )
+    orphans = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+    )
+
+    report = expectation_report(
+        {
+            "lineitem_discount_range": li.select(
+                F.col("discount_range").alias("violations")
+            ),
+            "lineitem_qty_range": li.select(F.col("qty_range").alias("violations")),
+            "orders_custkey_ref_integrity": orphans,
+            "orders_pk_unique": ords.select(F.col("pk_unique").alias("violations")),
+            "orders_status_domain": ords.select(
+                F.col("status_domain").alias("violations")
+            ),
+        }
+    )
+    return report.orderBy("rule")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, cmp_cols: list[str]) -> DataFrame:
+    """Derive the I/U/D changeset between two entity snapshots via one
+    full-outer join on the key. Unchanged rows are dropped before the
+    result leaves the join stage, so the output is |changes|, not |table|."""
+    o = old.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, "k", "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    # explicit presence markers, not a compare-column null check — a
+    # legitimately-null attribute must not be mistaken for a missing row
+    old_present = F.col("_old_present").isNotNull()
+    new_present = F.col("_new_present").isNotNull()
+    return (
+        j.withColumn(
+            "op",
+            F.when(~new_present, F.lit("D"))
+            .when(~old_present, F.lit("I"))
+            .when(changed, F.lit("U")),
+        )
+        .filter(F.col("op").isNotNull())
+        .withColumnRenamed("k", key)
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+    new AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN c_custkey + 10000000
+                  ELSE c_custkey END AS c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN o.c_custkey IS NULL THEN 'I'
+                ELSE 'U' END AS op,
+           o.c_acctbal AS old_c_acctbal,
+           n.c_acctbal AS new_c_acctbal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE n.c_custkey IS NULL OR o.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+    ORDER BY c_custkey, op
+    """,
+)
+def q_cdc_snapshot_diff(spark, sf_dir: str) -> DataFrame:
+    """Changeset derivation between two customer snapshots: the new
+    snapshot deletes every 7th key, re-keys every 11th (simulated
+    inserts) and bumps every 13th balance (updates). One full-outer
+    join on the key emits only I/U/D rows — the CDC feed that
+    merge_cdc_feed / merge_scd2 consume, computed relationally instead
+    of the reference's full-reload-and-dedup."""
+    cust = load(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.when(
+                F.col("c_custkey") % 11 == 0, F.col("c_custkey") + 10000000
+            )
+            .otherwise(F.col("c_custkey"))
+            .alias("c_custkey"),
+            F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    diff = snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
+    return diff.select(
+        "c_custkey", "op", "old_c_acctbal", "new_c_acctbal"
+    ).orderBy("c_custkey", "op")

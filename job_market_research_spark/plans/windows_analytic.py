@@ -426,3 +426,36 @@ def q_agg_sketch_bounds(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "window_ntile_bucket",
+    oracle="""
+    SELECT c_custkey, c_mktsegment AS segment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER)
+             AS quartile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q_window_ntile_bucket(spark, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: account-balance quartiles within each
+    market segment via ntile(4). The ORDER BY includes the unique key
+    so bucket boundaries are total-ordered and engine-independent.
+    Partitioned by segment — bounded cardinality, but each partition
+    sorts only its own rows; for an unpartitioned global ntile at
+    100 TB the equivalent scalable plan is quantile cut-points
+    (approx_percentile) + a bucket join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -254,6 +254,17 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "filter_term_blocklist",
     "merge_cdc_feed",
     "sample_reservoir_fixed_k",
+    # round-4 additions: quality gates, runtime filters, vector ops,
+    # corpus preparation, null-safe join, equal-frequency bucketing
+    "validate_expectations",
+    "cdc_snapshot_diff",
+    "join_bloom_prune",
+    "ann_quantize_int8",
+    "embed_mean_pool",
+    "text_html_strip",
+    "dedup_span_ngram",
+    "join_null_safe",
+    "window_ntile_bucket",
 )
 
 
@@ -267,18 +278,26 @@ def load_all() -> dict[str, QuerySpec]:
         windows_analytic,
     )
     from job_market_research_spark.operators import (  # noqa: F401
+        bloom,
         bucketing,
         cleaning,
         dedup,
         joins,
         nested,
+        quality,
         scd,
         sessionize,
         setops,
         skew,
         temporal_joins,
     )
-    from job_market_research_spark.functions import dates, enrich, scalars, text  # noqa: F401
+    from job_market_research_spark.functions import (  # noqa: F401
+        corpus,
+        dates,
+        enrich,
+        scalars,
+        text,
+    )
     from job_market_research_spark.sources import readers, sinks  # noqa: F401
     from job_market_research_spark.ml import (  # noqa: F401
         clustering,
@@ -287,6 +306,7 @@ def load_all() -> dict[str, QuerySpec]:
         neardup,
         sampling,
         similarity,
+        vectors,
     )
     from job_market_research_spark.multimodal import binary_ops, real_media  # noqa: F401
     from job_market_research_spark.streaming import sessions, windows  # noqa: F401
