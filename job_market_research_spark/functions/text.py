@@ -141,13 +141,14 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
     stream here carries unigrams + 2-/3-gram shingles before the
     join — "hash join"-style skills match as phrases).
 
-    tokenize → shingle (1/2/3-grams in one projection) → distinct
-    (doc, gram) → broadcast join against the lexicon → collect
-    per-type skill sets. The lexicon broadcasts (it is tiny by
-    construction), so the corpus is scanned exactly once with no
-    shuffle except the final per-doc grouping; shingling triples the
-    exploded row count but the lexicon join prunes it immediately
-    map-side."""
+    tokenize → shingle (1/2/3-grams in one projection) → broadcast
+    join against the lexicon → distinct matched (doc, skill) →
+    collect per-type skill sets. Order matters at scale: the
+    broadcast join prunes the tripled shingle stream MAP-SIDE, so the
+    only shuffled rows are lexicon matches — deduping before the join
+    would shuffle the whole corpus-sized shingle stream instead (the
+    shape this query shipped with until round 4, ~3× slower at
+    sf0.1)."""
     lex = spark.createDataFrame(SKILL_LEXICON, ["nom", "type_skill"])
     # sequence(1, n) is DESCENDING when n < 1, so gate each shingle
     # arm on array size instead of relying on greatest().
@@ -168,9 +169,12 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.explode(grams).alias("token"))
+    )
+    matched = (
+        toks.join(F.broadcast(lex), toks.token == lex.nom)
+        .select("doc_id", "nom", "type_skill")
         .distinct()
     )
-    matched = toks.join(F.broadcast(lex), toks.token == lex.nom)
     agg_type = lambda t: F.array_join(  # noqa: E731
         F.array_sort(F.collect_list(F.when(F.col("type_skill") == t, F.col("nom")))),
         ",",

@@ -215,3 +215,94 @@ def q_cdc_snapshot_diff(spark, sf_dir: str) -> DataFrame:
     return diff.select(
         "c_custkey", "op", "old_c_acctbal", "new_c_acctbal"
     ).orderBy("c_custkey", "op")
+
+
+@query(
+    "filter_outlier_iqr",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(MIN(q1 - 1.5 * (q3 - q1)), 6) AS lo_r6,
+           round(MIN(q3 + 1.5 * (q3 - q1)), 6) AS hi_r6
+    FROM orders, b
+    """,
+)
+def q_filter_outlier_iqr(spark, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier gate on order totals: interquartile range
+    computed once (exact interpolated percentiles, identical formula
+    on both engines), fences broadcast to the full scan, violation
+    count + fences reported. At 100 TB the exact percentile becomes
+    approx_percentile with the error contract asserted the way
+    agg_sketch_bounds does; the fence-apply stage is unchanged — a
+    broadcast of two scalars into a codegen'd filter."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out_cond = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return orders.crossJoin(F.broadcast(bounds)).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(out_cond, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(F.min(F.col("q1") - 1.5 * iqr), 6).alias("lo_r6"),
+        F.round(F.min(F.col("q3") + 1.5 * iqr), 6).alias("hi_r6"),
+    )
+
+
+#: Anonymity threshold: quasi-identifier groups smaller than this are
+#: re-identification risks.
+K_ANON = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT 'groups_total' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM g
+    UNION ALL
+    SELECT 'groups_under_k', CAST(COUNT(*) AS BIGINT)
+    FROM g WHERE n < {K_ANON}
+    UNION ALL
+    SELECT 'rows_at_risk',
+           CAST(COALESCE(SUM(CASE WHEN n < {K_ANON} THEN n END), 0) AS BIGINT)
+    FROM g
+    ORDER BY metric
+    """,
+)
+def q_privacy_k_anonymity(spark, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment) quasi-identifier
+    pair: how many equivalence classes exist, how many fall under
+    k={K_ANON}, and how many individuals those classes expose. One
+    groupBy at quasi-identifier cardinality, then a 3-row report —
+    the release gate a training-data pipeline runs before shipping
+    user-derived tables."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    total = g.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("groups_total").alias("metric"), "n"
+    )
+    under = g.filter(F.col("n") < K_ANON).agg(
+        F.count("*").cast("long").alias("n")
+    ).select(F.lit("groups_under_k").alias("metric"), "n")
+    at_risk = g.agg(
+        F.coalesce(F.sum(F.when(F.col("n") < K_ANON, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n")
+    ).select(F.lit("rows_at_risk").alias("metric"), "n")
+    return total.unionByName(under).unionByName(at_risk).orderBy("metric")

@@ -1,0 +1,170 @@
+"""Event-stream product analytics: funnel, retention cohorts,
+first/last-touch attribution (beyond-reference).
+
+The reference's dashboards aggregate a static star schema; an event
+table (the driver's `events`) asks the classic product-analytics
+questions instead. All three operators are single-key-shuffle plans on
+`user_id` — the natural partitioning for event data at scale (events
+co-partition by user once; every per-user derivation reuses the
+layout).
+
+- `agg_funnel_conversion`: ordered-step funnel (view → click →
+  purchase) where each step must occur AT OR AFTER the previous
+  step's first occurrence — the sequential semantics a naive
+  per-step COUNT(DISTINCT) gets wrong.
+- `agg_retention_cohort`: users grouped by first-seen date, activity
+  bucketed into week offsets — the retention triangle.
+- `window_first_last_touch`: first/last event per user under a total
+  (ts, event_id) order — deterministic attribution under timestamp
+  ties, where bare `first_value(… ORDER BY ts)` is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+@query(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY step
+    """,
+)
+def q_agg_funnel_conversion(spark, sf_dir: str) -> DataFrame:
+    """Sequential funnel: per-user first 'view', first 'click' at or
+    after it, first 'purchase' at or after that. Each stage is a
+    per-user aggregate joined to the previous stage on user_id — all
+    three shuffles share the user_id key, so on a user-partitioned
+    event store the whole funnel is map-side. Step labels are
+    prefix-numbered so the report sorts in funnel order."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+            .withColumnRenamed("t2", "t")
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click_after_view"))
+        .unionByName(step(p, "3_purchase_after_click"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firstseen f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_agg_retention_cohort(spark, sf_dir: str) -> DataFrame:
+    """Retention triangle: cohort = first-seen date per user, activity
+    bucketed into week offsets from the cohort date, distinct active
+    users per (cohort, offset). Two shuffles, both on user_id-derived
+    keys; the cohort join broadcasts when the user dimension is
+    bounded and degrades to a co-partitioned join when it is not."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    return (
+        ev.join(firstseen, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.expr("datediff(day, cohort_date) div 7").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_date", "week_offset")
+    )
+
+
+@query(
+    "window_first_last_touch",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_touch,
+           last_value(event_type) OVER w AS last_touch,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+)
+def q_window_first_last_touch(spark, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution per user. The window orders by
+    (ts, event_id) — a TOTAL order — so attribution is deterministic
+    under same-timestamp ties on any engine and any partitioning; the
+    full frame makes last_value see the real last row. One shuffle on
+    user_id."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_touch"),
+            F.last("event_type").over(w).alias("last_touch"),
+            F.count("*").over(Window.partitionBy("user_id")).cast("long").alias(
+                "n_events"
+            ),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -265,6 +265,12 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "dedup_span_ngram",
     "join_null_safe",
     "window_ntile_bucket",
+    # round-4 second batch: event analytics + outlier/privacy gates
+    "agg_funnel_conversion",
+    "agg_retention_cohort",
+    "window_first_last_touch",
+    "filter_outlier_iqr",
+    "privacy_k_anonymity",
 )
 
 
@@ -274,6 +280,7 @@ def load_all() -> dict[str, QuerySpec]:
     # Imports are for the registration side effects.
     from job_market_research_spark.plans import (  # noqa: F401
         analytics,
+        events_analytics,
         star_v2,
         windows_analytic,
     )
