@@ -154,3 +154,89 @@ def q_sample_reservoir_fixed_k(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RESERVOIR_K)
         .orderBy("source", "rn")
     )
+
+
+#: Temperature for the n^alpha mixture (0.5 = square-root scaling, the
+#: multilingual-sampling default popularized by mT5/XLM-R).
+MIX_ALPHA_SQRT = True
+
+#: Target total rows the temperature mixture aims to keep.
+MIX_TARGET_TOTAL = 1000
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total,
+             CAST(sqrt(COUNT(*)) AS DECIMAL(18,9)) AS w_dec
+      FROM documents GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_total,
+             CAST(least(floor(CAST(w_dec AS DOUBLE) * {MIX_TARGET_TOTAL}
+                              * 10000
+                              / CAST((SELECT SUM(w_dec) FROM counts)
+                                     AS DOUBLE)
+                              / n_total), 10000) AS BIGINT) AS keep_lt
+      FROM counts
+    )
+    SELECT d.source, MIN(r.n_total) AS n_total,
+           CAST(MIN(r.keep_lt) AS BIGINT) AS keep_lt,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
+    FROM documents d JOIN rated r ON d.source = r.source
+    WHERE {_ORACLE_HASH.format(col="'temp|' || d.source || '|' || CAST(d.doc_id AS VARCHAR)")}
+            % 10000 < r.keep_lt
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_sample_temperature_mixture(spark, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/XLM-R recipe):
+    source weights proportional to n^0.5 instead of n, so
+    low-resource sources are upweighted relative to their share.
+    Per-source keep rates derive from the corpus counts (one
+    dimension-sized aggregate joined back — no collect), and the
+    per-row decision is the stable hash against an INTEGER threshold,
+    so the survivor set is reproducible and engine-exact. The sqrt
+    weights pass through DECIMAL for the cross-source sum
+    (order-independent), exactly the registry float policy."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("w_dec", F.sqrt("n_total").cast("decimal(18,9)"))
+    )
+    denom = counts.agg(F.sum("w_dec").alias("denom"))
+    rated = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_total",
+        F.least(
+            F.floor(
+                F.col("w_dec").cast("double")
+                * MIX_TARGET_TOTAL
+                * 10000
+                / F.col("denom").cast("double")
+                / F.col("n_total")
+            ),
+            F.lit(10000),
+        )
+        .cast("long")
+        .alias("keep_lt"),
+    )
+    h = portable_hash(
+        F.concat_ws("|", F.lit("temp"), F.col("source"), F.col("doc_id").cast("string"))
+    )
+    kept = docs.join(F.broadcast(rated), "source").filter(
+        F.pmod(h, F.lit(10000)) < F.col("keep_lt")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.min("n_total").cast("long").alias("n_total"),
+            F.min("keep_lt").cast("long").alias("keep_lt"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

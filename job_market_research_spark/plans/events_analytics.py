@@ -168,3 +168,57 @@ def q_window_first_last_touch(spark, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_activity_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS streak
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_window_activity_streak(spark, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: distinct active days, island key =
+    day − row_number (constant within a consecutive run), then
+    max run length. Every stage keys on user_id (plus the
+    bounded-cardinality island suffix), so the whole plan rides the
+    same single user partitioning as the rest of the family; per-user
+    window state is that user's distinct days, never corpus-sized."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak").cast("long").alias("longest_streak"),
+            F.sum("streak").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

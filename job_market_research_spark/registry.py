@@ -271,6 +271,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "window_first_last_touch",
     "filter_outlier_iqr",
     "privacy_k_anonymity",
+    "sample_temperature_mixture",
+    "window_activity_streak",
 )
 
 
