@@ -129,3 +129,38 @@ def test_bloom_prune_plan_is_broadcast_semi(spark, sf_dir):
     # the might_contain test must stay broadcast (never shuffle the probe)
     assert plan.count("BroadcastHashJoin") >= 4  # 3 bit-tests + exact semi
     assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
+    """Applying the I/U/D changeset to the old snapshot must reproduce
+    the new snapshot exactly — the invariant that makes the diff safe
+    to ship instead of the full table."""
+    from job_market_research_spark.io import load
+    from job_market_research_spark.operators.quality import snapshot_diff
+
+    cust = load(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.when(F.col("c_custkey") % 11 == 0, F.col("c_custkey") + 10000000)
+            .otherwise(F.col("c_custkey"))
+            .alias("c_custkey"),
+            F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    diff = snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
+    deletes = diff.filter(F.col("op") == "D").select("c_custkey")
+    upserts = diff.filter(F.col("op").isin("I", "U")).select(
+        "c_custkey", F.col("new_c_acctbal").alias("c_acctbal")
+    )
+    rebuilt = (
+        old.join(diff.select("c_custkey"), "c_custkey", "left_anti")
+        .unionByName(upserts)
+        .join(deletes, "c_custkey", "left_anti")
+    )
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
