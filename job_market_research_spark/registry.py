@@ -114,7 +114,10 @@ def _module_mtime(fn: Callable) -> float:
 #: as never-proven (tier 0) so they cannot be crowded out of the driver
 #: window by brand-new queries — a stale green here is WORSE than no
 #: evidence, it looks like proof of code that no longer exists.
-FORCE_REPROVE: frozenset[str] = frozenset({"text_skill_ner"})
+#: (text_skill_ner sat here for its round-3 multi-word rework; the
+#: round-3 green row proved the new semantics, so the pin is lifted —
+#: module-mtime staleness re-fronts it automatically after any edit.)
+FORCE_REPROVE: frozenset[str] = frozenset()
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
