@@ -226,3 +226,74 @@ def test_morton_interleave_bijective(spark, pairs):
         x = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
         y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (x, y) == (r.x, r.y)
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50),
+    probes=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50),
+)
+def test_bloom_prune_never_false_negative(spark, keys, probes):
+    """For ANY build/probe key sets, every probe key that IS in the
+    build set survives the bloom prune (false positives allowed,
+    false negatives never)."""
+    from job_market_research_spark.operators.bloom import bloom_bits, bloom_prune
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    probe = spark.createDataFrame([(p,) for p in probes], "k long")
+    bits = bloom_bits(build, "k")
+    kept = {r["k"] for r in bloom_prune(probe, "k", bits).collect()}
+    must_keep = set(probes) & set(keys)
+    assert must_keep <= kept
+
+
+@SLOW
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_reconstruction_error_bounded(spark, vec):
+    """Symmetric int8 quantization: |x − q·s/127| ≤ s/254 + ulp slack
+    for every element (half a quantization step), s = max|x|."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[float(x) for x in vec])],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn("s", F.array_max(F.transform("e", lambda x: F.abs(x))))
+        .select(
+            "s",
+            F.posexplode(
+                F.transform(
+                    "e",
+                    lambda x: F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+                        F.round(x * 127.0 / F.col("s"), 0)
+                    ),
+                )
+            ).alias("i", "q"),
+            F.col("e"),
+        )
+        .collect()
+    )
+    for r in out:
+        s = r["s"]
+        if s == 0:
+            continue
+        x = r["e"][r["i"]]
+        err = abs(x - r["q"] * s / 127.0)
+        assert err <= s / 254.0 * (1 + 1e-9) + 1e-12, (x, r["q"], s, err)
