@@ -158,3 +158,58 @@ def q_dedup_span_ngram(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("gram")
     )
+
+
+@query(
+    "text_sentence_stats",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '[.!?]+'), s -> trim(s)),
+               s -> s <> '') AS sentences
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sentences) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(list_transform(sentences,
+                                                 s -> length(s))), 0)
+                AS BIGINT) AS total_sentence_chars,
+           CASE WHEN len(sentences) = 0 THEN 0.0
+                ELSE round(CAST(list_sum(list_transform(sentences,
+                                         s -> length(s))) AS DOUBLE)
+                           / len(sentences), 6) END AS avg_sentence_len_r6
+    FROM sent ORDER BY doc_id
+    """,
+)
+def q_text_sentence_stats(spark, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats: terminal-punctuation split, trimmed
+    non-empty sentences, per-doc count / total chars / mean length.
+    The primitive under length-based curation gates (C4 drops docs
+    with <3 sentences) and sentence-level chunking — token-based
+    chunking (text_chunk_overlap) covers the other granularity.
+    Scan-shaped: split/transform/aggregate all inside one projection,
+    integer sums with one exact division at the end."""
+    docs = load(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    d = docs.select("doc_id", sentences.alias("sentences"))
+    total_chars = F.coalesce(
+        F.aggregate(
+            F.transform("sentences", lambda s: F.length(s).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+    n_sent = F.size("sentences").cast("long")
+    return d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        total_chars.alias("total_sentence_chars"),
+        F.when(n_sent == 0, F.lit(0.0))
+        .otherwise(F.round(total_chars.cast("double") / n_sent, 6))
+        .alias("avg_sentence_len_r6"),
+    ).orderBy("doc_id")

@@ -306,3 +306,121 @@ def q_privacy_k_anonymity(spark, sf_dir: str) -> DataFrame:
         .alias("n")
     ).select(F.lit("rows_at_risk").alias("metric"), "n")
     return total.unionByName(under).unionByName(at_risk).orderBy("metric")
+
+
+#: Bins for the drift monitor's acctbal histogram.
+DRIFT_BINS = 8
+
+
+@query(
+    "monitor_feature_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 'baseline' ELSE 'current' END
+               AS snapshot,
+             least(greatest(CAST(floor((c_acctbal + 1000.0) / 11000.0
+                                       * {DRIFT_BINS}) AS BIGINT), 0),
+                   {DRIFT_BINS - 1}) AS bin
+      FROM customer
+    ),
+    p AS (
+      SELECT bin, COUNT(*) AS n FROM binned
+      WHERE snapshot = 'baseline' GROUP BY bin
+    ),
+    q AS (
+      SELECT bin, COUNT(*) AS n FROM binned
+      WHERE snapshot = 'current' GROUP BY bin
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM p) AS np, (SELECT SUM(n) FROM q) AS nq
+    )
+    SELECT p.bin,
+           CAST(p.n AS BIGINT) AS n_baseline,
+           CAST(COALESCE(q.n, 0) AS BIGINT) AS n_current,
+           round(power(CAST(p.n AS DOUBLE) / np
+                       - CAST(COALESCE(q.n, 0) AS DOUBLE) / nq, 2)
+                 / (CAST(p.n AS DOUBLE) / np), 6) AS chi2_term_r6
+    FROM p LEFT JOIN q ON p.bin = q.bin, tot
+    ORDER BY p.bin
+    """,
+)
+def q_monitor_feature_drift(spark, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor between two snapshots (hash-split halves
+    of customer standing in for week-over-week): equal-width histogram
+    of the feature, per-bin chi-square divergence terms. Deliberately
+    chi-square, NOT PSI — PSI's ln() rides libm and differs in ulps
+    across engines, while chi-square is rational arithmetic that
+    hash-matches exactly (same policy as text_quality_model's
+    no-sigmoid rule). Two scans collapse to one conditional-agg pass;
+    the report is bins-cardinality rows."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 2 == 0, "baseline")
+        .otherwise("current")
+        .alias("snapshot"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000.0) / 11000.0 * DRIFT_BINS).cast(
+                    "long"
+                ),
+                F.lit(0),
+            ),
+            F.lit(DRIFT_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = cust.groupBy("bin").agg(
+        F.sum(F.when(F.col("snapshot") == "baseline", 1).otherwise(0)).alias("np_bin"),
+        F.sum(F.when(F.col("snapshot") == "current", 1).otherwise(0)).alias("nq_bin"),
+    )
+    totals = counts.agg(
+        F.sum("np_bin").alias("np"), F.sum("nq_bin").alias("nq")
+    )
+    p_frac = F.col("np_bin").cast("double") / F.col("np")
+    q_frac = F.col("nq_bin").cast("double") / F.col("nq")
+    return (
+        counts.filter(F.col("np_bin") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("np_bin").cast("long").alias("n_baseline"),
+            F.col("nq_bin").cast("long").alias("n_current"),
+            F.round(F.pow(p_frac - q_frac, 2) / p_frac, 6).alias("chi2_term_r6"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "agg_duplication_profile",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_redundant
+    FROM clusters GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def q_agg_duplication_profile(spark, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the diagnostic a curation pipeline
+    reports BEFORE choosing a dedup strategy: exact-duplicate cluster
+    size histogram with per-size document and redundancy counts
+    (n_redundant = docs dedup would remove). Two aggregations, both on
+    near-uniform keys (content hash, then the tiny size domain); the
+    first groupBy is the same single corpus shuffle as dedup_exact_hash
+    itself, so profiling costs no more than the dedup it informs."""
+    clusters = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("sz"))
+    )
+    return (
+        clusters.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count("*")).cast("long").alias("n_redundant"),
+        )
+        .orderBy("cluster_size")
+    )

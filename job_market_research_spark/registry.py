@@ -276,6 +276,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "sample_temperature_mixture",
     "window_activity_streak",
+    "monitor_feature_drift",
+    "agg_duplication_profile",
+    "text_sentence_stats",
 )
 
 
