@@ -394,8 +394,9 @@ def q_fn_payload_prepare(spark, sf_dir: str) -> DataFrame:
             title,
             F.length(desc).cast("long").alias("desc_len"),
             # pipe-joined, not the raw array: the driver's pandas
-            # canonicalization cannot sort list-typed output columns
-            F.array_join(comp, "|").alias("competences"),
+            # canonicalization cannot sort list-typed output columns;
+            # coalesce mirrors the oracle's '' for a NULL token array
+            F.coalesce(F.array_join(comp, "|"), F.lit("")).alias("competences"),
         )
         .orderBy("doc_id")
     )

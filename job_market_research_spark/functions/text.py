@@ -807,7 +807,8 @@ def q_filter_term_blocklist(spark, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         # comma-joined, not the raw array: the driver's pandas
-        # canonicalization cannot sort list-typed output columns
-        F.array_join(matched, ",").alias("matched"),
+        # canonicalization cannot sort list-typed output columns;
+        # coalesce mirrors the oracle's '' for a NULL token array
+        F.coalesce(F.array_join(matched, ","), F.lit("")).alias("matched"),
         (F.size(matched) == 0).alias("keep"),
     ).orderBy("doc_id")

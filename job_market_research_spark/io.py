@@ -30,6 +30,53 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Memoized parquet-footer unit of events.ts per path, and the legacy
+#: magnitude-probe fallback result per path. Both are per-process: the
+#: testdata files are immutable for a session, so one probe per path is
+#: enough (previously the probe re-ran a full-column scan on EVERY
+#: load, once per streaming staging call).
+_TS_UNIT_CACHE: dict[str, str] = {}
+_TS_PROBE_CACHE: dict[str, int] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Logical type of `events.ts` read from the parquet FOOTER — a
+    metadata-only read, no Spark job, no data scan.
+
+    Returns 'ns' | 'us' | 'ms' | 's' for annotated timestamps, 'int64'
+    for a plain unannotated INT64, 'unknown' when the footer cannot be
+    read (caller then falls back to the magnitude probe). Footer
+    inspection is strictly better than probing values: a plain-INT64
+    generation and a TIMESTAMP(NANOS) generation are distinguished by
+    declared type, not by magnitude heuristics that misclassify pre-1973
+    ns epochs or empty tables.
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    unit = "unknown"
+    try:
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if parts:
+                f = parts[0]
+        t = pq.read_schema(f).field("ts").type
+        if pa.types.is_timestamp(t):
+            unit = t.unit
+        elif pa.types.is_int64(t):
+            unit = "int64"
+    except Exception:
+        unit = "unknown"
+    _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one synthetic table.
 
@@ -51,31 +98,58 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — the round-3 streaming
       failure mode).
 
-    The LongType branch assumes the long IS nanoseconds (the only way a
-    long `ts` arises here is the nanosAsLong scan of TIMESTAMP(NANOS)).
-    A generation storing plain INT64 microseconds with no logical type
-    would be 1000x off; epoch-ns magnitudes are ~1e18 vs ~1e15 for µs,
-    so the branch sanity-checks before dividing.
+    The LongType branch resolves the unit from the parquet FOOTER
+    (`_events_ts_unit` — metadata-only, memoized per path): a declared
+    TIMESTAMP(NANOS) divides by 1000, a plain INT64 is taken as already-
+    microseconds. Only when the footer is unreadable does it fall back
+    to a (memoized) one-time magnitude probe.
+
+    INVARIANT — all sessions running these queries must use a UTC
+    session timezone. `session.get_spark` sets it at creation; the
+    driver's own session is set here IF (and only if) it violates the
+    invariant, with a stderr warning, because NTZ→TIMESTAMP casting and
+    timestamp output rendering are both session-timezone-dependent and
+    every oracle comparison assumes naive-UTC semantics. The two
+    parquet confs below are scan-scoped: they only change how
+    NANOS-typed / NTZ-annotated parquet columns are SCANNED and cannot
+    alter the semantics of non-events queries.
     """
     if name == "events":
-        # The driver runs queries in its OWN SparkSession which does not
-        # set these confs; they are runtime-settable, so set them
-        # defensively here rather than relying on session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            import sys
+
+            print(
+                "io.load('events'): session timezone was "
+                f"{tz!r}; setting UTC (required invariant — see "
+                "session.get_spark). Set it at session creation to "
+                "avoid this mid-session change.",
+                file=sys.stderr,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampType
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
-            # Epoch-ns ≈ 1.7e18 for 2020s dates; epoch-µs ≈ 1.7e15. If
-            # the values are µs-magnitude, the nanosAsLong assumption is
-            # wrong — use them as µs directly instead of dividing.
-            probe = df.selectExpr("max(abs(ts)) AS m").first()["m"] or 0
-            micros = F.expr("ts div 1000") if probe > 10**17 else F.col("ts")
+            unit = _events_ts_unit(path)
+            if unit == "unknown":
+                # Footer unreadable: one-time magnitude probe per path.
+                # Epoch-ns ≈ 1.7e18 for 2020s dates; epoch-µs ≈ 1.7e15.
+                if path not in _TS_PROBE_CACHE:
+                    _TS_PROBE_CACHE[path] = (
+                        df.selectExpr("max(abs(ts)) AS m").first()["m"] or 0
+                    )
+                unit = "ns" if _TS_PROBE_CACHE[path] > 10**17 else "int64"
+            micros = F.expr("ts div 1000") if unit == "ns" else F.col("ts")
             df = df.withColumn("ts", F.timestamp_micros(micros))
         elif not isinstance(ts_type, TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -56,18 +56,26 @@ def bloom_bits(build: DataFrame, key: str) -> DataFrame:
 
 def bloom_prune(probe: DataFrame, key: str, bits: DataFrame) -> DataFrame:
     """`might_contain` as k broadcast semi-joins: a probe row survives
-    iff ALL k of its hash positions are set."""
+    iff ALL k of its hash positions are set.
+
+    The scratch hash column name is collision-proofed against the
+    caller's schema — a reusable helper must never silently overwrite
+    (and then drop) a probe column that happens to share its name.
+    """
+    h_col = "__bloom_h"
+    while h_col in probe.columns:
+        h_col += "_"
     out = probe
     for i, (a, b) in enumerate(BLOOM_HASHES):
-        h = ((F.col(key) * a + b) % BLOOM_M).alias("_h")
+        h = ((F.col(key) * a + b) % BLOOM_M).alias(h_col)
         out = (
-            out.withColumn("_h", h)
+            out.withColumn(h_col, h)
             .join(
-                F.broadcast(bits.withColumnRenamed("bit", "_h")),
-                "_h",
+                F.broadcast(bits.withColumnRenamed("bit", h_col)),
+                h_col,
                 "left_semi",
             )
-            .drop("_h")
+            .drop(h_col)
         )
     return out
 

@@ -323,25 +323,24 @@ DRIFT_BINS = 8
                    {DRIFT_BINS - 1}) AS bin
       FROM customer
     ),
-    p AS (
-      SELECT bin, COUNT(*) AS n FROM binned
-      WHERE snapshot = 'baseline' GROUP BY bin
-    ),
-    q AS (
-      SELECT bin, COUNT(*) AS n FROM binned
-      WHERE snapshot = 'current' GROUP BY bin
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN snapshot = 'baseline' THEN 1 ELSE 0 END) AS np_bin,
+             SUM(CASE WHEN snapshot = 'current' THEN 1 ELSE 0 END) AS nq_bin
+      FROM binned GROUP BY bin
     ),
     tot AS (
-      SELECT (SELECT SUM(n) FROM p) AS np, (SELECT SUM(n) FROM q) AS nq
+      SELECT SUM(np_bin) AS np, SUM(nq_bin) AS nq FROM counts
     )
-    SELECT p.bin,
-           CAST(p.n AS BIGINT) AS n_baseline,
-           CAST(COALESCE(q.n, 0) AS BIGINT) AS n_current,
-           round(power(CAST(p.n AS DOUBLE) / np
-                       - CAST(COALESCE(q.n, 0) AS DOUBLE) / nq, 2)
-                 / (CAST(p.n AS DOUBLE) / np), 6) AS chi2_term_r6
-    FROM p LEFT JOIN q ON p.bin = q.bin, tot
-    ORDER BY p.bin
+    SELECT bin,
+           CAST(np_bin AS BIGINT) AS n_baseline,
+           CAST(nq_bin AS BIGINT) AS n_current,
+           round(power(CAST(np_bin AS DOUBLE) / np
+                       - CAST(nq_bin AS DOUBLE) / nq, 2)
+                 / (CASE WHEN np_bin > 0 THEN CAST(np_bin AS DOUBLE) / np
+                         ELSE 0.5 / np END), 6) AS chi2_term_r6
+    FROM counts, tot
+    ORDER BY bin
     """,
 )
 def q_monitor_feature_drift(spark, sf_dir: str) -> DataFrame:
@@ -352,7 +351,12 @@ def q_monitor_feature_drift(spark, sf_dir: str) -> DataFrame:
     across engines, while chi-square is rational arithmetic that
     hash-matches exactly (same policy as text_quality_model's
     no-sigmoid rule). Two scans collapse to one conditional-agg pass;
-    the report is bins-cardinality rows."""
+    the report is bins-cardinality rows.
+
+    Bins present in EITHER snapshot are reported: a bin with zero
+    baseline mass but current mass — the strongest drift signal — gets
+    an epsilon-smoothed denominator (pseudo-count 0.5/np, the classic
+    continuity correction) instead of being silently dropped."""
     cust = load(spark, sf_dir, "customer").select(
         F.when(F.col("c_custkey") % 2 == 0, "baseline")
         .otherwise("current")
@@ -376,14 +380,14 @@ def q_monitor_feature_drift(spark, sf_dir: str) -> DataFrame:
     )
     p_frac = F.col("np_bin").cast("double") / F.col("np")
     q_frac = F.col("nq_bin").cast("double") / F.col("nq")
+    denom = F.when(F.col("np_bin") > 0, p_frac).otherwise(F.lit(0.5) / F.col("np"))
     return (
-        counts.filter(F.col("np_bin") > 0)
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "bin",
             F.col("np_bin").cast("long").alias("n_baseline"),
             F.col("nq_bin").cast("long").alias("n_current"),
-            F.round(F.pow(p_frac - q_frac, 2) / p_frac, 6).alias("chi2_term_r6"),
+            F.round(F.pow(p_frac - q_frac, 2) / denom, 6).alias("chi2_term_r6"),
         )
         .orderBy("bin")
     )
