@@ -34,6 +34,68 @@ def build_dimension(df: DataFrame, natural_key: str, id_col: str, value_col: str
     )
 
 
+def global_row_number(
+    df: DataFrame, order_col: str, rn_col: str = "rn", partitions: int | None = None
+) -> DataFrame:
+    """Scale-safe dense global row numbers over a (unique, numeric)
+    order key.
+
+    ``row_number().over(Window.orderBy(k))`` moves EVERY row to one
+    task — the single-reducer sort that caps at one machine's memory.
+    This is the distributed equivalent: bucket rows by approximate
+    key quantiles, number rows WITHIN each bucket (partitioned
+    window), and add each bucket's broadcast cumulative offset.
+    Output values are identical to the global window — bucket
+    boundaries only decide WHERE a row is numbered, never WHAT number
+    it gets — so a ROW_NUMBER() OVER (ORDER BY k) oracle replays it.
+
+    The boundaries are computed ONCE (a single approxQuantile pass)
+    and embedded as PLAN LITERALS, making the bucket id a pure
+    function of the key. This matters: `repartitionByRange` re-SAMPLES
+    boundaries per physical subtree (seeded by RDD id), so the offsets
+    branch and the output branch of this very plan can disagree on
+    partition contents — observed as duplicate rns at sf0.01. Literal
+    boundaries cannot disagree.
+
+    Costs: one quantile pass + one tiny offsets job (|buckets| rows —
+    the unpartitioned cumulative-offset window is bounded by cluster
+    config, not data). The order key must be unique (with duplicates
+    any global row_number is tie-ambiguous) and numeric (approxQuantile
+    contract); pass boundaries yourself via a pre-bucketed column if
+    you need string keys.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    b_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    pid = F.size(
+        F.filter(b_arr, lambda b: b < F.col(order_col).cast("double"))
+    ).alias("__pid")
+    p = df.withColumn("__pid", pid)
+    offs = (
+        p.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        p.join(F.broadcast(offs), "__pid")
+        .withColumn(rn_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
 def key_fact_against_dimension(
     fact: DataFrame, dim: DataFrame, natural_key: str, value_col: str, id_col: str
 ) -> DataFrame:
@@ -96,16 +158,19 @@ def q_join_positional_zip(spark, sf_dir: str) -> DataFrame:
     """Positional zip-merge of two equally-ordered datasets (reference:
     zip(batch, processed), pipline.py:184-187). The reference's
     positional contract is fragile; here each side gets an explicit
-    row_number over a total order and the join is keyed — same
-    semantics, restart-safe. (SURVEY §7 hard-point (d).)"""
+    dense index over a total order and the join is keyed — same
+    semantics, restart-safe. (SURVEY §7 hard-point (d).) The index
+    comes from `global_row_number` (range-partition + per-partition
+    window + broadcast offsets), NOT a partitionBy-less window — both
+    sides here are fact-sized, and a global-window formulation would
+    funnel the whole table through one task."""
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy("o_orderkey")
-    a = orders.select("o_orderkey", "o_totalprice").withColumn(
-        "rn", F.row_number().over(w)
+    a = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey"
     )
-    b = orders.select(
-        F.col("o_orderkey").alias("bk"), "o_orderpriority"
-    ).withColumn("rn", F.row_number().over(Window.orderBy("bk")))
+    b = global_row_number(
+        orders.select(F.col("o_orderkey").alias("bk"), "o_orderpriority"), "bk"
+    )
     return (
         a.join(b, "rn")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")

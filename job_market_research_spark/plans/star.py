@@ -9,28 +9,74 @@ schema.sql one and expose the extra dims (location/work_type) as
 optional derivations.
 
 Execution shape (SURVEY §4 physical notes): each dimension is a
-`distinct` + tiny single-partition window (one shuffle of dimension
-cardinality, not fact cardinality); the fact is keyed with broadcast
-joins only (map-side, zero fact shuffle); the bridge is explode +
-broadcast join; dim_date is sequence+explode (no shuffle). At 100 TB
-the fact scan dominates and nothing else grows.
+`distinct` (one shuffle of dimension cardinality, not fact
+cardinality) with a HASH surrogate key — a pure projection, no window,
+no single-partition sort; the fact is keyed with broadcast joins only
+(map-side, zero fact shuffle); the bridge is explode + broadcast join;
+dim_date is sequence+explode keyed by days-since-epoch (no shuffle).
+At 100 TB the fact scan dominates and nothing else grows.
+
+Surrogate-key policy: `surrogate_id(value)` — the md5-portable 60-bit
+hash (ml/neardup.portable_hash60). This preserves the reference's
+get_or_create stability (insert_to_postgres.py:47-64: the same natural
+key must always map to the same id) STRICTLY better than sequential
+ids do — a hash id survives re-ingest, retries and partial loads,
+where row_number ids depend on what else arrived. The previous
+`row_number().over(Window.orderBy(...))` build was a partitionBy-less
+window: every id funneled through ONE task — harmless for bounded
+dims, a genuine scale-killer for the fact-cardinality offer id.
+Collision risk at 60 bits is ~n²/2^61 (≈5e-8 at 10k dim values);
+`assert_unique_surrogates` makes the check explicit, and dim_date uses
+the naturally-dense days-since-epoch key instead of a hash.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from job_market_research_spark.functions.dates import calendar_attrs, calendar_range
+from job_market_research_spark.ml.neardup import portable_hash60
 from job_market_research_spark.operators.cleaning import filter_unknown_sentinel
 
 
+def surrogate_id(value: Column) -> Column:
+    """Deterministic 60-bit hash surrogate for a natural key — stable
+    across loads (get_or_create semantics), computed map-side, and
+    replayable by the DuckDB oracle
+    (``('0x' || substr(md5(v), 1, 15))::BIGINT``)."""
+    return portable_hash60(value.cast("string"))
+
+
+def assert_unique_surrogates(star: dict[str, DataFrame]) -> None:
+    """Collision check: every id column must be as distinct as its
+    table's natural key. One tiny agg per table (dimension-sized for
+    dims; for the fact it is the same count-distinct you would run as
+    a load-audit anyway). Call from tests/load-validation, not the
+    build hot path."""
+    keys = {
+        "fact_offre": ("id_offer", "job_url"),
+        "offre_skill": (None, None),
+    }
+    for name, df in star.items():
+        id_col = keys.get(name, (df.columns[0], None))[0]
+        if id_col is None or not id_col.startswith("id"):
+            continue
+        row = df.agg(
+            F.count_distinct(F.col(id_col)).alias("ids"),
+            F.count("*").alias("rows"),
+        ).first()
+        assert row["ids"] == row["rows"], (
+            f"{name}: surrogate collision ({row['ids']} ids for "
+            f"{row['rows']} rows)"
+        )
+
+
 def _dim(df: DataFrame, expr, id_col: str, value_col: str) -> DataFrame:
-    """distinct + surrogate key, skipping empty/'unknown' sentinels
-    (reference: insert_to_postgres.py:67-83 skips those values)."""
+    """distinct + hash surrogate key, skipping empty/'unknown'
+    sentinels (reference: insert_to_postgres.py:67-83 skips those)."""
     vals = df.select(expr.alias(value_col)).filter(F.col(value_col).isNotNull())
     vals = filter_unknown_sentinel(vals, value_col).distinct()
-    w = Window.orderBy(value_col)
-    return vals.withColumn(id_col, F.row_number().over(w).cast("long")).select(
+    return vals.withColumn(id_col, surrogate_id(F.col(value_col))).select(
         id_col, value_col
     )
 
@@ -67,9 +113,8 @@ def build_star(offers: DataFrame) -> dict[str, DataFrame]:
         .groupBy("compagnie")
         .agg(F.min("secteur").alias("secteur"))
     )
-    w = Window.orderBy("compagnie")
     dims["dim_compagnie"] = compagnie_vals.withColumn(
-        "id_compagnie", F.row_number().over(w).cast("long")
+        "id_compagnie", surrogate_id(F.col("compagnie"))
     ).select("id_compagnie", "compagnie", "secteur")
 
     # dim_skill from the exploded skills arrays (schema.sql:59-63).
@@ -81,7 +126,7 @@ def build_star(offers: DataFrame) -> dict[str, DataFrame]:
         .agg(F.min("type_skill").alias("type_skill"))
     )
     dims["dim_skill"] = skill_vals.withColumn(
-        "id_skill", F.row_number().over(Window.orderBy("nom")).cast("long")
+        "id_skill", surrogate_id(F.col("nom"))
     ).select("id_skill", "nom", "type_skill")
 
     # dim_date: densified calendar over the observed span + the
@@ -94,9 +139,11 @@ def build_star(offers: DataFrame) -> dict[str, DataFrame]:
             F.lit("2000-01-01").cast("date").alias("full_date")
         )
     ).distinct()
+    # Days-since-epoch: naturally dense, deterministic, zero-shuffle —
+    # the one dimension whose natural key already IS an integer.
     dim_date = calendar_attrs(cal, "full_date").withColumn(
         "id_date",
-        F.row_number().over(Window.orderBy("full_date")).cast("long"),
+        F.datediff(F.col("full_date"), F.lit("1970-01-01").cast("date")).cast("long"),
     )
     dims["dim_date"] = dim_date.select(
         "id_date",
@@ -114,10 +161,11 @@ def build_star(offers: DataFrame) -> dict[str, DataFrame]:
 
     # fact_offre: broadcast-join every surrogate key onto the offers.
     # INNER-equivalent via required fields; id_niveau_experience stays
-    # nullable (LEFT; schema.sql:76).
-    fact = offers.withColumn(
-        "id_offer", F.row_number().over(Window.orderBy("job_url")).cast("long")
-    )
+    # nullable (LEFT; schema.sql:76). The offer id is a map-side hash
+    # of the natural key (job_url) — the previous global row_number
+    # here was a single-reducer sort at FACT cardinality, the worst
+    # plan in the repo at 100 TB.
+    fact = offers.withColumn("id_offer", surrogate_id(F.col("job_url")))
 
     def attach(fact_df, dim_df, fact_col, dim_val, dim_id):
         return fact_df.join(

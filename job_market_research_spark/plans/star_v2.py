@@ -25,18 +25,22 @@ defect; `harmonize_dims` below is the reconciliation the reference
 never wrote: a full-outer crosswalk between a v1 dim and its v2
 counterpart on the v2 normalization, with a conformed surrogate key.
 
-Execution shape matches plans/star.py: dims are distinct + tiny
-single-partition windows (dimension cardinality only), the fact keys
-via broadcast LEFT joins (map-side, zero fact shuffle), so at 100 TB
-the fact scan dominates and nothing else grows.
+Execution shape matches plans/star.py: dims are distinct + map-side
+HASH surrogate keys (see star.surrogate_id — no partitionBy-less
+windows anywhere in the build), the fact keys via broadcast LEFT
+joins (map-side, zero fact shuffle), so at 100 TB the fact scan
+dominates and nothing else grows. Hash ids also preserve the
+reference's get_or_create stability (insert_to_postgres.py:47-64)
+across re-ingest, which sequential ids never did.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.functions.dates import calendar_range
 from job_market_research_spark.io import load
+from job_market_research_spark.plans.star import surrogate_id
 from job_market_research_spark.registry import query
 
 #: insert_to_postgres.py:10 — unparseable dates key to this row.
@@ -52,15 +56,24 @@ def _norm(col: F.Column) -> F.Column:
     return F.when(v.isin(*_SENTINELS), F.lit(None)).otherwise(v)
 
 
+def _loc_key(city: F.Column, country: F.Column) -> F.Column:
+    """Composite natural key for dim_location with a NULL marker
+    (chr(31), a control char that cannot appear in normalized values)
+    so (NULL,'x') and ('x',NULL) hash to DIFFERENT ids. Oracle twin:
+    ``coalesce(city, chr(31)) || '|' || coalesce(country, chr(31))``."""
+    nul = F.lit("\x1f")
+    return F.concat_ws("|", F.coalesce(city, nul), F.coalesce(country, nul))
+
+
 def _dim_v2(df: DataFrame, expr: F.Column, id_col: str, value_col: str) -> DataFrame:
-    """distinct normalized values + deterministic surrogate key."""
+    """distinct normalized values + deterministic hash surrogate key
+    (map-side projection; no single-partition window)."""
     vals = (
         df.select(_norm(expr).alias(value_col))
         .filter(F.col(value_col).isNotNull())
         .distinct()
     )
-    w = Window.orderBy(value_col)
-    return vals.withColumn(id_col, F.row_number().over(w).cast("long")).select(
+    return vals.withColumn(id_col, surrogate_id(F.col(value_col))).select(
         id_col, value_col
     )
 
@@ -138,8 +151,7 @@ def build_star_v2(offers: DataFrame) -> dict[str, DataFrame]:
         .distinct()
     )
     dims["dim_location"] = loc_vals.withColumn(
-        "location_id",
-        F.row_number().over(Window.orderBy("city", "country")).cast("long"),
+        "location_id", surrogate_id(_loc_key(F.col("city"), F.col("country")))
     ).select("location_id", "city", "country")
 
     # dim_skill: (skill, skill_type), lowercased (get_or_create_skill,
@@ -152,7 +164,7 @@ def build_star_v2(offers: DataFrame) -> dict[str, DataFrame]:
         .agg(F.min("skill_type").alias("skill_type"))
     )
     dims["dim_skill"] = skill_vals.withColumn(
-        "skill_id", F.row_number().over(Window.orderBy("skill")).cast("long")
+        "skill_id", surrogate_id(F.col("skill"))
     ).select("skill_id", "skill", "skill_type")
 
     # dim_calendar: densified span + the DEFAULT_DATE sentinel row,
@@ -168,13 +180,10 @@ def build_star_v2(offers: DataFrame) -> dict[str, DataFrame]:
     # fact_offer: surrogate offer_id; every dim FK attached via
     # broadcast LEFT join on the normalized value (NULL value → NULL
     # FK, the v2 sentinel policy); date falls back to DEFAULT_DATE.
-    # The global row_number mirrors the reference's sequential ids and
-    # is fine at dimension/demo scale; at 100 TB swap it for the
-    # natural key (job_url) or xxhash64(job_url) — a global-order
-    # window over the fact is a single-reducer sort.
-    fact = src.withColumn(
-        "offer_id", F.row_number().over(Window.orderBy("job_url")).cast("long")
-    ).withColumn(
+    # offer_id is a map-side hash of the natural key (job_url): the
+    # global row_number this replaces was a single-reducer sort at
+    # fact cardinality — the documented 100 TB scale-killer.
+    fact = src.withColumn("offer_id", surrogate_id(F.col("job_url"))).withColumn(
         "date_id",
         F.coalesce(F.col("pub_date"), F.lit(DEFAULT_DATE).cast("date")),
     )
@@ -270,10 +279,11 @@ def harmonize_dims(
     Full-outer crosswalk on the v2 normalization (lower+trim of the v1
     value == the already-normalized v2 value), emitting one row per
     conformed value: both surrogate ids (NULL where absent), a
-    `presence` flag (both / v1_only / v2_only), and a new deterministic
-    `conformed_id`. Both inputs are dimension-sized, so the full-outer
-    join and the single-partition window are bounded regardless of fact
-    scale.
+    `presence` flag (both / v1_only / v2_only), and a deterministic
+    `conformed_id` = hash of the conformed value (map-side, stable
+    across re-runs — no window at all). Both inputs are
+    dimension-sized, so the full-outer join is bounded regardless of
+    fact scale.
     """
     a = v1_dim.select(
         F.col(v1_id).alias("v1_id"), F.col(v1_val).alias("__v1_val")
@@ -290,8 +300,7 @@ def harmonize_dims(
         .alias("presence"),
     )
     return out.withColumn(
-        "conformed_id",
-        F.row_number().over(Window.orderBy("conformed_value")).cast("long"),
+        "conformed_id", surrogate_id(F.col("conformed_value"))
     ).select("conformed_id", "conformed_value", "v1_id", "v2_id", "presence")
 
 
@@ -299,12 +308,16 @@ def harmonize_dims(
 # Testdata-analog registry queries (driver-provable oracle twins).
 # ---------------------------------------------------------------------------
 
+#: Oracle twin of star.surrogate_id (portable_hash60 of a string expr).
+_ORACLE_SID = "CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+#: Oracle twin of _loc_key(city, country).
+_ORACLE_LOC = "coalesce(city, chr(31)) || '|' || coalesce(country, chr(31))"
+
 
 @query(
     "star2_dim_location",
-    oracle="""
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY city, country) AS BIGINT)
-             AS location_id,
+    oracle=f"""
+    SELECT {_ORACLE_SID.format(v=_ORACLE_LOC)} AS location_id,
            city, country
     FROM (SELECT DISTINCT lower(n_name) AS city, lower(r_name) AS country
           FROM customer
@@ -333,8 +346,7 @@ def q_star2_dim_location(spark, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn(
-            "location_id",
-            F.row_number().over(Window.orderBy("city", "country")).cast("long"),
+            "location_id", surrogate_id(_loc_key(F.col("city"), F.col("country")))
         )
         .select("location_id", "city", "country")
         .orderBy("location_id")
@@ -343,7 +355,7 @@ def q_star2_dim_location(spark, sf_dir: str) -> DataFrame:
 
 @query(
     "star2_fact_offer",
-    oracle="""
+    oracle=f"""
     WITH seg AS (
       SELECT c_custkey,
              CASE WHEN c_acctbal < 0 THEN 'unknown'
@@ -354,14 +366,12 @@ def q_star2_dim_location(spark, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
     ),
     dim_segment AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY segment_v) AS BIGINT)
-               AS segment_id, segment_v
+      SELECT {_ORACLE_SID.format(v="segment_v")} AS segment_id, segment_v
       FROM (SELECT DISTINCT segment_v FROM seg
             WHERE segment_v NOT IN ('', 'unknown'))
     ),
     dim_location AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY city, country) AS BIGINT)
-               AS location_id, city, country
+      SELECT {_ORACLE_SID.format(v=_ORACLE_LOC)} AS location_id, city, country
       FROM (SELECT DISTINCT city, country FROM seg)
     )
     SELECT o_orderkey AS offer_id,
@@ -406,8 +416,7 @@ def q_star2_fact_offer(spark, sf_dir: str) -> DataFrame:
         seg.select("city", "country")
         .distinct()
         .withColumn(
-            "location_id",
-            F.row_number().over(Window.orderBy("city", "country")).cast("long"),
+            "location_id", surrogate_id(_loc_key(F.col("city"), F.col("country")))
         )
     )
     fact = (
@@ -430,17 +439,14 @@ def q_star2_fact_offer(spark, sf_dir: str) -> DataFrame:
 
 @query(
     "star2_harmonize_dims",
-    oracle="""
+    oracle=f"""
     WITH v1 AS (SELECT DISTINCT p_type AS val FROM part
                 WHERE p_size > 25),
          v2 AS (SELECT DISTINCT lower(p_type) AS val FROM part
                 WHERE p_retailprice > 1200),
-         v1k AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY val) AS BIGINT)
-                          AS v1_id, val FROM v1),
-         v2k AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY val) AS BIGINT)
-                          AS v2_id, val FROM v2)
-    SELECT CAST(ROW_NUMBER() OVER
-                  (ORDER BY COALESCE(lower(v1k.val), v2k.val)) AS BIGINT)
+         v1k AS (SELECT {_ORACLE_SID.format(v="val")} AS v1_id, val FROM v1),
+         v2k AS (SELECT {_ORACLE_SID.format(v="val")} AS v2_id, val FROM v2)
+    SELECT {_ORACLE_SID.format(v="COALESCE(lower(v1k.val), v2k.val)")}
              AS conformed_id,
            COALESCE(lower(v1k.val), v2k.val) AS conformed_value,
            v1k.v1_id, v2k.v2_id,
@@ -464,13 +470,13 @@ def q_star2_harmonize_dims(spark, sf_dir: str) -> DataFrame:
         part.filter(F.col("p_size") > 25)
         .select(F.col("p_type").alias("ptype"))
         .distinct()
-        .withColumn("v1_id", F.row_number().over(Window.orderBy("ptype")).cast("long"))
+        .withColumn("v1_id", surrogate_id(F.col("ptype")))
     )
     v2 = (
         part.filter(F.col("p_retailprice") > 1200)
         .select(F.lower(F.col("p_type")).alias("ptype"))
         .distinct()
-        .withColumn("v2_id", F.row_number().over(Window.orderBy("ptype")).cast("long"))
+        .withColumn("v2_id", surrogate_id(F.col("ptype")))
     )
     return harmonize_dims(v1, "v1_id", "ptype", v2, "v2_id", "ptype").orderBy(
         "conformed_id"

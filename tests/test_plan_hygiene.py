@@ -10,9 +10,18 @@ scale factor:
 - no `BatchEvalPython` (row-at-a-time Python UDFs are banned — the
   engine's Python boundary is Arrow-batched only: MapInPandas /
   FlatMapGroupsInPandas / ArrowEvalPython)
+- no partitionBy-less windows over unbounded inputs (a global window
+  funnels the whole input through ONE task — the single-reducer sort
+  that killed the old star surrogate keys). Queries whose global
+  window provably runs over a BOUNDED frame are allowlisted with the
+  bound stated; anything new that plans `Window` over an
+  `Exchange SinglePartition` must either justify its bound here or be
+  rewritten (hash surrogate, or operators/joins.global_row_number).
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -20,14 +29,39 @@ from job_market_research_spark.registry import load_all
 
 SPECS = load_all()
 
+#: Global-window plans with a PROVEN bounded input. Key → the bound.
+ALLOWED_GLOBAL_WINDOW = {
+    # dimension-sized distinct feeds the surrogate window (the query
+    # exists to demonstrate the reference's sequential get_or_create)
+    "join_lookup_upsert": "distinct segment values (dimension-sized)",
+    # global_row_number's cumulative-offset frame is |partitions| rows
+    "join_positional_zip": "offsets frame bounded by partition count",
+    # pre-aggregated to one row per month / priority before the window
+    "window_moving_avg": "|months| rows after pre-aggregation",
+    "window_lag_delta": "|months| rows after pre-aggregation",
+    "window_share_of_total": "|priorities| rows after pre-aggregation",
+}
+
+#: A Window whose shuffle input collapsed to a single partition —
+#: Sort may sit between the Window and its Exchange.
+_GLOBAL_WINDOW = re.compile(
+    r"Window [^\n]*\n[^\n]*?(?:Sort [^\n]*\n[^\n]*?)?Exchange SinglePartition"
+)
+
 
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
-def test_no_cartesian_no_row_udf(spark, sf_dir, name):
+def test_no_cartesian_no_row_udf_no_global_window(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan, f"{name}: shuffle-cartesian in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if _GLOBAL_WINDOW.search(plan):
+        assert name in ALLOWED_GLOBAL_WINDOW, (
+            f"{name}: partitionBy-less window over a single-partition "
+            f"exchange — prove the input is bounded and allowlist it, or "
+            f"rewrite (hash surrogate / global_row_number)"
+        )

@@ -297,3 +297,20 @@ def test_quantize_reconstruction_error_bounded(spark, vec):
         x = r["e"][r["i"]]
         err = abs(x - r["q"] * s / 127.0)
         assert err <= s / 254.0 * (1 + 1e-9) + 1e-12, (x, r["q"], s, err)
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1,
+                  max_size=300, unique=True)
+)
+def test_global_row_number_matches_global_window(spark, keys):
+    """global_row_number (range-partition + offsets) must reproduce
+    row_number().over(Window.orderBy(k)) exactly — range boundaries
+    decide WHERE a row is numbered, never WHAT number it gets."""
+    from job_market_research_spark.operators.joins import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.rn for r in global_row_number(df, "k", partitions=4).collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect

@@ -148,5 +148,10 @@ def test_harmonize_dims_crosswalk(spark):
     assert by_val["cdi"].v1_id == 1 and by_val["cdi"].v2_id == 10
     assert by_val["stage"].presence == "v1_only" and by_val["stage"].v2_id is None
     assert by_val["freelance"].presence == "v2_only"
-    ids = sorted(r.conformed_id for r in out)
-    assert ids == list(range(1, len(out) + 1))
+    ids = [r.conformed_id for r in out]
+    assert len(set(ids)) == len(out) and all(i is not None for i in ids)
+    # deterministic: conformed_id is a pure function of the value
+    out2 = harmonize_dims(v1, "id1", "contrat", v2, "id2", "contract_type").collect()
+    assert {r.conformed_value: r.conformed_id for r in out2} == {
+        r.conformed_value: r.conformed_id for r in out
+    }
