@@ -54,28 +54,40 @@ def query(
     return deco
 
 
-def _driver_green_evidence() -> dict[str, float]:
+#: Module edits within this slack of the evidence file's mtime do NOT
+#: mark evidence stale: the driver re-checks-out the repo each round,
+#: which stamps every module a few ms after every CORRECTNESS file —
+#: without the slack a fresh checkout makes ALL evidence look stale.
+_STALENESS_SLACK_S = 300.0
+
+
+def _driver_green_evidence() -> dict[str, tuple[int, float]]:
     """Query names with a fully-green driver CORRECTNESS row in any
-    prior round (CORRECTNESS_r*.json at the repo root), mapped to the
-    newest proving file's mtime.
+    prior round (CORRECTNESS_r*.json at the repo root), mapped to
+    (newest proving ROUND, that file's mtime).
 
     The driver's correctness pass covers a bounded window of the
     registry in iteration order, so `load_all` fronts queries that have
     no green evidence yet — each round the window rotates onto unproven
     queries until every operator has a hard driver-side row.
 
-    The mtime lets `load_all` treat evidence as STALE when the query's
-    defining module was edited after the green row was recorded: a
-    reworked operator re-enters the driver window instead of coasting
-    on proof for code that no longer exists.
+    The round number comes from the FILENAME (r01, r02, …), not the
+    file mtime: a fresh checkout gives every evidence file the same
+    mtime, which would make evidence age unrankable. The mtime is kept
+    only for the module-edit staleness check.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: dict[str, float] = {}
+    green: dict[str, tuple[int, float]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -92,7 +104,8 @@ def _driver_green_evidence() -> dict[str, float]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green[name] = max(green.get(name, 0.0), mtime)
+                if name not in green or rnd > green[name][0]:
+                    green[name] = (rnd, mtime)
     return green
 
 
@@ -279,6 +292,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "monitor_feature_drift",
     "agg_duplication_profile",
     "text_sentence_stats",
+    # round-5 additions
+    "agg_sketch_prod",
 )
 
 
@@ -330,20 +345,28 @@ def load_all() -> dict[str, QuerySpec]:
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
     prio = {name: i for i, name in enumerate(UNPROVEN_PRIORITY)}
 
-    def key(name: str) -> tuple[int, int]:
+    def key(name: str) -> tuple[int, float, int]:
         # Tier 0: never driver-green (or semantics force-reproven).
-        # Tier 1: green but the defining module changed since the
-        # proving round (stale — re-prove). Tier 2: green on current
-        # code.
+        # Tier 1: green but the defining module was edited more than
+        # _STALENESS_SLACK_S after the proving file was written
+        # (stale — re-prove; the slack absorbs the uniform re-stamp a
+        # fresh checkout applies to every file). Tier 2: green on
+        # current code — ordered OLDEST PROVING ROUND FIRST, so
+        # queries whose newest green row is rounds old rotate back
+        # into the driver's bounded window for freshness even when
+        # unedited (round-4 verdict: 48 queries coasting on r2 proof).
         if name not in green or name in FORCE_REPROVE:
             tier = 0
-        elif _module_mtime(REGISTRY[name].fn) > green[name]:
+        elif (
+            _module_mtime(REGISTRY[name].fn)
+            > green[name][1] + _STALENESS_SLACK_S
+        ):
             tier = 1
         else:
             tier = 2
         if tier < 2:
-            return (tier, prio.get(name, len(prio) + reg_pos[name]))
-        return (2, reg_pos[name])
+            return (tier, 0.0, prio.get(name, len(prio) + reg_pos[name]))
+        return (2, float(green[name][0]), reg_pos[name])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
 

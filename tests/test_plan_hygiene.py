@@ -65,3 +65,17 @@ def test_no_cartesian_no_row_udf_no_global_window(spark, sf_dir, name):
             f"exchange — prove the input is bounded and allowlist it, or "
             f"rewrite (hash surrogate / global_row_number)"
         )
+
+
+def test_sketch_prod_plan_is_exact_free(spark, sf_dir):
+    """agg_sketch_prod is the production 100 TB aggregation path: the
+    plan must contain ONLY mergeable sketches — no exact distinct
+    expansion, no per-group percentile sort (those live in the
+    agg_sketch_bounds contract query)."""
+    df = SPECS["agg_sketch_prod"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "approx_count_distinct" in plan
+    assert "percentile_disc" not in plan
+    assert "count(distinct" not in plan.lower()
+    # sketch agg is partial-merge (map-side combine before the shuffle)
+    assert plan.count("ObjectHashAggregate") >= 2 or "partial" in plan.lower()
