@@ -18,9 +18,14 @@ inventory (beyond-reference, training-data pipeline family).
 Scale shape for the span inventory: explode docs → 8-gram shingles
 (len-7 rows per doc, bounded by the token cap) → groupBy(gram). The
 gram key is high-cardinality and near-uniform, so the one shuffle is
-balanced; a df-cap on pathological grams (cf. GRAM_DF_CAP in
-ml/neardup.py) is the guard to add when corpus-wide stopword runs
-dominate.
+balanced, and Spark plans the distinct doc count as a two-phase
+aggregate (partial agg keyed on (gram, doc_id), then a map-side-
+combinable count by gram) — a corpus-wide hot gram combines before
+the final shuffle instead of flooding one reducer. The df-cap
+(GRAM_DF_CAP, shared with ml/neardup.py) bounds the inventory
+SEMANTICS: a gram in more than cap documents is corpus boilerplate /
+stop-phrase noise, not a meaningful duplicated span — reporting it
+would hand span-excision a gram that ablates half the corpus.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.functions.text import tokens
 from job_market_research_spark.io import load
+from job_market_research_spark.ml.neardup import GRAM_DF_CAP
 from job_market_research_spark.registry import query
 
 #: Span length (tokens) for the duplicated-span inventory.
@@ -116,16 +122,20 @@ def q_text_html_strip(spark, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM spans
-    GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {GRAM_DF_CAP}
     ORDER BY gram
     """,
 )
 def q_dedup_span_ngram(spark, sf_dir: str) -> DataFrame:
-    """Duplicated-span inventory: 8-token shingles occurring in ≥2
+    """Duplicated-span inventory: 8-token shingles occurring in 2..cap
     distinct documents, with document and occurrence counts. Every 23rd
     document carries a planted boilerplate sentence so the duplicated
     set is non-empty and deterministic. One explode + one groupBy(gram)
-    shuffle; per-doc fan-out is bounded by the token cap."""
+    shuffle; per-doc fan-out is bounded by the token cap; grams above
+    GRAM_DF_CAP documents are excluded as stop-phrase noise (the
+    SCALE.md df-cap — see module docstring for why the aggregation
+    itself is already hot-gram-safe)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.slice(tokens("text"), 1, SPAN_TOKEN_CAP).alias("t"),
@@ -155,7 +165,7 @@ def q_dedup_span_ngram(spark, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occurrences"),
         )
-        .filter(F.col("n_docs") >= 2)
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= GRAM_DF_CAP))
         .orderBy("gram")
     )
 

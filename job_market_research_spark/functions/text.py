@@ -35,6 +35,7 @@ SKILL_LEXICON: list[tuple[str, str]] = [
     ("sort merge", "hard"),
     ("window scan", "hard"),
     ("hash join scan", "hard"),
+    ("docker", "hard"),
     ("fast", "soft"),
     ("slow", "soft"),
     ("small", "soft"),
@@ -58,6 +59,24 @@ def tokens(col: str | Column) -> Column:
     """Whitespace tokenization with empty tokens dropped."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+#: Inflectional-suffix strip for the skill-NER recall normalizer
+#: (reference: skillner_logic.py:15-125 lemmatizes via spaCy; the
+#: native approximation is a single-pass suffix strip). Non-greedy
+#: prefix ≥3 chars → the LONGEST listed suffix is stripped; the same
+#: leftmost-first semantics hold in Java regex (Spark) and RE2
+#: (DuckDB), so the oracle replays it with regexp_replace(..., '\\1').
+#: "er"/"es" are deliberately ABSENT: the lexicon keeps canonical
+#: surface forms, and stripping agentive -er would map "docker" to
+#: "dock". E-elision ("merged" → "merg") is recovered by an extra
+#: stem+'e' candidate key, not by smarter stripping.
+STEM_PATTERN = r"^(.{3,}?)(izations|ization|izing|ized|izes|ings|ing|ed|s)$"
+
+
+def stem(col: Column) -> Column:
+    """Suffix-stripped form of a token (see STEM_PATTERN)."""
+    return F.regexp_replace(col, STEM_PATTERN, "$1")
 
 
 def _count_token(toks: Column, word: str) -> Column:
@@ -109,17 +128,26 @@ def q_agg_word_freq(spark, sf_dir: str) -> DataFrame:
       ('join','hard'),('scan','hard'),('merge','hard'),('hash','hard'),
       ('sort','hard'),('filter','hard'),('window','hard'),('stream','hard'),
       ('hash join','hard'),('sort merge','hard'),('window scan','hard'),
-      ('hash join scan','hard'),
+      ('hash join scan','hard'),('docker','hard'),
       ('fast','soft'),('slow','soft'),('small','soft'),('fast sort','soft')),
     t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    st AS (SELECT doc_id,
+                  list_transform(t, w -> regexp_replace(w,
+                    '^(.{3,}?)(izations|ization|izing|ized|izes|ings|ing|ed|s)$',
+                    '\1')) AS t
+           FROM t),
+    both_t AS (SELECT * FROM t UNION ALL SELECT * FROM st),
     shingles AS (
-      SELECT doc_id, unnest(t) AS token FROM t
+      SELECT doc_id, unnest(t) AS token FROM both_t
       UNION ALL
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
-                            i -> t[i] || ' ' || t[i+1])) FROM t
+                            i -> t[i] || ' ' || t[i+1])) FROM both_t
       UNION ALL
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM t
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      FROM both_t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(t, s -> s || 'e')) FROM st
     ),
     toks AS (
       SELECT DISTINCT doc_id, token FROM shingles
@@ -139,36 +167,46 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
     skillner_logic.py:15-125 spaCy PhraseMatcher over SKILL_DB; the
     PhraseMatcher matches MULTI-WORD surface forms, so the token
     stream here carries unigrams + 2-/3-gram shingles before the
-    join — "hash join"-style skills match as phrases).
+    join — "hash join"-style skills match as phrases; its spaCy
+    pipeline also LEMMATIZES, so the stream additionally carries
+    suffix-stripped variants — "dockerized" matches "docker",
+    "sorting" matches "sort" — via `stem` plus a stem+'e' candidate
+    for e-elision, "merged" → "merg" → "merge").
 
-    tokenize → shingle (1/2/3-grams in one projection) → broadcast
-    join against the lexicon → distinct matched (doc, skill) →
-    collect per-type skill sets. Order matters at scale: the
-    broadcast join prunes the tripled shingle stream MAP-SIDE, so the
-    only shuffled rows are lexicon matches — deduping before the join
-    would shuffle the whole corpus-sized shingle stream instead (the
-    shape this query shipped with until round 4, ~3× slower at
-    sf0.1)."""
+    tokenize → stem → shingle (1/2/3-grams over raw AND stemmed
+    tokens, + stem+'e' unigrams, in one projection) → broadcast join
+    against the lexicon → distinct matched (doc, skill) → collect
+    per-type skill sets. Order matters at scale: the broadcast join
+    prunes the widened shingle stream MAP-SIDE, so the only shuffled
+    rows are lexicon matches — deduping before the join would shuffle
+    the whole corpus-sized shingle stream instead (the shape this
+    query shipped with until round 4, ~3× slower at sf0.1)."""
     lex = spark.createDataFrame(SKILL_LEXICON, ["nom", "type_skill"])
     # sequence(1, n) is DESCENDING when n < 1, so gate each shingle
     # arm on array size instead of relying on greatest().
-    grams = F.expr(
-        """concat(
-             t,
-             case when size(t) >= 2 then
-               transform(sequence(1, size(t) - 1),
-                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))
+    _GRAMS = """concat(
+             {c},
+             case when size({c}) >= 2 then
+               transform(sequence(1, size({c}) - 1),
+                 i -> concat_ws(' ', element_at({c}, i), element_at({c}, i + 1)))
              else array() end,
-             case when size(t) >= 3 then
-               transform(sequence(1, size(t) - 2),
-                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                                element_at(t, i + 2)))
+             case when size({c}) >= 3 then
+               transform(sequence(1, size({c}) - 2),
+                 i -> concat_ws(' ', element_at({c}, i), element_at({c}, i + 1),
+                                element_at({c}, i + 2)))
              else array() end)"""
+    cand = F.expr(
+        "concat("
+        + _GRAMS.format(c="t")
+        + ", "
+        + _GRAMS.format(c="ts")
+        + ", transform(ts, s -> concat(s, 'e')))"
     )
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(grams).alias("token"))
+        .withColumn("ts", F.transform(F.col("t"), stem))
+        .select("doc_id", F.explode(cand).alias("token"))
     )
     matched = (
         toks.join(F.broadcast(lex), toks.token == lex.nom)
@@ -337,8 +375,10 @@ def q_text_tfidf(spark, sf_dir: str) -> DataFrame:
     """TF-IDF scoring over the corpus — the quality/relevance feature a
     training-data pipeline ranks and filters by. Three aggregations
     (term freq, doc freq, corpus size), document frequency joined back
-    broadcast (|vocab| rows ≪ |corpus×vocab|). Scores use the round-6
-    float policy (ln is libm-dependent). The doc_id cap only bounds the
+    broadcast (|vocab| rows ≪ |corpus×vocab|), corpus size fused as a
+    broadcast 1-row aggregate crossJoin — ONE execution DAG, no
+    separate driver-side count job. Scores use the round-6 float
+    policy (ln is libm-dependent). The doc_id cap only bounds the
     RESULT — tf/df/n are computed over the full corpus."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
@@ -346,16 +386,17 @@ def q_text_tfidf(spark, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar: corpus size (one tiny job)
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     return (
         tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
         .filter(F.col("doc_id") < 50)
@@ -458,25 +499,25 @@ def q_text_lm_perplexity(spark, sf_dir: str) -> DataFrame:
     p(t) = (c(t)+1) / (N+V). Plan shape: one tokenize scan, one
     vocab-sized count aggregate joined back BROADCAST (|vocab| ≪
     |corpus|), one per-doc aggregate — two shuffles total, no
-    all-pairs, no Python. N and V are driver scalars from a tiny
-    aggregate job (at 100 TB this is one count per executor, not a
-    collect of rows). Float policy: -ln(p) is libm math, so the
-    per-doc mean is rounded to 6 decimals on both engines and the
-    perplexity is exp() OF THE ROUNDED mean — both engines feed
-    identical doubles into exp, making the hash deterministic."""
+    all-pairs, no Python. N and V ride a broadcast 1-row aggregate
+    crossJoined into the scoring stream — fused into the same
+    execution DAG instead of a separate driver-scalar job. Float
+    policy: -ln(p) is libm math, so the per-doc mean is rounded to 6
+    decimals on both engines and the perplexity is exp() OF THE
+    ROUNDED mean — both engines feed identical doubles into exp,
+    making the hash deterministic."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
     ).filter(F.col("token") != "")
     counts = tok.groupBy("token").agg(F.count("*").alias("c"))
-    n_total, n_vocab = tok.agg(
-        F.count("*"), F.countDistinct("token")
-    ).first()
-    neg_logp = -F.log(
-        (F.col("c") + 1).cast("double") / F.lit(float(n_total + n_vocab))
+    stats = tok.agg(
+        (F.count("*") + F.countDistinct("token")).cast("double").alias("__n_plus_v")
     )
+    neg_logp = -F.log((F.col("c") + 1).cast("double") / F.col("__n_plus_v"))
     per_doc = (
         tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", neg_logp.alias("neg_logp"))
         .groupBy("doc_id")
         .agg(

@@ -23,8 +23,6 @@ counter's last emission per key equals the batch count.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -32,8 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
-from job_market_research_spark.sources.readers import scratch_dir
-from job_market_research_spark.streaming.windows import _run_to_memory
+from job_market_research_spark.streaming.windows import _run_to_memory, _stage_events
 
 #: Gap after which a user's activity starts a new session.
 SESSION_GAP = "2 hours"
@@ -90,12 +87,11 @@ def q_stream_sessionize(spark, sf_dir: str) -> DataFrame:
     sessions per user, watermarked state, complete-output drain. The
     memory-sink result hash-matches the pure-batch oracle — the
     batch/streaming unification `session_window` promises."""
-    out = scratch_dir("stream_sessionize")
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
-        os.path.join(out, "arrivals")
+    src = _stage_events(
+        spark, sf_dir, parts=3, cols=("event_id", "ts", "user_id")
     )
-    stream = spark.readStream.schema(ev.schema).parquet(os.path.join(out, "arrivals"))
+    stream = spark.readStream.schema(ev.schema).parquet(src)
     sessions = sessionize(stream.withWatermark("ts", "1 hour"))
     sink = _run_to_memory(sessions, "complete")
     return spark.table(sink).orderBy("user_id", "session_start")
@@ -148,15 +144,14 @@ def q_stream_stateful_counter(spark, sf_dir: str) -> DataFrame:
     the running total per user; the max emission per user is the final
     state and must equal the batch COUNT(*) — whatever the batch
     split."""
-    out = scratch_dir("stream_stateful_counter")
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
-        os.path.join(out, "arrivals")
+    src = _stage_events(
+        spark, sf_dir, parts=3, cols=("event_id", "ts", "user_id")
     )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(out, "arrivals"))
+        .parquet(src)
     )
     counts = stateful_event_counts(stream)
     sink = _run_to_memory(counts, "append")

@@ -107,3 +107,36 @@ def test_bloom_prune_preserves_caller_h_column(spark):
     assert "__bloom_h" in out.columns
     rows = out.collect()
     assert rows and all(r["__bloom_h"] == "keep-me" for r in rows)
+
+
+def test_skill_ner_stem_recall(spark, tmp_path):
+    """The stem normalizer closes the lemma-variant recall gap vs the
+    reference's spaCy lemmatizer: inflected surface forms must match
+    canonical lexicon entries ("dockerized" → "docker", "sorting" →
+    "sort", e-elision "merged" → "merge"), and multi-word phrases
+    must match through stemmed shingles ("hash joins" → "hash join")."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from job_market_research_spark.functions.text import q_text_skill_ner
+
+    docs = [
+        (1, "we dockerized everything last year"),
+        (2, "sorting large tables quickly"),
+        (3, "records were merged downstream"),
+        (4, "prefers hash joins over loops"),
+        (5, "nothing relevant here"),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in q_text_skill_ner(spark, str(tmp_path)).collect()}
+    assert "docker" in out[1].hard_skills.split(",")
+    assert "sort" in out[2].hard_skills.split(",")
+    assert "merge" in out[3].hard_skills.split(",")
+    assert "hash join" in out[4].hard_skills.split(",")
+    assert 5 not in out

@@ -75,3 +75,36 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
     assert ckpt_files, "no reliable checkpoint files were written"
+
+
+def test_span_inventory_df_cap_excludes_hot_gram(spark, tmp_path):
+    """A boilerplate 8-gram present in MORE than GRAM_DF_CAP documents
+    must not enter the span inventory (stop-phrase noise; reporting it
+    would hand span-excision a corpus-ablating gram), while a gram
+    duplicated across 2..cap docs must. Runs the registered query
+    end-to-end against a purpose-built documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from job_market_research_spark.functions.corpus import q_dedup_span_ngram
+    from job_market_research_spark.ml.neardup import GRAM_DF_CAP
+
+    hot = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    cold = "one two three four five six seven eight"
+    n_hot = GRAM_DF_CAP + 50
+    rows = [(i, f"doc{i} prefix {hot}") for i in range(n_hot)]
+    rows += [(10_000 + i, f"tail{i} {cold}") for i in range(3)]
+    # doc_ids avoid %23==0 plants: shift ids that collide
+    rows = [((i + 1) if i % 23 == 0 else i, t) for i, t in rows]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = q_dedup_span_ngram(spark, str(tmp_path)).collect()
+    grams = {r.gram for r in out}
+    assert hot not in grams, "hot gram above the df-cap leaked into the inventory"
+    assert cold in grams, "legitimately duplicated gram missing"
+    assert all(2 <= r.n_docs <= GRAM_DF_CAP for r in out)
