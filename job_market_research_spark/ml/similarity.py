@@ -151,6 +151,26 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
 LSH_BANDS, LSH_BITS = 8, 4
 
 
+def lsh_band_signatures(dim: int = 64) -> Column:
+    """Array of LSH_BANDS bucket strings for a double-vector column
+    `v`: band b, bit t → plane j = b*BITS+t; plane component i
+    (1-based) = ((i*31 + j*17) % 7) - 3 ∈ [-3, 3] — a deterministic
+    integer formula DuckDB replays verbatim, so the candidate sets
+    (and even LSH misses) are oracle-checkable."""
+    return F.expr(
+        f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+              array_join(transform(sequence(0, {LSH_BITS - 1}), t ->
+                case when aggregate(
+                       zip_with(v,
+                                transform(sequence(1, {dim}),
+                                  i -> cast((i * 31 + (b * {LSH_BITS} + t) * 17) % 7 - 3
+                                            as double)),
+                                (x, y) -> x * y),
+                       0.0d, (a, x) -> a + x) > 0
+                then '1' else '0' end), ''))"""
+    )
+
+
 @query(
     "ann_lsh_bucketed",
     oracle=_ORACLE_BASE
@@ -205,21 +225,7 @@ def q_ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
     cross-band union BEFORE the exact re-rank so each candidate is
     scored once. At 100 TB the (band, bucket) pair is the partition
     key of a pre-materialized index table."""
-    dim = 64
-    # band b, bit t → plane j = b*BITS+t; component i (1-based):
-    # ((i*31 + j*17) % 7) - 3 ∈ [-3, 3] — replayed verbatim in DuckDB.
-    bands_expr = F.expr(
-        f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
-              array_join(transform(sequence(0, {LSH_BITS - 1}), t ->
-                case when aggregate(
-                       zip_with(v,
-                                transform(sequence(1, {dim}),
-                                  i -> cast((i * 31 + (b * {LSH_BITS} + t) * 17) % 7 - 3
-                                            as double)),
-                                (x, y) -> x * y),
-                       0.0d, (a, x) -> a + x) > 0
-                then '1' else '0' end), ''))"""
-    )
+    bands_expr = lsh_band_signatures(dim=64)
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
@@ -318,6 +324,109 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "ann_knn_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j, list_transform(range(1, 65),
+               i -> CAST((i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+      FROM range(0, {LSH_BANDS * LSH_BITS}) AS r(j)
+    ),
+    sig AS (
+      SELECT e.vec_id, p.j // {LSH_BITS} AS band,
+             string_agg(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+                              i -> e.v[i] * p.p[i])) > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY p.j) AS bsig
+      FROM e, planes p GROUP BY e.vec_id, p.j // {LSH_BITS}
+    ),
+    cand AS (
+      SELECT DISTINCT qs.vec_id AS qid, s.vec_id
+      FROM sig qs JOIN sig s ON qs.band = s.band AND qs.bsig = s.bsig
+      WHERE qs.vec_id % 50 = 3 AND s.vec_id <> qs.vec_id
+    ),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * qe.v[i])) / (e.nrm * qe.nrm), 6) AS cosine
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN e qe ON qe.vec_id = c.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine, rk FROM ranked
+    WHERE rk <= {TOP_K} ORDER BY qid, rk
+    """,
+)
+def q_ann_knn_join(spark, sf_dir: str) -> DataFrame:
+    """Two-sided k-NN JOIN — the missing piece between ann_batch_topk
+    (query set small enough to BROADCAST) and real corpus-vs-corpus
+    retrieval/semantic-dedup, where BOTH sides scale with the data and
+    neither may broadcast. Shape: LSH-band signatures on both sides
+    (one scan each), a SHUFFLE equi-join on (band, bucket) — the only
+    corpus-sized exchange, co-partitioned by construction — candidate
+    dedup across bands, then exact cosine re-rank with a per-query
+    top-k window (partitioned by query id, never global).
+
+    Here the query side is the vec_id % 50 slice standing in for a
+    second table; at 100 TB both sides pre-materialize their
+    signatures partitioned by (band, bucket) and the join is
+    shuffle-free. Per-bucket fan-out is bounded by bucket size
+    (N/2^bits per band); a production corpus raises LSH_BITS so
+    buckets stay bounded while extra bands hold recall — banding math
+    identical to dedup_minhash_lsh. Candidates (and even LSH misses)
+    replay bit-for-bit in the DuckDB oracle via the deterministic
+    plane formula."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    bands = lsh_band_signatures(dim=64)
+    sigs = emb.select("vec_id", F.posexplode(bands).alias("band", "bsig"))
+    q_sigs = (
+        sigs.filter(F.col("vec_id") % 50 == 3)
+        .withColumnRenamed("vec_id", "qid")
+    )
+    cand = (
+        q_sigs.join(sigs, ["band", "bsig"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(qe, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
     )
 
 

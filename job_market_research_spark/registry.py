@@ -294,6 +294,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_sentence_stats",
     # round-5 additions
     "agg_sketch_prod",
+    "ann_knn_join",
 )
 
 

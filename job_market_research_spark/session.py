@@ -46,10 +46,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is TIMESTAMP(NANOS) which vanilla Spark refuses;
-        # read as long nanos and convert exactly in io.load (µs truncation
-        # matches DuckDB's ns→µs behavior).
+        # testdata events.ts has shipped as TIMESTAMP(NANOS) (vanilla
+        # Spark refuses: read as long nanos, io.load divides exactly)
+        # and as TIMESTAMP(MICROS, naive) (scan as NTZ, io.load casts
+        # under the UTC session timezone). Setting both here means
+        # sessions from this factory never rely on io.load's defensive
+        # conf-set path.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
