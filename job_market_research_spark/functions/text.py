@@ -136,16 +136,17 @@ def q_agg_word_freq(spark, sf_dir: str) -> DataFrame:
                     '^(.{3,}?)(izations|ization|izing|ized|izes|ings|ing|ed|s)$',
                     '\1')) AS t
            FROM t),
-    both_t AS (SELECT * FROM t UNION ALL SELECT * FROM st),
     shingles AS (
-      SELECT doc_id, unnest(t) AS token FROM both_t
+      SELECT doc_id, unnest(t) AS token FROM t
+      UNION ALL
+      SELECT doc_id, unnest(t) AS token FROM st
       UNION ALL
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
-                            i -> t[i] || ' ' || t[i+1])) FROM both_t
+                            i -> t[i] || ' ' || t[i+1])) FROM st
       UNION ALL
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-      FROM both_t
+      FROM st
       UNION ALL
       SELECT doc_id, unnest(list_transform(t, s -> s || 'e')) FROM st
     ),
@@ -173,14 +174,20 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
     "sorting" matches "sort" — via `stem` plus a stem+'e' candidate
     for e-elision, "merged" → "merg" → "merge").
 
-    tokenize → stem → shingle (1/2/3-grams over raw AND stemmed
-    tokens, + stem+'e' unigrams, in one projection) → broadcast join
-    against the lexicon → distinct matched (doc, skill) → collect
-    per-type skill sets. Order matters at scale: the broadcast join
-    prunes the widened shingle stream MAP-SIDE, so the only shuffled
-    rows are lexicon matches — deduping before the join would shuffle
-    the whole corpus-sized shingle stream instead (the shape this
-    query shipped with until round 4, ~3× slower at sf0.1)."""
+    tokenize → stem → candidates = raw unigrams + 1/2/3-grams over
+    the STEMMED token stream + stem+'e' unigrams, in one projection →
+    broadcast join against the lexicon → distinct matched (doc,
+    skill) → collect per-type skill sets. Grams are built from the
+    stemmed stream ONLY: lexicon entries are canonical surface forms
+    (stem-stable — the same contract spaCy's lemma-matching
+    PhraseMatcher puts on patterns), so raw-token grams add no
+    matches, just ~2× stream volume (measured: raw+stemmed grams
+    1.95 s, this shape 1.4 s, no-stem baseline 1.3 s at sf0.1).
+    Order matters at scale: the broadcast join prunes the widened
+    shingle stream MAP-SIDE, so the only shuffled rows are lexicon
+    matches — deduping before the join would shuffle the whole
+    corpus-sized shingle stream instead (the shape this query shipped
+    with until round 4, ~3× slower at sf0.1)."""
     lex = spark.createDataFrame(SKILL_LEXICON, ["nom", "type_skill"])
     # sequence(1, n) is DESCENDING when n < 1, so gate each shingle
     # arm on array size instead of relying on greatest().
@@ -195,12 +202,14 @@ def q_text_skill_ner(spark, sf_dir: str) -> DataFrame:
                  i -> concat_ws(' ', element_at({c}, i), element_at({c}, i + 1),
                                 element_at({c}, i + 2)))
              else array() end)"""
+    # Per-ROW array_distinct (map-side, pre-explode — NOT the
+    # corpus-wide shuffle dedup the docstring warns about): most
+    # tokens stem to themselves, so raw unigrams and stemmed unigrams
+    # overlap heavily.
     cand = F.expr(
-        "concat("
-        + _GRAMS.format(c="t")
-        + ", "
+        "array_distinct(concat(t, "
         + _GRAMS.format(c="ts")
-        + ", transform(ts, s -> concat(s, 'e')))"
+        + ", transform(ts, s -> concat(s, 'e'))))"
     )
     toks = (
         load(spark, sf_dir, "documents")
