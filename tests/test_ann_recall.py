@@ -76,3 +76,68 @@ def test_ivf_index_build_partition_pruning(spark, sf_dir):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_knn_join_candidates_contain_same_cluster_neighbors(spark, sf_dir):
+    """Two-sided kNN join sanity: each query's results come ONLY from
+    its LSH candidate set (approximate by design), ranks are dense
+    1..k' with k' <= TOP_K, and the returned cosines are genuinely the
+    best among candidates (rank 1 >= rank 2 >= ...)."""
+    from job_market_research_spark.ml.similarity import TOP_K, q_ann_knn_join
+
+    rows = q_ann_knn_join(spark, sf_dir).collect()
+    assert rows, "knn join returned nothing"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1)), qid
+        assert len(rs) <= TOP_K
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True), qid
+        assert all(r.vec_id != qid for r in rs), qid
+
+
+def test_knn_join_exactness_on_candidates(spark, sf_dir):
+    """For one query, the join's top result must equal the best
+    brute-force cosine among that query's LSH candidates — the re-rank
+    is exact even though candidate generation is approximate."""
+    from job_market_research_spark.ml.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+        lsh_band_signatures,
+        q_ann_knn_join,
+    )
+
+    out = q_ann_knn_join(spark, sf_dir)
+    first = out.orderBy("qid", "rk").first()
+    qid = first.qid
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    sigs = emb.select("vec_id", F.posexplode(lsh_band_signatures(64)).alias("band", "bsig"))
+    qsig = sigs.filter(F.col("vec_id") == qid).withColumnRenamed("vec_id", "qid")
+    cand = (
+        qsig.join(sigs, ["band", "bsig"])
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") == qid).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    best = (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .first()
+    )
+    assert best.vec_id == first.vec_id and best.c == first.cosine
