@@ -295,6 +295,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     # round-5 additions
     "agg_sketch_prod",
     "ann_knn_join",
+    "stream_cdc_apply",
 )
 
 

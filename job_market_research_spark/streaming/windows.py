@@ -282,6 +282,130 @@ def q_stream_static_join(spark, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("nation")
 
 
+def cdc_fold(rows: DataFrame, key: str = "k", seq: str = "seq") -> DataFrame:
+    """Fold CDC rows (target ∪ batch) to one max-ordinal row per key,
+    tombstones RETAINED. Pure function of the row set — associative and
+    arrival-order-independent, which is exactly the property that makes
+    the streaming apply equal the batch collapse under any micro-batch
+    split (pinned by tests/test_io_events.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS k,
+             o_orderstatus AS status,
+             o_totalprice AS price,
+             (o_orderkey * 13 + o_custkey) % 1000 AS seq,
+             CASE WHEN (o_orderkey * 13 + o_custkey) % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey AS k, 'X' AS status, o_totalprice * 2 AS price,
+             1000 + (o_orderkey % 7) AS seq,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    latest AS (
+      SELECT k, status, price, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM feed
+    )
+    SELECT k, status, price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the production upsert loop the batch
+    `merge_cdc_feed` collapse verifies: arriving change batches (same
+    deterministic two-wave I/U/D feed, staged as separate files) flow
+    through `foreachBatch`, each batch MERGEs into a copy-on-write
+    target (read current version dir, fold by max change-ordinal per
+    key, write the other dir, swap — the same rewrite a Delta MERGE
+    does). Two invariants make the apply safe at scale and are what
+    this query proves end-to-end:
+
+    - the target RETAINS tombstones (op='D' rows) and the persisted
+      `seq` ordinal, so a late-arriving lower-seq update in a LATER
+      micro-batch cannot resurrect a deleted key — last-writer-wins is
+      decided by the ordinal, never by arrival order;
+    - whatever the micro-batch split (maxFilesPerTrigger=1 forces one
+      batch per wave), the final state equals the pure-batch window
+      collapse — the driver checks it against the SAME oracle as
+      merge_cdc_feed.
+
+    Scale shape: each merge is one shuffle on the merge key over
+    |target|+|batch| rows; a bucketed target makes it a per-bucket
+    merge. The A/B directory swap is the parquet stand-in for a
+    transactional table format's atomic commit."""
+    from pyspark.sql import Window
+
+    root = scratch_dir("stream_cdc_apply")
+    src = os.path.join(root, "arrivals")
+    dirs = [os.path.join(root, "target_a"), os.path.join(root, "target_b")]
+
+    o = load(spark, sf_dir, "orders")
+    seq1 = (F.col("o_orderkey") * 13 + F.col("o_custkey")) % 1000
+    wave1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        seq1.alias("seq"),
+        F.when(seq1 % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    wave2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") * 2).alias("price"),
+        (F.lit(1000) + F.col("o_orderkey") % 7).alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+    )
+    wave1.write.mode("overwrite").parquet(os.path.join(src, "batch_0"))
+    wave2.write.mode("overwrite").parquet(os.path.join(src, "batch_1"))
+    wave1.limit(0).write.mode("overwrite").parquet(dirs[0])
+
+    cur = [0]  # index of the CURRENT (last-written) target version
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        existing = sess.read.parquet(dirs[cur[0]])
+        folded = cdc_fold(existing.unionByName(batch_df))
+        folded.write.mode("overwrite").parquet(dirs[1 - cur[0]])
+        cur[0] = 1 - cur[0]
+
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(dirs[cur[0]])
+    return (
+        final.filter(F.col("op") != "D")
+        .select("k", "status", "price")
+        .orderBy("k")
+    )
+
+
 @query(
     "stream_stream_join",
     oracle="""

@@ -140,3 +140,36 @@ def test_skill_ner_stem_recall(spark, tmp_path):
     assert "merge" in out[3].hard_skills.split(",")
     assert "hash join" in out[4].hard_skills.split(",")
     assert 5 not in out
+
+
+def test_cdc_fold_is_arrival_order_independent(spark):
+    """The streaming CDC apply's fold must give the same final state
+    whatever order batches arrive in — a tombstone applied early must
+    not be resurrected by a late-arriving LOWER-seq update, and vice
+    versa (seq decides, never arrival order)."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.streaming.windows import cdc_fold
+
+    schema = "k long, status string, price double, seq long, op string"
+    w1 = spark.createDataFrame(
+        [(1, "A", 10.0, 1, "I"), (2, "B", 20.0, 2, "I"), (3, "C", 30.0, 3, "I")],
+        schema,
+    )
+    w2 = spark.createDataFrame(
+        [(1, "X", 11.0, 9, "U"), (2, None, 0.0, 8, "D")], schema
+    )
+
+    def final(*batches):
+        state = spark.createDataFrame([], schema)
+        for b in batches:
+            state = cdc_fold(state.unionByName(b))
+        live = state.filter(F.col("op") != "D").select("k", "status", "price")
+        return {tuple(r) for r in live.collect()}
+
+    forward, backward = final(w1, w2), final(w2, w1)
+    assert forward == backward == {(1, "X", 11.0), (3, "C", 30.0)}
+    # key 2 is deleted at seq 8; replaying its seq-2 insert afterwards
+    # must NOT resurrect it
+    replay = final(w2, w1, w1)
+    assert replay == forward
