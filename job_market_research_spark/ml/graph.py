@@ -122,3 +122,117 @@ def q_graph_pagerank_lite(spark, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy(
         "node"
     )
+
+
+#: Shared SQL for the canonical undirected edge set of the synthetic
+#: link graph: drop self-loops, fold (a,b)/(b,a) into a<b, dedup.
+_UND_EDGES_SQL = f"""
+    docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+      FROM docs, unnest(generate_series(1, {PR_FANOUT})) AS t(k)
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    )
+"""
+
+
+def _undirected_edges(docs: DataFrame, n: int) -> DataFrame:
+    """Canonical undirected edges (a < b, deduped, no self-loops) of
+    the deterministic link graph."""
+    raw = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    return raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    ori AS (
+      -- orient each edge from the lower-(degree, id) endpoint
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t
+      FROM und u
+      JOIN deg da ON da.v = u.a
+      JOIN deg db ON db.v = u.b
+    ),
+    wedges AS (
+      SELECT e1.s AS x, e1.t AS y, e2.t AS z
+      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges
+    FROM wedges w
+    JOIN und c ON c.a = least(w.y, w.z) AND c.b = greatest(w.y, w.z)
+    """,
+    tags=("graph", "beyond"),
+)
+def q_graph_triangle_count(spark, sf_dir: str) -> DataFrame:
+    """Triangle count of the deterministic link graph via the
+    degree-oriented wedge-check algorithm (the MPC-friendly form used
+    by Suri-Vassilvitskii / Cohen's MapReduce triangle counters).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint, so every wedge is enumerated exactly once — at its
+    lowest-degree vertex. That caps the self-join fan-out at
+    O(sum d_v * d_max-oriented) ≈ O(m^1.5) regardless of skew: a
+    celebrity node with 10M neighbors contributes no wedges because
+    all its edges point INTO it. The wedge set then probes the edge
+    set with one equi-join. Three shuffles total (degree agg, wedge
+    self-join, closing-edge join), all on vertex/edge keys — no
+    broadcast of anything corpus-sized, no driver state. Returns the
+    scalar (n_triangles, n_edges) pair.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("s"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("t"),
+        )
+    )
+    e1 = ori.select(F.col("s"), F.col("t").alias("y"))
+    e2 = ori.select(F.col("s"), F.col("t").alias("z"))
+    wedges = e1.join(e2, "s").filter(F.col("y") < F.col("z"))
+    closed = wedges.join(
+        und,
+        (und.a == F.least("y", "z")) & (und.b == F.greatest("y", "z")),
+    )
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return closed.agg(F.count("*").cast("long").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )

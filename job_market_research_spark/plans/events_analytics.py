@@ -222,3 +222,82 @@ def q_window_activity_streak(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Trailing-window parameters for the z-score anomaly gate.
+ZS_LOOKBACK = 10
+ZS_MIN_N = 5
+ZS_THRESHOLD = 2.0
+
+
+@query(
+    "window_zscore_anomaly",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE)
+               AS sq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id, value, n,
+             (value - s / n)
+               / sqrt(greatest((sq - s * s / n) / (n - 1), 1e-12)) AS z
+      FROM st WHERE n >= {ZS_MIN_N}
+    )
+    SELECT event_id, user_id, value, round(z, 6) AS z
+    FROM z WHERE abs(z) > {ZS_THRESHOLD}
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_zscore_anomaly(spark, sf_dir: str) -> DataFrame:
+    """Per-user trailing z-score anomaly gate: each event's value is
+    scored against the mean/stddev of that user's previous
+    ZS_LOOKBACK events (current row excluded — no self-masking), and
+    events beyond ZS_THRESHOLD sigmas are flagged.
+
+    Determinism/scale shape: the window orders by the total (ts,
+    event_id) key; sum and sum-of-squares accumulate in exact DECIMAL
+    (order-independent), then mean/variance/sqrt are single
+    double-precision expressions identical on both engines. The
+    variance is clamped at 1e-12 before sqrt so fp cancellation on a
+    constant-valued window can't produce NaN (and constant windows
+    score z≈huge → flagged, which is the desired behavior for a
+    frozen sensor that suddenly moves). One shuffle on user_id, frame
+    bounded at ZS_LOOKBACK rows — O(1) state per row at any scale.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    dec = F.col("value").cast("decimal(28,10)")
+    st = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("sq"),
+    ).filter(F.col("n") >= ZS_MIN_N)
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        F.greatest(
+            (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            F.lit(1e-12),
+        )
+    )
+    return (
+        st.withColumn("z", z)
+        .filter(F.abs("z") > ZS_THRESHOLD)
+        .select("event_id", "user_id", "value", F.round("z", 6).alias("z"))
+        .orderBy("user_id", "event_id")
+    )

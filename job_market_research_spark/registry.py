@@ -296,6 +296,11 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_sketch_prod",
     "ann_knn_join",
     "stream_cdc_apply",
+    "text_bm25_topk",
+    "text_bpe_pair_counts",
+    "graph_triangle_count",
+    "window_zscore_anomaly",
+    "ann_rp_rerank",
 )
 
 
@@ -335,6 +340,7 @@ def load_all() -> dict[str, QuerySpec]:
         clustering,
         curation,
         graph,
+        ir,
         neardup,
         sampling,
         similarity,

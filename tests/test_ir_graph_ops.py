@@ -1,0 +1,127 @@
+"""Semantic checks for the round-5 IR / graph / anomaly / RP ops.
+
+Oracle parity is covered by test_oracle_parity's auto-parametrization;
+these tests pin the SEMANTICS: BM25 ranks term-bearing docs, BPE pairs
+really are adjacent bigrams, the oriented triangle count equals a
+naive all-triples count, the RP re-rank recovers the brute-force
+top-k, and every flagged anomaly clears the z threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.ml.graph import q_graph_triangle_count
+from job_market_research_spark.ml.ir import (
+    BM25_TERMS,
+    BM25_TOP_K,
+    BPE_TOP_PAIRS,
+    q_text_bm25_topk,
+    q_text_bpe_pair_counts,
+)
+from job_market_research_spark.ml.similarity import (
+    RP_CANDIDATES,
+    TOP_K,
+    q_ann_cosine_topk,
+    q_ann_rp_rerank,
+)
+from job_market_research_spark.plans.events_analytics import (
+    ZS_MIN_N,
+    ZS_THRESHOLD,
+    q_window_zscore_anomaly,
+)
+
+
+def test_bm25_scores_only_term_bearing_docs(spark, duck, sf_dir):
+    rows = q_text_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    # scores strictly positive and non-increasing
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # every returned doc contains at least one probe term
+    terms = set(BM25_TERMS)
+    ids = [r.doc_id for r in rows]
+    texts = dict(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+        .collect()
+    )
+    for d in ids:
+        assert terms & set(texts[d].split()), d
+
+
+def test_bpe_pairs_are_adjacent_bigrams(spark, duck, sf_dir):
+    rows = q_text_bpe_pair_counts(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BPE_TOP_PAIRS
+    assert all(len(r.pair) == 2 for r in rows)
+    # hand-check one pair against a direct corpus recount in DuckDB
+    pair, n = rows[0].pair, rows[0].n
+    (expect,) = duck.execute(
+        """
+        SELECT COALESCE(SUM(hits), 0) FROM (
+          SELECT (len(t) - len(replace(t, ?, ''))) // 2 AS hits
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        )
+        """,
+        [pair],
+    ).fetchone()
+    # replace-based recount misses overlapping occurrences (e.g. 'aaa'
+    # has two 'aa' pairs but one non-overlapping replace hit), so it
+    # is a lower bound.
+    assert n >= expect > 0, (pair, n, expect)
+
+
+def test_triangle_count_matches_naive_all_triples(spark, duck, sf_dir):
+    row = q_graph_triangle_count(spark, sf_dir).collect()[0]
+    (naive,) = duck.execute(
+        """
+        WITH docs AS (SELECT doc_id FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM docs),
+        raw AS (
+          SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+          FROM docs, unnest(generate_series(1, 3)) AS t(k)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        )
+        SELECT COUNT(*) FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """
+    ).fetchone()
+    assert row.n_triangles == naive
+    assert row.n_edges > 0
+
+
+def test_rp_rerank_recall_vs_brute_force(spark, sf_dir):
+    brute = {r.vec_id for r in q_ann_cosine_topk(spark, sf_dir).collect()}
+    rp = {r.vec_id for r in q_ann_rp_rerank(spark, sf_dir).collect()}
+    assert brute
+    # 32 splitmix64-seeded ±1 projections preserve enough geometry
+    # that the exact re-rank of RP_CANDIDATES recovers at least half
+    # the true top-k (deterministic on this corpus: 9/10 at sf0.001,
+    # 7/10 at sf0.01; a projection regression drops it to
+    # near-random ≈ TOP_K * CAND / N).
+    assert len(brute & rp) >= len(brute) // 2, (brute, rp)
+    assert len(rp) <= TOP_K
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    assert RP_CANDIDATES < n_corpus  # candidate budget prunes the corpus
+
+
+def test_zscore_anomalies_clear_threshold(spark, sf_dir):
+    rows = q_window_zscore_anomaly(spark, sf_dir).collect()
+    assert rows, "no anomalies flagged at smoke scale"
+    assert all(abs(r.z) > ZS_THRESHOLD for r in rows)
+    # flagged events are a strict subset of the corpus, and each user
+    # flagging anomalies has at least ZS_MIN_N + 1 events (the window
+    # needs ZS_MIN_N predecessors before it can score anything)
+    ev = load(spark, sf_dir, "events")
+    per_user = dict(
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    )
+    for r in rows:
+        assert per_user[r.user_id] >= ZS_MIN_N + 1
