@@ -236,3 +236,89 @@ def q_graph_triangle_count(spark, sf_dir: str) -> DataFrame:
     return closed.agg(F.count("*").cast("long").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as DuckDB SQL: each
+    node adopts the most frequent label among its neighbors, ties
+    broken by the smaller label."""
+    return f"""
+    {out} AS (
+      SELECT v, lab FROM (
+        SELECT nb.v, p.lab,
+               ROW_NUMBER() OVER (PARTITION BY nb.v
+                                  ORDER BY COUNT(*) DESC, p.lab) AS rk
+        FROM nbr nb JOIN {prev} p ON p.v = nb.nb
+        GROUP BY nb.v, p.lab
+      ) WHERE rk = 1
+    )"""
+
+
+def lpa_round(nbr: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: join neighbor lists with current
+    labels, count (node, neighbor-label) votes, keep the argmax with a
+    (count desc, label asc) tie-break. The vote count and the rank
+    window are both partitioned by node — no global windows."""
+    from pyspark.sql import Window
+
+    votes = (
+        nbr.join(labels.withColumnRenamed("v", "nb"), "nb")
+        .groupBy("v", "lab")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("n"), "lab")
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("v", "lab")
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    nbr AS (
+      SELECT a AS v, b AS nb FROM und
+      UNION ALL
+      SELECT b AS v, a AS nb FROM und
+    ),
+    l0 AS (SELECT doc_id AS v, doc_id AS lab FROM docs),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")}
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l2 GROUP BY lab
+    ORDER BY size DESC, community LIMIT 20
+    """,
+    tags=("graph", "beyond"),
+)
+def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the deterministic link graph: two unrolled
+    rounds, then the 20 largest communities.
+
+    Determinism: classic LPA breaks vote ties randomly; here ties go
+    to the SMALLER label via a (count desc, label) rank — retry- and
+    engine-stable. Scale shape per round: one co-partitioned join of
+    the neighbor list with the label table on node id (both sides
+    hash-partitioned by the same key — bucket the edge list once and
+    every round reuses the layout), one (node, label) vote count, one
+    node-partitioned rank window. Nothing corpus-sized is broadcast;
+    label tables stay |V|-sized. Iterations would checkpoint lineage
+    like `dedup_cluster_cc` does beyond 2 rounds.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nb"))
+    )
+    labels = docs.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lab"))
+    for _ in range(2):
+        labels = lpa_round(nbr, labels)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )

@@ -211,3 +211,100 @@ def q_text_bpe_pair_counts(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+#: Collocation-extraction knobs: report the PMI_TOP strongest adjacent
+#: bigrams seen at least PMI_MIN_COUNT times.
+PMI_MIN_COUNT = 5
+PMI_TOP = 30
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.tk AS token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok, unnest(t) AS u(tk) GROUP BY 1
+    ),
+    big AS (
+      SELECT t[i] AS x, t[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_uni,
+             (SELECT CAST(SUM(cxy) AS BIGINT) FROM big) AS n_big
+      FROM uni
+    )
+    SELECT b.x, b.y, b.cxy,
+           round(ln((CAST(b.cxy AS DOUBLE) * t.n_uni * t.n_uni)
+                    / (CAST(t.n_big AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+    FROM big b
+    JOIN uni ux ON ux.token = b.x
+    JOIN uni uy ON uy.token = b.y
+    CROSS JOIN tot t
+    WHERE b.cxy >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, b.x, b.y LIMIT {PMI_TOP}
+    """,
+    tags=("ir", "beyond"),
+)
+def q_text_pmi_collocations(spark, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over ADJACENT token
+    pairs — the standard multi-word-expression miner for building
+    tokenizer merge lists and phrase lexicons.
+
+    Adjacency (not within-doc all-pairs) keeps pair generation linear
+    in corpus tokens; both count tables aggregate with map-side
+    partials, the unigram table is vocab-sized (broadcast into the
+    bigram join), and the corpus totals ride one broadcast 1-row
+    aggregate. PMI = ln(c_xy·N²/(B·c_x·c_y)) computed as one double
+    expression over exact integer counts — counts are cast to DOUBLE
+    before multiplying so a 100 TB corpus (c·N² ≫ int64) cannot
+    overflow; identical expression order on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("t")
+    )
+    uni = (
+        docs.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        docs.select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS x, t[i] AS y))")
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        big.agg(F.sum("cxy").cast("long").alias("n_big"))
+    )
+    ux = uni.select(F.col("token").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("token").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        big.filter(F.col("cxy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.round(
+                F.log(
+                    (F.col("cxy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_big").cast("double") * F.col("cx") * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(PMI_TOP)

@@ -240,3 +240,66 @@ def q_sample_temperature_mixture(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Curriculum phases = quartiles of the document-length proxy.
+CURR_PHASES = (0.25, 0.5, 0.75)
+
+
+@query(
+    "sample_curriculum_order",
+    oracle="""
+    WITH qs AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    ),
+    phased AS (
+      SELECT d.doc_id, d.n_chars,
+             1 + CAST(d.n_chars > qs.q1 AS INT)
+               + CAST(d.n_chars > qs.q2 AS INT)
+               + CAST(d.n_chars > qs.q3 AS INT) AS phase,
+             ('0x' || substr(md5('curr|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS shuffle_key
+      FROM documents d CROSS JOIN qs
+    )
+    SELECT doc_id, phase, shuffle_key
+    FROM phased ORDER BY phase, shuffle_key, doc_id
+    """,
+)
+def q_sample_curriculum_order(spark, sf_dir: str) -> DataFrame:
+    """Curriculum schedule for training-data feeding: documents are
+    staged into 4 phases by length quartile (short/simple first — the
+    classic length-based curriculum proxy), deterministically shuffled
+    WITHIN each phase by a salted portable hash.
+
+    Scale shape: the quartile thresholds are one t-digest-swappable
+    aggregate broadcast as a 1-row crossJoin (no global sort, no
+    window); phase assignment is a map-side comparison; and the
+    "shuffle" is a stateless hash — the schedule is fully determined
+    by (doc_id), so retries, re-shards and incremental extensions of
+    the corpus never reorder existing phases. Emitting the sort KEY
+    instead of a dense global position is deliberate: a dense rank
+    would need a partitionBy-less window (single-partition at corpus
+    scale); downstream loaders order by (phase, shuffle_key) which
+    parquet range-partitions for free."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    qs = docs.agg(
+        F.percentile("n_chars", F.lit(CURR_PHASES[0])).alias("q1"),
+        F.percentile("n_chars", F.lit(CURR_PHASES[1])).alias("q2"),
+        F.percentile("n_chars", F.lit(CURR_PHASES[2])).alias("q3"),
+    )
+    phased = docs.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("phase"),
+        portable_hash(
+            F.concat_ws("|", F.lit("curr"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    return phased.orderBy("phase", "shuffle_key", "doc_id")

@@ -301,6 +301,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "window_zscore_anomaly",
     "ann_rp_rerank",
+    "text_pmi_collocations",
+    "graph_label_propagation",
+    "mv_incremental_refresh",
+    "sample_curriculum_order",
 )
 
 
@@ -320,6 +324,7 @@ def load_all() -> dict[str, QuerySpec]:
         cleaning,
         dedup,
         joins,
+        matview,
         nested,
         quality,
         scd,

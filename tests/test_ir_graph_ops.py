@@ -125,3 +125,80 @@ def test_zscore_anomalies_clear_threshold(spark, sf_dir):
     )
     for r in rows:
         assert per_user[r.user_id] >= ZS_MIN_N + 1
+
+
+def test_pmi_pairs_meet_min_count_and_positive(spark, sf_dir):
+    from job_market_research_spark.ml.ir import (
+        PMI_MIN_COUNT,
+        PMI_TOP,
+        q_text_pmi_collocations,
+    )
+
+    rows = q_text_pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP
+    assert all(r.cxy >= PMI_MIN_COUNT for r in rows)
+    # top collocation is positively associated (observed > chance)
+    assert rows[0].pmi > 0
+    # output is sorted by pmi desc
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_lpa_communities_partition_the_graph(spark, sf_dir):
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.graph import q_graph_label_propagation
+
+    rows = q_graph_label_propagation(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows
+    # top-20 community sizes are positive and cannot exceed the corpus
+    assert all(0 < r.size <= n_docs for r in rows)
+    assert sum(r.size for r in rows) <= n_docs
+    # propagation actually merged labels: fewer communities than nodes
+    assert rows[0].size > 1
+
+
+def test_mv_refresh_equals_full_recompute(spark, sf_dir):
+    from job_market_research_spark.io import load
+    from job_market_research_spark.operators.matview import (
+        q_mv_incremental_refresh,
+    )
+
+    merged = {
+        (r.event_type, r.day): (r.n, r.total)
+        for r in q_mv_incremental_refresh(spark, sf_dir).collect()
+    }
+    full = {
+        (r.event_type, r.day): (r.n, r.total)
+        for r in (
+            load(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        )
+    }
+    assert merged == full
+
+
+def test_curriculum_phases_balanced_and_deterministic(spark, sf_dir):
+    from job_market_research_spark.ml.sampling import q_sample_curriculum_order
+
+    rows = q_sample_curriculum_order(spark, sf_dir).collect()
+    assert {r.phase for r in rows} <= {1, 2, 3, 4}
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(r.phase for r in rows)
+    # quartile split: each phase holds a substantial share (ties can
+    # unbalance the exact quarters, but never collapse a phase)
+    assert all(sizes[p] >= n * 0.1 for p in sizes), sizes
+    # deterministic: re-running yields the identical schedule
+    again = q_sample_curriculum_order(spark, sf_dir).collect()
+    assert [(r.doc_id, r.phase, r.shuffle_key) for r in rows] == [
+        (r.doc_id, r.phase, r.shuffle_key) for r in again
+    ]
