@@ -303,3 +303,99 @@ def q_sample_curriculum_order(spark, sf_dir: str) -> DataFrame:
         ).alias("shuffle_key"),
     )
     return phased.orderBy("phase", "shuffle_key", "doc_id")
+
+
+#: Walk-forward CV: TSCV_FOLDS expanding-window folds over TSCV_FOLDS+1
+#: contiguous day blocks.
+TSCV_FOLDS = 4
+
+
+@query(
+    "sample_time_series_cv",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id, CAST(ts AS DATE) - DATE '1970-01-01' AS dayint
+      FROM events
+    ),
+    qs AS (
+      SELECT quantile_cont(dayint, 0.2) AS q1,
+             quantile_cont(dayint, 0.4) AS q2,
+             quantile_cont(dayint, 0.6) AS q3,
+             quantile_cont(dayint, 0.8) AS q4
+      FROM d
+    ),
+    blocks AS (
+      SELECT 1 + CAST(d.dayint > qs.q1 AS INT) + CAST(d.dayint > qs.q2 AS INT)
+               + CAST(d.dayint > qs.q3 AS INT) + CAST(d.dayint > qs.q4 AS INT)
+               AS block
+      FROM d CROSS JOIN qs
+    ),
+    bc AS (
+      SELECT block, CAST(COUNT(*) AS BIGINT) AS c FROM blocks GROUP BY block
+    ),
+    folds AS (SELECT k AS fold FROM generate_series(1, {TSCV_FOLDS}) AS g(k))
+    SELECT f.fold,
+           CAST(SUM(CASE WHEN bc.block <= f.fold THEN bc.c ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bc.block = f.fold + 1 THEN bc.c ELSE 0 END)
+                AS BIGINT) AS n_test
+    FROM folds f CROSS JOIN bc
+    GROUP BY f.fold ORDER BY f.fold
+    """,
+)
+def q_sample_time_series_cv(spark, sf_dir: str) -> DataFrame:
+    """Leakage-free walk-forward cross-validation folds over the event
+    stream: days are cut into TSCV_FOLDS+1 contiguous blocks at day
+    quantiles; fold k trains on blocks 1..k and tests on block k+1 —
+    train data always strictly precedes test data, the invariant
+    random K-fold silently violates on temporal data.
+
+    Scale shape: quantile thresholds are one aggregate (t-digest-
+    swappable) broadcast as a 1-row crossJoin; block assignment is a
+    map-side comparison; the fold summary is computed from the
+    (TSCV_FOLDS+1)-row block-count table, so nothing after the one
+    bounded-key aggregation touches corpus-sized data. Fold
+    membership is a pure function of the row's timestamp —
+    deterministic under retries and incremental appends (new days
+    only ever extend the last block until thresholds are re-fit)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "dayint"
+        )
+    )
+    qs = ev.agg(
+        *[
+            F.percentile("dayint", F.lit(q)).alias(f"q{i + 1}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8))
+        ]
+    )
+    blocks = ev.crossJoin(F.broadcast(qs)).select(
+        (
+            F.lit(1)
+            + (F.col("dayint") > F.col("q1")).cast("int")
+            + (F.col("dayint") > F.col("q2")).cast("int")
+            + (F.col("dayint") > F.col("q3")).cast("int")
+            + (F.col("dayint") > F.col("q4")).cast("int")
+        ).alias("block")
+    )
+    bc = blocks.groupBy("block").agg(F.count("*").alias("c"))
+    folds = spark.range(1, TSCV_FOLDS + 1).select(F.col("id").alias("fold"))
+    return (
+        folds.crossJoin(F.broadcast(bc))
+        .groupBy("fold")
+        .agg(
+            F.sum(
+                F.when(F.col("block") <= F.col("fold"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(F.col("block") == F.col("fold") + 1, F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+        .orderBy("fold")
+    )

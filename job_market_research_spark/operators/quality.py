@@ -428,3 +428,75 @@ def q_agg_duplication_profile(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _entropy_one(df: DataFrame, table: str, col: str) -> DataFrame:
+    """Shannon entropy of one categorical column as a 1-row frame:
+    value counts (bounded key space → map-side combine), then the
+    -Σ p·ln p fold over the tiny count table, each term made
+    order-independent by an exact-DECIMAL cast before summing."""
+    counts = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").cast("double").alias("n"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (
+            (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+        ).cast("decimal(28,14)").alias("t"),
+    )
+    return terms.groupBy().agg(
+        F.lit(f"{table}.{col}").alias("column_name"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(-F.sum("t").cast("double"), 6).alias("entropy"),
+        F.round(
+            -F.sum("t").cast("double") / F.log(F.count("*").cast("double")),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+def _entropy_one_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(-CAST(SUM(CAST((c / n) * ln(c / n) AS DECIMAL(28,14)))
+                       AS DOUBLE), 6) AS entropy,
+           round(-CAST(SUM(CAST((c / n) * ln(c / n) AS DECIMAL(28,14)))
+                       AS DOUBLE) / ln(CAST(COUNT(*) AS DOUBLE)), 6)
+             AS norm_entropy
+    FROM (
+      SELECT c, SUM(c) OVER () * 1.0 AS n FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM {table} GROUP BY {col}
+      )
+    )"""
+
+
+@query(
+    "profile_column_entropy",
+    oracle=f"""
+    SELECT * FROM (
+      {_entropy_one_sql("events", "event_type")}
+      UNION ALL
+      {_entropy_one_sql("documents", "lang")}
+      UNION ALL
+      {_entropy_one_sql("documents", "source")}
+    ) ORDER BY column_name
+    """,
+)
+def q_profile_column_entropy(spark, sf_dir: str) -> DataFrame:
+    """Shannon entropy (raw + normalized by ln(k)) of the key
+    categorical columns — the balance diagnostic a curation pipeline
+    runs before choosing mixture weights (a collapsed-entropy column
+    flags skewed crawls or broken extraction).
+
+    Each column costs one bounded-key-space aggregation with map-side
+    combine; the entropy fold itself runs over k rows (k = distinct
+    values), so the per-column cost at 100 TB is the scan, nothing
+    else. DECIMAL-cast terms keep the Σ p·ln p order-independent."""
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+    out = (
+        _entropy_one(ev, "events", "event_type")
+        .unionByName(_entropy_one(docs, "documents", "lang"))
+        .unionByName(_entropy_one(docs, "documents", "source"))
+    )
+    return out.orderBy("column_name")

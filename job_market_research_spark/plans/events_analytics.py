@@ -301,3 +301,117 @@ def q_window_zscore_anomaly(spark, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", F.round("z", 6).alias("z"))
         .orderBy("user_id", "event_id")
     )
+
+
+#: Trailing window width (days) for the sliding distinct-user metric.
+SLIDE_DAYS = 7
+
+
+@query(
+    "agg_sliding_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    mx AS (SELECT MAX(day) AS max_day FROM ud)
+    SELECT w.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS dau_{SLIDE_DAYS}d
+    FROM days w
+    JOIN ud u ON u.day BETWEEN w.day - {SLIDE_DAYS - 1} AND w.day
+    GROUP BY w.day ORDER BY w.day
+    """,
+)
+def q_agg_sliding_distinct_users(spark, sf_dir: str) -> DataFrame:
+    """Trailing {SLIDE}-day distinct active users per day — the
+    rolling-DAU metric. COUNT(DISTINCT) does not decompose over
+    sliding windows, so the scalable plan inverts the membership:
+    each distinct (user, day) pair is exploded into the ≤SLIDE_DAYS
+    window-days it contributes to, then one two-phase distinct count
+    per window-day. Shuffle volume is SLIDE_DAYS × |user-days| — 
+    linear, bounded fan-out, no self-join of the event table and no
+    per-window rescans. Window-days past the observed max are dropped
+    via a broadcast 1-row max (they would report partial futures).
+    At 100 TB the same shape runs with an HLL sketch per window-day
+    (`agg_sketch_prod`) instead of the exact distinct."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("max_day"))
+    exploded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), SLIDE_DAYS - 1)
+            )
+        ).alias("wday"),
+    )
+    days = ud.select(F.col("day").alias("wday")).distinct()
+    return (
+        exploded.join(days, "wday")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("wday") <= F.col("max_day"))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias(f"dau_{SLIDE_DAYS}d")
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "agg_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           round(CAST(t.n AS DOUBLE) / o.n_out, 6) AS p
+    FROM trans t JOIN tot o USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_agg_event_transitions(spark, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event flows:
+    counts and conditional probabilities of (prev event type → next
+    event type) under the total per-user (ts, event_id) order.
+
+    One shuffle on user_id for the lag window, then the transition
+    count collapses to an event-type² key space — bounded — so the
+    aggregation is map-side-combine dominated; row totals join back
+    as a broadcast dictionary. Probabilities = exact int counts
+    divided once in double, round-6."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("n_out"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("n_out"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

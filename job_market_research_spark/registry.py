@@ -305,6 +305,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "mv_incremental_refresh",
     "sample_curriculum_order",
+    "agg_sliding_distinct_users",
+    "agg_event_transitions",
+    "profile_column_entropy",
+    "sample_time_series_cv",
 )
 
 

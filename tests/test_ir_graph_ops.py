@@ -202,3 +202,77 @@ def test_curriculum_phases_balanced_and_deterministic(spark, sf_dir):
     assert [(r.doc_id, r.phase, r.shuffle_key) for r in rows] == [
         (r.doc_id, r.phase, r.shuffle_key) for r in again
     ]
+
+
+def test_sliding_dau_bounds(spark, sf_dir):
+    from job_market_research_spark.io import load
+    from job_market_research_spark.plans.events_analytics import (
+        SLIDE_DAYS,
+        q_agg_sliding_distinct_users,
+    )
+
+    rows = q_agg_sliding_distinct_users(spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events")
+    daily = dict(
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    )
+    total_users = ev.select("user_id").distinct().count()
+    col = f"dau_{SLIDE_DAYS}d"
+    for r in rows:
+        v = r[col]
+        # window count >= that single day's count, <= corpus users
+        assert daily.get(r.day, 0) <= v <= total_users, r
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_event_transitions,
+    )
+
+    rows = q_agg_event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_prev[r.prev_type] += r.p
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_entropy_normalized_in_unit_interval(spark, sf_dir):
+    from job_market_research_spark.operators.quality import (
+        q_profile_column_entropy,
+    )
+
+    rows = q_profile_column_entropy(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_distinct > 1
+        assert 0 <= r.entropy
+        assert 0 <= r.norm_entropy <= 1 + 1e-9, r
+
+
+def test_tscv_folds_expand_and_never_leak(spark, sf_dir):
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.sampling import (
+        TSCV_FOLDS,
+        q_sample_time_series_cv,
+    )
+
+    rows = q_sample_time_series_cv(spark, sf_dir).collect()
+    assert len(rows) == TSCV_FOLDS
+    n_events = load(spark, sf_dir, "events").count()
+    prev_train = 0
+    for r in sorted(rows, key=lambda r: r.fold):
+        # expanding window: each fold trains on strictly more data
+        assert r.n_train > prev_train
+        assert r.n_test > 0
+        assert r.n_train + r.n_test <= n_events
+        prev_train = r.n_train
