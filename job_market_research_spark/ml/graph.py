@@ -322,3 +322,92 @@ def q_graph_label_propagation(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(20)
     )
+
+
+#: k-core threshold: nodes below KCORE_K degree peel off per round.
+KCORE_K = 6
+KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    """One peel: keep nodes whose degree WITHIN the surviving subgraph
+    is >= K; the edge set shrinks to edges between survivors."""
+    return f"""
+    {out} AS (
+      SELECT v FROM (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT e.a AS v FROM und e
+          JOIN {prev} s1 ON s1.v = e.a JOIN {prev} s2 ON s2.v = e.b
+          UNION ALL
+          SELECT e.b AS v FROM und e
+          JOIN {prev} s1 ON s1.v = e.a JOIN {prev} s2 ON s2.v = e.b
+        ) GROUP BY v
+      ) WHERE d >= {KCORE_K}
+    )"""
+
+
+def kcore_round(und: DataFrame, alive: DataFrame) -> DataFrame:
+    """One synchronous peel round on the surviving node set: restrict
+    edges to alive×alive (two co-partitioned semi-joins), recount
+    degrees, keep nodes at/above KCORE_K."""
+    sa = alive.select(F.col("v").alias("a"))
+    sb = alive.select(F.col("v").alias("b"))
+    live_edges = und.join(sa, "a", "left_semi").join(sb, "b", "left_semi")
+    deg = (
+        live_edges.select(F.col("a").alias("v"))
+        .unionAll(live_edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.filter(F.col("d") >= KCORE_K).select("v")
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    s0 AS (SELECT doc_id AS v FROM docs),
+    {_kcore_round_sql("s0", "s1")},
+    {_kcore_round_sql("s1", "s2")},
+    {_kcore_round_sql("s2", "s3")}
+    SELECT * FROM (
+      SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_alive FROM s0
+      UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    ) ORDER BY round
+    """,
+    tags=("graph", "beyond"),
+)
+def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (the Batagelj–
+    Zaveršnik cascade, unrolled {KCORE_ROUNDS} rounds): nodes whose
+    degree in the SURVIVING subgraph falls below KCORE_K are removed,
+    which lowers their neighbors' degrees and cascades. The k-core is
+    the coreness filter crawl-graph curation uses to separate densely
+    cross-linked hubs from peripheral pages.
+
+    Scale shape per round: two left-semi joins restrict the edge list
+    to the alive set (both sides keyed on node id — bucket the edge
+    list once, every round reuses the layout; the alive table only
+    shrinks), one degree aggregation, one filter. No broadcasts of
+    corpus-sized sides, no driver state beyond the loop counter; a
+    to-fixpoint variant adds the `dedup_cluster_cc` checkpoint
+    discipline. Returns the survivor count per round — strictly
+    non-increasing, engine-exact."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    alive = docs.select(F.col("doc_id").alias("v"))
+    counts = [alive.agg(F.count("*").cast("long").alias("n_alive")).select(F.lit(0).alias("round"), "n_alive")]
+    for r in range(1, KCORE_ROUNDS + 1):
+        alive = kcore_round(und, alive)
+        counts.append(
+            alive.agg(F.count("*").cast("long").alias("n_alive")).select(
+                F.lit(r).alias("round"), "n_alive"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")

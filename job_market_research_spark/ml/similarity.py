@@ -619,3 +619,153 @@ def q_ann_rp_rerank(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: Product quantization geometry: PQ_M subspaces of (64 / PQ_M) dims,
+#: PQ_K centroids per subspace. The demo codebook is the subvectors of
+#: vec_ids 1..PQ_K — a deterministic, oracle-replayable stand-in for a
+#: trained k-means codebook (swap in `ml_kmeans_lite` per subspace at
+#: scale; the plan shape is identical).
+PQ_M = 8
+PQ_K = 16
+PQ_SUBDIM = 64 // PQ_M
+PQ_CANDIDATES = 120
+
+
+def _pq_subvectors(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Explode a 64-dim double-array column into PQ_M (s, subvec)
+    rows. `slice` is 1-based."""
+    return df.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), s ->"
+                f" struct(s AS s, slice({vec_col}, s * {PQ_SUBDIM} + 1,"
+                f" {PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("sp"),
+    ).select("*", F.col("sp.s").alias("s"), F.col("sp.sub").alias("sub")).drop("sp")
+
+
+_PQ_D2 = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0.0d, (acc, x) -> acc + x), 6)"
+)
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_ORACLE_BASE
+    + f"""
+    , sub AS (
+      SELECT vec_id, s, v[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+      FROM e, unnest(generate_series(0, {PQ_M - 1})) AS g(s)
+    ),
+    cent AS (
+      SELECT vec_id AS c, s, sub AS csub FROM sub
+      WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    qsub AS (
+      SELECT s.s, s.c, s.csub,
+             round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (q.qv[s.s * {PQ_SUBDIM} + i] - s.csub[i])
+                        * (q.qv[s.s * {PQ_SUBDIM} + i] - s.csub[i]))), 6) AS dq
+      FROM cent s, q
+    ),
+    assign AS (
+      SELECT vec_id, s, c, dq, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, s ORDER BY d, c) AS rk
+      FROM (
+        SELECT sub.vec_id, sub.s, qs.c, qs.dq,
+               round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                     i -> (sub.sub[i] - qs.csub[i])
+                          * (sub.sub[i] - qs.csub[i]))), 6) AS d
+        FROM sub JOIN qsub qs ON qs.s = sub.s
+        WHERE sub.vec_id <> {QUERY_VEC_ID}
+      )
+    ),
+    adc AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(dq AS DECIMAL(18,6))) AS DOUBLE) AS approx_d2
+      FROM assign WHERE rk = 1 GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT vec_id FROM adc ORDER BY approx_d2, vec_id LIMIT {PQ_CANDIDATES}
+    )
+    SELECT e.vec_id, {_ORACLE_COSINE} AS cosine
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_pq_topk(spark, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors are coded
+    as PQ_M per-subspace centroid ids, query-to-doc distance is
+    approximated by the asymmetric distance computation (ADC) — sum of
+    precomputed query-to-centroid subdistances looked up by code — and
+    the best PQ_CANDIDATES are re-ranked exactly.
+
+    Why this is THE 100 TB ANN shape: codes are PQ_M small ints per
+    vector (32× smaller than the float column — the scan reads codes,
+    not embeddings), the ADC table is PQ_M × PQ_K floats broadcast to
+    every task, and code assignment is a groupBy-min over a
+    broadcast-joined centroid table — map-side combinable, one corpus
+    shuffle on vec_id. Assignment argmin uses a (rounded-distance,
+    centroid-id) struct-min so ties are engine-stable; ADC sums in
+    exact DECIMAL. In production the codebook comes from per-subspace
+    k-means (`ml_kmeans_lite` shape) and codes are materialized
+    alongside the corpus; here the codebook is the deterministic
+    first-PQ_K subvectors so DuckDB replays training end-to-end."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    sub = _pq_subvectors(emb).select("vec_id", "s", "sub")
+    qv = _query_vector(spark, sf_dir)
+    qsub = _pq_subvectors(qv, "qv").select(
+        "s", F.col("sub").alias("qs")
+    )
+    cent = (
+        sub.filter(F.col("vec_id").between(1, PQ_K))
+        .select(F.col("vec_id").alias("c"), "s", F.col("sub").alias("csub"))
+        .join(F.broadcast(qsub), "s")
+        .select(
+            "s",
+            "c",
+            "csub",
+            F.expr(_PQ_D2.format(a="csub", b="qs")).alias("dq"),
+        )
+    )
+    assign = (
+        sub.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(cent), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(
+                F.expr(_PQ_D2.format(a="sub", b="csub")).alias("d"),
+                F.col("c").alias("c"),
+                F.col("dq").alias("dq"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("dc").alias("best"))
+    )
+    adc = assign.groupBy("vec_id").agg(
+        F.sum(F.col("best.dq").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("approx_d2")
+    )
+    cand = adc.orderBy("approx_d2", "vec_id").limit(PQ_CANDIDATES)
+    exact = cand.join(emb, "vec_id").crossJoin(
+        F.broadcast(qv.withColumn("qnrm", l2_norm(F.col("qv"))))
+    )
+    return (
+        exact.select(
+            "vec_id",
+            cosine(
+                F.col("v"), F.col("qv"), l2_norm(F.col("v")), F.col("qnrm")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -309,6 +309,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_event_transitions",
     "profile_column_entropy",
     "sample_time_series_cv",
+    "ann_pq_topk",
+    "graph_kcore_peel",
 )
 
 

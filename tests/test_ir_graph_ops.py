@@ -276,3 +276,36 @@ def test_tscv_folds_expand_and_never_leak(spark, sf_dir):
         assert r.n_test > 0
         assert r.n_train + r.n_test <= n_events
         prev_train = r.n_train
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    from job_market_research_spark.ml.similarity import (
+        PQ_CANDIDATES,
+        q_ann_pq_topk,
+    )
+
+    brute = {r.vec_id for r in q_ann_cosine_topk(spark, sf_dir).collect()}
+    pq = {r.vec_id for r in q_ann_pq_topk(spark, sf_dir).collect()}
+    assert brute
+    # ADC over an 8x16 codebook + exact re-rank of PQ_CANDIDATES must
+    # recover at least half the true top-k on this corpus
+    assert len(brute & pq) >= len(brute) // 2, (brute, pq)
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    assert PQ_CANDIDATES < n_corpus
+
+
+def test_kcore_counts_monotone_and_cascading(spark, sf_dir):
+    from job_market_research_spark.ml.graph import (
+        KCORE_ROUNDS,
+        q_graph_kcore_peel,
+    )
+
+    rows = sorted(
+        q_graph_kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    assert len(rows) == KCORE_ROUNDS + 1
+    counts = [r.n_alive for r in rows]
+    # peeling is monotone non-increasing and the first round removes
+    # the planted sub-K nodes
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[1] < counts[0], counts
