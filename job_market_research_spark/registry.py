@@ -311,6 +311,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "sample_time_series_cv",
     "ann_pq_topk",
     "graph_kcore_peel",
+    "multimodal_phash_cluster",
 )
 
 

@@ -309,3 +309,30 @@ def test_kcore_counts_monotone_and_cascading(spark, sf_dir):
     # the planted sub-K nodes
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[1] < counts[0], counts
+
+
+def test_phash_clusters_are_real_duplicates(spark, sf_dir):
+    """Every reported cluster's representative must share its exact
+    aHash with cluster_size-1 other images, and re-hashing the
+    representative through the REAL codec path reproduces the bands."""
+    from job_market_research_spark.multimodal.real_media import (
+        PHASH_SCHEMA,
+        _ahash_bands,
+        q_multimodal_phash_cluster,
+    )
+
+    clusters = q_multimodal_phash_cluster(spark, sf_dir).collect()
+    assert clusters, "no perceptual-duplicate clusters at smoke scale"
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashes = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in docs.mapInPandas(_ahash_bands, schema=PHASH_SCHEMA).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(hashes.values())
+    for c in clusters:
+        key = (c.b0, c.b1, c.b2, c.b3)
+        assert sizes[key] == c.cluster_size, c
+        assert hashes[c.rep_doc_id] == key
+        assert all(0 <= b < 1 << 16 for b in key)
