@@ -53,7 +53,10 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
       WHERE t <> ''
     ),
     dl AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS dl
+      FROM documents
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -107,7 +110,15 @@ def q_text_bm25_topk(spark, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Document length is a map-side array size — NO token explode, NO
+    # doc_id shuffle (the only corpus-sized shuffle left is the
+    # term-filtered tf aggregation).
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
