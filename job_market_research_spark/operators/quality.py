@@ -500,3 +500,53 @@ def q_profile_column_entropy(spark, sf_dir: str) -> DataFrame:
         .unionByName(_entropy_one(docs, "documents", "source"))
     )
     return out.orderBy("column_name")
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS qi_priority,
+             CAST(year(o_orderdate) AS BIGINT) AS qi_year,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows,
+           CAST(MIN(qi_priority) AS VARCHAR) AS example_priority
+    FROM g GROUP BY l ORDER BY l
+    """,
+)
+def q_privacy_l_diversity(spark, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion to `privacy_k_anonymity`:
+    k-anonymity bounds GROUP SIZE, but a large group whose sensitive
+    attribute (order status) is constant still leaks it; l-diversity
+    counts DISTINCT sensitive values per quasi-identifier group
+    (priority × order year) and reports the l-histogram. Groups at
+    l = 1 are the disclosure risk a release gate must suppress.
+
+    Two bounded aggregations: per-QI distinct count (two-phase, so
+    the distinct runs map-side first), then an l-cardinality rollup.
+    Nothing after the first aggregation touches corpus-sized data."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("qi_priority"),
+            F.year("o_orderdate").cast("long").alias("qi_year"),
+        )
+        .agg(
+            F.count_distinct("o_orderstatus").cast("long").alias("l"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+            F.min("qi_priority").cast("string").alias("example_priority"),
+        )
+        .orderBy("l")
+    )

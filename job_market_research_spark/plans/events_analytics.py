@@ -415,3 +415,184 @@ def q_agg_event_transitions(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+#: Rolling-median frame: current row + the ROLLMED_LOOKBACK before it.
+ROLLMED_LOOKBACK = 10
+ROLLMED_MIN_N = 5
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_id, user_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             round(quantile_cont(value, 0.5) OVER w, 6) AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLLMED_LOOKBACK} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, med FROM st
+    WHERE n >= {ROLLMED_MIN_N} ORDER BY user_id, event_id
+    """,
+)
+def q_window_rolling_median(spark, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of event values — the robust companion
+    to `window_zscore_anomaly` (a median baseline shrugs off the very
+    outliers a mean-based z-score is distorted by).
+
+    One shuffle on user_id, frame bounded at ROLLMED_LOOKBACK+1 rows
+    → O(frame log frame) per row, O(1) state. Exact interpolated
+    percentile over the frame is engine-identical (proven by
+    `agg_percentiles`); at 100 TB the same call shape swaps to
+    `approx_percentile` t-digests. Total (ts, event_id) frame order
+    keeps results retry-stable."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLMED_LOOKBACK, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med"),
+        )
+        .filter(F.col("n") >= ROLLMED_MIN_N)
+        .select("event_id", "user_id", "med")
+        .orderBy("user_id", "event_id")
+    )
+
+
+#: Equal-width histogram bins per event type.
+HIST_BINS = 10
+
+
+@query(
+    "agg_value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CAST(least({HIST_BINS - 1},
+                  floor((e.value - b.mn) * {HIST_BINS} / (b.mx - b.mn)))
+               AS BIGINT) AS bin,
+             b.mn, b.mx
+      FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type, bin,
+           round(mn + bin * (mx - mn) / {HIST_BINS}, 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin, mn, mx
+    ORDER BY event_type, bin
+    """,
+)
+def q_agg_value_histogram(spark, sf_dir: str) -> DataFrame:
+    """Equal-width per-type value histogram — the one-pass profiling
+    staple (drift baselines, bin boundaries for equi-width bucketing).
+
+    Two aggregations, both bounded: per-type min/max (|types| rows,
+    broadcast back), then a (type, bin) count whose key space is
+    |types| × HIST_BINS — pure map-side combine territory. The bin
+    expression is one double multiply/divide identical on both
+    engines; the top bin absorbs value == max via `least`."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "mn",
+        "mx",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                * HIST_BINS
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin", "mn", "mx")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(
+                F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn")) / HIST_BINS,
+                6,
+            ).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@query(
+    "agg_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+                 / COUNT(gap_us) / 1e6, 6) AS avg_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_interarrival_stats(spark, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: each event's
+    gap to the SAME USER's previous event (any type), aggregated by
+    the current event's type — mean plus exact p50/p90.
+
+    One lag window on user_id (integer microsecond arithmetic — no
+    float time math), then a |types|-cardinality aggregation; gap
+    sums ride DECIMAL, percentiles are the proven exact-interpolation
+    call (t-digest-swappable at 100 TB)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_us").cast("decimal(28,0)")).cast("double")
+                / F.count("gap_us")
+                / 1e6,
+                6,
+            ).alias("avg_gap_s"),
+            F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -312,6 +312,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "graph_kcore_peel",
     "multimodal_phash_cluster",
+    "window_rolling_median",
+    "agg_value_histogram",
+    "agg_interarrival_stats",
+    "privacy_l_diversity",
 )
 
 

@@ -336,3 +336,70 @@ def test_phash_clusters_are_real_duplicates(spark, sf_dir):
         assert sizes[key] == c.cluster_size, c
         assert hashes[c.rep_doc_id] == key
         assert all(0 <= b < 1 << 16 for b in key)
+
+
+def test_rolling_median_is_robust_to_window_outliers(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_window_rolling_median,
+        q_window_zscore_anomaly,
+    )
+
+    med = q_window_rolling_median(spark, sf_dir).collect()
+    assert med
+    # medians land inside the observed global value range
+    vals = load(spark, sf_dir, "events").agg(
+        F.min("value"), F.max("value")
+    ).collect()[0]
+    assert all(vals[0] <= r.med <= vals[1] for r in med)
+
+
+def test_value_histogram_partitions_the_type(spark, sf_dir):
+    from collections import defaultdict
+
+    from job_market_research_spark.plans.events_analytics import (
+        HIST_BINS,
+        q_agg_value_histogram,
+    )
+
+    rows = q_agg_value_histogram(spark, sf_dir).collect()
+    per_type = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.bin < HIST_BINS
+        per_type[r.event_type] += r.n
+    totals = dict(
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert per_type == totals  # every event lands in exactly one bin
+
+
+def test_interarrival_percentiles_ordered(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_interarrival_stats,
+    )
+
+    rows = q_agg_interarrival_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.p50_gap_s <= r.p90_gap_s
+        assert r.avg_gap_s > 0
+
+
+def test_l_diversity_histogram_covers_all_groups(spark, sf_dir):
+    from job_market_research_spark.operators.quality import (
+        q_privacy_l_diversity,
+    )
+
+    rows = q_privacy_l_diversity(spark, sf_dir).collect()
+    assert rows
+    orders = load(spark, sf_dir, "orders")
+    n_groups = (
+        orders.select("o_orderpriority", F.year("o_orderdate")).distinct().count()
+    )
+    assert sum(r.n_groups for r in rows) == n_groups
+    assert sum(r.n_rows for r in rows) == orders.count()
+    n_statuses = orders.select("o_orderstatus").distinct().count()
+    assert all(1 <= r.l <= n_statuses for r in rows)
