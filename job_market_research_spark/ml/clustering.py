@@ -160,3 +160,71 @@ def q_ml_kmeans_lite(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "ml_ols_closed_form",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))
+                      * CAST(hour(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY event_type
+    """,
+)
+def q_ml_ols_closed_form(spark, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (value ~ hour-of-day) via the
+    closed-form normal equations — "model training as one
+    aggregation", the pattern that makes simple supervised fits free
+    at 100 TB: the ONLY pass over the data collects the five moment
+    sums (n, Σx, Σy, Σx², Σxy, Σy²) in exact DECIMAL (map-side
+    partials, order-independent), and slope/intercept/R² are a few
+    double expressions over the per-group 1-row results.
+
+    Any fixed feature set fits the same shape (k features → the
+    k×k X'X moment matrix as k(k+1)/2 sum columns); the driver never
+    sees row data, only the moment table."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("decimal(28,10)").alias("x"),
+        F.col("value").cast("decimal(28,10)").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num * num
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")

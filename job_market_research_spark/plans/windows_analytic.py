@@ -508,3 +508,121 @@ def q_window_ntile_bucket(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+#: Skyline grid: price range cut into SKY_BUCKETS equal-width cells.
+SKY_BUCKETS = 64
+
+
+@query(
+    "window_skyline_pareto",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderdate AS d
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    bounds AS (SELECT MIN(price) AS mn, MAX(price) AS mx FROM pts),
+    binned AS (
+      SELECT p.*, CAST(least({SKY_BUCKETS - 1},
+                   floor((p.price - b.mn) * {SKY_BUCKETS} / (b.mx - b.mn)))
+                 AS BIGINT) AS bucket
+      FROM pts p CROSS JOIN bounds b
+    ),
+    bmax AS (
+      SELECT bucket, MAX(d) AS m FROM binned GROUP BY bucket
+    ),
+    suffix AS (
+      SELECT bucket,
+             MAX(m) OVER (ORDER BY bucket DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS s_excl
+      FROM bmax
+    ),
+    flagged AS (
+      SELECT bn.o_orderkey, bn.price, bn.d,
+             MAX(bn.d) OVER (PARTITION BY bn.bucket
+                             ORDER BY CAST(round(bn.price * 100) AS BIGINT)
+                             RANGE BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING) AS in_bucket_max,
+             sf.s_excl
+      FROM binned bn JOIN suffix sf USING (bucket)
+    )
+    SELECT o_orderkey, price, d
+    FROM flagged
+    WHERE (in_bucket_max IS NULL OR in_bucket_max <= d)
+      AND (s_excl IS NULL OR s_excl <= d)
+    ORDER BY price DESC, o_orderkey
+    """,
+)
+def q_window_skyline_pareto(spark, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders maximizing (price,
+    date): a point survives iff no other point has BOTH strictly
+    higher price and strictly later date — the classic multi-criteria
+    shortlist query (best trade-offs, no scoring function).
+
+    Scale shape (grid-pruned dominance, not the quadratic
+    NOT-EXISTS): prices are cut into SKY_BUCKETS cells (bounds = one
+    broadcast 1-row agg). Cross-cell dominance collapses to the
+    SUFFIX MAX of per-cell date maxima over the 64-row cell table —
+    every point in a strictly higher cell has strictly higher price,
+    so one scalar per cell decides it. Within-cell dominance is a
+    cell-PARTITIONED window with a strictly-higher-price RANGE frame
+    (prices are money: both engines order by round(price·100) as an
+    integer-cents key and use `1 FOLLOWING` — strict inequality with
+    no float range frames). No global window, no self-join: one
+    shuffle on the cell id, frames bounded by cell population. The
+    10%-sample predicate keeps the oracle twin fast; drop it and the
+    plan is unchanged."""
+    pts = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("d"),
+        )
+    )
+    bounds = pts.agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
+    binned = pts.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "price",
+        "d",
+        F.least(
+            F.lit(SKY_BUCKETS - 1),
+            F.floor(
+                (F.col("price") - F.col("mn")) * SKY_BUCKETS / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    bmax = binned.groupBy("bucket").agg(F.max("d").alias("m"))
+    w_suffix = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix = bmax.select("bucket", F.max("m").over(w_suffix).alias("s_excl"))
+    w_cell = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rangeBetween(Window.currentRow + 1, Window.unboundedFollowing)
+    )
+    flagged = binned.join(F.broadcast(suffix), "bucket").select(
+        "o_orderkey",
+        "price",
+        "d",
+        F.max(F.col("d")).over(
+            Window.partitionBy("bucket")
+            .orderBy(F.round(F.col("price") * 100).cast("long"))
+            .rangeBetween(1, Window.unboundedFollowing)
+        ).alias("in_bucket_max"),
+        "s_excl",
+    )
+    return (
+        flagged.filter(
+            (F.col("in_bucket_max").isNull() | (F.col("in_bucket_max") <= F.col("d")))
+            & (F.col("s_excl").isNull() | (F.col("s_excl") <= F.col("d")))
+        )
+        .select("o_orderkey", "price", "d")
+        .orderBy(F.desc("price"), "o_orderkey")
+    )

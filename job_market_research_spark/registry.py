@@ -316,6 +316,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_value_histogram",
     "agg_interarrival_stats",
     "privacy_l_diversity",
+    "ml_ols_closed_form",
+    "window_skyline_pareto",
 )
 
 

@@ -403,3 +403,60 @@ def test_l_diversity_histogram_covers_all_groups(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == orders.count()
     n_statuses = orders.select("o_orderstatus").distinct().count()
     assert all(1 <= r.l <= n_statuses for r in rows)
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, duck, sf_dir):
+    """Cross-check the grid-pruned skyline against the O(n²)
+    NOT-EXISTS definition in DuckDB."""
+    from job_market_research_spark.plans.windows_analytic import (
+        q_window_skyline_pareto,
+    )
+
+    got = {
+        (r.o_orderkey) for r in q_window_skyline_pareto(spark, sf_dir).collect()
+    }
+    naive = {
+        r[0]
+        for r in duck.execute(
+            """
+            WITH pts AS (
+              SELECT o_orderkey, o_totalprice AS price, o_orderdate AS d
+              FROM orders WHERE o_orderkey % 10 = 0
+            )
+            SELECT p.o_orderkey FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.price > p.price AND q.d > p.d
+            )
+            """
+        ).fetchall()
+    }
+    assert got == naive
+    assert 0 < len(got) < duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0"
+    ).fetchone()[0]
+
+
+def test_ols_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.ml.clustering import q_ml_ols_closed_form
+
+    rows = q_ml_ols_closed_form(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("x"), "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append((r.x, r.value))
+    for r in rows:
+        xs, ys = zip(*by_type[r.event_type])
+        b, a = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        assert abs(r.slope - b) < 1e-4, (r.event_type, r.slope, b)
+        assert abs(r.intercept - a) < 1e-3, (r.event_type, r.intercept, a)
+        assert 0 <= r.r2 <= 1

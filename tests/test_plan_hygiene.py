@@ -40,6 +40,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_moving_avg": "|months| rows after pre-aggregation",
     "window_lag_delta": "|months| rows after pre-aggregation",
     "window_share_of_total": "|priorities| rows after pre-aggregation",
+    # suffix max over the per-cell maxima table: exactly SKY_BUCKETS
+    # (=64) rows regardless of corpus size
+    "window_skyline_pareto": "SKY_BUCKETS rows after per-cell max agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
