@@ -294,3 +294,101 @@ def q_multimodal_phash_cluster(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cluster_size"), "rep_doc_id")
         .limit(50)
     )
+
+
+# ------------------------------------------------------------ audio fp
+
+#: Energy-profile fingerprint geometry: AUDIO_FP_FRAMES equal frames,
+#: one sign bit per consecutive-frame energy delta.
+AUDIO_FP_FRAMES = 8
+AUDIO_FP_MAX_DOC = 400
+
+AUDIO_FP_SCHEMA = "doc_id long, fp long, sample_rate long"
+
+
+def _audio_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shazam-style energy-delta fingerprint through the REAL WAV
+    path: synthesize PCM16, encode an actual RIFF/WAVE container,
+    decode it back, split into AUDIO_FP_FRAMES frames (frame of
+    sample i = (i*FRAMES)//n), and emit one bit per consecutive-frame
+    energy comparison — all integer arithmetic."""
+    from job_market_research_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    frames = AUDIO_FP_FRAMES
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = d % 1600 + 160
+            rate = 8000 + (d % 3) * 4000
+            samples = (
+                ((np.arange(n, dtype=np.int64) * (d + 3)) % 65521) - 32760
+            ).astype(np.int16)
+            decoded, got_rate = decode_wav(encode_wav_pcm16(samples, rate))
+            s = np.abs(decoded.astype(np.int64))
+            f = (np.arange(n) * frames) // n
+            e = np.bincount(f, weights=s, minlength=frames).astype(np.int64)
+            fp = int(
+                sum((1 if e[j] > e[j + 1] else 0) << j for j in range(frames - 1))
+            )
+            rows.append((d, fp, got_rate))
+        yield pd.DataFrame(rows, columns=["doc_id", "fp", "sample_rate"])
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, (ii.i * {AUDIO_FP_FRAMES}) // ({_AUD_N}) AS f,
+             SUM(ABS((ii.i * (doc_id + 3)) % 65521 - 32760)) AS energy
+      FROM documents, unnest(range(0, {_AUD_N})) AS ii(i)
+      WHERE doc_id < {AUDIO_FP_MAX_DOC}
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT doc_id, list(energy ORDER BY f) AS ee FROM e GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, {AUDIO_FP_FRAMES}),
+                    j -> CASE WHEN ee[j] > ee[j + 1]
+                         THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS fp
+      FROM prof
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM fps GROUP BY fp HAVING COUNT(*) >= 2
+    ORDER BY cluster_size DESC, rep_doc_id LIMIT 50
+    """,
+)
+def q_multimodal_audio_fingerprint(spark, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate clustering by energy-profile fingerprint —
+    the audio sibling of `multimodal_phash_cluster`, through the real
+    WAV encode→sniff→decode path.
+
+    Same scale discipline: the waveform never leaves the Arrow batch
+    (only a {AUDIO_FP_FRAMES}-bit int + rate return), clustering is a
+    plain bounded-key groupBy (no pair join), and hamming-tolerant
+    matching belongs on cluster representatives. The per-sample work
+    is integer-exact, so DuckDB replays the fingerprints from the
+    synthesis recipe end-to-end."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AUDIO_FP_MAX_DOC)
+        .select("doc_id")
+    )
+    fps = docs.mapInPandas(_audio_fingerprint, schema=AUDIO_FP_SCHEMA)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), "rep_doc_id")
+        .limit(50)
+    )

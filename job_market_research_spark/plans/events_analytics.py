@@ -596,3 +596,93 @@ def q_agg_interarrival_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_audience_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b
+      FROM (SELECT DISTINCT event_type AS t FROM events) a
+      JOIN (SELECT DISTINCT event_type AS t FROM events) b ON a.t < b.t
+    ),
+    ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut x JOIN ut y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a AS type_a, p.type_b AS type_b,
+           sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           round(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.n_both, 0)), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_agg_audience_overlap(spark, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    distinct-user intersection, union sizes and Jaccard — the
+    "segment overlap" question every analytics deployment asks (and
+    the distinct-set algebra theta sketches exist for).
+
+    Scale shape: the corpus collapses FIRST to distinct (type, user)
+    pairs — one two-phase distinct whose output is |types|·|users| at
+    worst. The intersection self-join is keyed on user_id with
+    fan-out bounded by |types|² per user (types is a bounded
+    vocabulary); per-type sizes and the |types|²-row pair frame are
+    broadcast-sized. At 100 TB swap the exact sets for theta/HLL
+    sketches per type and the pair matrix needs no user-level join at
+    all — this exact form is the oracle-checkable twin."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    types = ut.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.select(F.col("t").alias("type_a"))
+        .join(
+            types.select(F.col("t").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    x = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    y = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("long").alias("n_both"),
+            F.round(
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.coalesce(F.col("n_both"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -318,6 +318,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",
     "ml_ols_closed_form",
     "window_skyline_pareto",
+    "scan_schema_evolution",
+    "agg_audience_overlap",
+    "multimodal_audio_fingerprint",
 )
 
 

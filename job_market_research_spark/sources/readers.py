@@ -449,3 +449,65 @@ def q_scan_orc_roundtrip(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 150000)
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH gen1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    gen2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+    SELECT COALESCE(o_channel, 'unknown') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM unioned GROUP BY 1 ORDER BY channel
+    """,
+)
+def q_scan_schema_evolution(spark, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same
+    table — the newer one adds an `o_channel` column — are read
+    through ONE `mergeSchema` scan; old-generation rows surface the
+    added column as NULL, normalized by a sentinel.
+
+    This is the lakehouse append-evolution contract (new ingest code
+    adds columns without rewriting history). The merge cost is
+    footer-metadata only — schemas union at planning time, row data
+    is never rewritten; at 100 TB enable
+    `spark.sql.parquet.mergeSchema` per-read exactly like this rather
+    than session-wide (it adds a footer pass per file). The aggregate
+    proves values from BOTH generations flow through one plan."""
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    gen1 = base.filter(F.col("o_orderkey") % 2 == 0)
+    gen2 = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("web")).otherwise(
+            F.lit("store")
+        ),
+    )
+    root = scratch_dir("schema_evolution")
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("channel")
+    )

@@ -460,3 +460,70 @@ def test_ols_matches_numpy_polyfit(spark, sf_dir):
         assert abs(r.slope - b) < 1e-4, (r.event_type, r.slope, b)
         assert abs(r.intercept - a) < 1e-3, (r.event_type, r.intercept, a)
         assert 0 <= r.r2 <= 1
+
+
+def test_schema_evolution_covers_both_generations(spark, sf_dir):
+    from job_market_research_spark.sources.readers import (
+        q_scan_schema_evolution,
+    )
+
+    rows = {r.channel: r.n for r in q_scan_schema_evolution(spark, sf_dir).collect()}
+    n_orders = load(spark, sf_dir, "orders").count()
+    # unknown = the old generation (no channel column); web+store = new
+    assert set(rows) == {"unknown", "web", "store"}
+    assert sum(rows.values()) == n_orders
+
+
+def test_audience_overlap_is_symmetric_truth(spark, duck, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_audience_overlap,
+    )
+
+    rows = q_agg_audience_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical pair order, no dupes
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard <= 1
+    # one pair hand-checked against a direct intersection count
+    r0 = rows[0]
+    (expect,) = duck.execute(
+        """
+        SELECT COUNT(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = ?
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = ?
+        )
+        """,
+        [r0.type_a, r0.type_b],
+    ).fetchone()
+    assert r0.n_both == expect
+
+
+def test_audio_fingerprint_clusters_share_profiles(spark, sf_dir):
+    from job_market_research_spark.multimodal.real_media import (
+        AUDIO_FP_MAX_DOC,
+        AUDIO_FP_SCHEMA,
+        _audio_fingerprint,
+        q_multimodal_audio_fingerprint,
+    )
+
+    clusters = q_multimodal_audio_fingerprint(spark, sf_dir).collect()
+    assert clusters, "no audio fingerprint clusters at smoke scale"
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AUDIO_FP_MAX_DOC)
+        .select("doc_id")
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.mapInPandas(
+            _audio_fingerprint, schema=AUDIO_FP_SCHEMA
+        ).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(fps.values())
+    for c in clusters:
+        assert sizes[c.fp] == c.cluster_size
+        assert fps[c.rep_doc_id] == c.fp
