@@ -228,3 +228,136 @@ def q_ml_ols_closed_form(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "ml_naive_bayes_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    langs AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT token FROM tok),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    counts AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token
+    ),
+    grid AS (
+      SELECT l.lang, vv.token,
+             ln((COALESCE(c.c, 0) + 1.0) / (l.n_tokens + vs.v)) AS loglik
+      FROM langs l
+      CROSS JOIN vocab vv CROSS JOIN vsize vs
+      LEFT JOIN counts c ON c.lang = l.lang AND c.token = vv.token
+    ),
+    ntot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM langs),
+    scored AS (
+      SELECT t.doc_id, g.lang AS cand,
+             round(
+               CAST(SUM(CAST(g.loglik AS DECIMAL(28,14))) AS DOUBLE)
+               + ln(l.n_docs / nt.n), 6) AS score
+      FROM tok t
+      JOIN grid g ON g.token = t.token
+      JOIN langs l ON l.lang = g.lang
+      CROSS JOIN ntot nt
+      GROUP BY t.doc_id, g.lang, l.n_docs, nt.n
+    ),
+    pred AS (
+      SELECT doc_id, cand AS predicted
+      FROM (
+        SELECT doc_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT d.lang AS actual, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY actual, predicted
+    """,
+)
+def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    entirely as aggregations (in-sample confusion matrix as output).
+
+    Training is two bounded aggregations — per-(lang, token) counts
+    and per-lang totals; the add-1-smoothed log-likelihood grid is
+    |vocab|×|langs| rows, BROADCAST to the scoring join (100 TB
+    corpora train the same way: the model IS a small table). Scoring
+    joins the token stream to the grid (one corpus shuffle on
+    (doc, lang) for the score sum, DECIMAL-cast terms so partial
+    aggregation order is irrelevant), then a doc-partitioned argmax
+    with a (rounded score, lang) tie-break. The confusion matrix
+    collapses to |langs|² rows. No Python in any row path; DuckDB
+    replays training end-to-end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    langs = tok.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    vocab = tok.select("token").distinct()
+    vsize = vocab.agg(F.count("*").cast("long").alias("v"))
+    counts = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("c"))
+    grid = (
+        langs.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(F.broadcast(counts), ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n_tokens") + F.col("v"))
+            ).alias("loglik"),
+        )
+    )
+    ntot = langs.agg(F.sum("n_docs").cast("double").alias("n"))
+    pri = langs.select("lang", "n_docs")
+    scored = (
+        tok.select("doc_id", F.col("token").alias("token"))
+        .join(F.broadcast(grid.withColumnRenamed("lang", "cand")), "token")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(F.col("loglik").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("ll")
+        )
+        .join(
+            F.broadcast(pri.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            "cand",
+            F.round(F.col("ll") + F.log(F.col("n_docs") / F.col("n")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )

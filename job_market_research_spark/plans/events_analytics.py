@@ -686,3 +686,65 @@ def q_agg_audience_overlap(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(i AS DECIMAL(28,0))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS siy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(2.0 * siy / (n * sy) - (n + 1.0) / n, 6) AS gini
+    FROM s ORDER BY event_type
+    """,
+)
+def q_agg_gini_concentration(spark, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type —
+    the inequality/concentration metric curation pipelines use to
+    spot sources where a few items dominate the mass (G = 2·Σi·yᵢ /
+    (n·Σy) − (n+1)/n over values ranked ascending).
+
+    One type-partitioned rank window (ties on value ordered by
+    event_id — the Σi·yᵢ term is invariant under permutations of
+    equal values, so the tie-break affects nothing but determinism of
+    the plan itself), then a |types|-row moment aggregation with
+    DECIMAL sums. At 100 TB the rank can be replaced by the
+    equi-depth-histogram approximation of the Lorenz curve; this
+    exact form is the oracle twin."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("i"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("i").cast("decimal(28,0)") * F.col("value").cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("siy"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            2.0 * F.col("siy") / (F.col("n") * F.col("sy"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")

@@ -321,6 +321,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "scan_schema_evolution",
     "agg_audience_overlap",
     "multimodal_audio_fingerprint",
+    "agg_gini_concentration",
+    "ml_naive_bayes_lang",
 )
 
 

@@ -527,3 +527,39 @@ def test_audio_fingerprint_clusters_share_profiles(spark, sf_dir):
     for c in clusters:
         assert sizes[c.fp] == c.cluster_size
         assert fps[c.rep_doc_id] == c.fp
+
+
+def test_gini_in_unit_interval_and_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_gini_concentration,
+    )
+
+    rows = q_agg_gini_concentration(spark, sf_dir).collect()
+    assert rows
+    vals = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in vals:
+        by_type[r.event_type].append(r.value)
+    for r in rows:
+        y = np.sort(np.array(by_type[r.event_type]))
+        n = len(y)
+        expect = 2 * np.sum(np.arange(1, n + 1) * y) / (n * y.sum()) - (n + 1) / n
+        assert abs(r.gini - expect) < 1e-4, (r.event_type, r.gini, expect)
+        assert 0 <= r.gini < 1
+
+
+def test_naive_bayes_confusion_covers_corpus(spark, sf_dir):
+    from job_market_research_spark.ml.clustering import q_ml_naive_bayes_lang
+
+    rows = q_ml_naive_bayes_lang(spark, sf_dir).collect()
+    assert rows
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert sum(r.n for r in rows) == n_docs
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert r.actual in langs and r.predicted in langs
