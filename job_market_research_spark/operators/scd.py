@@ -154,3 +154,86 @@ def q_merge_cdc_feed(spark, sf_dir: str) -> DataFrame:
         .select("k", "status", "price")
         .orderBy("k")
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1992-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, 'PROMO' AS segment, DATE '1995-01-01' AS valid_from
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    dim AS (
+      SELECT c_custkey, segment, valid_from,
+             COALESCE(LEAD(valid_from) OVER (
+               PARTITION BY c_custkey ORDER BY valid_from),
+               DATE '9999-12-31') AS valid_to
+      FROM hist
+    )
+    SELECT d.segment AS segment_at_order_time,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    GROUP BY 1, 2 ORDER BY segment_at_order_time, order_year
+    """,
+)
+def q_join_scd2_pointintime(spark, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join: each order is attributed to
+    the customer segment that was CURRENT on its order date — the
+    canonical consumer of the SCD2 history `merge_scd2` builds, and
+    the query that silently lies if a warehouse overwrites dimensions
+    in place (every pre-1995 order of a PROMO customer would be
+    misattributed to PROMO).
+
+    Plan shape: the versioned dim joins on the EQUALITY key
+    (c_custkey) with the interval predicate applied as a filter
+    inside the same hash join — NOT a non-equi range join, because
+    the equality key alone co-partitions both sides; version fan-out
+    per key is bounded by update frequency (≤2 here). One shuffle
+    pair on the key; the yearly rollup collapses to a bounded
+    (segment × year) space."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("PROMO").alias("segment"),
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+    )
+    dim = scd2_merge(base, upd, "c_custkey", "valid_from").select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to"), F.to_date(F.lit("9999-12-31"))
+        ).alias("valid_to"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (F.col("odate") >= F.col("valid_from"))
+        & (F.col("odate") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy(
+            F.col("segment").alias("segment_at_order_time"),
+            F.year("odate").cast("long").alias("order_year"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("segment_at_order_time", "order_year")
+    )

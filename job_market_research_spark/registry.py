@@ -323,6 +323,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_fingerprint",
     "agg_gini_concentration",
     "ml_naive_bayes_lang",
+    "join_scd2_pointintime",
 )
 
 

@@ -563,3 +563,19 @@ def test_naive_bayes_confusion_covers_corpus(spark, sf_dir):
     langs = {r.lang for r in docs.select("lang").distinct().collect()}
     for r in rows:
         assert r.actual in langs and r.predicted in langs
+
+
+def test_scd2_pointintime_attributes_history_correctly(spark, sf_dir):
+    """Pre-1995 orders of PROMO-updated customers must carry their
+    ORIGINAL segment — the misattribution an overwriting warehouse
+    makes, pinned as a test."""
+    from job_market_research_spark.operators.scd import (
+        q_join_scd2_pointintime,
+    )
+
+    rows = q_join_scd2_pointintime(spark, sf_dir).collect()
+    assert rows
+    promo_years = {r.order_year for r in rows if r.segment_at_order_time == "PROMO"}
+    assert promo_years and min(promo_years) >= 1995
+    total = sum(r.n_orders for r in rows)
+    assert total == load(spark, sf_dir, "orders").count()
