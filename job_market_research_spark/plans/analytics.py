@@ -561,3 +561,166 @@ def agg_pricing_summary(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    qs AS (
+      SELECT quantile_cont(epoch(last_order), 0.5) AS r_med,
+             quantile_cont(freq, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM rfm
+    ),
+    scored AS (
+      SELECT CAST(epoch(r.last_order) > q.r_med AS INT) AS r_hi,
+             CAST(r.freq > q.f_med AS INT) AS f_hi,
+             CAST(r.monetary > q.m_med AS INT) AS m_hi,
+             r.monetary
+      FROM rfm r CROSS JOIN qs q
+    )
+    SELECT r_hi, f_hi, m_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi
+    """,
+)
+def q_agg_rfm_segmentation(spark, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, each split at its corpus median → 8 segments with
+    population and average spend (the classic CRM cube).
+
+    One customer-keyed aggregation builds the RFM table; the three
+    medians are ONE t-digest-swappable aggregate broadcast as a 1-row
+    crossJoin; scoring is a map-side comparison and the final rollup
+    is 8 rows. Recency compares epoch seconds (integer) so both
+    engines threshold identically."""
+    rfm = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    rfm = rfm.withColumn(
+        "last_epoch", F.unix_timestamp(F.col("last_order")).cast("double")
+    )
+    qs = rfm.agg(
+        F.percentile("last_epoch", F.lit(0.5)).alias("r_med"),
+        F.percentile("freq", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    scored = rfm.crossJoin(F.broadcast(qs)).select(
+        (F.col("last_epoch") > F.col("r_med")).cast("int").alias("r_hi"),
+        (F.col("freq") > F.col("f_med")).cast("int").alias("f_hi"),
+        (F.col("monetary") > F.col("m_med")).cast("int").alias("m_hi"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_hi", "f_hi", "m_hi")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_hi", "f_hi", "m_hi")
+    )
+
+
+#: Basket-affinity report bounds.
+BASKET_MIN_SUPPORT = 5
+BASKET_TOP = 25
+
+
+@query(
+    "agg_basket_affinity",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    isup AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY part
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.s_ab,
+           round(CAST(p.s_ab AS DOUBLE) * n.n_orders
+                 / (sa.s * sb.s), 6) AS lift
+    FROM pairs p
+    JOIN isup sa ON sa.part = p.part_a
+    JOIN isup sb ON sb.part = p.part_b
+    CROSS JOIN n
+    WHERE p.s_ab >= {BASKET_MIN_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOP}
+    """,
+)
+def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: co-occurrence counts and lift
+    (P(ab)·N / (s_a·s_b)) for part pairs appearing in the same order
+    — "frequently bought together".
+
+    Scale shape: pair enumeration is a self-join keyed on the ORDER,
+    so fan-out per order is items² with items bounded by basket size
+    (≤7 lineitems in this schema; a df-cap on pathological baskets is
+    the `GRAM_DF_CAP` pattern). Item supports are vocabulary-sized
+    (broadcast); N rides a 1-row broadcast; the support floor prunes
+    the pair table before the lift join. Same algebra as
+    `text_pmi_collocations` on a different domain — lift is exp(PMI)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n = items.select("ok").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    isup = items.groupBy("part").agg(F.count("*").cast("long").alias("s"))
+    a = items.select("ok", F.col("part").alias("part_a"))
+    b = items.select("ok", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = isup.select(F.col("part").alias("part_a"), F.col("s").alias("s_a"))
+    sb = isup.select(F.col("part").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            F.round(
+                F.col("s_ab").cast("double") * F.col("n_orders")
+                / (F.col("s_a") * F.col("s_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )

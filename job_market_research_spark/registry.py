@@ -324,6 +324,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_gini_concentration",
     "ml_naive_bayes_lang",
     "join_scd2_pointintime",
+    "agg_rfm_segmentation",
+    "agg_basket_affinity",
 )
 
 

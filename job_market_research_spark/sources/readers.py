@@ -32,7 +32,22 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.a
 
 
 def scratch_dir(name: str, fresh: bool = True) -> str:
-    path = os.path.join(SCRATCH, name)
+    """Per-PROCESS scratch path: two concurrent sessions (e.g. the
+    oracle verify and the pytest suite at different scale factors)
+    must not read each other's sink/index/view materializations —
+    without the pid namespace, whichever process writes second
+    corrupts the first one's read-back. Stale dirs from dead pids are
+    reaped lazily on the next call."""
+    ns_root = os.path.join(SCRATCH, f"pid{os.getpid()}")
+    if os.path.isdir(SCRATCH):
+        for entry in os.listdir(SCRATCH):
+            if entry.startswith("pid") and entry != f"pid{os.getpid()}":
+                try:
+                    if not os.path.exists(os.path.join("/proc", entry[3:])):
+                        shutil.rmtree(os.path.join(SCRATCH, entry))
+                except (OSError, ValueError):
+                    pass
+    path = os.path.join(ns_root, name)
     if fresh and os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)

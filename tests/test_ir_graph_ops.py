@@ -579,3 +579,35 @@ def test_scd2_pointintime_attributes_history_correctly(spark, sf_dir):
     assert promo_years and min(promo_years) >= 1995
     total = sum(r.n_orders for r in rows)
     assert total == load(spark, sf_dir, "orders").count()
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from job_market_research_spark.plans.analytics import (
+        q_agg_rfm_segmentation,
+    )
+
+    rows = q_agg_rfm_segmentation(spark, sf_dir).collect()
+    assert rows
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(r.r_hi in (0, 1) and r.f_hi in (0, 1) and r.m_hi in (0, 1) for r in rows)
+    # the high-high-high segment out-spends the low-low-low one
+    seg = {(r.r_hi, r.f_hi, r.m_hi): r.avg_monetary for r in rows}
+    if (1, 1, 1) in seg and (0, 0, 0) in seg:
+        assert seg[(1, 1, 1)] > seg[(0, 0, 0)]
+
+
+def test_basket_affinity_nonempty_and_valid(spark, sf_dir):
+    from job_market_research_spark.plans.analytics import (
+        BASKET_MIN_SUPPORT,
+        q_agg_basket_affinity,
+    )
+
+    rows = q_agg_basket_affinity(spark, sf_dir).collect()
+    assert rows, "no part pairs above the support floor at smoke scale"
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.s_ab >= BASKET_MIN_SUPPORT
+        assert r.lift > 0
