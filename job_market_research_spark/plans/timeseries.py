@@ -1,0 +1,302 @@
+"""Time-series event operators: time-weighted averages, OHLC bars,
+running distinct counts, seasonal-baseline anomalies (beyond-reference).
+
+The reference's dashboards aggregate calendar buckets of a static star
+(docker-entrypoint-initdb.d/schema.sql:64-82 groups fact_offre by
+dim_date); an event stream asks duration- and order-aware questions
+those GROUP BYs cannot express. All four operators here are
+single-key-shuffle plans — the window partition key and the final
+group-by key coincide, so each query costs ONE shuffle on a
+user/time-bucket key and reuses that layout for every windowed
+derivation (AQE sees the exchange is already satisfied).
+
+Scale notes (100 TB):
+- Per-user windows shuffle on `user_id` — the natural event-store
+  partitioning; no global sort anywhere (every `row_number`/`lead`
+  is partitionBy'd, per the plan-hygiene window ban).
+- The seasonal baseline is (event_type × hour) — bounded cardinality
+  (≤ types×24 rows) regardless of corpus size, so the join back to
+  events is a broadcast; the events side never shuffles for it.
+- Exactness across engines follows registry.py's float policy:
+  duration weights are exact integer microseconds, value sums are
+  DECIMAL-cast (order-independent), outputs rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+
+@query(
+    "agg_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6))
+               * date_diff('microsecond', ts, next_ts) AS vw,
+             date_diff('microsecond', ts, next_ts) AS w
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           round(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+             AS twa_r6,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_agg_time_weighted_avg(spark, sf_dir: str) -> DataFrame:
+    """Step-interpolated time-weighted average of `value` per user:
+    each reading holds until the next one, so its weight is the exact
+    integer microseconds until the user's next event (the final
+    reading has no duration and is excluded — the same convention a
+    sensor/metrics TSDB uses). A bare AVG over-weights bursts; TWA is
+    the duration-correct mean.
+
+    One shuffle: the lead() window and the group-by share `user_id`.
+    The weighted sum is DECIMAL(18,6)×µs — exact and
+    order-independent, so Spark's partial aggregation matches DuckDB
+    bit-for-bit before the single rounded division."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "value", "ts", "event_id")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("w_us"),
+            F.col("value").cast("decimal(18,6)").alias("v_dec"),
+        )
+    )
+    twa = F.col("sum_vw").cast("double") / F.col("sum_w").cast("double")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_dec") * F.col("w_us")).alias("sum_vw"),
+            F.sum("w_us").alias("sum_w"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .select(
+            "user_id",
+            F.round(twa, 6).alias("twa_r6"),
+            "n_segments",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, CAST(ts AS DATE) AS bar_date, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_date,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open_r6,
+           round(MAX(value), 6) AS high_r6,
+           round(MIN(value), 6) AS low_r6,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close_r6,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM ranked GROUP BY event_type, bar_date
+    ORDER BY event_type, bar_date
+    """,
+)
+def q_agg_ohlc_bars(spark, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, day) bar with open/close
+    under a TOTAL (ts, event_id) order — the deterministic-ties rule
+    `window_first_last_touch` establishes, applied to candlestick
+    compaction. This is how a 100 TB raw tick/event table becomes a
+    bounded per-bucket summary for dashboards.
+
+    One shuffle: both row_number windows and the final group-by hash
+    on the same (event_type, day) key, so Spark plans a single
+    exchange and the aggregation is map-side-combinable. min/max/count
+    on doubles are order-independent (no summation), so the r6
+    rounding is cosmetic, not a cross-engine patch."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("bar_date"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    key = ["event_type", "bar_date"]
+    w_a = Window.partitionBy(*key).orderBy("ts", "event_id")
+    w_d = Window.partitionBy(*key).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        ranked.groupBy(*key)
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+                "open_r6"
+            ),
+            F.round(F.max("value"), 6).alias("high_r6"),
+            F.round(F.min("value"), 6).alias("low_r6"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias(
+                "close_r6"
+            ),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .orderBy(*key)
+    )
+
+
+@query(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged ORDER BY user_id, event_id
+    """,
+)
+def q_window_cumulative_distinct(spark, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user as of each event —
+    the 'breadth of engagement over time' curve. SQL cannot express
+    `COUNT(DISTINCT) OVER (ORDER BY …)` directly; the scalable
+    identity is first-occurrence flags (row_number = 1 per
+    (user, type)) cumulatively summed, which turns an O(n·k)
+    distinct-per-prefix into two windows.
+
+    Both windows partition by user_id (the second's partition key is a
+    prefix of the first's), so the plan is one user_id exchange
+    followed by in-partition sorts — no global sort, no state beyond a
+    sort buffer, the shape that survives a per-user event store at
+    100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(w_cum).cast("long").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "agg_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hod, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CASE WHEN n > 1 THEN
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n) / (n - 1))
+             END AS sigma
+      FROM base
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(s.hod AS INT) AS hod,
+           round(s.mu, 6) AS baseline_mu_r6,
+           round((e.value - s.mu) / s.sigma, 6) AS z_r6
+    FROM events e
+    JOIN stats s
+      ON e.event_type = s.event_type
+     AND EXTRACT(hour FROM e.ts) = s.hod
+    WHERE s.sigma IS NOT NULL AND s.sigma > 0
+      AND abs(e.value - s.mu) > 2 * s.sigma
+    ORDER BY e.event_id
+    """,
+)
+def q_agg_seasonal_anomaly(spark, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly gate: the expected value of an event
+    is conditioned on its (event_type, hour-of-day) cell; events more
+    than 2σ from their cell's mean are flagged with their z-score.
+    This is the scalable skeleton of seasonal anomaly detection —
+    the baseline table is BOUNDED (types × 24 cells) no matter how
+    large the event corpus, so pass 2 is a broadcast join and the
+    events side never shuffles.
+
+    Cross-engine exactness: µ and σ are derived from DECIMAL Σx/Σx²
+    (order-independent sums — Spark's partial aggregation and DuckDB
+    agree bit-for-bit), so the 2σ threshold comparison is on identical
+    doubles in both engines rather than two float accumulations that
+    could disagree at the boundary."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+        F.col("value").cast("decimal(18,6)").alias("v_dec"),
+    )
+    base = ev.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_dec").alias("s1"),
+        F.sum(F.col("v_dec") * F.col("v_dec")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    stats = base.select(
+        "event_type",
+        "hod",
+        (s1 / n).alias("mu"),
+        F.when(n > 1, F.sqrt((s2 - s1 * s1 / n) / (n - 1))).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), ["event_type", "hod"])
+        .filter(
+            F.col("sigma").isNotNull()
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.round("mu", 6).alias("baseline_mu_r6"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "z_r6"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -326,6 +326,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "join_scd2_pointintime",
     "agg_rfm_segmentation",
     "agg_basket_affinity",
+    "agg_time_weighted_avg",
+    "agg_ohlc_bars",
+    "window_cumulative_distinct",
+    "agg_seasonal_anomaly",
 )
 
 
@@ -337,6 +341,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         events_analytics,
         star_v2,
+        timeseries,
         windows_analytic,
     )
     from job_market_research_spark.operators import (  # noqa: F401
