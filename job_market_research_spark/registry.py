@@ -330,6 +330,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_ohlc_bars",
     "window_cumulative_distinct",
     "agg_seasonal_anomaly",
+    "ml_pca_power_iteration",
+    "sample_fps_diversity",
+    "ml_knn_classify",
 )
 
 
@@ -370,6 +373,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.ml import (  # noqa: F401
         clustering,
         curation,
+        geometry,
         graph,
         ir,
         neardup,
