@@ -319,3 +319,77 @@ def q_text_pmi_collocations(spark, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(PMI_TOP)
+
+
+#: Keyword extraction: top-K terms per document, result capped to the
+#: first KW_DOC_CAP doc_ids (tf/df/N still computed corpus-wide).
+KW_TOP, KW_DOC_CAP = 3, 100
+
+
+@query(
+    "text_keywords_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, token, round(s, 6) AS tfidf_r6
+    FROM ranked WHERE rk <= {KW_TOP} AND doc_id < {KW_DOC_CAP}
+    ORDER BY doc_id, rk
+    """,
+)
+def q_text_keywords_topk(spark, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the TF-IDF head (top KW_TOP
+    terms) of every document — the lightweight tagger a curation
+    pipeline uses for topic routing and mixture bookkeeping when an
+    LLM labeler is too expensive for the full corpus. Same three-agg
+    DAG as `text_tfidf` (df joined back broadcast, N fused as a
+    broadcast one-row agg), plus ONE doc_id-keyed window for the
+    per-doc rank — scores are tf·ln(N/df) on exact integers, so the
+    (score desc, token) rank order is engine-independent."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("s"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("s"), "token")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter((F.col("rk") <= KW_TOP) & (F.col("doc_id") < KW_DOC_CAP))
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "token",
+            F.round("s", 6).alias("tfidf_r6"),
+        )
+        .orderBy("doc_id", "rk")
+    )

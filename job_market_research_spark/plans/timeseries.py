@@ -300,3 +300,130 @@ def q_agg_seasonal_anomaly(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+                             AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS a, MAX(day) AS b
+             FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, CAST(gs AS DATE) AS day
+      FROM span,
+           unnest(generate_series(CAST(a AS TIMESTAMP),
+                                  CAST(b AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS g(gs)
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    f AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER wa AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wa AS pd,
+             first_value(v IGNORE NULLS) OVER wb AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS nd
+      FROM j
+      WINDOW wa AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + CAST(floor(
+                       CAST((nv - pv) * date_diff('day', pd, day) AS DOUBLE)
+                       / date_diff('day', pd, nd)) AS BIGINT) END
+                AS DOUBLE) / 1000000.0 AS value_q6,
+           v IS NULL AS interpolated
+    FROM f ORDER BY user_id, day
+    """,
+)
+def q_window_gap_fill_interpolate(spark, sf_dir: str) -> DataFrame:
+    """Calendar resampling with linear interpolation: each user's
+    daily mean series is densified onto a contiguous day spine
+    (sequence + explode — no shuffle to build it) and missing days are
+    filled by interpolating between the nearest observed values on
+    either side, found with IGNORE NULLS running first/last windows.
+    This is the gap-fill a forecasting/feature pipeline runs before
+    any fixed-step model sees event data.
+
+    All three shuffles (daily agg, spine join, windows) key on
+    user_id, so on a user-partitioned event store the whole plan is
+    one exchange. Exactness: every value is carried as floor-quantized
+    integer MICRO-UNITS (daily mean = floor(Σ·10⁶/n), interpolation =
+    pv + floor(Δ·d/n)) — floor has no rounding ties, so the engines
+    cannot disagree the way `round` does on half-boundary midpoints
+    (DuckDB rounds the decimal rendering, Spark the exact binary —
+    midpoints of 6-dp values land within 1e-15 of the boundary and
+    flip); the division back to a double at output is exact below
+    2⁵³."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000).cast(
+                    "double"
+                )
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("a"), F.max("day").alias("b"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(a, b, interval 1 day)")).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wa).alias("pv"),
+        F.last(day_if_obs, ignorenulls=True).over(wa).alias("pd"),
+        F.first("v", ignorenulls=True).over(wb).alias("nv"),
+        F.first(day_if_obs, ignorenulls=True).over(wb).alias("nd"),
+    )
+    interp = F.col("pv") + F.floor(
+        ((F.col("nv") - F.col("pv")) * F.datediff(F.col("day"), F.col("pd"))).cast(
+            "double"
+        )
+        / F.datediff(F.col("nd"), F.col("pd"))
+    ).cast("long")
+    return f.select(
+        "user_id",
+        "day",
+        (
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("value_q6"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("user_id", "day")

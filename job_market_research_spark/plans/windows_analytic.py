@@ -626,3 +626,91 @@ def q_window_skyline_pareto(spark, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price", "d")
         .orderBy(F.desc("price"), "o_orderkey")
     )
+
+
+#: Pareto coverage: spend-bucket resolution (bounded window input).
+PARETO_BUCKETS = 1000
+
+
+@query(
+    "agg_pareto_coverage",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT CAST(MAX(s) AS DOUBLE) AS mx FROM spend),
+    bucketed AS (
+      SELECT CAST(floor(CAST(s AS DOUBLE) / mx.mx * {PARETO_BUCKETS})
+                  AS BIGINT) AS bucket, s
+      FROM spend, mx
+    ),
+    buckets AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS bs
+      FROM bucketed GROUP BY 1
+    ),
+    tot AS (SELECT SUM(bs) AS total FROM buckets),
+    cum AS (
+      SELECT bucket, n, bs,
+             SUM(bs) OVER (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM buckets
+    )
+    SELECT CAST(MIN(bucket) AS BIGINT) AS cutoff_bucket,
+           CAST(SUM(n) AS BIGINT) AS n_covering,
+           round(CAST(SUM(bs) AS DOUBLE) / CAST(ANY_VALUE(t.total) AS DOUBLE), 6)
+             AS covered_share_r6
+    FROM cum, tot t
+    WHERE 5 * (c - bs) < 4 * t.total
+    """,
+)
+def q_agg_pareto_coverage(spark, sf_dir: str) -> DataFrame:
+    """Scale-safe 80/20 analysis: how many top customers cover 80% of
+    total spend. The naive plan — rank ALL customers by spend and scan
+    the cumulative share — is a partitionBy-less window at customer
+    cardinality, exactly the single-reducer sort this repo bans. The
+    scalable identity used here: quantize spend into PARETO_BUCKETS
+    max-relative buckets (bounded key space), cumulative-sum over the
+    BOUNDED bucket table from the top, and keep every bucket whose
+    exclusive prefix is still under the 80% line. Bucket membership
+    costs one broadcast scalar (max spend); the answer is exact at
+    bucket resolution — the only approximation is that the boundary
+    bucket joins whole, never split.
+
+    Exactness: spend sums are DECIMAL (order-independent), and the 80%
+    test is `5·prefix < 4·total` in pure decimal-integer arithmetic —
+    no float threshold to straddle; doubles appear only in the bucket
+    quantization (identical IEEE ops on identical inputs) and the
+    final rounded share."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
+    )
+    mx = spend.agg(F.max("s").cast("double").alias("mx"))
+    bucketed = spend.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.col("s").cast("double") / F.col("mx") * PARETO_BUCKETS)
+        .cast("long")
+        .alias("bucket"),
+        "s",
+    )
+    buckets = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"), F.sum("s").alias("bs")
+    )
+    tot = buckets.agg(F.sum("bs").alias("total"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.withColumn("c", F.sum("bs").over(w))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(5 * (F.col("c") - F.col("bs")) < 4 * F.col("total"))
+        .agg(
+            F.min("bucket").cast("long").alias("cutoff_bucket"),
+            F.sum("n").cast("long").alias("n_covering"),
+            F.round(
+                F.sum("bs").cast("double") / F.first("total").cast("double"), 6
+            ).alias("covered_share_r6"),
+        )
+    )

@@ -333,6 +333,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_pca_power_iteration",
     "sample_fps_diversity",
     "ml_knn_classify",
+    "text_keywords_topk",
+    "agg_pareto_coverage",
+    "window_gap_fill_interpolate",
 )
 
 

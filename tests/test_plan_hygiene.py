@@ -43,6 +43,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # suffix max over the per-cell maxima table: exactly SKY_BUCKETS
     # (=64) rows regardless of corpus size
     "window_skyline_pareto": "SKY_BUCKETS rows after per-cell max agg",
+    # cumulative spend over the bucket histogram: ≤ PARETO_BUCKETS+1
+    # rows after per-bucket aggregation, regardless of order count
+    "agg_pareto_coverage": "PARETO_BUCKETS+1 rows after bucket agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
