@@ -1,0 +1,228 @@
+"""Model-evaluation aggregations: confusion metrics and calibration
+(beyond-reference, ML-pipeline family).
+
+A pipeline that trains/applies classifiers in-engine (the lang-id
+heuristic, `ml_naive_bayes_lang`, the linear quality model) also needs
+to EVALUATE them in-engine — on a 100 TB corpus the evaluation is
+itself a big-data job. Both operators here reduce the corpus to a
+BOUNDED table in one pass (classes², or CAL_BINS rows) and compute all
+metrics on that bounded table, so cost is one scan + one tiny shuffle
+regardless of corpus size.
+
+Exactness: every metric is a ratio of exact integer counts — identical
+doubles on both engines before the final rounding (registry float
+policy). Mean-confidence style averages of float ratios are
+deliberately NOT emitted: a sum of rationals is order-dependent in
+double; counts and count-ratios are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from job_market_research_spark.functions.text import _count_token, tokens
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: SQL twin of the lang-id marker counts (mirrors text_lang_id).
+_MARKER_SQL = """
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,
+        len(list_filter(string_split(text,' '), x -> x = 'le'))  AS c_fr,
+        len(list_filter(string_split(text,' '), x -> x = 'el'))  AS c_es,
+        len(list_filter(string_split(text,' '), x -> x = 'der')) AS c_de
+      FROM documents
+"""
+
+_PRED_SQL = """
+      SELECT doc_id, lang,
+           CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de AND c_en > 0 THEN 'en'
+                WHEN c_fr >= c_es AND c_fr >= c_de AND c_fr > 0 THEN 'fr'
+                WHEN c_es >= c_de AND c_es > 0 THEN 'es'
+                WHEN c_de > 0 THEN 'de'
+                ELSE 'und' END AS pred
+      FROM c
+"""
+
+
+def _lang_pred(spark, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    c_en = _count_token(toks, "the")
+    c_fr = _count_token(toks, "le")
+    c_es = _count_token(toks, "el")
+    c_de = _count_token(toks, "der")
+    pred = (
+        F.when((c_en >= c_fr) & (c_en >= c_es) & (c_en >= c_de) & (c_en > 0), "en")
+        .when((c_fr >= c_es) & (c_fr >= c_de) & (c_fr > 0), "fr")
+        .when((c_es >= c_de) & (c_es > 0), "es")
+        .when(c_de > 0, "de")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred"),
+        c_en.alias("c_en"),
+        (c_en + c_fr + c_es + c_de).alias("c_tot"),
+    )
+
+
+@query(
+    "ml_eval_confusion",
+    oracle=f"""
+    WITH c AS ({_MARKER_SQL}),
+    p AS ({_PRED_SQL}),
+    cm AS (
+      SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    cls AS (SELECT DISTINCT lang AS c FROM cm),
+    m AS (
+      SELECT cls.c,
+             COALESCE(SUM(CASE WHEN cm.lang = cls.c AND cm.pred = cls.c
+                               THEN cm.n END), 0) AS tp,
+             COALESCE(SUM(CASE WHEN cm.pred = cls.c AND cm.lang <> cls.c
+                               THEN cm.n END), 0) AS fp,
+             COALESCE(SUM(CASE WHEN cm.lang = cls.c AND cm.pred <> cls.c
+                               THEN cm.n END), 0) AS fn
+      FROM cls LEFT JOIN cm ON cm.lang = cls.c OR cm.pred = cls.c
+      GROUP BY 1
+    )
+    SELECT c AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CASE WHEN tp + fp > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END, 6)
+             AS precision_r6,
+           round(CASE WHEN tp + fn > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END, 6)
+             AS recall_r6,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                 ELSE 0 END, 6) AS f1_r6
+    FROM m ORDER BY lang
+    """,
+)
+def q_ml_eval_confusion(spark, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the lang-id heuristic
+    against the `lang` ground truth. One corpus scan reduces to the
+    (lang, pred) confusion table — ≤ classes² rows — and every metric
+    derives from that bounded table with conditional sums. F1 is
+    computed as 2tp/(2tp+fp+fn) (one division of exact integers)
+    rather than the p·r form, so no intermediate float feeds another
+    float."""
+    cm = _lang_pred(spark, sf_dir).groupBy("lang", "pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cls = cm.select(F.col("lang").alias("c")).distinct()
+    joined = cls.join(
+        cm, (cm.lang == cls.c) | (cm.pred == cls.c), "left"
+    )
+    m = joined.groupBy("c").agg(
+        F.coalesce(
+            F.sum(F.when((F.col("lang") == F.col("c")) & (F.col("pred") == F.col("c")), F.col("n"))),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(F.when((F.col("pred") == F.col("c")) & (F.col("lang") != F.col("c")), F.col("n"))),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(F.when((F.col("lang") == F.col("c")) & (F.col("pred") != F.col("c")), F.col("n"))),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        F.col("c").alias("lang"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(
+            F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).otherwise(0.0), 6
+        ).alias("precision_r6"),
+        F.round(
+            F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(0.0), 6
+        ).alias("recall_r6"),
+        F.round(
+            F.when(
+                2 * tp + fp + fn > 0,
+                (2 * tp).cast("double") / (2 * tp + fp + fn),
+            ).otherwise(0.0),
+            6,
+        ).alias("f1_r6"),
+    ).orderBy("lang")
+
+
+#: Calibration histogram resolution.
+CAL_BINS = 10
+
+
+#: Bin width: 2% marker-density steps (floor(density·50), capped at 9).
+CAL_DENSITY_SCALE = 50
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,
+        len(list_filter(string_split(text,' '), x -> x <> ''))   AS n_tok
+      FROM documents
+    )
+    SELECT CAST(least(floor(CAST(c_en AS DOUBLE) / n_tok
+                            * {CAL_DENSITY_SCALE}), {CAL_BINS - 1}) AS INT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS en_rate_r6
+    FROM c WHERE n_tok > 0 GROUP BY 1 ORDER BY bin
+    """,
+)
+def q_ml_calibration_bins(spark, sf_dir: str) -> DataFrame:
+    """Reliability diagram for an English-ness score: the density of
+    the 'the' marker per document, bucketed into CAL_BINS 2%-wide
+    bins, against the observed English rate per bin. A calibrated
+    scorer shows en_rate rising with the bin; a flat curve (what this
+    corpus actually shows) is the diagnostic that says DON'T use this
+    score as a confidence threshold to gate a 100 TB filter. One scan
+    to a CAL_BINS-row table. The bin id is a floor of an identical
+    IEEE division on both engines — floor is deterministic even when
+    the ratio lands exactly on a bin edge, unlike round — and every
+    emitted rate is a ratio of exact counts."""
+    toks = tokens("text")
+    c = load(spark, sf_dir, "documents").select(
+        "lang",
+        _count_token(toks, "the").alias("c_en"),
+        F.size(F.filter(toks, lambda x: x != "")).alias("n_tok"),
+    )
+    return (
+        c.filter(F.col("n_tok") > 0)
+        .groupBy(
+            F.least(
+                F.floor(
+                    F.col("c_en").cast("double")
+                    / F.col("n_tok")
+                    * CAL_DENSITY_SCALE
+                ),
+                F.lit(CAL_BINS - 1).cast("long"),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("en_rate_r6"),
+        )
+        .orderBy("bin")
+    )

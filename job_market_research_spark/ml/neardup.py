@@ -988,3 +988,97 @@ def q_dedup_semantic_semdedup(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+#: Containment: flag when the SMALLER shingle set is mostly inside the
+#: larger one — catches quote-inclusion / prefix-truncation duplicates
+#: that symmetric Jaccard misses (a short doc embedded in a long one
+#: has high containment but low Jaccard).
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g, lang, source FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks) WHERE g IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    idx AS ({_df_cap_sql("grams", "g")}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM idx a JOIN idx b
+        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n <= sb.n THEN p.doc_a ELSE p.doc_b END AS doc_small,
+           CASE WHEN sa.n <= sb.n THEN p.doc_b ELSE p.doc_a END AS doc_big,
+           round(CAST(p.inter AS DOUBLE) / least(sa.n, sb.n), 6)
+             AS containment_r6
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / least(sa.n, sb.n)
+            >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_small, doc_big
+    """,
+)
+def q_dedup_containment(spark, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|)
+    over 3-word shingle sets, flagged at ≥ CONTAINMENT_THRESHOLD. Same
+    scale shape as `dedup_ngram_jaccard` — (lang, source)-blocked
+    df-capped inverted-index join, never all-pairs; only the SCORE
+    differs (min-normalized instead of union-normalized), which is
+    what surfaces the planted prefix-truncation mutants as containment
+    ≈ 1.0 while their Jaccard sits near the threshold. The score is a
+    ratio of exact integers — identical doubles on both engines."""
+    corpus = augmented_corpus(spark, sf_dir)
+    grams = corpus.select(
+        "doc_id", "lang", "source", F.explode(word_shingles("text", 3)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    idx = df_capped(grams, "g")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    small_first = F.col("na") <= F.col("nb")
+    return scored.select(
+        F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_small"
+        ),
+        F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_big"
+        ),
+        F.round("containment", 6).alias("containment_r6"),
+    ).orderBy("doc_small", "doc_big")

@@ -336,6 +336,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_keywords_topk",
     "agg_pareto_coverage",
     "window_gap_fill_interpolate",
+    "dedup_containment",
+    "ml_eval_confusion",
+    "ml_calibration_bins",
 )
 
 
@@ -376,6 +379,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.ml import (  # noqa: F401
         clustering,
         curation,
+        evaluate,
         geometry,
         graph,
         ir,
