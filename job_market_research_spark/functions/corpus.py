@@ -223,3 +223,71 @@ def q_text_sentence_stats(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.round(total_chars.cast("double") / n_sent, 6))
         .alias("avg_sentence_len_r6"),
     ).orderBy("doc_id")
+
+
+#: Novelty inventory result cap (stats are corpus-wide; only the
+#: reported rows are bounded).
+NOVELTY_DOC_CAP = 200
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks) WHERE g IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_r6
+    FROM grams gr JOIN first_seen f ON gr.g = f.g
+    WHERE gr.doc_id < {NOVELTY_DOC_CAP}
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark, sf_dir: str) -> DataFrame:
+    """Novelty curve for curation: per document, the fraction of its
+    3-word shingles appearing in NO earlier document (earlier = lower
+    doc_id, the ingestion-order proxy). A collapsing novelty rate is
+    the signal to stop ingesting a source; per-doc novelty below a
+    floor is a drop rule (the doc is stitched from seen text).
+
+    Two aggregations: gram → min(doc_id) (first-occurrence index —
+    min is partial-agg safe, no df-cap needed because nothing joins
+    pairwise), then gram→doc join back and a per-doc conditional
+    count. Shuffle keys are gram then doc_id; hot stop-grams cost one
+    combine-friendly min, never a candidate explosion. Ratios of
+    exact integers — identical doubles both engines."""
+    from job_market_research_spark.ml.neardup import word_shingles
+
+    grams = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("g"))
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "g")
+        .filter(F.col("doc_id") < NOVELTY_DOC_CAP)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_r6"),
+        )
+        .orderBy("doc_id")
+    )

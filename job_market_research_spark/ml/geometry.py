@@ -115,6 +115,15 @@ def power_iteration_plan(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     division is IEEE on identical doubles, floor is tie-free — so the
     oracle's unrolled-CTE replay holds integer-for-integer through
     every round."""
+    # Fan the quantized frame out to full parallelism and materialize
+    # it ONCE: locally the parquet is 1-2 splits, so without this every
+    # round's fold+posexplode runs near-serially AND re-executes the
+    # scan+quantize lineage. On a cluster the scan already has
+    # thousands of splits; swap localCheckpoint for checkpoint(dir) /
+    # persist(DISK_ONLY) at 100 TB.
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
     v = [V_SCALE] * DIM
 
     def w_frame(v_cur: list[int]) -> DataFrame:
@@ -231,6 +240,11 @@ def fps_select(emb: DataFrame, k: int = FPS_K) -> list[tuple[int, int | None, fl
     Returns [(order, vec_id, sel_dist)] with sel_dist = the distance
     that won the round (None for the seed)."""
     base = emb.select("vec_id", "xi", int_norm(F.col("xi")).alias("nrm"))
+    # One materialization serves all k argmax rounds (same rationale
+    # and cluster-scale swap as power_iteration_plan).
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
     seed = base.orderBy("vec_id").select("vec_id", "xi", "nrm").first()
     picked = [(0, seed["vec_id"], None)]
     sel_vecs = [(seed["xi"], seed["nrm"])]

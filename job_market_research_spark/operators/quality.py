@@ -30,7 +30,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
@@ -549,4 +549,70 @@ def q_privacy_l_diversity(spark, sf_dir: str) -> DataFrame:
             F.min("qi_priority").cast("string").alias("example_priority"),
         )
         .orderBy("l")
+    )
+
+
+@query(
+    "profile_fd_violations",
+    oracle="""
+    WITH pairs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, lang, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rk,
+             SUM(n) OVER (PARTITION BY source) AS tot,
+             COUNT(*) OVER (PARTITION BY source) AS n_rhs
+      FROM pairs
+    )
+    SELECT source, CAST(n_rhs AS BIGINT) AS n_langs,
+           lang AS majority_lang,
+           CAST(tot - n AS BIGINT) AS n_violations,
+           round(CAST(tot - n AS DOUBLE) / tot, 6) AS violation_rate_r6
+    FROM ranked WHERE rk = 1 AND n_rhs > 1
+    ORDER BY source
+    """,
+)
+def q_profile_fd_violations(spark, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does `source` determine `lang`?
+    For every LHS value with more than one RHS value, report the
+    majority RHS (deterministic (count desc, value) tie-break) and how
+    many rows deviate from it — the minimum edits to make the FD hold.
+    This is the profiling query that decides whether a column is safe
+    to use as a partition/dedup key at 100 TB.
+
+    One corpus scan reduces to the (lhs, rhs) pair table — bounded by
+    the attribute domains, not the corpus — and the ranking windows
+    run on that bounded table partitioned by lhs. All outputs are
+    exact counts or ratios of them."""
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = pairs.select(
+        "source",
+        "lang",
+        "n",
+        F.row_number()
+        .over(wsrc.orderBy(F.desc("n"), "lang"))
+        .alias("rk"),
+        F.sum("n").over(wsrc).alias("tot"),
+        F.count("*").over(wsrc).alias("n_rhs"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("n_rhs") > 1))
+        .select(
+            "source",
+            F.col("n_rhs").cast("long").alias("n_langs"),
+            F.col("lang").alias("majority_lang"),
+            (F.col("tot") - F.col("n")).cast("long").alias("n_violations"),
+            F.round(
+                (F.col("tot") - F.col("n")).cast("double") / F.col("tot"), 6
+            ).alias("violation_rate_r6"),
+        )
+        .orderBy("source")
     )

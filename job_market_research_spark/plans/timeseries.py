@@ -427,3 +427,168 @@ def q_window_gap_fill_interpolate(spark, sf_dir: str) -> DataFrame:
         ).alias("value_q6"),
         F.col("v").isNull().alias("interpolated"),
     ).orderBy("user_id", "day")
+
+
+#: Shift-flag threshold: a peak drawup beyond CUSUM_K·σ·√n exceeds the
+#: expected excursion of a pure random walk of the series' length — the
+#: scale-free way to separate drift from noise.
+CUSUM_K = 3
+
+
+@query(
+    "window_cusum_change",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(floor(CAST(s1 * 1000000 AS DOUBLE) / n) AS BIGINT) AS mu6,
+             CAST(floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                              * CAST(s1 AS DOUBLE) / n) / (n - 1))
+                        * 1000000.0) AS BIGINT) AS sd6
+      FROM base WHERE n > 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               - st.mu6 AS d6,
+             st.sd6
+      FROM events e JOIN stats st USING (event_type)
+    ),
+    cs AS (
+      SELECT event_id, event_type, ts, sd6,
+             SUM(d6) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs6
+      FROM dev
+    ),
+    walk AS (
+      SELECT event_id, event_type, sd6, cs6,
+             MIN(cs6) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lo6
+      FROM cs
+    ),
+    peak AS (
+      SELECT event_type, MAX(cs6 - lo6) AS peak6,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM walk GROUP BY 1
+    )
+    SELECT p.event_type, p.n,
+           CAST(MIN(w.event_id) AS BIGINT) AS peak_event_id,
+           round(CAST(p.peak6 AS DOUBLE)
+                 / ANY_VALUE(w.sd6), 6) AS peak_drawup_sigma_r6,
+           CAST(p.peak6 AS DOUBLE)
+             > {CUSUM_K} * ANY_VALUE(w.sd6) * sqrt(CAST(p.n AS DOUBLE))
+             AS shift_flag
+    FROM peak p
+    JOIN walk w ON w.event_type = p.event_type
+               AND w.cs6 - w.lo6 = p.peak6
+    GROUP BY p.event_type, p.n, p.peak6
+    ORDER BY p.event_type
+    """,
+)
+def q_window_cusum_change(spark, sf_dir: str) -> DataFrame:
+    """Drawup-CUSUM mean-shift report per event_type: the cumulative
+    deviation walk S_t = Σ(x−µ) minus its running minimum measures how
+    persistently recent values sat above the series mean — the shift
+    signal a point z-score cannot see (each point individually
+    unremarkable). The report is BOUNDED (|types| rows): the peak
+    drawup in σ units, the event where it first peaks, and a shift
+    flag comparing the peak against CUSUM_K·σ·√n — the expected
+    excursion scale of a driftless random walk, so iid noise does not
+    fire the flag no matter how long the series.
+
+    Plan: one bounded (|types|-row) moment aggregation broadcast back,
+    two running windows on one (event_type, ts) exchange, and a
+    |types|-row peak join. The walk is EXACT integer micro-units
+    (µ and σ floor-quantized from decimal moments): running sums of
+    doubles would diverge between Spark's sequential accumulation and
+    DuckDB's segment-tree evaluation, but integer sums are
+    associative, so both engines walk the identical path."""
+    return cusum_report(
+        load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+    )
+
+
+def cusum_report(events: DataFrame) -> DataFrame:
+    """Drawup-CUSUM over any (event_id, event_type, ts, value) frame —
+    see `q_window_cusum_change` for semantics and scale notes."""
+    ev = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("decimal(18,6)").alias("v_dec"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_dec").alias("s1"),
+        F.sum(F.col("v_dec") * F.col("v_dec")).alias("s2"),
+    )
+    n = F.col("n")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    stats = base.filter(n > 1).select(
+        "event_type",
+        F.floor((F.col("s1") * 1000000).cast("double") / n)
+        .cast("long")
+        .alias("mu6"),
+        F.floor(F.sqrt((s2d - s1d * s1d / n) / (n - 1)) * 1000000.0)
+        .cast("long")
+        .alias("sd6"),
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        ((F.col("v_dec") * 1000000).cast("long") - F.col("mu6")).alias("d6"),
+        "sd6",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = dev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "sd6",
+        F.sum("d6").over(w).alias("cs6"),
+    ).withColumn("lo6", F.min("cs6").over(w))
+    peak = walk.groupBy("event_type").agg(
+        F.max(F.col("cs6") - F.col("lo6")).alias("peak6"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        peak.join(
+            walk.withColumn("du6", F.col("cs6") - F.col("lo6")),
+            ["event_type"],
+        )
+        .filter(F.col("du6") == F.col("peak6"))
+        .groupBy("event_type", "peak6", "n")
+        .agg(
+            F.min("event_id").cast("long").alias("peak_event_id"),
+            F.first("sd6").alias("sd6"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "peak_event_id",
+            F.round(
+                F.col("peak6").cast("double") / F.col("sd6"), 6
+            ).alias("peak_drawup_sigma_r6"),
+            (
+                F.col("peak6").cast("double")
+                > CUSUM_K * F.col("sd6") * F.sqrt(F.col("n").cast("double"))
+            ).alias("shift_flag"),
+        )
+        .orderBy("event_type")
+    )

@@ -339,6 +339,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "ml_eval_confusion",
     "ml_calibration_bins",
+    "profile_fd_violations",
+    "text_ngram_novelty",
+    "window_cusum_change",
 )
 
 

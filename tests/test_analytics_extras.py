@@ -75,3 +75,50 @@ def test_gap_fill_produces_contiguous_spine(spark, sf_dir):
                 lo = min(prev_obs["value_q6"], next_obs["value_q6"])
                 hi = max(prev_obs["value_q6"], next_obs["value_q6"])
                 assert lo - 1e-6 <= r["value_q6"] <= hi + 1e-6
+
+
+def test_cusum_flags_planted_shift_only(spark):
+    """A series whose mean jumps halfway through must trip the shift
+    flag; a constant-mean control series must not."""
+
+    rows = []
+    # control: deterministic alternating noise around 10
+    for i in range(200):
+        rows.append((i, "control", f"2024-01-01 {i//60:02d}:{i%60:02d}:00",
+                     10.0 + (1.0 if i % 2 == 0 else -1.0)))
+    # shifted: same noise, mean jumps +5 after the midpoint
+    for i in range(200):
+        mu = 10.0 if i < 100 else 15.0
+        rows.append((1000 + i, "shifted", f"2024-01-02 {i//60:02d}:{i%60:02d}:00",
+                     mu + (1.0 if i % 2 == 0 else -1.0)))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    from job_market_research_spark.plans.timeseries import cusum_report
+
+    out = {r["event_type"]: r for r in cusum_report(df).collect()}
+    assert out["shifted"]["shift_flag"] is True
+    assert out["control"]["shift_flag"] is False
+
+
+def test_fd_violations_and_novelty_shapes(spark, sf_dir):
+    from job_market_research_spark.functions.corpus import q_text_ngram_novelty
+    from job_market_research_spark.operators.quality import q_profile_fd_violations
+
+    fd = q_profile_fd_violations(spark, sf_dir).collect()
+    for r in fd:
+        assert r["n_langs"] > 1
+        assert 0 < r["violation_rate_r6"] < 1
+    nov = q_text_ngram_novelty(spark, sf_dir).collect()
+    assert nov, "novelty report must not be empty"
+    for r in nov:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert abs(r["novelty_r6"] - r["n_novel"] / r["n_grams"]) < 1e-6
+    # doc 0 sees everything first: novelty must be exactly 1.0
+    first = min(nov, key=lambda r: r["doc_id"])
+    assert first["novelty_r6"] == 1.0
