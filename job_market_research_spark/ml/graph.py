@@ -411,3 +411,91 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+#: Fixed BFS rounds (hop radius) — deterministic in both engines; the
+#: to-fixpoint variant adds the CC checkpoint discipline.
+BFS_ROUNDS = 4
+#: BFS source node.
+BFS_SEED = 0
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    bi AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+    ),
+    h0 AS (SELECT {BFS_SEED} AS node, 0 AS hop),
+    h1 AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT * FROM h0
+        UNION ALL
+        SELECT bi.v AS node, h0.hop + 1 FROM h0 JOIN bi ON bi.u = h0.node
+      ) GROUP BY node
+    ),
+    h2 AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT * FROM h1
+        UNION ALL
+        SELECT bi.v AS node, h1.hop + 1 FROM h1 JOIN bi ON bi.u = h1.node
+      ) GROUP BY node
+    ),
+    h3 AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT * FROM h2
+        UNION ALL
+        SELECT bi.v AS node, h2.hop + 1 FROM h2 JOIN bi ON bi.u = h2.node
+      ) GROUP BY node
+    ),
+    h4 AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT * FROM h3
+        UNION ALL
+        SELECT bi.v AS node, h3.hop + 1 FROM h3 JOIN bi ON bi.u = h3.node
+      ) GROUP BY node
+    )
+    SELECT CAST(hop AS INT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM h4 GROUP BY 1 ORDER BY hop
+    """,
+)
+def q_graph_bfs_hops(spark, sf_dir: str) -> DataFrame:
+    """BFS hop-distance profile from a seed node over the deterministic
+    link graph: BFS_ROUNDS rounds of frontier expansion, each round one
+    co-partitioned edges⋈distances join + a min-hop aggregation — the
+    Pregel step expressed as DataFrame ops. The report is the bounded
+    per-hop histogram (reachability profile), the query behind
+    'how many docs sit within k citation hops of this seed set'.
+
+    Scale: edges bucketed by u once, every round reuses the layout
+    (same discipline as PageRank/LPA/k-core); the distance table is
+    |reached| rows; min-hop is partial-agg safe. Beyond a few rounds,
+    checkpoint lineage like connected components."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    bi = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    dist = docs.sparkSession.range(1).select(
+        F.lit(BFS_SEED).cast("long").alias("node"), F.lit(0).alias("hop")
+    )
+    for _ in range(BFS_ROUNDS):
+        expanded = bi.join(
+            dist.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), (F.col("hop") + 1).alias("hop"))
+        dist = (
+            dist.unionByName(expanded).groupBy("node").agg(F.min("hop").alias("hop"))
+        )
+    return (
+        dist.groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("hop")
+    )

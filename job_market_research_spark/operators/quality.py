@@ -616,3 +616,82 @@ def q_profile_fd_violations(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Pseudonymization salt — a deployment secret in production; a fixed
+#: literal here so the oracle can replay the mapping.
+PSEUDO_SALT = "jmrs-pseudo-v1"
+
+
+@query(
+    "privacy_pseudonymize_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment,
+             ('0x' || substr(md5('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)),
+                             1, 15))::BIGINT AS pid
+      FROM customer
+    ),
+    o AS (
+      SELECT ('0x' || substr(md5('{PSEUDO_SALT}' || CAST(o_custkey AS VARCHAR)),
+                             1, 15))::BIGINT AS pid
+      FROM orders
+    ),
+    pseudo AS (
+      SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders_pseudo
+      FROM o JOIN c USING (pid) GROUP BY 1
+    ),
+    raw AS (
+      SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders_raw
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT p.c_mktsegment, p.n_orders_pseudo, r.n_orders_raw,
+           p.n_orders_pseudo = r.n_orders_raw AS integrity_ok
+    FROM pseudo p JOIN raw r USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+)
+def q_privacy_pseudonymize_join(spark, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization with referential integrity: replace
+    the customer key in BOTH tables with a salted 60-bit hash
+    pseudonym, then prove the pseudonymized join reproduces the raw
+    join exactly (per-segment order counts equal). This is the release
+    pattern for sharing joinable datasets without raw identifiers —
+    the pseudonym is deterministic per key (joins keep working) but
+    unlinkable without the salt.
+
+    The mapping is a map-side expression (no lookup table to leak or
+    shuffle); the audit costs the same two joins the consumer would
+    run. Hash collisions would surface as integrity_ok = false — the
+    audit IS the collision check (~n²/2^61 odds)."""
+    salted = lambda col: F.concat(F.lit(PSEUDO_SALT), F.col(col).cast("string"))
+    pid = lambda col: F.conv(F.substring(F.md5(salted(col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c = cust.select("c_mktsegment", pid("c_custkey").alias("pid"))
+    o = orders.select(pid("o_custkey").alias("pid"))
+    pseudo = (
+        o.join(c, "pid")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_orders_pseudo"))
+    )
+    raw = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_orders_raw"))
+    )
+    return (
+        pseudo.join(raw, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders_pseudo",
+            "n_orders_raw",
+            (F.col("n_orders_pseudo") == F.col("n_orders_raw")).alias(
+                "integrity_ok"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -748,3 +748,84 @@ def q_agg_gini_concentration(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+#: Conversion window for the time-boxed funnel (days).
+CONV_WINDOW_DAYS = 3
+
+
+@query(
+    "agg_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t
+        AND e.ts < v.t + INTERVAL {CONV_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t
+        AND e.ts < c.t + INTERVAL {CONV_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click_within_window', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase_within_window', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY step
+    """,
+)
+def q_agg_funnel_windowed(spark, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: each step must occur within CONV_WINDOW_DAYS
+    of the previous step's first occurrence, not merely after it — the
+    'conversion window' semantics every product-analytics tool applies
+    (an unbounded funnel credits conversions that took months). Same
+    all-user_id-keyed plan as `agg_funnel_conversion`: the window
+    bound is one more filter inside each co-partitioned stage join —
+    zero extra shuffles. The bound compares exact timestamps (integer
+    microseconds under the hood), so window-edge events cannot flip
+    between engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    window_us = CONV_WINDOW_DAYS * 86400 * 1000000
+
+    def first_within(prev: DataFrame, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") >= F.col("t"))
+                & (F.unix_micros("ts") < F.unix_micros("t") + window_us)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+            .withColumnRenamed("t2", "t")
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = first_within(v, "click")
+    p = first_within(c, "purchase")
+
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click_within_window"))
+        .unionByName(step(p, "3_purchase_within_window"))
+        .orderBy("step")
+    )

@@ -592,3 +592,158 @@ def cusum_report(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Triangle-downsampling bucket count per series.
+LTTB_BUCKETS = 30
+
+
+@query(
+    "window_downsample_lttb",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS x,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    sized AS (
+      SELECT p.*, s.n,
+             ((p.rn - 1) * {LTTB_BUCKETS}) // s.n AS bucket
+      FROM pts p
+      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pts GROUP BY 1) s USING (event_type)
+    ),
+    bsum AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(x) AS sx, SUM(y6) AS sy
+      FROM sized GROUP BY 1, 2
+    ),
+    mid AS (
+      SELECT c.*,
+             abs(CAST(c.x * pb.cnt - pb.sx AS HUGEINT)
+                 * CAST(nb.sy * pb.cnt - pb.sy * nb.cnt AS HUGEINT)
+               - CAST(nb.sx * pb.cnt - pb.sx * nb.cnt AS HUGEINT)
+                 * CAST(c.y6 * pb.cnt - pb.sy AS HUGEINT)) AS area
+      FROM sized c
+      JOIN bsum pb ON pb.event_type = c.event_type
+                  AND pb.bucket = c.bucket - 1
+      JOIN bsum nb ON nb.event_type = c.event_type
+                  AND nb.bucket = c.bucket + 1
+      WHERE c.bucket BETWEEN 1 AND {LTTB_BUCKETS - 2}
+    ),
+    picks AS (
+      SELECT event_type, bucket, event_id, x, y6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                     ORDER BY area DESC, event_id) AS pk
+        FROM mid) WHERE pk = 1
+      UNION ALL
+      SELECT event_type, bucket, event_id, x, y6
+      FROM sized WHERE rn = 1 OR rn = n
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           event_id, CAST(x AS BIGINT) AS x_s,
+           CAST(y6 AS DOUBLE) / 1000000.0 AS y_q6
+    FROM picks ORDER BY event_type, bucket, event_id
+    """,
+)
+def q_window_downsample_lttb(spark, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling (parallel LTTB variant): each
+    per-type series collapses to ≤ LTTB_BUCKETS visually-faithful
+    points — the standard way to ship a 100 TB series to a dashboard.
+    The classic LTTB anchors each bucket's triangle on the PREVIOUSLY
+    SELECTED point (a sequential recurrence); this variant anchors on
+    the previous bucket's centroid, which keeps the characteristic
+    peak-preserving selection but makes every bucket independent —
+    embarrassingly parallel, one row_number window per bucket.
+
+    Exactness: the triangle area is computed on integer coordinates
+    (epoch seconds × micro-unit values), scaled through by the
+    positive constant np²·nn (centroid denominators cleared) so the
+    per-bucket argmax never touches a float: |f1·f2 − f3·f4| with
+    BIGINT factors multiplied in DECIMAL(38) — exact in both engines.
+    Headroom: factors stay < 1e19 while bucket_count·time_span_s
+    < 1e10 per series; coarsen the x unit for longer series.
+
+    Plan: one (event_type) exchange for rn, a bounded
+    (types × LTTB_BUCKETS) bucket-sum table joined back twice
+    (broadcast), and a (type, bucket)-partitioned pick window."""
+    pts = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000").alias("x"),
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("y6"),
+            "ts",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("ts", "event_id")
+            ),
+        )
+        .drop("ts")
+    )
+    sizes = pts.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    sized = pts.join(F.broadcast(sizes), "event_type").withColumn(
+        "bucket", F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n")
+    )
+    bsum = sized.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y6").alias("sy"),
+    )
+    pb = bsum.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("cnt").alias("pcnt"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+    )
+    nb = bsum.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("cnt").alias("ncnt"),
+        F.col("sx").alias("nsx"),
+        F.col("sy").alias("nsy"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    f1 = F.col("x") * F.col("pcnt") - F.col("psx")
+    f2 = F.col("nsy") * F.col("pcnt") - F.col("psy") * F.col("ncnt")
+    f3 = F.col("nsx") * F.col("pcnt") - F.col("psx") * F.col("ncnt")
+    f4 = F.col("y6") * F.col("pcnt") - F.col("psy")
+    mid = (
+        sized.filter(F.col("bucket").between(1, LTTB_BUCKETS - 2))
+        .join(F.broadcast(pb), ["event_type", "bucket"])
+        .join(F.broadcast(nb), ["event_type", "bucket"])
+        .withColumn("area", F.abs(dec(f1) * dec(f2) - dec(f3) * dec(f4)))
+    )
+    picks = (
+        mid.withColumn(
+            "pk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "bucket").orderBy(
+                    F.desc("area"), "event_id"
+                )
+            ),
+        )
+        .filter(F.col("pk") == 1)
+        .select("event_type", "bucket", "event_id", "x", "y6")
+        .unionByName(
+            sized.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+                "event_type", "bucket", "event_id", "x", "y6"
+            )
+        )
+    )
+    return picks.select(
+        "event_type",
+        F.col("bucket").cast("int").alias("bucket"),
+        "event_id",
+        F.col("x").cast("long").alias("x_s"),
+        (F.col("y6").cast("double") / 1000000.0).alias("y_q6"),
+    ).orderBy("event_type", "bucket", "event_id")

@@ -342,6 +342,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "profile_fd_violations",
     "text_ngram_novelty",
     "window_cusum_change",
+    "graph_bfs_hops",
+    "agg_funnel_windowed",
+    "privacy_pseudonymize_join",
+    "window_downsample_lttb",
 )
 
 

@@ -122,3 +122,65 @@ def test_fd_violations_and_novelty_shapes(spark, sf_dir):
     # doc 0 sees everything first: novelty must be exactly 1.0
     first = min(nov, key=lambda r: r["doc_id"])
     assert first["novelty_r6"] == 1.0
+
+
+def test_bfs_hop_profile_invariants(spark, sf_dir):
+    from job_market_research_spark.ml.graph import BFS_ROUNDS, BFS_SEED, q_graph_bfs_hops
+
+    rows = {r["hop"]: r for r in q_graph_bfs_hops(spark, sf_dir).collect()}
+    assert rows[0]["n_nodes"] == 1
+    assert rows[0]["min_node"] == BFS_SEED == rows[0]["max_node"]
+    assert max(rows) <= BFS_ROUNDS
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_nodes"] for r in rows.values()) <= n_docs
+
+
+def test_windowed_funnel_bounded_by_unwindowed(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_funnel_conversion,
+        q_agg_funnel_windowed,
+    )
+
+    wind = [r["n_users"] for r in q_agg_funnel_windowed(spark, sf_dir).collect()]
+    free = [r["n_users"] for r in q_agg_funnel_conversion(spark, sf_dir).collect()]
+    assert wind[0] == free[0]  # step 1 identical (no window yet)
+    assert wind[1] <= free[1] and wind[2] <= free[2]
+    assert wind[0] >= wind[1] >= wind[2] >= 0
+
+
+def test_pseudonymize_preserves_referential_integrity(spark, sf_dir):
+    from job_market_research_spark.operators.quality import q_privacy_pseudonymize_join
+
+    rows = q_privacy_pseudonymize_join(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["integrity_ok"] is True
+        assert r["n_orders_pseudo"] == r["n_orders_raw"] > 0
+
+
+def test_lttb_keeps_endpoints_and_bounds_output(spark, sf_dir):
+    from job_market_research_spark.plans.timeseries import (
+        LTTB_BUCKETS,
+        q_window_downsample_lttb,
+    )
+
+    out = q_window_downsample_lttb(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    span = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.expr("unix_micros(ts) div 1000000")).alias("x_min"),
+            F.max(F.expr("unix_micros(ts) div 1000000")).alias("x_max"),
+        )
+        .collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rows in by_type.items():
+        assert len(rows) <= LTTB_BUCKETS
+        xs = [r["x_s"] for r in rows]
+        assert min(xs) == span[t]["x_min"]  # first point kept
+        assert max(xs) == span[t]["x_max"]  # last point kept
