@@ -361,3 +361,114 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@query(
+    "ml_ols_multivariate",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx1,
+             SUM(CAST(l_discount AS DECIMAL(18,6))) AS sx2,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             -- first factor widened to DECIMAL(19,6): DuckDB keeps
+             -- width-18 products in int64 and overflows on price^2;
+             -- width 19 forces int128 (values identical either way)
+             SUM(CAST(l_quantity AS DECIMAL(19,6))
+                 * CAST(l_quantity AS DECIMAL(18,6))) AS s11,
+             SUM(CAST(l_quantity AS DECIMAL(19,6))
+                 * CAST(l_discount AS DECIMAL(18,6))) AS s12,
+             SUM(CAST(l_discount AS DECIMAL(19,6))
+                 * CAST(l_discount AS DECIMAL(18,6))) AS s22,
+             SUM(CAST(l_quantity AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS s1y,
+             SUM(CAST(l_discount AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS s2y,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS syy
+      FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b,
+             CAST(sx2 AS DOUBLE) AS c, CAST(sy AS DOUBLE) AS y0,
+             CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f,
+             CAST(s22 AS DOUBLE) AS g, CAST(s1y AS DOUBLE) AS y1,
+             CAST(s2y AS DOUBLE) AS y2, CAST(syy AS DOUBLE) AS yy
+      FROM m
+    ),
+    s AS (
+      SELECT l_returnflag, n, y0, y1, y2, yy, a,
+             a * (e * g - f * f) - b * (b * g - f * c)
+               + c * (b * f - e * c) AS det,
+             y0 * (e * g - f * f) - b * (y1 * g - f * y2)
+               + c * (y1 * f - e * y2) AS det0,
+             a * (y1 * g - y2 * f) - y0 * (b * g - f * c)
+               + c * (b * y2 - y1 * c) AS det1,
+             a * (e * y2 - y1 * f) - b * (b * y2 - y1 * c)
+               + y0 * (b * f - e * c) AS det2
+      FROM d
+    )
+    SELECT l_returnflag, n,
+           round(det0 / det, 6) AS b0_r6,
+           round(det1 / det, 6) AS b1_r6,
+           round(det2 / det, 6) AS b2_r6,
+           round(1.0 - (yy - (det0 / det) * y0 - (det1 / det) * y1
+                        - (det2 / det) * y2)
+                       / (yy - y0 * y0 / a), 6) AS r2_r6
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
+    """Per-group TWO-feature closed-form OLS — the moment-matrix
+    generalization `ml_ols_closed_form`'s docstring promises: fit
+    extendedprice ~ quantity + discount per returnflag by collecting
+    the 10 second-order moments (the 3×3 normal-equation matrix plus
+    RHS) in ONE exact-decimal aggregation, then solving by Cramer's
+    rule as plain column expressions over the per-group 1-row moment
+    table. R² uses the normal-equation identity
+    SSE = Σy² − b·(XᵀY), so no residual pass is needed.
+
+    One corpus scan, map-side decimal partials, |groups| output rows —
+    the driver never touches row data. Both engines cast the SAME
+    exact decimals to doubles and evaluate the SAME expression tree,
+    so determinants match bit-for-bit before the final rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("l_quantity")).alias("sx1"),
+        F.sum(dec("l_discount")).alias("sx2"),
+        F.sum(dec("l_extendedprice")).alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).alias("s11"),
+        F.sum(dec("l_quantity") * dec("l_discount")).alias("s12"),
+        F.sum(dec("l_discount") * dec("l_discount")).alias("s22"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("s1y"),
+        F.sum(dec("l_discount") * dec("l_extendedprice")).alias("s2y"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).alias("syy"),
+    )
+    a = F.col("n").cast("double")
+    b = F.col("sx1").cast("double")
+    c = F.col("sx2").cast("double")
+    y0 = F.col("sy").cast("double")
+    e = F.col("s11").cast("double")
+    f = F.col("s12").cast("double")
+    g = F.col("s22").cast("double")
+    y1 = F.col("s1y").cast("double")
+    y2 = F.col("s2y").cast("double")
+    yy = F.col("syy").cast("double")
+    det = a * (e * g - f * f) - b * (b * g - f * c) + c * (b * f - e * c)
+    det0 = y0 * (e * g - f * f) - b * (y1 * g - f * y2) + c * (y1 * f - e * y2)
+    det1 = a * (y1 * g - y2 * f) - y0 * (b * g - f * c) + c * (b * y2 - y1 * c)
+    det2 = a * (e * y2 - y1 * f) - b * (b * y2 - y1 * c) + y0 * (b * f - e * c)
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = 1.0 - (yy - b0 * y0 - b1 * y1 - b2 * y2) / (yy - y0 * y0 / a)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(b0, 6).alias("b0_r6"),
+        F.round(b1, 6).alias("b1_r6"),
+        F.round(b2, 6).alias("b2_r6"),
+        F.round(r2, 6).alias("r2_r6"),
+    ).orderBy("l_returnflag")

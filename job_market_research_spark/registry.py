@@ -346,6 +346,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_funnel_windowed",
     "privacy_pseudonymize_join",
     "window_downsample_lttb",
+    "ml_ols_multivariate",
 )
 
 

@@ -184,3 +184,28 @@ def test_lttb_keeps_endpoints_and_bounds_output(spark, sf_dir):
         xs = [r["x_s"] for r in rows]
         assert min(xs) == span[t]["x_min"]  # first point kept
         assert max(xs) == span[t]["x_max"]  # last point kept
+
+
+def test_ols_multivariate_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.ml.clustering import q_ml_ols_multivariate
+
+    got = {r["l_returnflag"]: r for r in q_ml_ols_multivariate(spark, sf_dir).collect()}
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rs in by_flag.items():
+        X = np.array([[1.0, r["l_quantity"], r["l_discount"]] for r in rs])
+        y = np.array([r["l_extendedprice"] for r in rs])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        g = got[flag]
+        assert g["n"] == len(rs)
+        for want, have in zip(beta, (g["b0_r6"], g["b1_r6"], g["b2_r6"])):
+            assert abs(want - have) < 1e-3 * max(1.0, abs(want)), (flag, want, have)
+        assert 0.0 <= g["r2_r6"] <= 1.0
