@@ -85,3 +85,34 @@ def test_sketch_prod_plan_is_exact_free(spark, sf_dir):
     assert "count(distinct" not in plan.lower()
     # sketch agg is partial-merge (map-side combine before the shuffle)
     assert plan.count("ObjectHashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_seasonal_anomaly_broadcasts_bounded_baseline(spark, sf_dir):
+    """agg_seasonal_anomaly's (type × hour) baseline is bounded —
+    its join back to events must be a broadcast hash join, never a
+    corpus shuffle on the events side."""
+    plan = _physical_plan(SPECS["agg_seasonal_anomaly"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lttb_bucket_joins_broadcast(spark, sf_dir):
+    """window_downsample_lttb joins the bounded (types × buckets)
+    centroid table back twice — both must broadcast."""
+    plan = _physical_plan(SPECS["window_downsample_lttb"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_classify_broadcasts_query_set(spark, sf_dir):
+    """ml_knn_classify's bounded query side must ride a broadcast
+    nested-loop/hash join; the corpus side must not shuffle to meet
+    it (its only exchanges are the qid ranking windows)."""
+    plan = _physical_plan(SPECS["ml_knn_classify"].fn(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cusum_stats_join_is_broadcast(spark, sf_dir):
+    plan = _physical_plan(SPECS["window_cusum_change"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -314,3 +314,89 @@ def test_global_row_number_matches_global_window(spark, keys):
     got = {r.k: r.rn for r in global_row_number(df, "k", partitions=4).collect()}
     expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == expect
+
+
+DAYVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # day offset
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(series=DAYVALS)
+def test_gap_fill_matches_python_replica(spark, series):
+    """window_gap_fill_interpolate's floor-quantized micro-unit
+    arithmetic must match an exact Python replica for ANY daily
+    series: observed days keep floor(v·1e6), gaps get
+    pv + floor(Δ·d/n)."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.plans.timeseries import (
+        q_window_gap_fill_interpolate,
+    )
+    import job_market_research_spark.io as io_mod
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 12, 0, 0)
+            + datetime.timedelta(days=day),
+            7,
+            float(val),
+        )
+        for i, (day, val) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+    # replica: floor-quantized micro-units, one reading per day
+    from decimal import Decimal, ROUND_HALF_UP
+
+    obs = {}
+    for day, val in series:
+        d6 = Decimal(repr(float(val))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        obs[day] = math.floor(float(d6 * 1000000) / 1)
+    lo, hi = min(obs), max(obs)
+    expected = {}
+    for day in range(lo, hi + 1):
+        if day in obs:
+            expected[day] = (obs[day] / 1e6, False)
+        else:
+            pd_ = max(d for d in obs if d < day)
+            nd = min(d for d in obs if d > day)
+            interp = obs[pd_] + math.floor(
+                float((obs[nd] - obs[pd_]) * (day - pd_)) / (nd - pd_)
+            )
+            expected[day] = (interp / 1e6, True)
+
+    # drive the registered plan through a monkeypatched loader
+    real_load = io_mod.load
+    try:
+        io_mod.load = lambda _s, _sf, _t: df
+        import job_market_research_spark.plans.timeseries as ts_mod
+
+        orig = ts_mod.load
+        ts_mod.load = io_mod.load
+        try:
+            out = q_window_gap_fill_interpolate(spark, "ignored").collect()
+        finally:
+            ts_mod.load = orig
+    finally:
+        io_mod.load = real_load
+
+    got = {
+        (r["day"] - base).days: (r["value_q6"], r["interpolated"]) for r in out
+    }
+    assert got == expected
