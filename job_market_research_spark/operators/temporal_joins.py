@@ -160,3 +160,72 @@ def q_join_range(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Max staleness for a valid as-of match (days).
+ASOF_TOLERANCE_DAYS = 3
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts AS pts, MAX(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             p.pid AS rp, p.pts AS rt
+      FROM events e ASOF LEFT JOIN p
+        ON e.user_id = p.user_id AND e.ts >= p.pts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN rt IS NOT NULL
+                 AND date_diff('microsecond', rt, ts)
+                     <= {ASOF_TOLERANCE_DAYS} * CAST(86400 AS BIGINT) * 1000000
+                THEN rp END AS matched_payload,
+           CASE WHEN rt IS NOT NULL
+                THEN date_diff('microsecond', rt, ts)
+                     > {ASOF_TOLERANCE_DAYS} * CAST(86400 AS BIGINT) * 1000000
+                END AS stale
+    FROM m ORDER BY event_id
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: each event looks up the
+    user's most recent PURCHASE at-or-before it, but a match older
+    than ASOF_TOLERANCE_DAYS is REJECTED (payload nulled, flagged
+    stale) — the feature-store rule that a lookup must not silently
+    serve week-old state. Same single-shuffle union+window plan as
+    `join_asof`; the tolerance is a post-projection on exact integer
+    microseconds, so the validity boundary cannot flip between
+    engines. DuckDB replays with native ASOF JOIN + the same bound."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    m = asof_join(
+        events.drop("event_type"),
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_payload="pid",
+    )
+    tol_us = ASOF_TOLERANCE_DAYS * 86400 * 1000000
+    age = F.unix_micros("ts") - F.unix_micros("matched_ts")
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("matched_ts").isNotNull() & (age <= tol_us),
+            F.col("matched_payload"),
+        ).alias("matched_payload"),
+        F.when(F.col("matched_ts").isNotNull(), age > tol_us).alias("stale"),
+    ).orderBy("event_id")

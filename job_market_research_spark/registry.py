@@ -347,6 +347,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_pseudonymize_join",
     "window_downsample_lttb",
     "ml_ols_multivariate",
+    "join_asof_tolerance",
 )
 
 

@@ -209,3 +209,22 @@ def test_ols_multivariate_matches_numpy_lstsq(spark, sf_dir):
         for want, have in zip(beta, (g["b0_r6"], g["b1_r6"], g["b2_r6"])):
             assert abs(want - have) < 1e-3 * max(1.0, abs(want)), (flag, want, have)
         assert 0.0 <= g["r2_r6"] <= 1.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    from job_market_research_spark.operators.temporal_joins import (
+        q_join_asof_tolerance,
+    )
+
+    rows = q_join_asof_tolerance(spark, sf_dir).collect()
+    n_valid = n_stale = 0
+    for r in rows:
+        if r["stale"] is None:
+            assert r["matched_payload"] is None  # no match at all
+        elif r["stale"]:
+            n_stale += 1
+            assert r["matched_payload"] is None  # rejected
+        else:
+            n_valid += 1
+            assert r["matched_payload"] is not None
+    assert n_valid > 0 and n_stale > 0  # the bound genuinely splits
