@@ -829,3 +829,72 @@ def q_agg_funnel_windowed(spark, sf_dir: str) -> DataFrame:
         .unionByName(step(p, "3_purchase_within_window"))
         .orderBy("step")
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT f.cohort_date,
+             CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS week_offset,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(e.value AS DECIMAL(18,6)) END) AS rev
+      FROM events e JOIN firstseen f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_date, week_offset,
+           round(CAST(COALESCE(rev, 0) AS DOUBLE), 6) AS week_rev_r6,
+           round(CAST(SUM(COALESCE(rev, 0)) OVER (
+                    PARTITION BY cohort_date ORDER BY week_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS cum_ltv_r6
+    FROM wk ORDER BY cohort_date, week_offset
+    """,
+)
+def q_agg_cohort_ltv(spark, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per (first-seen cohort,
+    week offset) and its running cumulative — the LTV curve that turns
+    the retention triangle into money. Same user_id-keyed two-shuffle
+    shape as `agg_retention_cohort`; the cumulative window runs over
+    the BOUNDED (cohorts × weeks) rollup, and revenue stays in exact
+    DECIMAL through the running sum (a double running sum would
+    diverge between Spark's sequential and DuckDB's segment-tree
+    evaluation), cast to double only at output."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v_dec"),
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    wk = (
+        ev.join(firstseen, "user_id")
+        .groupBy(
+            "cohort_date",
+            (F.datediff(F.col("day"), F.col("cohort_date")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v_dec"))
+            ).alias("rev")
+        )
+    )
+    rev0 = F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,6)"))
+    wcum = (
+        Window.partitionBy("cohort_date")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_date",
+        "week_offset",
+        F.round(rev0.cast("double"), 6).alias("week_rev_r6"),
+        F.round(F.sum(rev0).over(wcum).cast("double"), 6).alias("cum_ltv_r6"),
+    ).orderBy("cohort_date", "week_offset")

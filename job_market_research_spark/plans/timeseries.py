@@ -747,3 +747,79 @@ def q_window_downsample_lttb(spark, sf_dir: str) -> DataFrame:
         F.col("x").cast("long").alias("x_s"),
         (F.col("y6").cast("double") / 1000000.0).alias("y_q6"),
     ).orderBy("event_type", "bucket", "event_id")
+
+
+#: Peak prominence threshold in micro-units (0.5 value units).
+PEAK_MIN_PROMINENCE6 = 500000
+
+
+@query(
+    "window_peak_detect",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
+      FROM events
+    ),
+    nb AS (
+      SELECT event_id, event_type, y6,
+             lag(y6) OVER w AS py6,
+             lead(y6) OVER w AS ny6
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           CAST(y6 AS DOUBLE) / 1000000.0 AS peak_q6,
+           CAST(least(y6 - py6, y6 - ny6) AS DOUBLE) / 1000000.0
+             AS prominence_q6
+    FROM nb
+    WHERE py6 IS NOT NULL AND ny6 IS NOT NULL
+      AND y6 - py6 >= {PEAK_MIN_PROMINENCE6}
+      AND y6 - ny6 >= {PEAK_MIN_PROMINENCE6}
+    ORDER BY event_id
+    """,
+)
+def q_window_peak_detect(spark, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection per event_type: a reading is a peak
+    when it exceeds BOTH neighbors by at least the prominence floor —
+    the alerting primitive behind 'flag the spikes, not the noise'.
+    One lag + one lead on a single (event_type, ts) exchange; values
+    compared as exact integer micro-units, so the prominence boundary
+    is engine-stable. Series endpoints are excluded (no one-sided
+    peaks)."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("y6"),
+    )
+    nb = s.select(
+        "event_id",
+        "event_type",
+        "y6",
+        F.lag("y6").over(w).alias("py6"),
+        F.lead("y6").over(w).alias("ny6"),
+    )
+    return (
+        nb.filter(
+            F.col("py6").isNotNull()
+            & F.col("ny6").isNotNull()
+            & (F.col("y6") - F.col("py6") >= PEAK_MIN_PROMINENCE6)
+            & (F.col("y6") - F.col("ny6") >= PEAK_MIN_PROMINENCE6)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("y6").cast("double") / 1000000.0).alias("peak_q6"),
+            (
+                F.least(
+                    F.col("y6") - F.col("py6"), F.col("y6") - F.col("ny6")
+                ).cast("double")
+                / 1000000.0
+            ).alias("prominence_q6"),
+        )
+        .orderBy("event_id")
+    )

@@ -348,6 +348,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "window_downsample_lttb",
     "ml_ols_multivariate",
     "join_asof_tolerance",
+    "window_peak_detect",
+    "agg_cohort_ltv",
 )
 
 

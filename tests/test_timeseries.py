@@ -102,3 +102,70 @@ def test_twa_segment_counts(spark, sf_dir):
             assert seg[uid] == n - 1
         else:
             assert uid not in seg
+
+
+def test_peak_detect_matches_brute_force(spark, sf_dir):
+    """Every flagged peak must beat both neighbors by the floor when
+    replayed against the collected per-type series."""
+    from job_market_research_spark.plans.timeseries import (
+        PEAK_MIN_PROMINENCE6,
+        q_window_peak_detect,
+    )
+
+    peaks = {
+        r["event_id"]: r for r in q_window_peak_detect(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import decimal
+
+    expected = set()
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        y = [
+            int(
+                decimal.Decimal(repr(r["value"])).quantize(
+                    decimal.Decimal("0.000001")
+                )
+                * 1000000
+            )
+            for r in rs
+        ]
+        for i in range(1, len(rs) - 1):
+            if (
+                y[i] - y[i - 1] >= PEAK_MIN_PROMINENCE6
+                and y[i] - y[i + 1] >= PEAK_MIN_PROMINENCE6
+            ):
+                expected.add(rs[i]["event_id"])
+    assert set(peaks) == expected
+    assert expected, "peak report must not be vacuous"
+
+
+def test_cohort_ltv_cumulative_is_total_revenue(spark, sf_dir):
+    """Per cohort the final cumulative LTV equals that cohort's total
+    purchase revenue, and the running sum is nondecreasing."""
+    from job_market_research_spark.plans.events_analytics import q_agg_cohort_ltv
+
+    out = q_agg_cohort_ltv(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort_date"], []).append(r)
+    total = 0.0
+    for cohort, rows in by_cohort.items():
+        cums = [r["cum_ltv_r6"] for r in rows]
+        assert cums == sorted(cums)
+        assert abs(sum(r["week_rev_r6"] for r in rows) - cums[-1]) < 1e-4
+        total += cums[-1]
+    exact = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .first()["s"]
+    )
+    assert abs(total - float(exact)) < 1e-3
