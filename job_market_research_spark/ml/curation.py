@@ -590,3 +590,118 @@ def q_text_chunk_overlap(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+#: E2E pipeline gates: token floor, stop-ratio floor (3% expressed as
+#: an integer cross-multiplication), deterministic keep rate (%).
+PIPE_MIN_TOKENS = 20
+PIPE_STOP_PCT = 3
+PIPE_KEEP_PCT = 50
+PIPE_LANGS = ("en", "fr", "es", "de")
+
+_PIPE_LANGS_SQL = ", ".join(f"'{l}'" for l in PIPE_LANGS)
+
+
+@query(
+    "pipeline_curation_e2e",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> x IN ('the','a','of','and','to','in')))
+                  AS BIGINT) AS n_stop
+      FROM deduped
+    ),
+    gated AS (
+      SELECT *,
+             n_tok >= {PIPE_MIN_TOKENS}
+               AND 100 * n_stop >= {PIPE_STOP_PCT} * n_tok
+               AND lang IN ({_PIPE_LANGS_SQL}) AS keep_quality
+      FROM scored
+    ),
+    sampled AS (
+      SELECT *,
+             keep_quality AND
+             {_ORACLE_HASH.format(col="'pipe|' || CAST(doc_id AS VARCHAR)")}
+               % 100 < {PIPE_KEEP_PCT} AS keep_final
+      FROM gated
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN keep_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN keep_final THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN keep_final THEN n_tok ELSE 0 END) AS BIGINT)
+             AS sampled_tokens
+    FROM sampled GROUP BY 1, 2 ORDER BY source, lang
+    """,
+)
+def q_pipeline_curation_e2e(spark, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan: exact dedup
+    (min-doc_id survivor per content hash) → quality gate (token
+    floor + stopword-ratio floor as an integer cross-multiplication —
+    no float threshold) → language allowlist → deterministic
+    hash-sampled keep rate → per-(source, lang) yield report. This is
+    the shape of a real pretraining-data run, proving the operator
+    families compose into one Catalyst plan: the dedup window, the
+    scan-shaped scoring, and the sampling decision all pipeline
+    between two shuffles (content-hash, then the bounded report key).
+
+    Every decision is exact-integer or hash-deterministic, so the
+    whole pipeline is retry/reshard-stable and the oracle replays it
+    end-to-end — per-stage counts (candidates → quality → sampled)
+    make the yield at each gate auditable."""
+    docs = load(spark, sf_dir, "documents")
+    survivor = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = docs.withColumn("rn", survivor).filter(F.col("rn") == 1)
+    toks = tokens("text")
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    keep_quality = (
+        (F.col("n_tok") >= PIPE_MIN_TOKENS)
+        & (100 * F.col("n_stop") >= PIPE_STOP_PCT * F.col("n_tok"))
+        & F.col("lang").isin(*PIPE_LANGS)
+    )
+    keep_final = keep_quality & (
+        portable_hash(F.concat(F.lit("pipe|"), F.col("doc_id").cast("string")))
+        % 100
+        < PIPE_KEEP_PCT
+    )
+    return (
+        scored.withColumn("keep_quality", keep_quality)
+        .withColumn("keep_final", keep_final)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("keep_quality"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality"),
+            F.sum(F.when(F.col("keep_final"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("keep_final"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -350,6 +350,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "window_peak_detect",
     "agg_cohort_ltv",
+    "pipeline_curation_e2e",
 )
 
 

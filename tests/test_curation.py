@@ -146,3 +146,27 @@ def test_canonicalize_url_variants(spark):
     assert out[1] == out[2] == out[3] == out[4] == out[5] == "example.com/Jobs/123"
     assert out[6] == "example.com/jobs/123"
     assert out[6] != out[1]
+
+
+def test_pipeline_e2e_gates_are_monotone(spark, sf_dir):
+    """Yield must fall (weakly) at every gate, candidates must sum to
+    the deduped corpus size, and the zh allowlist gate must zero out."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.curation import q_pipeline_curation_e2e
+
+    rows = q_pipeline_curation_e2e(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_candidates"] >= r["n_quality"] >= r["n_sampled"] >= 0
+        if r["lang"] == "zh":
+            assert r["n_quality"] == 0 == r["n_sampled"]
+        if r["n_sampled"] == 0:
+            assert r["sampled_tokens"] == 0
+    deduped = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text"))
+        .count()
+        .count()
+    )
+    assert sum(r["n_candidates"] for r in rows) == deduped
