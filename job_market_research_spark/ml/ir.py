@@ -393,3 +393,152 @@ def q_text_keywords_topk(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+#: BPE training rounds (merges learned).
+BPE_ROUNDS = 6
+
+
+def _bpe_word_vocab(spark, sf_dir: str) -> DataFrame:
+    """Unique lowercase words with corpus frequency, each encoded as
+    pipe-wrapped character symbols: 'hello' → '|h||e||l||l||o|'. The
+    wrapping makes `replace('|a||b|' → '|ab|')` EXACTLY the greedy
+    left-to-right merge fold (no shared characters between adjacent
+    symbol tokens, and a replacement is never rescanned), and both
+    engines' replace() share those semantics."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "concat('|', array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '||'), '|')"
+            ).alias("enc"),
+        )
+    )
+
+
+_BPE_V0_SQL = """
+      SELECT w, freq,
+             '|' || array_to_string(list_transform(range(1, length(w) + 1),
+                     i -> substr(w, i, 1)), '||') || '|' AS enc
+      FROM (
+        SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+        WHERE t <> '' GROUP BY 1
+      )
+"""
+
+
+def _bpe_pair_stage_sql(src: str) -> str:
+    """Pair-count + argmax CTE bodies over a vocab stage."""
+    return f"""(
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, greatest(len(s), 1)),
+                      i -> s[i] || ' ' || s[i + 1])) AS pair
+        FROM (SELECT freq,
+                     string_split(substr(enc, 2, length(enc) - 2), '||') AS s
+              FROM {src})
+      ) WHERE pair IS NOT NULL GROUP BY 1
+    )"""
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    parts = [f"    WITH v0 AS ({_BPE_V0_SQL})"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{t} AS {_bpe_pair_stage_sql(f"v{t - 1}")},
+    m{t} AS (SELECT pair, cnt FROM p{t}
+             ORDER BY cnt DESC, pair LIMIT 1),
+    v{t} AS (
+      SELECT w, freq,
+             replace(enc,
+               '|' || replace(m.pair, ' ', '||') || '|',
+               '|' || replace(m.pair, ' ', '') || '|') AS enc
+      FROM v{t - 1}, m{t} m
+    )"""
+        )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {t} AS rank, pair, cnt FROM m{t}" for t in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rank AS INT) AS rank,
+           string_split(pair, ' ')[1] AS merge_left,
+           string_split(pair, ' ')[2] AS merge_right,
+           replace(pair, ' ', '') AS merged,
+           CAST(cnt AS BIGINT) AS support
+    FROM (
+{unions}
+    ) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle())
+def q_text_bpe_train_merges(spark, sf_dir: str) -> DataFrame:
+    """True iterative BPE training: BPE_ROUNDS rounds of 'count all
+    adjacent symbol pairs (weighted by word frequency), merge the most
+    frequent everywhere, recount' — completing the tokenizer story
+    `text_bpe_pair_counts` starts (that query is round 1's count; this
+    learns the merge TABLE). Deterministic tie-break (count desc, pair
+    asc); output = the learned merges with their support.
+
+    Scale shape: the corpus is reduced ONCE to the unique-word vocab
+    with frequencies; every round then costs one bounded vocab pass
+    (pair explode → alphabet²-bounded partial-agg count) + a 1-row
+    argmax collect; the merge applies as a map-side replace(). This is
+    O(rounds × |vocab|) after the single corpus scan — the same
+    vocab-first discipline as the pair-count query, and the driver
+    holds one pair per round.
+
+    Cross-engine exactness: counts are integers; the pipe-wrapped
+    encoding makes replace() the exact greedy fold in BOTH engines
+    (no shared separator chars, replacements never rescanned), so
+    every round's vocab state is string-identical."""
+    vocab = _bpe_word_vocab(spark, sf_dir)
+    vocab = vocab.repartition(
+        vocab.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
+    spark_sess = vocab.sparkSession
+    learned = []
+    # sequence(1, 0) is DESCENDING in Spark, so single-symbol words
+    # must short-circuit to an empty pair array explicitly.
+    pair_expr = (
+        "if(size(syms) < 2, array(),"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))))"
+    )
+    for rank in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.split(
+                    F.expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|"
+                ).alias("syms"),
+            )
+            .select("freq", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "pair").first()
+        a, b = top["pair"].split(" ")
+        learned.append((rank, a, b, a + b, int(top["cnt"])))
+        vocab = vocab.withColumn(
+            "enc",
+            F.expr(f"replace(enc, '|{a}||{b}|', '|{a}{b}|')"),
+        ).localCheckpoint()
+    return spark_sess.createDataFrame(
+        learned, "rank int, merge_left string, merge_right string,"
+        " merged string, support long"
+    ).orderBy("rank")

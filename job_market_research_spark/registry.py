@@ -351,6 +351,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "window_peak_detect",
     "agg_cohort_ltv",
     "pipeline_curation_e2e",
+    "text_bpe_train_merges",
 )
 
 

@@ -611,3 +611,48 @@ def test_basket_affinity_nonempty_and_valid(spark, sf_dir):
         assert r.part_a < r.part_b
         assert r.s_ab >= BASKET_MIN_SUPPORT
         assert r.lift > 0
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer must reproduce a pure-Python BPE
+    reference (greedy left-to-right merge, (count desc, pair asc)
+    tie-break) on the same word-frequency table."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.ir import BPE_ROUNDS, q_text_bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    freq = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq[w]
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        expected.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = q_text_bpe_train_merges(spark, sf_dir).collect()
+    assert [
+        (r["merge_left"], r["merge_right"], r["support"]) for r in got
+    ] == expected
