@@ -499,3 +499,92 @@ def q_graph_bfs_hops(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+#: Link-prediction report size and the wedge-center degree cap. The cap
+#: bounds per-node candidate fan-out at LP_DEG_CAP² — the same hot-key
+#: discipline as GRAM_DF_CAP in ml/neardup.py (a celebrity node would
+#: otherwise contribute deg² candidate pairs).
+LP_TOP = 20
+LP_DEG_CAP = 64
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    adj AS (
+      SELECT a AS z, b AS u FROM und
+      UNION ALL
+      SELECT b AS z, a AS u FROM und
+    ),
+    deg AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z
+    ),
+    capped AS (
+      SELECT a.z, a.u, d.deg FROM adj a JOIN deg d USING (z)
+      WHERE d.deg <= {LP_DEG_CAP}
+    ),
+    wedges AS (
+      SELECT l.u AS a, r.u AS b, l.z, l.deg
+      FROM capped l JOIN capped r ON l.z = r.z AND l.u < r.u
+    ),
+    cand AS (
+      SELECT w.a, w.b,
+             round(CAST(SUM(CAST(1.0 / ln(w.deg) AS DECIMAL(28,14)))
+                   AS DOUBLE), 6) AS aa_score,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM und e
+                        WHERE e.a = w.a AND e.b = w.b)
+      GROUP BY w.a, w.b
+    )
+    SELECT a, b, common, aa_score FROM cand
+    ORDER BY aa_score DESC, a, b LIMIT {LP_TOP}
+    """,
+)
+def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: score every NON-adjacent node pair
+    that shares a neighbor by sum(1/ln(deg(z))) over the common
+    neighbors z — the classic neighborhood-overlap recommender
+    (Adamic & Adar 2003), used in pipelines to densify citation /
+    co-occurrence graphs before community detection.
+
+    Scale shape: candidate pairs are enumerated AT THE WEDGE CENTER
+    (join the adjacency list with itself on z, u < v), so the work is
+    sum(deg(z)²) — and the LP_DEG_CAP degree cap excludes hub centers,
+    bounding per-node fan-out at cap² exactly like the df-capped
+    inverted-index joins in ml/neardup.py (a hub's wedges are the
+    least-informative Adamic-Adar terms: weight 1/ln(deg) is smallest
+    there, so the cap discards the NOISE floor, not the signal). The
+    existing-edge anti-join keeps only new-link candidates; per-pair
+    scores sum in exact DECIMAL so partial-agg order cannot perturb
+    the hash. Three shuffles: degree agg, wedge self-join (z-keyed),
+    candidate agg — each bucketable by its key at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("u"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").alias("deg"))
+    capped = adj.join(deg, "z").filter(F.col("deg") <= LP_DEG_CAP)
+    l = capped.select("z", F.col("u").alias("a"), "deg")
+    r = capped.select("z", F.col("u").alias("b"))
+    wedges = l.join(r, "z").filter(F.col("a") < F.col("b"))
+    cand = wedges.join(und, ["a", "b"], "left_anti")
+    return (
+        cand.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.round(
+                F.sum(
+                    (F.lit(1.0) / F.log(F.col("deg"))).cast("decimal(28,14)")
+                ).cast("double"),
+                6,
+            ).alias("aa_score"),
+        )
+        .select("a", "b", "common", "aa_score")
+        .orderBy(F.desc("aa_score"), "a", "b")
+        .limit(LP_TOP)
+    )

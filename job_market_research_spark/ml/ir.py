@@ -506,11 +506,22 @@ def q_text_bpe_train_merges(spark, sf_dir: str) -> DataFrame:
     encoding makes replace() the exact greedy fold in BOTH engines
     (no shared separator chars, replacements never rescanned), so
     every round's vocab state is string-identical."""
+    learned, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        learned, "rank int, merge_left string, merge_right string,"
+        " merged string, support long"
+    ).orderBy("rank")
+
+
+def _bpe_train(spark, sf_dir: str, rounds: int = BPE_ROUNDS):
+    """Run the BPE count-merge-recount loop; returns (learned merges as
+    (rank, left, right, merged, support) tuples, final encoded vocab
+    DataFrame). Shared by `text_bpe_train_merges` (emits the merge
+    table) and `text_bpe_encode` (emits the segmented vocab)."""
     vocab = _bpe_word_vocab(spark, sf_dir)
     vocab = vocab.repartition(
         vocab.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint()
-    spark_sess = vocab.sparkSession
     learned = []
     # sequence(1, 0) is DESCENDING in Spark, so single-symbol words
     # must short-circuit to an empty pair array explicitly.
@@ -519,7 +530,7 @@ def q_text_bpe_train_merges(spark, sf_dir: str) -> DataFrame:
         " transform(sequence(1, size(syms) - 1),"
         " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))))"
     )
-    for rank in range(1, BPE_ROUNDS + 1):
+    for rank in range(1, rounds + 1):
         pairs = (
             vocab.select(
                 "freq",
@@ -538,7 +549,300 @@ def q_text_bpe_train_merges(spark, sf_dir: str) -> DataFrame:
             "enc",
             F.expr(f"replace(enc, '|{a}||{b}|', '|{a}{b}|')"),
         ).localCheckpoint()
-    return spark_sess.createDataFrame(
-        learned, "rank int, merge_left string, merge_right string,"
-        " merged string, support long"
-    ).orderBy("rank")
+    return learned, vocab
+
+
+#: Encode report size: the BPE_ENC_TOP most frequent words.
+BPE_ENC_TOP = 30
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Same unrolled count-merge-recount CTE chain as `_bpe_oracle`,
+    but the final select reads the ENCODED VOCAB state v{rounds}
+    instead of the merge table."""
+    parts = [f"    WITH v0 AS ({_BPE_V0_SQL})"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{t} AS {_bpe_pair_stage_sql(f"v{t - 1}")},
+    m{t} AS (SELECT pair, cnt FROM p{t}
+             ORDER BY cnt DESC, pair LIMIT 1),
+    v{t} AS (
+      SELECT w, freq,
+             replace(enc,
+               '|' || replace(m.pair, ' ', '||') || '|',
+               '|' || replace(m.pair, ' ', '') || '|') AS enc
+      FROM v{t - 1}, m{t} m
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT w, freq,
+           replace(substr(enc, 2, length(enc) - 2), '||', ' ') AS seg,
+           CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||'))
+                AS INT) AS n_tokens
+    FROM v{rounds}
+    ORDER BY freq DESC, w LIMIT {BPE_ENC_TOP}"""
+    )
+    return "".join(parts)
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def q_text_bpe_encode(spark, sf_dir: str) -> DataFrame:
+    """Tokenize with the trained BPE merges: apply the BPE_ROUNDS
+    learned merges to the word vocabulary and emit each head word's
+    segmentation and token count — the APPLY side of the tokenizer
+    story (`text_bpe_train_merges` learns the table; this encodes with
+    it). The per-word token count over the frequency-weighted vocab is
+    exactly the corpus "fertility" statistic tokenizer teams track.
+
+    Scale shape: encoding is a map-side fold — each learned merge is
+    one `replace()` over the pipe-wrapped encoding, applied to the
+    UNIQUE-word vocab (never the raw corpus; a 100 TB corpus encodes
+    its 10M-word vocab once and joins the segmentation back by word if
+    full-text tokenization is needed). The oracle replays the whole
+    train+encode chain unrolled, so the output is proven
+    string-identical across engines, not just count-identical."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    inner = F.expr("substring(enc, 2, length(enc) - 2)")
+    return (
+        vocab.select(
+            "w",
+            "freq",
+            F.regexp_replace(inner, r"\|\|", " ").alias("seg"),
+            F.size(F.split(inner, r"\|\|")).cast("int").alias("n_tokens"),
+        )
+        .orderBy(F.desc("freq"), "w")
+        .limit(BPE_ENC_TOP)
+    )
+
+
+#: Hybrid-retrieval fusion: depth of each input ranking, RRF constant
+#: (the canonical k=60 from Cormack et al. 2009), report size.
+RRF_DEPTH = 50
+RRF_K = 60
+RRF_TOP = 20
+
+#: BM25-scored docs (doc_id, bm25 round-6) as a reusable SQL fragment —
+#: the same scoring chain as `text_bm25_topk`'s oracle, unlimited.
+_BM25_SCORED_SQL = f"""
+    tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    dfx AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY 1
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl)) AS DECIMAL(28,14)))
+               AS DOUBLE), 6) AS bm25
+      FROM tf
+      JOIN dfx USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY doc_id
+    )
+"""
+
+
+def _bm25_scores(spark, sf_dir: str) -> DataFrame:
+    """All BM25-scored docs for the fixed probe terms (doc_id, bm25
+    round-6) — `text_bm25_topk` is this plus a top-k; `ir_hybrid_rrf`
+    ranks it to RRF_DEPTH."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("term_score").cast("decimal(28,14)")).cast("double"), 6
+        ).alias("bm25")
+    )
+
+
+@query(
+    "ir_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM bm25 QUALIFY lex_rank <= {RRF_DEPTH}
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS qnrm
+      FROM embeddings WHERE vec_id = 0
+    ),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * q.qv[i])) / (e.nrm * q.qnrm), 6)
+               AS cosine
+      FROM e, q WHERE e.vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+      FROM cos QUALIFY vec_rank <= {RRF_DEPTH}
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank, v.vec_rank,
+           round(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+    tags=("ir", "beyond"),
+)
+def q_ir_hybrid_rrf(spark, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009): BM25 ranking over `documents` and cosine
+    ranking over the aligned `embeddings` (vec_id ≡ doc_id), each cut
+    at RRF_DEPTH, fused as sum(1/(k + rank)) — the standard way a RAG /
+    data-selection pipeline combines sparse and dense retrievers
+    without score calibration.
+
+    Scale shape: each leg is its own already-scale-audited plan (BM25 =
+    term-filtered two-agg DAG; cosine = one scan vs a broadcast query
+    vector); both global rankings cut at a CONSTANT depth, so the
+    fusion join is RRF_DEPTH×RRF_DEPTH-bounded — at 100 TB the rankings
+    come from per-partition top-k + merge (TakeOrdered), never a global
+    sort of the corpus. Ranks are integers over round-6 scores with id
+    tie-breaks (engine-stable); the fused score adds exactly two
+    doubles (IEEE addition of two terms is order-exact), re-rounded to
+    6.
+
+    Each leg's rank is computed by cutting to the top RRF_DEPTH FIRST
+    (`orderBy().limit()` → TakeOrderedAndProject, per-partition top-k +
+    driver merge) and only then numbering the now-CONSTANT-sized frame
+    with a global window — the window input is ≤ RRF_DEPTH rows by
+    construction (allowlisted in tests/test_plan_hygiene.py), so no
+    corpus-sized single-partition sort exists anywhere in the plan."""
+    from pyspark.sql.window import Window
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    from job_market_research_spark.ml.similarity import (
+        QUERY_VEC_ID,
+        _query_vector,
+        as_double_vec,
+        cosine,
+        l2_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    qv = _query_vector(spark, sf_dir).withColumn("qnrm", l2_norm(F.col("qv")))
+    cos = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    vec = (
+        cos.orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "vec_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOP)

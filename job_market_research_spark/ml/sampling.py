@@ -399,3 +399,123 @@ def q_sample_time_series_cv(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+#: DSIR knobs: hashed-feature bucket count, target-set rule, head size.
+DSIR_BUCKETS = 256
+DSIR_K = 25
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             (doc_id % 10 = 0) AS is_target,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    spine AS (SELECT g AS b FROM generate_series(0, {DSIR_BUCKETS - 1}) AS s(g)),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE is_target GROUP BY b),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE NOT is_target GROUP BY b),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS t_tot,
+             (SELECT COALESCE(SUM(c), 0) FROM rc) AS r_tot
+    ),
+    model AS (
+      SELECT s.b,
+             ln((COALESCE(tc.c, 0) + 1.0) * (tot.r_tot + {DSIR_BUCKETS})
+                / ((tot.t_tot + {DSIR_BUCKETS}) * (COALESCE(rc.c, 0) + 1.0)))
+               AS logratio
+      FROM spine s
+      LEFT JOIN tc ON tc.b = s.b
+      LEFT JOIN rc ON rc.b = s.b
+      CROSS JOIN tot
+    ),
+    doc_feats AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE NOT is_target GROUP BY doc_id, b
+    )
+    SELECT d.doc_id,
+           round(CAST(SUM(CAST(d.n * m.logratio AS DECIMAL(28,14)))
+                 AS DOUBLE), 6) AS dsir_weight
+    FROM doc_feats d JOIN model m USING (b)
+    GROUP BY d.doc_id
+    ORDER BY dsir_weight DESC, d.doc_id LIMIT {DSIR_K}
+    """,
+    tags=("sampling", "beyond"),
+)
+def q_sample_dsir_importance(spark, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al.
+    2023): rank a raw pool by how target-like it is under two hashed
+    bag-of-unigrams models. Target set = every 10th doc (stands in for
+    a high-quality seed corpus); features = unigrams hashed into
+    DSIR_BUCKETS buckets; per-doc importance weight
+    = sum_b n_b·ln(p_target(b)/p_raw(b)) with add-one smoothing; the
+    selection head (top DSIR_K by weight) is what a pipeline would
+    feed to training.
+
+    Scale shape: the two bucket models are DSIR_BUCKETS-row tables
+    built by map-side-combinable counts (key space bounded at 256, so
+    the shuffle is trivial) joined onto a generated bucket spine so
+    never-seen-in-target buckets still get their smoothed penalty; the
+    per-doc feature table aggregates (doc, bucket) — bounded fan-out
+    per doc — and the model BROADCASTS into the scoring join. One
+    corpus-sized shuffle total (the doc-bucket agg). Each score term is
+    int·double (deterministic), summed in exact DECIMAL; the hash is
+    md5-portable so DuckDB replays bucket assignment bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_target"),
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tok = tok.select(
+        "doc_id", "is_target", F.pmod(portable_hash(F.col("t")), F.lit(DSIR_BUCKETS)).alias("b")
+    )
+    tc = tok.filter("is_target").groupBy("b").agg(F.count("*").alias("tc"))
+    rc = tok.filter(~F.col("is_target")).groupBy("b").agg(F.count("*").alias("rc"))
+    tot = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot")).crossJoin(
+        rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r_tot"))
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    model = (
+        spine.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                * (F.col("r_tot") + DSIR_BUCKETS)
+                / (
+                    (F.col("t_tot") + DSIR_BUCKETS)
+                    * (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                )
+            ).alias("logratio"),
+        )
+    )
+    doc_feats = (
+        tok.filter(~F.col("is_target"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        doc_feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") * F.col("logratio")).cast("decimal(28,14)")
+                ).cast("double"),
+                6,
+            ).alias("dsir_weight")
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(DSIR_K)
+    )

@@ -695,3 +695,82 @@ def q_privacy_pseudonymize_join(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: DP-release knobs: epsilon for a sensitivity-1 count query, and the
+#: versioned seed salt (bump to rotate the noise draw).
+DP_EPSILON = 1.0
+DP_SALT = "dp-v1#"
+
+
+@query(
+    "privacy_dp_count_release",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, n,
+             (CAST(('0x' || substr(md5('{DP_SALT}' || event_type), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS u
+      FROM g
+    )
+    SELECT event_type, n,
+           round(-(1.0 / {DP_EPSILON}) * sign(u)
+                 * ln(1.0 - 2.0 * abs(u)), 6) AS noise_r6,
+           CAST(round(n + round(-(1.0 / {DP_EPSILON}) * sign(u)
+                 * ln(1.0 - 2.0 * abs(u)), 6)) AS BIGINT) AS released
+    FROM seeded ORDER BY event_type
+    """,
+    tags=("privacy", "beyond"),
+)
+def q_privacy_dp_count_release(spark, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release harness: per-event_type counts
+    plus Laplace(1/ε) noise drawn by inverse-CDF from a SEEDED uniform
+    (md5 of salt+key → u ∈ (-½,½) → noise = -(1/ε)·sign(u)·ln(1-2|u|)).
+
+    HONESTY NOTE: a noise draw an adversary can recompute from the
+    group key is NOT differentially private — this query is the
+    replayable test harness for the release PIPELINE (correct
+    sensitivity-1 scale, correct inverse-CDF shape, correct
+    post-processing to integer counts), with the oracle proving both
+    engines draw bit-identical noise. Production swaps the seeded
+    uniform for a CSPRNG draw per release; everything else is
+    unchanged. The +0.5 offset keeps u strictly inside (-½,½), so
+    ln(1-2|u|) can never hit -inf.
+
+    Scale shape: one map-side-combinable count over the corpus
+    (|event_type| keys), then pure per-row expressions — the noise adds
+    nothing to the shuffle. Noise is rounded to 6 dp before the
+    released integer is formed, so the ln() libm ulp gap between
+    engines cannot flip the release."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    u = (
+        (portable_hash(F.concat(F.lit(DP_SALT), F.col("event_type"))) + 0.5)
+        / 4294967296.0
+        - 0.5
+    ).alias("u")
+    seeded = g.select("event_type", "n", u)
+    noise = F.round(
+        -(1.0 / DP_EPSILON)
+        * F.signum(F.col("u"))
+        * F.log(1.0 - 2.0 * F.abs(F.col("u"))),
+        6,
+    )
+    return (
+        seeded.withColumn("noise_r6", noise)
+        .select(
+            "event_type",
+            "n",
+            "noise_r6",
+            F.round(F.col("n") + F.col("noise_r6")).cast("long").alias("released"),
+        )
+        .orderBy("event_type")
+    )

@@ -46,6 +46,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # cumulative spend over the bucket histogram: ≤ PARETO_BUCKETS+1
     # rows after per-bucket aggregation, regardless of order count
     "agg_pareto_coverage": "PARETO_BUCKETS+1 rows after bucket agg",
+    # each leg is cut by TakeOrderedAndProject BEFORE its rank window:
+    # the window input is ≤ RRF_DEPTH (=50) rows by construction
+    "ir_hybrid_rrf": "RRF_DEPTH rows per leg after top-k cut",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

@@ -1,0 +1,147 @@
+"""Semantic checks for the round-5 retrieval / selection / release ops.
+
+Oracle parity is covered by test_oracle_parity's auto-parametrization;
+these pin the SEMANTICS: link-prediction pairs really are non-adjacent
+with recomputable Adamic-Adar scores (hub cap honored), DSIR never
+selects the target set and its head weight replays in Python, RRF obeys
+the 1/(k+rank) formula, BPE segmentations rebuild their words from
+learned merges only, and the DP release is deterministic inverse-CDF
+noise added to exact counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.ml.graph import (
+    LP_DEG_CAP,
+    LP_TOP,
+    _edges,
+    q_graph_link_prediction,
+)
+from job_market_research_spark.ml.ir import (
+    BPE_ENC_TOP,
+    RRF_DEPTH,
+    RRF_K,
+    RRF_TOP,
+    _bpe_train,
+    q_ir_hybrid_rrf,
+    q_text_bpe_encode,
+)
+from job_market_research_spark.ml.sampling import (
+    DSIR_K,
+    q_sample_dsir_importance,
+)
+from job_market_research_spark.operators.quality import (
+    q_privacy_dp_count_release,
+)
+
+
+def _und_edges_py(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    raw = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return {(r.a, r.b) for r in und}
+
+
+def test_link_prediction_pairs_nonadjacent_scores_replay(spark, sf_dir):
+    rows = q_graph_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(rows) <= LP_TOP
+    edges = _und_edges_py(spark, sf_dir)
+    # exact Python replica: capped adjacency -> wedge enumeration
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scores: dict[tuple[int, int], float] = defaultdict(float)
+    common: dict[tuple[int, int], int] = defaultdict(int)
+    for z, ns in nbrs.items():
+        if len(ns) > LP_DEG_CAP:
+            continue  # hub centers contribute no wedges (the cap)
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                if (u, v) not in edges:
+                    scores[(u, v)] += 1.0 / math.log(len(ns))
+                    common[(u, v)] += 1
+    for r in rows:
+        assert (r.a, r.b) not in edges, "predicted an existing edge"
+        assert r.common == common[(r.a, r.b)]
+        assert abs(r.aa_score - scores[(r.a, r.b)]) < 1e-5
+    got = [r.aa_score for r in rows]
+    assert got == sorted(got, reverse=True)
+
+
+def test_dsir_excludes_target_and_orders_by_weight(spark, sf_dir):
+    rows = q_sample_dsir_importance(spark, sf_dir).collect()
+    assert 0 < len(rows) <= DSIR_K
+    assert all(r.doc_id % 10 != 0 for r in rows), "target doc selected"
+    ws = [r.dsir_weight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    # deterministic: identical on re-run (hash-seeded, no rand())
+    again = q_sample_dsir_importance(spark, sf_dir).collect()
+    assert [(r.doc_id, r.dsir_weight) for r in rows] == [
+        (r.doc_id, r.dsir_weight) for r in again
+    ]
+
+
+def test_rrf_obeys_reciprocal_rank_formula(spark, sf_dir):
+    rows = q_ir_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOP
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= RRF_DEPTH
+            expect += 1.0 / (RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= RRF_DEPTH
+            expect += 1.0 / (RRF_K + r.vec_rank)
+        assert abs(r.rrf - expect) < 1e-6
+    # both-list docs with best ranks must dominate the head
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_encode_segments_rebuild_words_from_merges(spark, sf_dir):
+    learned, _ = _bpe_train(spark, sf_dir)
+    merged_syms = {m[3] for m in learned}
+    rows = q_text_bpe_encode(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BPE_ENC_TOP
+    for r in rows:
+        toks = r.seg.split(" ")
+        assert "".join(toks) == r.w, "segmentation does not rebuild word"
+        assert r.n_tokens == len(toks)
+        for t in toks:
+            assert len(t) == 1 or t in merged_syms, (
+                f"token {t!r} is neither a char nor a learned merge"
+            )
+
+
+def test_dp_release_is_count_plus_seeded_laplace(spark, sf_dir):
+    rows = q_privacy_dp_count_release(spark, sf_dir).collect()
+    assert rows
+    exact = dict(
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        assert r.n == exact[r.event_type]
+        assert math.isfinite(r.noise_r6)
+        assert r.released == round(r.n + r.noise_r6)
+    again = q_privacy_dp_count_release(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
