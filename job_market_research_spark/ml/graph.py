@@ -588,3 +588,128 @@ def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "a", "b")
         .limit(LP_TOP)
     )
+
+
+#: HITS iterations (unrolled in the oracle) and report rounding.
+HITS_ROUNDS = 2
+
+
+def _hits_round(edges: DataFrame, spine: DataFrame, h: DataFrame) -> DataFrame:
+    """One HITS iteration from hub scores `h` (node, h): authority
+    update a(v) = Σ_{u→v} h(u), L1-normalize; hub update
+    h(u) = Σ_{u→v} a(v), L1-normalize. Sums in exact DECIMAL; the
+    normalized score is one double division of two decimal-exact
+    values. Returns (node, h, a) on the full node spine (coalesce 0 —
+    a node with no in-links has authority 0, no out-links hub 0)."""
+    araw = (
+        edges.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("h").cast("decimal(28,14)")).alias("raw"))
+    )
+    atot = araw.agg(F.sum("raw").alias("tot"))
+    a = (
+        spine.join(araw, "node", "left")
+        .crossJoin(F.broadcast(atot))
+        .select(
+            "node",
+            F.coalesce(
+                (F.col("raw").cast("double") / F.col("tot").cast("double")),
+                F.lit(0.0),
+            ).alias("a"),
+        )
+    )
+    hraw = (
+        edges.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum(F.col("a").cast("decimal(28,14)")).alias("raw"))
+    )
+    htot = hraw.agg(F.sum("raw").alias("tot"))
+    h_new = (
+        spine.join(hraw, "node", "left")
+        .crossJoin(F.broadcast(htot))
+        .select(
+            "node",
+            F.coalesce(
+                (F.col("raw").cast("double") / F.col("tot").cast("double")),
+                F.lit(0.0),
+            ).alias("h"),
+        )
+    )
+    return h_new.join(a, "node")
+
+
+def _hits_stage_sql(h_src: str, t: int) -> str:
+    """One unrolled HITS round: authority from {h_src}, then hub."""
+    return f""",
+    araw{t} AS (
+      SELECT e.dst AS node, SUM(CAST(h.h AS DECIMAL(28,14))) AS raw
+      FROM edges e JOIN {h_src} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{t} AS (
+      SELECT d.doc_id AS node,
+             COALESCE(CAST(r.raw AS DOUBLE)
+                      / CAST((SELECT SUM(raw) FROM araw{t}) AS DOUBLE),
+                      0.0) AS a
+      FROM docs d LEFT JOIN araw{t} r ON r.node = d.doc_id
+    ),
+    hraw{t} AS (
+      SELECT e.src AS node, SUM(CAST(a.a AS DECIMAL(28,14))) AS raw
+      FROM edges e JOIN a{t} a ON e.dst = a.node GROUP BY e.src
+    ),
+    h{t} AS (
+      SELECT d.doc_id AS node,
+             COALESCE(CAST(r.raw AS DOUBLE)
+                      / CAST((SELECT SUM(raw) FROM hraw{t}) AS DOUBLE),
+                      0.0) AS h
+      FROM docs d LEFT JOIN hraw{t} r ON r.node = d.doc_id
+    )"""
+
+
+def _hits_oracle(rounds: int = HITS_ROUNDS) -> str:
+    parts = [
+        f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+      FROM docs, unnest(generate_series(1, {PR_FANOUT})) AS t(k)
+    ),
+    h0 AS (SELECT doc_id AS node, 1.0 AS h FROM docs)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(_hits_stage_sql(f"h{t - 1}", t))
+    parts.append(
+        f"""
+    SELECT a.node, round(h.h, 9) AS hub, round(a.a, 9) AS auth
+    FROM a{rounds} a JOIN h{rounds} h USING (node)
+    ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): HITS_ROUNDS unrolled
+    iterations of the mutual-reinforcement update over the directed
+    synthetic link graph, L1-normalized per half-step so scores stay
+    O(1/N) — the companion centrality to `graph_pagerank_lite` (auth
+    rewards being POINTED AT by good hubs; PageRank rewards random-walk
+    mass).
+
+    Scale shape identical to PageRank: each half-step is one join of
+    the edge table with a node-scores table on its bucket key (src or
+    dst — at 100 TB keep TWO bucketed copies of the edge list, one per
+    orientation, and every round reuses the layouts), contributions
+    sum in exact DECIMAL with map-side partials, and the L1 total is a
+    broadcast 1-row aggregate. Scores re-attach to the full node spine
+    (coalesce 0) so sink/source nodes keep rows on both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = _edges(docs, n)
+    spine = docs.select(F.col("doc_id").alias("node"))
+    state = spine.select("node", F.lit(1.0).alias("h"))
+    for _ in range(HITS_ROUNDS):
+        state = _hits_round(edges, spine, state)
+    return state.select(
+        "node", F.round("h", 9).alias("hub"), F.round("a", 9).alias("auth")
+    ).orderBy("node")

@@ -519,3 +519,73 @@ def q_sample_dsir_importance(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_weight"), "doc_id")
         .limit(DSIR_K)
     )
+
+
+#: Gumbel/exponential-race weighted sampling: head size and seed salt.
+GUMBEL_K = 25
+GUMBEL_SALT = "gum-v1#"
+
+
+@query(
+    "sample_gumbel_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+             (CAST(('0x' || substr(md5('{GUMBEL_SALT}'
+                    || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+           round(-ln(u) / wt, 9) AS race_key
+    FROM w
+    ORDER BY race_key, doc_id LIMIT {GUMBEL_K}
+    """,
+    tags=("sampling", "beyond"),
+)
+def q_sample_gumbel_weighted(spark, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis & Spirakis 2006, the Gumbel-top-k trick's classic
+    form): each doc draws t_i = -ln(u_i)/w_i from a seeded uniform and
+    the K smallest keys are exactly a weight-proportional
+    without-replacement sample. Weight = n_chars (longer docs
+    proportionally likelier — the usual size-weighted corpus draw).
+
+    Complements the module's other samplers: `sample_reservoir_fixed_k`
+    is UNweighted fixed-k, the mixture samplers are per-SOURCE rates;
+    this is per-ROW weight-proportional without replacement — the one
+    you want for importance-weighted corpus subsetting when DSIR gives
+    each doc a weight.
+
+    Scale shape: the race key is a pure map-side expression (seeded
+    md5 uniform, one ln, one divide) and the K winners come from
+    `orderBy().limit()` = TakeOrderedAndProject (per-partition top-k +
+    driver merge) — no global sort, no driver state, retry-stable
+    because the draw is a function of the row. Key rounded to 9 dp
+    (ties broken by doc_id) so the libm ln() ulp gap cannot reorder
+    the cut."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("wt"),
+        (
+            (
+                portable_hash(
+                    F.concat(F.lit(GUMBEL_SALT), F.col("doc_id").cast("string"))
+                )
+                + 0.5
+            )
+            / 4294967296.0
+        ).alias("u"),
+    )
+    return (
+        w.select(
+            "doc_id",
+            F.col("wt").cast("long").alias("weight"),
+            F.round(-F.log("u") / F.col("wt"), 9).alias("race_key"),
+        )
+        .orderBy("race_key", "doc_id")
+        .limit(GUMBEL_K)
+    )

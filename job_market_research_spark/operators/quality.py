@@ -774,3 +774,83 @@ def q_privacy_dp_count_release(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Benford audit: integer-cents scaling guard and chi-square rounding.
+BENFORD_SCALE = 100
+
+
+@query(
+    "profile_benford_audit",
+    oracle=f"""
+    WITH ints AS (
+      SELECT CAST(floor(abs(value) * {BENFORD_SCALE}) AS BIGINT) AS i
+      FROM events WHERE value IS NOT NULL
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(i AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM ints WHERE i > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    spine AS (SELECT g AS digit FROM generate_series(1, 9) AS s(g))
+    SELECT s.digit,
+           COALESCE(c.n, 0) AS n,
+           round(ln(1.0 + 1.0 / s.digit) / ln(10.0), 6) AS benford_p,
+           round(pow(COALESCE(c.n, 0)
+                     - t.total * (ln(1.0 + 1.0 / s.digit) / ln(10.0)), 2)
+                 / (t.total * (ln(1.0 + 1.0 / s.digit) / ln(10.0))), 6)
+             AS chi_term
+    FROM spine s LEFT JOIN counts c USING (digit) CROSS JOIN tot t
+    ORDER BY s.digit
+    """,
+    tags=("profiling", "beyond"),
+)
+def q_profile_benford_audit(spark, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over `events.value` — the
+    classic fabricated-data / pipeline-corruption detector (naturally
+    occurring amounts follow P(d) = log10(1+1/d); uniform or truncated
+    generators don't). Emits the per-digit observed count, the Benford
+    expectation and the chi-square contribution; a spiked chi_term row
+    points at the digit band where the data deviates.
+
+    Determinism across engines: the first digit is taken from the
+    STRING of an exact integer — values scale to integer cents with
+    floor(abs(v)·100) (double multiply + floor: both IEEE-identical),
+    and integer-to-string rendering is engine-stable, unlike
+    double-to-string or pow(10, floor(log10(v))) digit extraction
+    (libm pow/log10 ulp gaps can flip a boundary digit). Benford
+    expectations are computed as ln-ratios identically on both sides
+    and every reported double is round-6.
+
+    Scale shape: one map-side digit projection + a 9-key count (pure
+    partial aggregation), the total as a broadcast 1-row agg, the
+    digit spine generated — nothing after the scan exceeds 9 rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ints = ev.select(
+        F.floor(F.abs(F.col("value")) * BENFORD_SCALE).cast("long").alias("i")
+    ).filter(F.col("i") > 0)
+    digits = ints.select(
+        F.substring(F.col("i").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(p, 6).alias("benford_p"),
+            F.round(
+                F.pow(F.coalesce(F.col("n"), F.lit(0)) - F.col("total") * p, 2)
+                / (F.col("total") * p),
+                6,
+            ).alias("chi_term"),
+        )
+        .orderBy("digit")
+    )

@@ -116,3 +116,107 @@ def q_join_salted_skew(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"))
         .orderBy("priority")
     )
+
+
+#: Count-min-sketch shape: CMS_DEPTH independent hash rows of
+#: CMS_WIDTH counters, and the heavy-hitter report size.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP = 15
+
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5('cms' || CAST({salt} AS VARCHAR) || '#' || {col}),"
+    " 1, 8)) AS BIGINT) % " + str(CMS_WIDTH)
+)
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    counters AS (
+      SELECT d, {_CMS_HASH.format(salt="d", col="token")} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok, unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(d)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM tok GROUP BY token
+    ),
+    probe AS (
+      SELECT v.token, v.true_n, MIN(c.c) AS cms_est
+      FROM vocab v,
+           unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(d)
+      JOIN counters c
+        ON c.d = s.d AND c.b = {_CMS_HASH.format(salt="s.d", col="v.token")}
+      GROUP BY v.token, v.true_n
+    )
+    SELECT token, true_n, cms_est FROM probe
+    ORDER BY cms_est DESC, token LIMIT {CMS_TOP}
+    """,
+    tags=("sketch", "skew", "beyond"),
+)
+def q_agg_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a CMS_DEPTH×CMS_WIDTH counter grid over the token stream, probed
+    for the estimated-hottest tokens — the mergeable-sketch form of
+    hot-key detection that feeds this module's salting decisions
+    (a 100 TB pipeline finds its skewed keys from a sketch pass, not
+    an exact vocab count).
+
+    Scale shape: the counter grid aggregates with map-side partials
+    into a CONSTANT-size table (depth×width = 256 cells — each
+    partition's grid merges by cell addition, the defining CMS
+    property), which then BROADCASTS into the probe join; the probe
+    enumerates each candidate's CMS_DEPTH cells map-side and takes the
+    row-wise MIN. The exact vocab count rides along as the contract
+    twin (cms_est ≥ true_n always; pinned in tests) — at 100 TB you
+    drop the exact column and keep the sketch, which never shuffles
+    more than 256 rows. Hashes are md5-portable; all counts integer."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    def cms_bucket(salt_col, token_col):
+        return F.pmod(
+            portable_hash(
+                F.concat(
+                    F.lit("cms"),
+                    salt_col.cast("string"),
+                    F.lit("#"),
+                    token_col,
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        )
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    salted = tok.select(
+        "token", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    )
+    counters = (
+        salted.select("d", cms_bucket(F.col("d"), F.col("token")).alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("true_n"))
+    probe = (
+        vocab.select(
+            "token",
+            "true_n",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .withColumn("b", cms_bucket(F.col("d"), F.col("token")))
+        .join(F.broadcast(counters), ["d", "b"])
+        .groupBy("token", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return probe.orderBy(F.desc("cms_est"), "token").limit(CMS_TOP)

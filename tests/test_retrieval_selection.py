@@ -145,3 +145,87 @@ def test_dp_release_is_count_plus_seeded_laplace(spark, sf_dir):
         assert r.released == round(r.n + r.noise_r6)
     again = q_privacy_dp_count_release(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_hits_scores_normalized_and_converging(spark, sf_dir):
+    from job_market_research_spark.ml.graph import q_graph_hits
+
+    rows = q_graph_hits(spark, sf_dir).collect()
+    n = (
+        load(spark, sf_dir, "documents").count()
+    )
+    assert len(rows) == n  # full node spine, sinks/sources included
+    hub_sum = sum(r.hub for r in rows)
+    auth_sum = sum(r.auth for r in rows)
+    assert abs(hub_sum - 1.0) < 1e-5 and abs(auth_sum - 1.0) < 1e-5
+    assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    from job_market_research_spark.operators.skew import (
+        CMS_TOP,
+        q_agg_cms_heavy_hitters,
+    )
+
+    rows = q_agg_cms_heavy_hitters(spark, sf_dir).collect()
+    assert 0 < len(rows) <= CMS_TOP
+    for r in rows:
+        assert r.cms_est >= r.true_n, (
+            f"CMS underestimated {r.token}: {r.cms_est} < {r.true_n}"
+        )
+    # the true hottest token must surface in the sketch head (its own
+    # counters are at least its count, and it has the largest count)
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .first()
+    )
+    assert vocab["t"] in {r.token for r in rows}
+
+
+def test_gumbel_sample_prefers_heavy_docs_statistically(spark, sf_dir):
+    from job_market_research_spark.ml.sampling import (
+        GUMBEL_K,
+        q_sample_gumbel_weighted,
+    )
+
+    rows = q_sample_gumbel_weighted(spark, sf_dir).collect()
+    assert len(rows) == min(
+        GUMBEL_K,
+        load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0).count(),
+    )
+    keys = [r.race_key for r in rows]
+    assert keys == sorted(keys)
+    # weight-proportional draw: the sample's mean weight should exceed
+    # the corpus mean (longer docs are likelier winners)
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean * 0.9
+
+
+def test_benford_rows_complete_and_chi_consistent(spark, sf_dir):
+    import math as _m
+
+    from job_market_research_spark.operators.quality import (
+        q_profile_benford_audit,
+    )
+
+    rows = q_profile_benford_audit(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    total = sum(r.n for r in rows)
+    assert total > 0
+    p_sum = sum(r.benford_p for r in rows)
+    assert abs(p_sum - 1.0) < 1e-4  # Benford probabilities sum to 1
+    for r in rows:
+        p = _m.log10(1 + 1 / r.digit)
+        expect = (r.n - total * p) ** 2 / (total * p)
+        assert abs(r.chi_term - expect) < 1e-3
