@@ -472,3 +472,112 @@ def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("b2_r6"),
         F.round(r2, 6).alias("r2_r6"),
     ).orderBy("l_returnflag")
+
+
+#: Coreset sample size and the seeded-race salt.
+CORESET_K = 40
+CORESET_SALT = "cs-v1#"
+
+
+@query(
+    "sample_coreset_sensitivity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
+    ),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))), 6) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_sum(list_transform(
+                                  range(1, len(e.v) + 1),
+                                  i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))), 6),
+                                c0.cid) AS rn
+      FROM e, c0
+    ),
+    a1 AS (SELECT vec_id, cid, dist FROM d1 WHERE rn = 1),
+    per_c AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS nk FROM a1 GROUP BY cid
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(dist AS DECIMAL(28,14))) AS DOUBLE) AS cost
+      FROM a1
+    ),
+    sens AS (
+      SELECT a.vec_id, a.cid, a.dist,
+             0.5 * a.dist / t.cost + 0.5 / p.nk AS s
+      FROM a1 a JOIN per_c p USING (cid) CROSS JOIN tot t
+    )
+    SELECT vec_id, cid,
+           round(s, 9) AS sensitivity_r9,
+           round(-ln((CAST(('0x' || substr(md5('{CORESET_SALT}'
+                  || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                  / 4294967296.0) / s, 9) AS race_key
+    FROM sens
+    ORDER BY race_key, vec_id LIMIT {CORESET_K}
+    """,
+    tags=("sampling", "ml", "beyond"),
+)
+def q_sample_coreset_sensitivity(spark, sf_dir: str) -> DataFrame:
+    """k-means coreset construction by sensitivity sampling (Feldman &
+    Langberg 2011 / Bachem et al. 2018): assign each embedding to its
+    nearest seed centroid, compute the per-point sensitivity bound
+    s_i = ½·cost_i/COST + ½/n_cluster(i), then draw a CORESET_K-point
+    sample PROPORTIONAL to sensitivity without replacement via the
+    exponential race (`sample_gumbel_weighted`'s mechanism with s_i as
+    the weight). The winners are the representative subset a pipeline
+    clusters/trains on instead of the full corpus.
+
+    Scale shape: assignment is the broadcast-K centroid argmin (same
+    map-side shape as ml_kmeans_lite/SemDeDup); cluster sizes and the
+    total cost are a K-row and a 1-row broadcast aggregate; sensitivity
+    and the race key are then pure map-side expressions and the cut is
+    TakeOrderedAndProject. Nothing after the one assignment pass
+    shuffles more than K rows. Cost sums in exact DECIMAL over round-6
+    distances; race keys round-9 (ties → vec_id) so libm ln() ulps
+    cannot reorder the boundary."""
+    from job_market_research_spark.ml.neardup import portable_hash
+    from job_market_research_spark.ml.similarity import as_double_vec
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    seeds = vecs.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = assign_clusters(vecs, seeds).select("vec_id", "cid", "dist")
+    per_c = a1.groupBy("cid").agg(F.count("*").alias("nk"))
+    tot = a1.agg(
+        F.sum(F.col("dist").cast("decimal(28,14)")).cast("double").alias("cost")
+    )
+    sens = (
+        a1.join(F.broadcast(per_c), "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "cid",
+            (
+                0.5 * F.col("dist") / F.col("cost") + 0.5 / F.col("nk")
+            ).alias("s"),
+        )
+    )
+    u = (
+        portable_hash(
+            F.concat(F.lit(CORESET_SALT), F.col("vec_id").cast("string"))
+        )
+        + 0.5
+    ) / 4294967296.0
+    return (
+        sens.select(
+            "vec_id",
+            "cid",
+            F.round("s", 9).alias("sensitivity_r9"),
+            F.round(-F.log(u) / F.col("s"), 9).alias("race_key"),
+        )
+        .orderBy("race_key", "vec_id")
+        .limit(CORESET_K)
+    )

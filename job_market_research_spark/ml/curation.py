@@ -705,3 +705,145 @@ def q_pipeline_curation_e2e(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+#: Token-budget allocation: the global budget and epoch cap note — the
+#: budget is deliberately below the corpus total at every SF so the
+#: waterline is interesting.
+MIX_BUDGET_TOKENS = 50_000
+
+
+@query(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             CAST(COALESCE(SUM(tokens) OVER (
+               ORDER BY tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM per_src
+    ),
+    flagged AS (
+      SELECT *,
+             (tokens * (m - i + 1) <= {MIX_BUDGET_TOKENS} - prefix)
+               AS saturated
+      FROM ranked
+    ),
+    cut AS (
+      SELECT COALESCE(MAX(CASE WHEN saturated THEN i END), 0) AS i_star,
+             COALESCE(MAX(CASE WHEN saturated THEN prefix + tokens END), 0)
+               AS sat_sum,
+             MAX(m) AS m
+      FROM flagged
+    )
+    SELECT f.source, f.tokens,
+           CASE WHEN f.saturated THEN f.tokens
+                ELSE least(f.tokens, CAST(floor(
+                  CAST({MIX_BUDGET_TOKENS} - c.sat_sum AS DOUBLE)
+                  / (c.m - c.i_star)) AS BIGINT)) END AS allocated,
+           f.saturated,
+           round(CAST(CASE WHEN f.saturated THEN f.tokens
+                ELSE least(f.tokens, CAST(floor(
+                  CAST({MIX_BUDGET_TOKENS} - c.sat_sum AS DOUBLE)
+                  / (c.m - c.i_star)) AS BIGINT)) END AS DOUBLE)
+                 / f.tokens, 6) AS epochs_r6
+    FROM flagged f CROSS JOIN cut c
+    ORDER BY f.source
+    """,
+    tags=("mixture", "beyond"),
+)
+def q_mixture_token_budget(spark, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources: given a global
+    training-token budget, give every source an equal share except
+    that no source can contribute more than it has — the exact
+    waterline allocation (the closed-form solve of
+    max-min-fairness / the first stage of a DoReMi-style mixture
+    before model-driven reweighting). Sources smaller than the
+    waterline saturate (all their tokens used, epochs = 1.0); the rest
+    split the remainder equally.
+
+    The waterline is found CLOSED-FORM, not iteratively: sort sources
+    by token count ascending, and source i saturates iff
+    tokens_i·(m-i+1) ≤ budget - prefix_i — an ALL-INTEGER test (no
+    float waterline comparisons), monotone in i, so the saturated set
+    is a prefix and θ = (budget - saturated_sum)/(m - i*) falls out in
+    one pass. floor(θ) keeps allocations integral (Σ alloc ≤ budget
+    with remainder < m tokens).
+
+    Scale shape: the corpus reduces to ONE |sources|-row aggregate
+    (map-side token sums); every window after that runs on the
+    bounded source table (allowlisted in test_plan_hygiene) and the
+    scalar cut broadcasts back. At 100 TB this is one corpus scan, one
+    tiny shuffle."""
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            )
+            .cast("long")
+            .alias("tokens")
+        )
+    )
+    w = Window.orderBy("tokens", "source")
+    ranked = per_src.select(
+        "source",
+        "tokens",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+        F.coalesce(
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prefix"),
+    )
+    flagged = ranked.withColumn(
+        "saturated",
+        F.col("tokens") * (F.col("m") - F.col("i") + 1)
+        <= F.lit(MIX_BUDGET_TOKENS) - F.col("prefix"),
+    )
+    cut = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("i"))), F.lit(0)
+        ).alias("i_star"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("saturated"), F.col("prefix") + F.col("tokens"))
+            ),
+            F.lit(0),
+        ).alias("sat_sum"),
+        F.max("m").alias("m_tot"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("tokens")).otherwise(
+        F.least(
+            F.col("tokens"),
+            F.floor(
+                (F.lit(MIX_BUDGET_TOKENS) - F.col("sat_sum")).cast("double")
+                / (F.col("m_tot") - F.col("i_star"))
+            ).cast("long"),
+        )
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cut))
+        .select(
+            "source",
+            "tokens",
+            alloc.alias("allocated"),
+            "saturated",
+            F.round(alloc.cast("double") / F.col("tokens"), 6).alias(
+                "epochs_r6"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # each leg is cut by TakeOrderedAndProject BEFORE its rank window:
     # the window input is ≤ RRF_DEPTH (=50) rows by construction
     "ir_hybrid_rrf": "RRF_DEPTH rows per leg after top-k cut",
+    # waterline windows run on the per-source aggregate: |sources| rows
+    "mixture_token_budget": "|sources| rows after per-source agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

@@ -229,3 +229,61 @@ def test_benford_rows_complete_and_chi_consistent(spark, sf_dir):
         p = _m.log10(1 + 1 / r.digit)
         expect = (r.n - total * p) ** 2 / (total * p)
         assert abs(r.chi_term - expect) < 1e-3
+
+
+def test_coreset_race_proportional_to_sensitivity(spark, sf_dir):
+    from job_market_research_spark.ml.clustering import (
+        CORESET_K,
+        q_sample_coreset_sensitivity,
+    )
+
+    rows = q_sample_coreset_sensitivity(spark, sf_dir).collect()
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == min(CORESET_K, n_emb)
+    keys = [r.race_key for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.sensitivity_r9 > 0 for r in rows)
+    # sensitivities must exceed the uniform floor's reciprocal bound:
+    # s_i >= 0.5/n_cluster >= 0.5/n_total
+    assert all(r.sensitivity_r9 >= 0.5 / n_emb for r in rows)
+
+
+def test_token_budget_waterfill_exact(spark, sf_dir):
+    from job_market_research_spark.ml.curation import (
+        MIX_BUDGET_TOKENS,
+        q_mixture_token_budget,
+    )
+
+    rows = q_mixture_token_budget(spark, sf_dir).collect()
+    assert rows
+    total_alloc = sum(r.allocated for r in rows)
+    m = len(rows)
+    # never over budget (unless the corpus is smaller than the budget,
+    # in which case everything saturates), remainder < m tokens
+    corpus = sum(r.tokens for r in rows)
+    if corpus <= MIX_BUDGET_TOKENS:
+        assert all(r.saturated for r in rows)
+        assert total_alloc == corpus
+    else:
+        assert total_alloc <= MIX_BUDGET_TOKENS
+        assert MIX_BUDGET_TOKENS - total_alloc < m + len(rows)
+        # Python replica of exact water-filling
+        toks = sorted(r.tokens for r in rows)
+        budget = MIX_BUDGET_TOKENS
+        lo_alloc = {}
+        remaining, left = budget, m
+        for i, t in enumerate(toks):
+            if t * (m - i) <= remaining:
+                remaining -= t
+                left -= 1
+        theta = remaining / left if left else 0
+        for r in rows:
+            if r.tokens <= theta:
+                assert r.saturated and r.allocated == r.tokens
+            else:
+                assert not r.saturated
+                assert r.allocated == min(r.tokens, int(theta // 1))
+    for r in rows:
+        assert 0 < r.epochs_r6 <= 1.0
+        if r.saturated:
+            assert r.epochs_r6 == 1.0
