@@ -898,3 +898,185 @@ def q_agg_cohort_ltv(spark, sf_dir: str) -> DataFrame:
         F.round(rev0.cast("double"), 6).alias("week_rev_r6"),
         F.round(F.sum(rev0).over(wcum).cast("double"), 6).alias("cum_ltv_r6"),
     ).orderBy("cohort_date", "week_offset")
+
+
+#: KMV sketch size (k minimum hash values per set).
+KMV_K = 64
+
+#: 60-bit hash space size as a double (hash/2^60 → uniform in [0,1)).
+_KMV_SPACE = float(2**60)
+
+
+@query(
+    "agg_kmv_audience_sketch",
+    oracle=f"""
+    WITH ut AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM ut QUALIFY rk <= {KMV_K}
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS kk,
+             MAX(h) AS hk
+      FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM est a JOIN est b ON a.event_type < b.event_type
+    ),
+    merged AS (
+      SELECT p.type_a, p.type_b, s.h,
+             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM pairs p
+      JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, s.h
+    ),
+    unionk AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h)
+               AS rk
+      FROM merged QUALIFY rk <= {KMV_K}
+    ),
+    ustats AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS BIGINT) AS uk,
+             MAX(h) AS uhk,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM unionk GROUP BY type_a, type_b
+    )
+    SELECT u.type_a, u.type_b,
+           round(CASE WHEN ea.kk < {KMV_K} THEN CAST(ea.kk AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * {_KMV_SPACE} / ea.hk END, 6)
+             AS est_a,
+           round(CASE WHEN eb.kk < {KMV_K} THEN CAST(eb.kk AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * {_KMV_SPACE} / eb.hk END, 6)
+             AS est_b,
+           round(CASE WHEN u.uk < {KMV_K} THEN CAST(u.uk AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * {_KMV_SPACE} / u.uhk END, 6)
+             AS est_union,
+           round(CAST(u.n_both AS DOUBLE) / u.uk, 6) AS jaccard_kmv
+    FROM ustats u
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    ORDER BY u.type_a, u.type_b
+    """,
+    tags=("sketch", "events", "beyond"),
+)
+def q_agg_kmv_audience_sketch(spark, sf_dir: str) -> DataFrame:
+    """Audience set algebra on K-MINIMUM-VALUES sketches (the
+    theta-sketch family; Bar-Yossef et al. 2002, Beyer et al. 2007) —
+    the promised scale swap for `agg_audience_overlap`: per-type
+    distinct-user estimates, pairwise union estimates and KMV-Jaccard
+    WITHOUT any user-level pair join. Each type keeps only its KMV_K
+    smallest user-id hashes; merging two sketches = k smallest of the
+    union of two k-row sets; |A∩B estimates flow from the classic
+    (k-1)/u_(k) estimator and the union-k co-membership count.
+
+    Why KMV and not HLL here: the sketch CONTENT is just min-hashes,
+    so DuckDB replays every estimate bit-for-bit (md5-portable
+    60-bit hashes, integer ranks, one double division round-6) —
+    unlike HLL whose register layout is engine-private
+    (`agg_approx_count_distinct` handles that case as a bounds
+    contract instead).
+
+    Scale shape: one distinct (type, user-hash) pass, then a
+    type-PARTITIONED rank window cut at k — everything downstream
+    (pair frame, merged sketches, estimates) operates on k-row
+    sketches, |types|²·k rows total, broadcastable. Exactly how a
+    100 TB deployment answers overlap queries: sketches are tiny,
+    mergeable, and the raw corpus is touched once. Small sets
+    (|set| < k) estimate EXACTLY (the sketch IS the set) on both
+    engines."""
+    from job_market_research_spark.ml.neardup import portable_hash60
+
+    ut = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            portable_hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        ut.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "h")
+    )
+    est = sk.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("kk"), F.max("h").alias("hk")
+    )
+    pairs = est.select(F.col("event_type").alias("type_a")).join(
+        est.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    unionk = merged.withColumn("rk", F.row_number().over(wu)).filter(
+        F.col("rk") <= KMV_K
+    )
+    ustats = unionk.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("uk"),
+        F.max("h").alias("uhk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+
+    def kmv_est(kk, hk):
+        return F.round(
+            F.when(kk < KMV_K, kk.cast("double")).otherwise(
+                (KMV_K - 1) * F.lit(_KMV_SPACE) / hk
+            ),
+            6,
+        )
+
+    ea = est.select(
+        F.col("event_type").alias("type_a"),
+        F.col("kk").alias("kka"),
+        F.col("hk").alias("hka"),
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"),
+        F.col("kk").alias("kkb"),
+        F.col("hk").alias("hkb"),
+    )
+    return (
+        ustats.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            kmv_est(F.col("kka"), F.col("hka")).alias("est_a"),
+            kmv_est(F.col("kkb"), F.col("hkb")).alias("est_b"),
+            kmv_est(F.col("uk"), F.col("uhk")).alias("est_union"),
+            F.round(F.col("n_both").cast("double") / F.col("uk"), 6).alias(
+                "jaccard_kmv"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -287,3 +287,36 @@ def test_token_budget_waterfill_exact(spark, sf_dir):
         assert 0 < r.epochs_r6 <= 1.0
         if r.saturated:
             assert r.epochs_r6 == 1.0
+
+
+def test_kmv_estimates_track_exact_audience_overlap(spark, sf_dir):
+    """The KMV sketch estimates must land near the exact overlap
+    matrix (k=64 → ~12% standard error; assert a loose 4-sigma band),
+    and degenerate (<k) sets must estimate exactly."""
+    from job_market_research_spark.plans.events_analytics import (
+        KMV_K,
+        q_agg_kmv_audience_sketch,
+    )
+
+    rows = q_agg_kmv_audience_sketch(spark, sf_dir).collect()
+    assert rows
+    exact = {}
+    ut = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    by_type = {}
+    for r in ut.collect():
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        a, b = by_type[r.type_a], by_type[r.type_b]
+        for est, true_n in (
+            (r.est_a, len(a)),
+            (r.est_b, len(b)),
+            (r.est_union, len(a | b)),
+        ):
+            if true_n < KMV_K:
+                assert est == true_n, "sub-k set must be exact"
+            else:
+                assert abs(est - true_n) / true_n < 0.5, (
+                    f"KMV estimate {est} vs exact {true_n}"
+                )
+        true_j = len(a & b) / len(a | b)
+        assert abs(r.jaccard_kmv - true_j) < 0.25
