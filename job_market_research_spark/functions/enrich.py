@@ -363,3 +363,83 @@ def q_grouped_pandas_ewma(spark, sf_dir: str) -> DataFrame:
         .withColumn("ewma", F.round("ewma", 6))
         .orderBy("o_orderkey")
     )
+
+
+#: Bounded-EWMA window width (rows of history kept per output row).
+EWMA_WINDOW = 16
+
+
+@query(
+    "window_ewma_bounded",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             o_totalprice AS totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    framed AS (
+      SELECT o_orderkey, priority, totalprice,
+             list(cents) OVER (PARTITION BY priority ORDER BY o_orderkey
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM src
+    )
+    SELECT o_orderkey, priority, totalprice,
+           round(CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                       i -> arr[i] * (CAST(1 AS BIGINT) << (i - 1))))
+                      AS DOUBLE)
+                 / (((CAST(1 AS BIGINT) << len(arr)) - 1) * 100.0), 6)
+             AS ewma_b
+    FROM framed ORDER BY o_orderkey
+    """,
+)
+def q_window_ewma_bounded(spark, sf_dir: str) -> DataFrame:
+    """Truncated exponential moving average as a NATIVE window — the
+    100 TB answer to `grouped_pandas_ewma`'s Python boundary when a
+    bounded memory horizon is acceptable: pandas' ewm(adjust=True)
+    restricted to the last EWMA_WINDOW rows,
+    y_t = Σ_j 2^-j·x_{t-j} / Σ_j 2^-j (j=0..15). With α=½ the weight
+    2^-j beyond j=15 is ≤ 3·10⁻⁵ of the mass, so the truncation error
+    is negligible while the operator stays entirely inside whole-stage
+    codegen — no Arrow hop, no whole-group materialization, no
+    giant-group straggler (the recursive exact form keeps its pandas
+    implementation next door for when the infinite tail matters).
+
+    Cross-engine exactness WITHOUT float-order assumptions: prices
+    scale to integer cents (round(x·100) — exact for 2-dp money
+    doubles), weights become integer bit-shifts (weight of the row at
+    frame position i is 2^(i-1), newest largest), so numerator and
+    denominator are EXACT INT64 sums in any order; the single double
+    division at the end is IEEE-identical on both engines. The frame
+    array is collected oldest→newest on both sides.
+
+    Scale shape: one priority-keyed window over a 16-row frame — a
+    single exchange, constant state per row."""
+    from pyspark.sql import Window
+
+    src = _scaling_src(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("totalprice") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    framed = src.withColumn("arr", F.collect_list("cents").over(w))
+    num = F.expr(
+        "aggregate(zip_with(arr, sequence(0, size(arr) - 1),"
+        " (x, i) -> x * shiftleft(1L, i)), 0L, (a, b) -> a + b)"
+    )
+    # F.shiftleft only takes a literal bit count — use the SQL form
+    # for a column-valued shift.
+    den = F.expr("shiftleft(1L, size(arr)) - 1L")
+    return (
+        framed.select(
+            "o_orderkey",
+            "priority",
+            "totalprice",
+            F.round(num.cast("double") / (den * 100.0), 6).alias("ewma_b"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -769,3 +769,91 @@ def q_ann_pq_topk(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: MIPS: candidate pool size for the augmented-cosine prefilter.
+MIPS_CANDIDATES = 60
+
+
+@query(
+    "ann_mips_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_sum(list_transform(range(1, len(e.v) + 1),
+                          i -> e.v[i] * q.qv[i])), 6) AS dot_r6
+    FROM e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY dot_r6 DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("ann", "beyond"),
+)
+def q_ann_mips_topk(spark, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation
+    reduction (Shrivastava & Li 2014; Neyshabur & Srebro 2015): append
+    one component sqrt(M² − |x|²) to every data vector (M = max corpus
+    norm, a broadcast scalar) and 0 to the query — augmented vectors
+    all have norm exactly M, so COSINE order in the lifted space IS
+    inner-product order, unlocking every cosine-ANN index (IVF, LSH,
+    RP) for dot-product retrieval. Recommendation and reranking
+    pipelines need MIPS, not cosine, whenever magnitudes carry signal.
+
+    The plan takes the top MIPS_CANDIDATES by augmented cosine
+    (TakeOrderedAndProject), then exactly re-ranks that bounded pool by
+    the raw round-6 dot product — same candidates+re-rank shape as
+    `ann_rp_rerank`, so float ulps in the sqrt lift can never leak
+    into the final ordering; the oracle is the direct exact-MIPS
+    top-k. At 100 TB the augmented column is materialized once and the
+    prefilter runs through the bucketed cosine index instead of this
+    flat scan.
+
+    Equivalence of the two orderings is exact (monotone transform);
+    the candidate pool at 6× k exists to absorb round-6 ties."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    mx = emb.agg(F.max("nrm").alias("mnorm"))
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    )
+    lifted = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "aug",
+            F.sqrt(
+                F.greatest(
+                    F.col("mnorm") * F.col("mnorm") - F.col("nrm") * F.col("nrm"),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # augmented cosine = (dot + aug·0) / (M·|q|) — monotone in dot;
+    # keep the explicit augmented form so the plan documents the lift.
+    scored = lifted.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "label",
+        (dot / (F.col("mnorm") * F.col("qnrm"))).alias("aug_cos"),
+        F.round(dot, 6).alias("dot_r6"),
+    )
+    cand = scored.orderBy(F.desc("aug_cos"), "vec_id").limit(MIPS_CANDIDATES)
+    return (
+        cand.select("vec_id", "label", "dot_r6")
+        .orderBy(F.desc("dot_r6"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -320,3 +320,64 @@ def test_kmv_estimates_track_exact_audience_overlap(spark, sf_dir):
                 )
         true_j = len(a & b) / len(a | b)
         assert abs(r.jaccard_kmv - true_j) < 0.25
+
+
+def test_bounded_ewma_tracks_exact_recursive_ewma(spark, sf_dir):
+    """The native truncated EWMA must agree with the exact recursive
+    (pandas) EWMA to within the truncation tail bound (2^-16 of the
+    value scale) once a full window of history exists."""
+    from job_market_research_spark.functions.enrich import (
+        EWMA_WINDOW,
+        q_grouped_pandas_ewma,
+        q_window_ewma_bounded,
+    )
+
+    exact = {
+        r.o_orderkey: r.ewma for r in q_grouped_pandas_ewma(spark, sf_dir).collect()
+    }
+    rows = q_window_ewma_bounded(spark, sf_dir).collect()
+    assert rows
+    # position within each priority group to know when history is full
+    from collections import defaultdict
+
+    seen = defaultdict(int)
+    checked = 0
+    for r in sorted(rows, key=lambda r: r.o_orderkey):
+        seen[r.priority] += 1
+        if seen[r.priority] >= EWMA_WINDOW:
+            rel = abs(r.ewma_b - exact[r.o_orderkey]) / max(
+                abs(exact[r.o_orderkey]), 1.0
+            )
+            assert rel < 1e-3, (r.o_orderkey, r.ewma_b, exact[r.o_orderkey])
+            checked += 1
+    assert checked > 0
+
+
+def test_mips_topk_equals_exact_dot_ranking(spark, sf_dir):
+    """The augmented-cosine candidate path must recover exactly the
+    brute-force inner-product top-k."""
+    from job_market_research_spark.ml.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        as_double_vec,
+        q_ann_mips_topk,
+    )
+
+    got = [(r.vec_id, r.dot_r6) for r in q_ann_mips_topk(spark, sf_dir).collect()]
+    emb = {
+        r.vec_id: r.v
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .collect()
+    }
+    q = emb[QUERY_VEC_ID]
+    dots = sorted(
+        (
+            (round(sum(x * y for x, y in zip(v, q)), 6), -vid)
+            for vid, v in emb.items()
+            if vid != QUERY_VEC_ID
+        ),
+        reverse=True,
+    )[:TOP_K]
+    want = [(-nid, d) for d, nid in dots]
+    assert got == want
