@@ -462,3 +462,106 @@ def q_stream_stream_join(spark, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "user_id", "a_type", "b_type")
         .orderBy("a_id", "b_id")
     )
+
+
+from job_market_research_spark.plans.events_analytics import KMV_K as _KMV_K
+
+
+@query(
+    "stream_kmv_distinct",
+    oracle=f"""
+    WITH ut AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM ut QUALIFY rk <= {_KMV_K}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           round(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * {float(2**60):.0f} / MAX(h) END, 6)
+             AS distinct_est
+    FROM sk GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sketch", "beyond"),
+)
+def q_stream_kmv_distinct(spark, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user counting over a stream of arrival
+    batches by KMV sketch merge — the streaming face of
+    `agg_kmv_audience_sketch`, and the reason sketches exist: each
+    micro-batch contributes only its per-type k smallest user-id
+    hashes (≤ k·|types| rows appended to the sketch store per batch,
+    CONSTANT state regardless of batch size), and min-k of unioned
+    min-k sets IS the global min-k, so the final estimate is
+    bit-identical to the batch computation NO MATTER how arrivals were
+    split — which is exactly what lets the DuckDB batch oracle
+    hash-check an incremental streaming pipeline.
+
+    foreachBatch appends the batch sketch (idempotent state growth
+    bounded by batches·k·|types|); the terminal read distincts and
+    re-cuts to k. A continuous deployment compacts the sketch store
+    on the same cut, or holds it in the state store keyed by type."""
+    from job_market_research_spark.ml.neardup import portable_hash60
+
+    src = _stage_events(spark, sf_dir, "stream_kmv")
+    schema = load(spark, sf_dir, "events").schema
+    root = scratch_dir("stream_kmv_state")
+    state = os.path.join(root, "sketch")
+    seed = spark.createDataFrame([], "event_type string, h long")
+    seed.write.mode("overwrite").parquet(state)
+
+    from pyspark.sql.window import Window
+
+    def merge_sketch(batch_df: DataFrame, epoch_id: int) -> None:
+        wk = Window.partitionBy("event_type").orderBy("h")
+        batch_sk = (
+            batch_df.select(
+                "event_type",
+                portable_hash60(F.col("user_id").cast("string")).alias("h"),
+            )
+            .distinct()
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= _KMV_K)
+            .select("event_type", "h")
+        )
+        batch_sk.write.mode("append").parquet(state)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_type", "user_id")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_sketch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    wk = Window.partitionBy("event_type").orderBy("h")
+    final = (
+        spark.read.parquet(state)
+        .distinct()
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    return (
+        final.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("k_used"), F.max("h").alias("hk"))
+        .select(
+            "event_type",
+            "k_used",
+            F.round(
+                F.when(F.col("k_used") < _KMV_K, F.col("k_used").cast("double"))
+                .otherwise(float(_KMV_K - 1) * F.lit(float(2**60)) / F.col("hk")),
+                6,
+            ).alias("distinct_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -397,3 +397,42 @@ def test_kn_bigram_lm_probabilities_and_scores_sane(spark, sf_dir):
     # deterministic across runs
     again = q_text_bigram_lm_kn(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
+    """The incremental (foreachBatch-merged) KMV estimate must equal
+    the single-pass batch sketch exactly — merge-invariance is the
+    defining sketch property."""
+    from pyspark.sql.window import Window
+
+    from job_market_research_spark.ml.neardup import portable_hash60
+    from job_market_research_spark.plans.events_analytics import KMV_K
+    from job_market_research_spark.streaming.windows import (
+        q_stream_kmv_distinct,
+    )
+
+    got = {
+        r.event_type: (r.k_used, r.distinct_est)
+        for r in q_stream_kmv_distinct(spark, sf_dir).collect()
+    }
+    wk = Window.partitionBy("event_type").orderBy("h")
+    batch = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            portable_hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("hk"))
+        .collect()
+    )
+    for r in batch:
+        est = (
+            float(r.k_used)
+            if r.k_used < KMV_K
+            else round((KMV_K - 1) * float(2**60) / r.hk, 6)
+        )
+        assert got[r.event_type] == (r.k_used, est)
