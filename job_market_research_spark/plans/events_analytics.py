@@ -1080,3 +1080,139 @@ def q_agg_kmv_audience_sketch(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+#: Shapley attribution: the fixed channel alphabet (bit positions) and
+#: the conversion event. Production derives the map from a broadcast
+#: channel dimension; n must stay small (coalitions = 2^n).
+ATTR_CHANNELS = ("click", "error", "signup", "view")
+ATTR_CONVERSION = "purchase"
+
+#: s!·(n-1-s)! numerators for n=4 (denominator n! = 24), by |S|.
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAP_DEN = 24
+
+_BIT_SQL = " + ".join(
+    f"MAX(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+    for i, c in enumerate(ATTR_CHANNELS)
+)
+_POPCNT_SQL = " + ".join(f"((S >> {i}) & 1)" for i in range(len(ATTR_CHANNELS)))
+@query(
+    "agg_shapley_attribution",
+    oracle=f"""
+    WITH um AS (
+      SELECT user_id,
+             {_BIT_SQL} AS mask,
+             MAX(CASE WHEN event_type = '{ATTR_CONVERSION}' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+      FROM um WHERE converted = 1 GROUP BY mask
+    ),
+    spine AS (SELECT g AS S FROM generate_series(0, {(1 << len(ATTR_CHANNELS)) - 1}) AS t(g)),
+    v AS (
+      SELECT s.S, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS v
+      FROM spine s LEFT JOIN conv c ON (c.mask & s.S) = c.mask
+      GROUP BY s.S
+    ),
+    terms AS (
+      SELECT ch.i, ch.name,
+             (CASE WHEN ({_POPCNT_SQL.replace('S', 'vs.S')}) = 0 THEN 6
+                   WHEN ({_POPCNT_SQL.replace('S', 'vs.S')}) = 1 THEN 2
+                   WHEN ({_POPCNT_SQL.replace('S', 'vs.S')}) = 2 THEN 2
+                   ELSE 6 END) * (vi.v - vs.v) AS t
+      FROM (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(ATTR_CHANNELS))})
+             AS ch(i, name)
+      JOIN v vs ON (vs.S & (1 << ch.i)) = 0
+      JOIN v vi ON vi.S = (vs.S | (1 << ch.i))
+    )
+    SELECT name AS channel,
+           CAST(SUM(t) AS BIGINT) AS phi_scaled,
+           round(CAST(SUM(t) AS DOUBLE) / {_SHAP_DEN}, 6) AS shapley_r6
+    FROM terms GROUP BY name ORDER BY channel
+    """,
+    tags=("events", "attribution", "beyond"),
+)
+def q_agg_shapley_attribution(spark, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (Shapley 1953;
+    data-driven attribution à la Zhao et al. 2018): each converting
+    user's touched-channel SET defines coalition data
+    v(S) = conversions among users whose channel set ⊆ S, and each
+    channel's credit is its exact Shapley value over the n=4 channel
+    game — the attribution scheme that, unlike first/last-touch
+    (`window_first_last_touch`), provably splits credit fairly
+    (efficiency: Σφ_i = v(full) − v(∅), pinned in tests).
+
+    EVERYTHING is integer arithmetic: user masks are bit-sums of
+    distinct channel flags, v comes from a subset-containment join of
+    the 16-row coalition spine against the ≤16-row exact-mask count
+    table, and Shapley weights s!(n−1−s)!/n! are pre-scaled by
+    n! = 24 so φ accumulates as exact integers (the single division
+    happens once at output). The corpus collapses to one user-keyed
+    aggregate in the first step; every later table is 2^n-bounded —
+    at 100 TB this is one shuffle plus constant-size algebra,
+    regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+    um = ev.groupBy("user_id").agg(
+        sum(
+            (
+                F.max(
+                    F.when(F.col("event_type") == c, F.lit(1 << i)).otherwise(0)
+                )
+                for i, c in enumerate(ATTR_CHANNELS)
+            ),
+            F.lit(0),
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == ATTR_CONVERSION, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    conv = (
+        um.filter(F.col("converted") == 1)
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_ch = len(ATTR_CHANNELS)
+    spine = spark.range(1 << n_ch).select(F.col("id").cast("int").alias("S"))
+    v = (
+        spine.join(
+            F.broadcast(conv),
+            (F.col("mask").bitwiseAND(F.col("S")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ATTR_CHANNELS)], "i int, name string"
+    )
+    vs = v.select(F.col("S").alias("S0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("S").alias("S1"), F.col("v").alias("v1"))
+    popcnt = sum(
+        (F.shiftright(F.col("S0"), i).bitwiseAND(F.lit(1)) for i in range(n_ch)),
+        F.lit(0),
+    )
+    w = (
+        F.when(popcnt == 0, _SHAP_W[0])
+        .when(popcnt == 1, _SHAP_W[1])
+        .when(popcnt == 2, _SHAP_W[2])
+        .otherwise(_SHAP_W[3])
+    )
+    terms = (
+        F.broadcast(ch)
+        .join(vs, F.col("S0").bitwiseAND(F.expr("shiftleft(1, i)")) == 0)
+        .join(vi, F.col("S1") == F.col("S0").bitwiseOR(F.expr("shiftleft(1, i)")))
+        .select("name", (w * (F.col("v1") - F.col("v0"))).alias("t"))
+    )
+    return (
+        terms.groupBy(F.col("name").alias("channel"))
+        .agg(
+            F.sum("t").cast("long").alias("phi_scaled"),
+            F.round(F.sum("t").cast("double") / _SHAP_DEN, 6).alias(
+                "shapley_r6"
+            ),
+        )
+        .orderBy("channel")
+    )

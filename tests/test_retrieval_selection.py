@@ -436,3 +436,32 @@ def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
             else round((KMV_K - 1) * float(2**60) / r.hk, 6)
         )
         assert got[r.event_type] == (r.k_used, est)
+
+
+def test_shapley_efficiency_axiom_holds(spark, sf_dir):
+    """Σφ_i must equal v(full) − v(∅) exactly (efficiency axiom), in
+    the scaled-integer domain where everything is exact."""
+    from job_market_research_spark.plans.events_analytics import (
+        ATTR_CHANNELS,
+        ATTR_CONVERSION,
+        _SHAP_DEN,
+        q_agg_shapley_attribution,
+    )
+
+    rows = q_agg_shapley_attribution(spark, sf_dir).collect()
+    assert {r.channel for r in rows} == set(ATTR_CHANNELS)
+    ev = load(spark, sf_dir, "events")
+    um = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == ATTR_CONVERSION, 1).otherwise(0)
+        ).alias("converted"),
+        F.max(
+            F.when(F.col("event_type").isin(*ATTR_CHANNELS), 1).otherwise(0)
+        ).alias("touched"),
+    )
+    v_full = um.filter("converted = 1").count()
+    v_empty = um.filter("converted = 1 AND touched = 0").count()
+    total_scaled = sum(r.phi_scaled for r in rows)
+    assert total_scaled == (v_full - v_empty) * _SHAP_DEN
+    for r in rows:
+        assert r.shapley_r6 == round(r.phi_scaled / _SHAP_DEN, 6)
