@@ -465,3 +465,35 @@ def test_shapley_efficiency_axiom_holds(spark, sf_dir):
     assert total_scaled == (v_full - v_empty) * _SHAP_DEN
     for r in rows:
         assert r.shapley_r6 == round(r.phi_scaled / _SHAP_DEN, 6)
+
+
+def test_scene_cuts_match_numpy_replay(spark, sf_dir):
+    """Every emitted cut must reproduce from a direct numpy decode of
+    the same frames, and no qualifying cut may be missed."""
+    import numpy as np
+
+    from job_market_research_spark.multimodal.real_media import (
+        CUT_THRESHOLD,
+        _make_frame,
+        q_multimodal_scene_cut,
+    )
+
+    got = {
+        (r.doc_id, r.frame_idx): r.delta_sum
+        for r in q_multimodal_scene_cut(spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = {}
+    for d in doc_ids:
+        prev = None
+        for f in range(d % 10 + 1):
+            img = _make_frame(d, f)
+            s = int(img.sum(dtype=np.int64))
+            if prev is not None and abs(s - prev) >= CUT_THRESHOLD * img.size:
+                want[(d, f)] = abs(s - prev)
+            prev = s
+    assert got == want
+    assert want, "fixture should contain at least one cut"
