@@ -1082,3 +1082,118 @@ def q_dedup_containment(spark, sf_dir: str) -> DataFrame:
         ),
         F.round("containment", 6).alias("containment_r6"),
     ).orderBy("doc_small", "doc_big")
+
+
+#: Content-defined chunking: rolling-hash window, polynomial base,
+#: modulus, and the boundary mask (avg chunk ≈ mask+1 chars).
+CDC_W = 8
+CDC_B = 31
+CDC_M = 1 << 20
+CDC_MASK = 32
+CDC_TOP = 20
+
+#: Σ ascii(c_{i-k})·B^k for k=0..W-1 — rendered once for both engines.
+_CDC_POWS = [CDC_B**k for k in range(CDC_W)]
+_CDC_H_SPARK = " + ".join(
+    f"ascii(substring(text, CAST(i AS INT) - {k}, 1)) * {p}L"
+    for k, p in enumerate(_CDC_POWS)
+)
+_CDC_H_SQL = " + ".join(
+    f"CAST(ascii(substr(text, CAST(i AS INT) - {k}, 1)) AS BIGINT) * {p}"
+    for k, p in enumerate(_CDC_POWS)
+)
+
+
+@query(
+    "dedup_cdc_chunking",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, len(text) AS n,
+             list_filter(range(CAST({CDC_W} AS BIGINT), len(text) + 1),
+               i -> (({_CDC_H_SQL}) % {CDC_M}) % {CDC_MASK} = 0) AS bpos
+      FROM documents
+    ),
+    ranges AS (
+      SELECT doc_id,
+             list_prepend(CAST(0 AS BIGINT), bpos) AS starts,
+             list_append(bpos, CAST(n AS BIGINT)) AS ends,
+             text
+      FROM b
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(1, len(starts) + 1),
+                 i -> substr(text, CAST(starts[i] AS INT) + 1,
+                             CAST(ends[i] - starts[i] AS INT))),
+               c -> c <> '')) AS chunk
+      FROM ranges
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(len(chunk)) AS BIGINT) AS chunk_len
+    FROM chunks GROUP BY chunk_hash
+    ORDER BY n_occ DESC, chunk_hash LIMIT {CDC_TOP}
+    """,
+    tags=("dedup", "beyond"),
+)
+def q_dedup_cdc_chunking(spark, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS primitive;
+    Muthitacharoen et al. 2001): cut every document at positions where
+    an 8-char polynomial rolling hash ≡ 0 (mod {CDC_MASK}), hash the
+    resulting variable-size chunks, and report the most-shared chunks
+    across the corpus — byte-level storage dedup that, unlike
+    fixed-size blocks, survives insertions (an edit only reshapes the
+    chunks it touches, because boundaries depend on CONTENT, not
+    offsets). The same primitive backs chunk-level dedup of crawl
+    snapshots and model-checkpoint stores.
+
+    Scale shape: boundary detection and chunk splitting are pure
+    map-side array expressions (one transform over positions, cost
+    O(len·W) per doc, no explode until chunks exist); the only shuffle
+    is the chunk-hash groupBy — map-side combinable, keyed by content
+    hash exactly like `dedup_exact_hash`. No min/max-chunk clamps here
+    (production adds them to bound chunk-size variance; they are more
+    CASE arms on the same boundary list). The polynomial hash is
+    integer-exact (max term sum ≈ 5.6e13 ≪ 2^63) and md5 chunk ids are
+    portable, so DuckDB replays boundaries AND chunk identities
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"filter(sequence({CDC_W}L, length(text)),"
+            f" i -> (({_CDC_H_SPARK}) % {CDC_M}) % {CDC_MASK} = 0)"
+        ).alias("bpos"),
+    )
+    ranges = b.select(
+        "doc_id",
+        "text",
+        F.expr("concat(array(0L), bpos)").alias("starts"),
+        F.expr("concat(bpos, array(CAST(length(text) AS BIGINT)))").alias(
+            "ends"
+        ),
+    )
+    chunks = ranges.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(starts)),"
+                " i -> substring(text, CAST(element_at(starts, i) AS INT) + 1,"
+                " CAST(element_at(ends, i) - element_at(starts, i) AS INT))),"
+                " c -> c != '')"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.length("chunk")).cast("long").alias("chunk_len"),
+        )
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+        .limit(CDC_TOP)
+    )

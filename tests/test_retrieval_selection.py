@@ -497,3 +497,48 @@ def test_scene_cuts_match_numpy_replay(spark, sf_dir):
             prev = s
     assert got == want
     assert want, "fixture should contain at least one cut"
+
+
+def test_cdc_chunks_rebuild_docs_and_survive_insertion(spark, sf_dir):
+    """Chunks must partition each document exactly, and inserting a
+    prefix into a doc must leave all boundaries after the insertion
+    region content-stable (the content-defined property)."""
+    from job_market_research_spark.ml.neardup import (
+        CDC_B,
+        CDC_M,
+        CDC_MASK,
+        CDC_W,
+        q_dedup_cdc_chunking,
+    )
+
+    rows = q_dedup_cdc_chunking(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_docs > 1 for r in rows), "no cross-doc shared chunks"
+
+    def boundaries(text):
+        bs = []
+        for i in range(CDC_W, len(text) + 1):
+            h = sum(
+                ord(text[i - 1 - k]) * (CDC_B**k) for k in range(CDC_W)
+            ) % CDC_M
+            if h % CDC_MASK == 0:
+                bs.append(i)
+        return bs
+
+    def chunks(text):
+        bs = [0] + boundaries(text) + [len(text)]
+        return [text[a:b] for a, b in zip(bs, bs[1:]) if b > a]
+
+    doc = (
+        load(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"))
+        .select("text")
+        .first()["text"]
+    )
+    assert "".join(chunks(doc)) == doc
+    edited = "INSERTED PREFIX " + doc
+    tail = set(chunks(doc)[1:])
+    tail_edited = set(chunks(edited))
+    # every original chunk beyond the first must reappear verbatim
+    missing = tail - tail_edited
+    assert not missing, f"content-defined boundaries shifted: {missing}"
