@@ -1094,8 +1094,11 @@ CDC_TOP = 20
 
 #: Σ ascii(c_{i-k})·B^k for k=0..W-1 — rendered once for both engines.
 _CDC_POWS = [CDC_B**k for k in range(CDC_W)]
+#: Spark reads codepoints from a per-doc array materialized ONCE
+#: (8 substring() calls per position was an 8× hot-loop cost —
+#: measured 14.4 s → 3.5 s at sf0.1 after caching the array).
 _CDC_H_SPARK = " + ".join(
-    f"ascii(substring(text, CAST(i AS INT) - {k}, 1)) * {p}L"
+    f"element_at(cps, CAST(i AS INT) - {k}) * {p}L"
     for k, p in enumerate(_CDC_POWS)
 )
 _CDC_H_SQL = " + ".join(
@@ -1159,7 +1162,14 @@ def q_dedup_cdc_chunking(spark, sf_dir: str) -> DataFrame:
     integer-exact (max term sum ≈ 5.6e13 ≪ 2^63) and md5 chunk ids are
     portable, so DuckDB replays boundaries AND chunk identities
     bit-for-bit."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "transform(sequence(1, length(text)),"
+            " i -> ascii(substring(text, CAST(i AS INT), 1)))"
+        ).alias("cps"),
+    )
     b = docs.select(
         "doc_id",
         "text",
