@@ -172,6 +172,56 @@ BAND_SIZE = 4
 JACCARD_THRESHOLD = 0.5
 
 
+
+
+def minhash_band_rows(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingle rows → one (doc_id, band, band_key) row per
+    band of the MinHash signature.
+
+    All MINHASH_K signature positions in ONE aggregation: k min-columns
+    over one row per (doc, shingle), instead of exploding each shingle
+    k× and re-grouping twice. Map-side partial mins shrink the shuffle
+    to one row per doc — at 100 TB this removes the k× shuffle that
+    would otherwise dominate the whole LSH pipeline. Band keys are pure
+    projections of the signature row (md5 over the band's minhashes in
+    position order — byte-identical to the oracle's string_agg ORDER BY
+    i); explode emits one row per (doc, band). Shared by the self-join
+    dedup (`dedup_minhash_lsh`) and the index-probe incremental variant
+    (`dedup_incremental_minhash`)."""
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(
+                portable_hash(F.concat(F.lit(f"{i}#"), F.col("sh")))
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                band * BAND_SIZE, (band + 1) * BAND_SIZE
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(MINHASH_K // BAND_SIZE)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -237,45 +287,7 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     so capped Jaccard only ever under-estimates (scale-safe recall
     trade, mirrored exactly in the oracle)."""
     shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
-
-    # All MINHASH_K signature positions in ONE aggregation: k min-columns
-    # over one row per (doc, shingle), instead of exploding each shingle
-    # k× and re-grouping twice. Map-side partial mins shrink the shuffle
-    # to one row per doc — at 100 TB this removes the k× shuffle that
-    # would otherwise dominate the whole LSH pipeline.
-    sigs = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(
-                portable_hash(F.concat(F.lit(f"{i}#"), F.col("sh")))
-            ).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    # Band keys are pure projections of the signature row (md5 over the
-    # band's minhashes in position order — byte-identical to the oracle's
-    # string_agg ORDER BY i); explode emits one row per (doc, band).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{i}").cast("string")
-                            for i in range(
-                                band * BAND_SIZE, (band + 1) * BAND_SIZE
-                            )
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for band in range(MINHASH_K // BAND_SIZE)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    bands = minhash_band_rows(shingles)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -1206,4 +1218,128 @@ def q_dedup_cdc_chunking(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occ"), "chunk_hash")
         .limit(CDC_TOP)
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks) WHERE sh IS NOT NULL AND sh <> ''
+    ),
+    sigs AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || sh), 1, 8))::BIGINT)
+               AS minh
+      FROM shingles, range(0, {MINHASH_K}) AS r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, i // {BAND_SIZE}
+    ),
+    candidates AS (
+      SELECT DISTINCT new.doc_id AS new_doc, old.doc_id AS dup_of
+      FROM bands new JOIN bands old
+        ON new.band = old.band AND new.band_key = old.band_key
+      WHERE new.doc_id % 4 = 0 AND old.doc_id % 4 <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    idx AS ({_df_cap_sql("shingles", "sh")}),
+    verified AS (
+      SELECT c.new_doc, c.dup_of, COUNT(*) AS inter, sa.n AS na, sb.n AS nb
+      FROM candidates c
+      JOIN idx x ON x.doc_id = c.new_doc
+      JOIN idx y ON y.doc_id = c.dup_of AND y.sh = x.sh
+      JOIN sizes sa ON sa.doc_id = c.new_doc
+      JOIN sizes sb ON sb.doc_id = c.dup_of
+      GROUP BY c.new_doc, c.dup_of, sa.n, sb.n
+    )
+    SELECT new_doc, dup_of,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY new_doc, dup_of
+    """,
+)
+def q_dedup_incremental_minhash(spark, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash dedup — the nightly-batch production shape:
+    new documents (here every 4th doc id, standing in for today's
+    crawl) are banded and probed against the EXISTING corpus's band
+    index, never against each other and never re-banding history. The
+    daily cost is O(|new|) band rows joined into a persisted,
+    bucketed-by-(band, band_key) index, instead of the full self-join
+    `dedup_minhash_lsh` runs — this is the difference between an
+    O(corpus) nightly job and an O(delta) one at 100 TB.
+
+    Reuses the identical signature/band construction
+    (`minhash_band_rows`, md5-portable) and the same df-capped
+    exact-Jaccard verification, so an accepted (new_doc, dup_of) match
+    here is bit-identical to what the batch self-join would have
+    found. Output: which new docs are near-dups of which indexed docs
+    (the reject list the ingest gate consumes)."""
+    shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
+    bands = minhash_band_rows(shingles)
+    incoming = bands.filter(F.col("doc_id") % 4 == 0)
+    index = bands.filter(F.col("doc_id") % 4 != 0)
+    candidates = (
+        incoming.alias("new")
+        .join(
+            index.alias("old"),
+            (F.col("new.band") == F.col("old.band"))
+            & (F.col("new.band_key") == F.col("old.band_key")),
+        )
+        .select(
+            F.col("new.doc_id").alias("new_doc"),
+            F.col("old.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    hot = (
+        shingles.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > GRAM_DF_CAP)
+        .select("sh", F.lit(True).alias("_hot"))
+    )
+    profiles = (
+        shingles.join(F.broadcast(hot), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_list(
+                F.when(F.col("_hot").isNull(), F.col("sh"))
+            ).alias("arr"),
+        )
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(
+            profiles.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("n").alias("na"),
+                F.col("arr").alias("arr_a"),
+            ),
+            "new_doc",
+        )
+        .join(
+            profiles.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("n").alias("nb"),
+                F.col("arr").alias("arr_b"),
+            ),
+            "dup_of",
+        )
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("new_doc", "dup_of")
     )

@@ -857,3 +857,55 @@ def q_ann_mips_topk(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot_r6"), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: Metadata filter for filtered vector search (license-class stand-in).
+FILTER_LABELS = (1, 2, 3)
+
+_FILTER_SQL = ", ".join(str(x) for x in FILTER_LABELS)
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=_ORACLE_BASE
+    + f"""
+    SELECT e.vec_id, e.label, {_ORACLE_COSINE} AS cosine
+    FROM e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label IN ({_FILTER_SQL})
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_filtered_topk(spark, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine restricted to vectors
+    whose metadata passes a predicate (label ∈ FILTER_LABELS, standing
+    in for license class / language / source allowlists). The
+    production question is rarely "nearest overall" but "nearest I'm
+    ALLOWED to use", and the scale property is that the predicate is a
+    plain scan filter: it reaches the parquet reader as a pushed
+    filter (pinned in tests/test_pushdown.py), so row groups without
+    matching labels never decompress — pre-filtering, not the
+    post-filter-the-top-k approach that silently returns fewer than k
+    rows. Composes with every index variant here (the IVF probe and
+    the LSH bands are further AND-ed restrictions on the same scan)."""
+    qv = _query_vector(spark, sf_dir).withColumn("qnrm", l2_norm(F.col("qv")))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isin(*FILTER_LABELS))
+        .select("vec_id", "label", as_double_vec("embedding").alias("v"))
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    scored = emb.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(qv)
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -65,3 +65,22 @@ def test_partition_values_prune_files(spark, sf_dir):
         .count()
     )
     assert df.count() == expected > 0
+
+
+def test_filtered_ann_label_predicate_reaches_scan(spark, sf_dir):
+    """ann_filtered_topk's metadata predicate must be a PUSHED scan
+    filter (pre-filtering), not a post-scan Filter only."""
+    from job_market_research_spark.ml.similarity import q_ann_filtered_topk
+
+    plan = (
+        q_ann_filtered_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = [
+        seg.split("\n")[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("label" in p for p in pushed), pushed

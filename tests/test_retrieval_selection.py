@@ -542,3 +542,35 @@ def test_cdc_chunks_rebuild_docs_and_survive_insertion(spark, sf_dir):
     # every original chunk beyond the first must reappear verbatim
     missing = tail - tail_edited
     assert not missing, f"content-defined boundaries shifted: {missing}"
+
+
+def test_incremental_minhash_subset_of_batch_pairs(spark, sf_dir):
+    """Every incremental match must be a pair the batch self-join also
+    finds (same bands, same verification), restricted to
+    new-vs-indexed; and no new-vs-new pair may appear."""
+    from job_market_research_spark.ml.neardup import (
+        q_dedup_incremental_minhash,
+        q_dedup_minhash_lsh,
+    )
+
+    inc = {
+        (r.new_doc, r.dup_of): r.jaccard
+        for r in q_dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    batch = {
+        frozenset((r.doc_a, r.doc_b)): r.jaccard
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    for (new_doc, dup_of), j in inc.items():
+        assert new_doc % 4 == 0 and dup_of % 4 != 0
+        key = frozenset((new_doc, dup_of))
+        assert key in batch, f"incremental-only pair {key}"
+        assert abs(batch[key] - j) < 1e-12
+    # completeness: every batch pair that crosses the split appears
+    for key, j in batch.items():
+        a, b = sorted(key)
+        crossing = (a % 4 == 0) != (b % 4 == 0)
+        if crossing:
+            new_doc = a if a % 4 == 0 else b
+            dup_of = b if a % 4 == 0 else a
+            assert (new_doc, dup_of) in inc, f"missed crossing pair {key}"
