@@ -714,3 +714,77 @@ def q_agg_pareto_coverage(spark, sf_dir: str) -> DataFrame:
             ).alias("covered_share_r6"),
         )
     )
+
+
+@query(
+    "profile_data_card",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                       / COUNT(*), 6) AS dup_rate_r6,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars_r6,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS en_share_r6
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    tags=("profiling", "beyond"),
+)
+def q_profile_data_card(spark, sf_dir: str) -> DataFrame:
+    """Dataset data-card report (Gebru et al., Datasheets for
+    Datasets 2018): the per-source release summary every corpus ships
+    with — document and unique-content counts, exact-dup rate, size
+    and token totals, length extremes, and language mix — computed in
+    ONE conditional-aggregation scan of the corpus (the same fused
+    single-pass discipline as `validate_expectations`). Everything
+    after the scan is |sources| rows.
+
+    Exactness: counts and sums are integers (char sums in exact
+    DECIMAL before the average), the dup rate divides two exact counts
+    once, and the content-identity key is md5 (portable). At 100 TB
+    you add the sketch columns (KMV distinct, t-digest length
+    quantiles — see agg_sketch_prod) next to these exact ones; the
+    report stays one scan."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct(F.md5("text")).cast("long").alias("n_unique"),
+            F.round(
+                1.0
+                - F.count_distinct(F.md5("text")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_rate_r6"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(28,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_chars_r6"),
+            F.sum(
+                F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            )
+            .cast("long")
+            .alias("total_tokens"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("en_share_r6"),
+        )
+        .orderBy("source")
+    )
