@@ -909,3 +909,93 @@ def q_ann_filtered_topk(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: Hard negatives per anchor.
+HARDNEG_K = 5
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM e WHERE vec_id % 100 = 7),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> e.v[i] * a.v[i])) / (e.nrm * a.nrm), 6) AS cosine
+      FROM e, anchors a
+      WHERE e.vec_id <> a.vec_id AND e.label <> a.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, neg_id) AS rk
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, CAST(rk AS INT) AS rk,
+           neg_id, neg_label, cosine
+    FROM ranked WHERE rk <= {HARDNEG_K}
+    ORDER BY anchor_id, rk
+    """,
+    tags=("sampling", "ann", "beyond"),
+)
+def q_sample_hard_negatives(spark, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style pipeline step): for each anchor in the query set, the
+    HARDNEG_K most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move a contrastive loss, where random
+    negatives are trivially separable. Emitted as
+    (anchor, rank, negative) triples, the exact shape a dataloader
+    joins back onto the corpus.
+
+    Plan is `ann_batch_topk` with the label-inequality predicate fused
+    into the scoring join — the filter drops same-class rows BEFORE
+    ranking, so the per-anchor window ranks only admissible negatives
+    (top-k-then-filter would under-return). Anchor set broadcasts;
+    scoring is corpus-partition-parallel; per-anchor rank is a window
+    keyed by anchor. At 100 TB swap the flat scan for any of the
+    bucketed probes (IVF/LSH/PQ) exactly as with the plain batch kNN;
+    the label predicate stays fused."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    anchors = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).filter(F.col("anchor_id") % 100 == 7)
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .select(
+            "anchor_id", "anchor_label", "rk", "neg_id", "neg_label", "cosine"
+        )
+        .orderBy("anchor_id", "rk")
+    )

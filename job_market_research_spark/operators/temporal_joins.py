@@ -229,3 +229,97 @@ def q_join_asof_tolerance(spark, sf_dir: str) -> DataFrame:
         ).alias("matched_payload"),
         F.when(F.col("matched_ts").isNotNull(), age > tol_us).alias("stale"),
     ).orderBy("event_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: str,
+) -> DataFrame:
+    """Forward as-of: for each left row, the right row with the
+    SMALLEST `right_ts` >= `left_ts` within the key (ties: the right
+    row at the same instant matches). Mirror of `asof_join` with
+    `first(ignorenulls)` over the forward frame — same single hash
+    shuffle on the key, no row explosion."""
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        F.lit(None).cast(right.schema[right_payload].dataType).alias("_rp"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+        F.col(right_payload).alias("_rp"),
+        F.col(right_ts).alias("_rt"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    right_struct = F.when(F.col("_side") == 1, F.struct("_rt", "_rp"))
+    carried = u.select(
+        "*",
+        F.first(right_struct, ignorenulls=True).over(w).alias("_match"),
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        F.col("_left.*"),
+        F.col("_match._rp").alias("matched_payload"),
+        F.col("_match._rt").alias("matched_ts"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (
+      SELECT user_id AS pu, ts AS pts, MAX(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           p.pid AS matched_payload, p.pts AS matched_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN p
+      ON e.user_id = p.pu AND e.ts <= p.pts
+    ORDER BY e.event_id
+    """,
+)
+def q_join_asof_forward(spark, sf_dir: str) -> DataFrame:
+    """Each non-purchase event matched to the user's NEXT purchase
+    at-or-after it — the label-attribution direction of the as-of
+    family (training-example construction: "did a purchase follow this
+    exposure, and when"), where the backward join (`join_asof`) is the
+    feature-lookup direction. Looking FORWARD is only legal at
+    label-building time; the backward join is what a leak-free feature
+    pipeline uses — keeping the two as distinct operators is the
+    guard-rail. Same one-shuffle union+window plan, forward frame;
+    DuckDB replays with native ASOF and the inverted comparison."""
+    ev = load(spark, sf_dir, "events")
+    exposures = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    return asof_join_forward(
+        exposures,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_payload="pid",
+    ).orderBy("event_id")

@@ -574,3 +574,47 @@ def test_incremental_minhash_subset_of_batch_pairs(spark, sf_dir):
             new_doc = a if a % 4 == 0 else b
             dup_of = b if a % 4 == 0 else a
             assert (new_doc, dup_of) in inc, f"missed crossing pair {key}"
+
+
+def test_forward_asof_never_looks_backward(spark, sf_dir):
+    """Every forward match must be at-or-after the event; every
+    backward match at-or-before — and where both exist they bracket
+    the event time."""
+    from job_market_research_spark.operators.temporal_joins import (
+        q_join_asof,
+        q_join_asof_forward,
+    )
+
+    fwd = {r.event_id: r for r in q_join_asof_forward(spark, sf_dir).collect()}
+    bwd = {r.event_id: r for r in q_join_asof(spark, sf_dir).collect()}
+    # forward covers non-purchase exposures only; backward covers all
+    assert fwd and set(fwd) <= set(bwd)
+    n_matched = 0
+    for eid, f in fwd.items():
+        if f.matched_ts is not None:
+            assert f.matched_ts >= f.ts
+            n_matched += 1
+        b = bwd[eid]
+        if b.matched_ts is not None:
+            assert b.matched_ts <= b.ts
+    assert n_matched > 0
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_random(spark, sf_dir):
+    from job_market_research_spark.ml.similarity import (
+        HARDNEG_K,
+        q_sample_hard_negatives,
+    )
+
+    rows = q_sample_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r.neg_label != r.anchor_label, "same-class negative"
+        assert 1 <= r.rk <= HARDNEG_K
+        by_anchor.setdefault(r.anchor_id, []).append(r.cosine)
+    for scores in by_anchor.values():
+        assert scores == sorted(scores, reverse=True)
+        # hard negatives should be meaningfully similar (top of the
+        # cross-class similarity distribution, not random draws)
+        assert scores[0] > 0
