@@ -199,15 +199,23 @@ def q_agg_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
         .filter(F.col("token") != "")
     )
-    salted = tok.select(
-        "token", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    # One corpus pass: the vocab count is the only corpus-sized
+    # aggregation; the counter grid derives from the VOCAB weighted by
+    # true_n (identical cell sums — addition is associative), instead
+    # of re-exploding the raw token stream CMS_DEPTH×.
+    vocab = tok.groupBy("token").agg(F.count("*").alias("true_n"))
+    salted = vocab.select(
+        "token",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
     )
     counters = (
-        salted.select("d", cms_bucket(F.col("d"), F.col("token")).alias("b"))
+        salted.select(
+            "d", cms_bucket(F.col("d"), F.col("token")).alias("b"), "true_n"
+        )
         .groupBy("d", "b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("true_n").alias("c"))
     )
-    vocab = tok.groupBy("token").agg(F.count("*").alias("true_n"))
     probe = (
         vocab.select(
             "token",
