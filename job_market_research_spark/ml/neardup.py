@@ -1343,3 +1343,120 @@ def q_dedup_incremental_minhash(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("new_doc", "dup_of")
     )
+
+
+#: Winnowing: char k-gram size, window width, similarity floor.
+WIN_K = 8
+WIN_W = 8
+WIN_SIM = 0.3
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    grams AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {WIN_K})),
+                   1, 8)) AS BIGINT) AS h
+      FROM corpus, unnest(range(1, len(text) - {WIN_K} + 2)) AS t(i)
+      WHERE len(text) >= {WIN_K}
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
+             MAX(i) OVER (PARTITION BY doc_id) AS max_i
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wins WHERE i <= max_i - {WIN_W - 1}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM fps GROUP BY doc_id),
+    idx AS ({_df_cap_sql("fps", "fp")}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           round(CAST(p.shared AS DOUBLE) / least(sa.n, sb.n), 6) AS winnow_sim
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / least(sa.n, sb.n) >= {WIN_SIM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_winnowing(spark, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup detection (Schleimer, Wilkerson
+    & Aiken 2003 — the MOSS algorithm): hash every {WIN_K}-char gram,
+    slide a {WIN_W}-window over the hash sequence keeping each
+    window's MINIMUM, and compare documents by their selected
+    fingerprint SETS — guaranteed to detect any shared substring of
+    length ≥ k + w − 1 while storing ~2/(w+1) of the grams. The
+    char-level complement to the word-shingle MinHash family: catches
+    verbatim reuse that tokenization hides (whitespace/punctuation
+    edits). Selection here is by min VALUE per window (the classic
+    rightmost-position tie rule changes which position is recorded,
+    not which hash values survive — and matching is on values).
+
+    Scale shape: gram hashing + the window min are doc-partitioned
+    (one key-ordered window, no cross-doc data motion); fingerprint
+    sets then flow through the SAME df-capped inverted-index join as
+    every other near-dup operator (GRAM_DF_CAP bounds hot-fingerprint
+    fan-out at cap²). Similarity = shared / min(|A|,|B|) — the
+    containment-style normalization that survives length mismatch."""
+    from pyspark.sql import Window
+
+    corpus = augmented_corpus(spark, sf_dir)
+    grams = corpus.filter(F.length("text") >= WIN_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {WIN_K} + 1)")
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        portable_hash(F.expr(f"substring(text, CAST(i AS INT), {WIN_K})")).alias(
+            "h"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    wins = grams.select(
+        "doc_id",
+        "i",
+        F.min("h").over(wdoc.rowsBetween(0, WIN_W - 1)).alias("fp"),
+        F.max("i").over(Window.partitionBy("doc_id")).alias("max_i"),
+    )
+    fps = (
+        wins.filter(F.col("i") <= F.col("max_i") - (WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    idx = df_capped(fps, "fp")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sim = F.round(
+        F.col("shared").cast("double") / F.least("na", "nb"), 6
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "shared", sim.alias("winnow_sim"))
+        .filter(F.col("winnow_sim") >= WIN_SIM)
+        .orderBy("doc_a", "doc_b")
+    )

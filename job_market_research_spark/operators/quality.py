@@ -854,3 +854,77 @@ def q_profile_benford_audit(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+#: Rate-shift alert threshold (two-sample Poisson z).
+RATE_Z_ALERT = 3.0
+
+
+@query(
+    "monitor_rate_shift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(ts) AS lo, max(ts) AS hi FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) * 2 <= epoch_us(b.lo) + epoch_us(b.hi)
+                  THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN bounds b
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM halves GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           round((n1 - n2) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6) AS z_r6,
+           abs((n1 - n2) / sqrt(CAST(n1 + n2 AS DOUBLE))) > {RATE_Z_ALERT}
+             AS alert
+    FROM counts ORDER BY event_type
+    """,
+    tags=("monitoring", "beyond"),
+)
+def q_monitor_rate_shift(spark, sf_dir: str) -> DataFrame:
+    """Event-rate shift monitor: per type, a two-sample Poisson test
+    between the first and second half of the observed time range —
+    z = (n₁−n₂)/√(n₁+n₂), the conditional binomial test that flags a
+    pipeline suddenly emitting (or dropping) events, complementary to
+    the value-distribution monitors (`monitor_feature_drift`,
+    `window_zscore_anomaly` watch VALUES; this watches VOLUME).
+
+    The midpoint test is exact integer arithmetic
+    (2·epoch_µs(ts) ≤ lo+hi — no float timestamp division), counts are
+    one conditional-agg scan with the bounds riding a broadcast 1-row
+    aggregate, and the z statistic is one sqrt+divide over exact
+    integers, round-6. |types| rows after the scan."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (
+            F.unix_micros("ts") * 2
+            <= F.unix_micros("lo") + F.unix_micros("hi")
+        ).alias("first_half"),
+    )
+    counts = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    z = (F.col("n1") - F.col("n2")) / F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return counts.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(z, 6).alias("z_r6"),
+        (F.abs(z) > RATE_Z_ALERT).alias("alert"),
+    ).orderBy("event_type")

@@ -378,6 +378,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_dp_count_release",
     "profile_benford_audit",
     "profile_data_card",
+    "dedup_winnowing",
+    "monitor_rate_shift",
 )
 
 

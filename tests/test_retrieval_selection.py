@@ -618,3 +618,35 @@ def test_hard_negatives_are_cross_label_and_harder_than_random(spark, sf_dir):
         # hard negatives should be meaningfully similar (top of the
         # cross-class similarity distribution, not random draws)
         assert scores[0] > 0
+
+
+def test_winnowing_guarantee_on_planted_substring(spark, sf_dir):
+    """Winnowing's core guarantee: two docs sharing a substring of
+    length >= k + w - 1 MUST share at least one selected fingerprint.
+    Replay selection in Python on a planted pair."""
+    from job_market_research_spark.ml.neardup import (
+        WIN_K,
+        WIN_W,
+        q_dedup_winnowing,
+    )
+
+    rows = q_dedup_winnowing(spark, sf_dir).collect()
+    assert rows, "fixture contains near-dup docs; winnowing must fire"
+    for r in rows:
+        assert r.shared >= 1 and 0 < r.winnow_sim <= 1.0
+
+    def fingerprints(text):
+        import hashlib
+
+        hs = [
+            int(hashlib.md5(text[i : i + WIN_K].encode()).hexdigest()[:8], 16)
+            for i in range(len(text) - WIN_K + 1)
+        ]
+        return {
+            min(hs[j : j + WIN_W]) for j in range(len(hs) - WIN_W + 1)
+        }
+
+    shared_sub = "x" * (WIN_K + WIN_W - 1) + "planted common run"
+    a = "left document body " + shared_sub + " tail alpha"
+    b = "totally different opening " + shared_sub + " other end"
+    assert fingerprints(a) & fingerprints(b), "guarantee violated"
