@@ -847,3 +847,155 @@ def q_mixture_token_budget(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: RAG index composition: hashed-projection embedding dims, value cap
+#: per (dim, token), coarse-bucket count, retrieval depth, fixed query.
+RAG_DIMS = 8
+RAG_BUCKETS = 4
+RAG_TOP = 5
+RAG_QUERY = "spark hash stream"
+
+_RAG_EMB_SPARK = (
+    f"transform(sequence(0, {RAG_DIMS - 1}), j -> aggregate(ctoks, 0L,"
+    " (acc, t) -> acc + CAST(conv(substr(md5(concat(CAST(j AS STRING),"
+    " '#', t)), 1, 8), 16, 10) AS LONG) % 16))"
+)
+_RAG_EMB_SQL = (
+    f"list_transform(range(0, {RAG_DIMS}), j -> list_sum(list_transform("
+    "ctoks, t -> ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 8))"
+    "::BIGINT % 16)))"
+)
+
+
+@query(
+    "pipeline_rag_index_e2e",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             toks[start + 1 : start + {CHUNK_SIZE}] AS ctoks
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE}))
+                     AS start
+            FROM toks)
+      WHERE start < len(toks)
+    ),
+    embedded AS (
+      SELECT doc_id, chunk_id, {_RAG_EMB_SQL} AS v FROM chunks
+    ),
+    indexed AS (
+      SELECT doc_id, chunk_id, v,
+             list_sum(v) % {RAG_BUCKETS} AS bucket,
+             sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+               AS nrm
+      FROM embedded
+    ),
+    q AS (
+      SELECT {_RAG_EMB_SQL} AS v,
+             list_sum({_RAG_EMB_SQL}) % {RAG_BUCKETS} AS bucket
+      FROM (SELECT list_filter(string_split('{RAG_QUERY}', ' '),
+                               x -> x <> '') AS ctoks)
+    ),
+    probed AS (
+      SELECT i.doc_id, i.chunk_id,
+             round(CAST(list_sum(list_transform(range(1, len(i.v) + 1),
+                    k -> i.v[k] * q.v[k])) AS DOUBLE)
+                   / (i.nrm * sqrt(CAST(list_sum(list_transform(q.v,
+                      x -> x * x)) AS DOUBLE))), 6) AS cosine
+      FROM indexed i, q
+      WHERE i.bucket = q.bucket AND i.nrm > 0
+    )
+    SELECT doc_id, chunk_id, cosine FROM probed
+    ORDER BY cosine DESC, doc_id, chunk_id LIMIT {RAG_TOP}
+    """,
+    tags=("pipeline", "ann", "beyond"),
+)
+def q_pipeline_rag_index_e2e(spark, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing pipeline as ONE composed plan:
+    chunk (sliding 32/24 windows, `text_chunk_overlap`'s shape) →
+    embed (deterministic hashed projection per chunk — the
+    dependency-free stand-in for a real encoder, same role as the
+    multimodal fake-decode) → coarse-bucket assignment (IVF stand-in:
+    a pure function of the vector, replayable; production uses learned
+    centroids via `ml_kmeans_lite`) → probe the query's bucket only →
+    cosine top-{RAG_TOP} chunks. The full retrieval story
+    (`text_chunk_overlap` + `embed_mean_pool` + `ann_ivf_topk` exist
+    separately; this query proves the COMPOSITION stays one lazy DAG).
+
+    Scale: chunking and embedding are narrow map stages (chunks
+    inherit the parent's partitioning); the bucket filter cuts the
+    scored set to 1/{RAG_BUCKETS}; top-k is TakeOrderedAndProject.
+    Embedding values are integer sums (exact both engines); only the
+    final cosine divides doubles, round-6."""
+    toks_df = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: s < n,
+    )
+    chunks = toks_df.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.expr(f"slice(toks, start + 1, {CHUNK_SIZE})").alias("ctoks"),
+    )
+    embedded = chunks.select(
+        "doc_id", "chunk_id", F.expr(_RAG_EMB_SPARK).alias("v")
+    )
+    indexed = embedded.select(
+        "doc_id",
+        "chunk_id",
+        "v",
+        F.expr(f"aggregate(v, 0L, (a, x) -> a + x) % {RAG_BUCKETS}").alias(
+            "bucket"
+        ),
+        F.sqrt(
+            F.expr("aggregate(v, 0L, (a, x) -> a + x * x)").cast("double")
+        ).alias("nrm"),
+    )
+    qdf = spark.range(1).select(
+        F.expr(
+            f"filter(split('{RAG_QUERY}', ' '), x -> x != '')"
+        ).alias("ctoks")
+    )
+    q = qdf.select(F.expr(_RAG_EMB_SPARK).alias("qv")).select(
+        "qv",
+        F.expr(f"aggregate(qv, 0L, (a, x) -> a + x) % {RAG_BUCKETS}").alias(
+            "qbucket"
+        ),
+        F.sqrt(
+            F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)").cast("double")
+        ).alias("qnrm"),
+    )
+    probed = (
+        indexed.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0L,"
+                    " (a, x) -> a + x)"
+                ).cast("double")
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return probed.orderBy(F.desc("cosine"), "doc_id", "chunk_id").limit(
+        RAG_TOP
+    )

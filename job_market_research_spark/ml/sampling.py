@@ -589,3 +589,67 @@ def q_sample_gumbel_weighted(spark, sf_dir: str) -> DataFrame:
         .orderBy("race_key", "doc_id")
         .limit(GUMBEL_K)
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    floor_n AS (SELECT MIN(n) AS k FROM sized),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY ('0x' || substr(md5('bal-v1#'
+                 || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM ranked CROSS JOIN floor_n
+    WHERE rk <= k
+    GROUP BY label ORDER BY label
+    """,
+    tags=("sampling", "beyond"),
+)
+def q_sample_balanced_classes(spark, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, chosen by SEEDED-HASH order — the standard
+    prep for training an unbiased classifier head on skewed labels
+    (`text_quality_model`-style gates train on exactly this shape).
+    Hash order makes the draw uniform-at-random per class yet fully
+    deterministic: re-runs, retries and repartitions keep the same
+    rows, and DuckDB replays the identical selection.
+
+    Scale shape: class sizes are a |labels|-row aggregate, the floor
+    is a broadcast scalar, and the per-class rank is a label-keyed
+    window (hot classes spread across tasks only as far as one label's
+    rows — for an extreme majority class, pre-filter with a hash
+    threshold ≈ k/n before ranking to avoid windowing the whole class;
+    same two-phase discipline as the mixture samplers). Output is the
+    per-class audit (count + id checksum); the kept rows themselves
+    are the same frame without the final aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    sized = emb.groupBy("label").agg(F.count("*").alias("n"))
+    floor_n = sized.agg(F.min("n").alias("k"))
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            portable_hash(
+                F.concat(F.lit("bal-v1#"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+    )
+    ranked = emb.select("vec_id", "label").withColumn("rk", rk)
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -380,6 +380,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "profile_data_card",
     "dedup_winnowing",
     "monitor_rate_shift",
+    "sample_balanced_classes",
+    "pipeline_rag_index_e2e",
 )
 
 

@@ -650,3 +650,32 @@ def test_winnowing_guarantee_on_planted_substring(spark, sf_dir):
     a = "left document body " + shared_sub + " tail alpha"
     b = "totally different opening " + shared_sub + " other end"
     assert fingerprints(a) & fingerprints(b), "guarantee violated"
+
+
+def test_balanced_classes_exact_floor(spark, sf_dir):
+    from job_market_research_spark.ml.sampling import (
+        q_sample_balanced_classes,
+    )
+
+    rows = q_sample_balanced_classes(spark, sf_dir).collect()
+    sizes = dict(
+        load(spark, sf_dir, "embeddings").groupBy("label").count().collect()
+    )
+    floor = min(sizes.values())
+    assert {r.label for r in rows} == set(sizes)
+    assert all(r.n_kept == floor for r in rows)
+    again = q_sample_balanced_classes(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rag_pipeline_probe_stays_in_query_bucket(spark, sf_dir):
+    from job_market_research_spark.ml.curation import (
+        RAG_TOP,
+        q_pipeline_rag_index_e2e,
+    )
+
+    rows = q_pipeline_rag_index_e2e(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RAG_TOP
+    scores = [r.cosine for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
