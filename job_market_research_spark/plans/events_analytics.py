@@ -1216,3 +1216,184 @@ def q_agg_shapley_attribution(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+#: Journey analysis: path prefix length and report size.
+PATH_LEN = 3
+PATH_TOP = 15
+
+
+@query(
+    "agg_user_path_topk",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rk) AS path
+      FROM ranked WHERE rk <= {PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATH_TOP}
+    """,
+    tags=("events", "beyond"),
+)
+def q_agg_user_path_topk(spark, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first {PATH_LEN} events (by
+    time, event_id tie-break) folded into an ordered path string, then
+    the most common paths — the "how do sessions actually start"
+    question behind every onboarding-funnel redesign, and the raw
+    input to the Markov transition model (`agg_event_transitions`
+    models pairs; this surfaces whole prefixes).
+
+    One user-keyed rank window + one user-keyed ordered string fold +
+    a path-keyed count (map-side combinable; path vocabulary is
+    \\|types\\|^{PATH_LEN}-bounded). Deterministic: the (ts, event_id)
+    order is total, and the fold order is pinned on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    ranked = ev.select("user_id", "event_type", rk.alias("rk")).filter(
+        F.col("rk") <= PATH_LEN
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(PATH_TOP)
+    )
+
+
+@query(
+    "agg_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT s.user_id,
+             CASE WHEN s.conv_ts IS NOT NULL
+                  THEN date_diff('day', s.first_ts, s.conv_ts)
+                  ELSE date_diff('day', s.first_ts, o.end_ts) END AS t,
+             (s.conv_ts IS NOT NULL) AS died
+      FROM span s CROSS JOIN obs o
+    ),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+    death_times AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS d
+      FROM durs WHERE died GROUP BY t
+    ),
+    risk AS (
+      SELECT dt.t, dt.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM durs u
+              WHERE u.t >= dt.t) AS n_risk
+      FROM death_times dt
+    ),
+    surv AS (
+      SELECT t, d, n_risk,
+             CASE WHEN SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) > 0 THEN 0.0
+                  ELSE exp(CAST(SUM(CASE WHEN d < n_risk THEN
+                       CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                            AS DECIMAL(28,14)) END)
+                       OVER (ORDER BY t) AS DOUBLE)) END AS s
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d, n_risk, round(s, 6) AS survival_r6
+    FROM surv ORDER BY t_days
+    """,
+    tags=("events", "stats", "beyond"),
+)
+def q_agg_kaplan_meier(spark, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate (Kaplan & Meier 1958) of
+    time-to-conversion: per user, days from first event to first
+    purchase (event) or to the end of observation (right-CENSORED —
+    the reason the naive conversion-rate-by-day curve is biased and KM
+    exists), then Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over the distinct event
+    times. The churn/retention analysis every subscription business
+    runs; genuinely non-telescoping because censoring shrinks the risk
+    set independently of deaths.
+
+    Scale shape: the corpus collapses to one row per user (first/conv
+    timestamps), the observation end rides a broadcast 1-row agg, and
+    all KM algebra runs on the DISTINCT-death-day table (bounded by
+    the observation window, ≤ a few hundred rows — its cumulative
+    window is allowlisted). The risk-set count joins the bounded death
+    table against the per-user durations on an inequality — at the
+    bounded size that is a broadcast-range probe, not a shuffle.
+    Factors are rational (integer d/n); the running product is the
+    ln-sum in exact DECIMAL (order-free) exponentiated once, round-6."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv_ts"
+        ),
+    )
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = span.crossJoin(F.broadcast(obs)).select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff("conv_ts", "first_ts"),
+        )
+        .otherwise(F.datediff("end_ts", "first_ts"))
+        .alias("t"),
+        F.col("conv_ts").isNotNull().alias("died"),
+    )
+    death_times = (
+        durs.filter("died").groupBy("t").agg(F.count("*").alias("d"))
+    )
+    risk = (
+        F.broadcast(death_times)
+        .join(durs.select(F.col("t").alias("ut")), F.col("ut") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count("*").cast("long").alias("n_risk"))
+    )
+    w = Window.orderBy("t")
+    # A time where d == n_risk empties the risk set: survival is 0
+    # from there on (and ln(0) must never be evaluated).
+    dead = F.sum(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w)
+    ln_sum = F.sum(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")).cast(
+                "decimal(28,14)"
+            ),
+        )
+    ).over(w)
+    surv = risk.withColumn(
+        "s",
+        F.when(dead > 0, F.lit(0.0)).otherwise(F.exp(ln_sum.cast("double"))),
+    )
+    return surv.select(
+        F.col("t").cast("long").alias("t_days"),
+        "d",
+        "n_risk",
+        F.round("s", 6).alias("survival_r6"),
+    ).orderBy("t_days")

@@ -382,6 +382,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "monitor_rate_shift",
     "sample_balanced_classes",
     "pipeline_rag_index_e2e",
+    "agg_user_path_topk",
+    "agg_kaplan_meier",
 )
 
 

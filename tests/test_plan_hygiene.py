@@ -51,6 +51,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "ir_hybrid_rrf": "RRF_DEPTH rows per leg after top-k cut",
     # waterline windows run on the per-source aggregate: |sources| rows
     "mixture_token_budget": "|sources| rows after per-source agg",
+    # KM survival runs on the DISTINCT-death-day table: bounded by the
+    # observation window (days), not by corpus size
+    "agg_kaplan_meier": "|distinct death days| rows after day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

@@ -679,3 +679,63 @@ def test_rag_pipeline_probe_stays_in_query_bucket(spark, sf_dir):
     scores = [r.cosine for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_kaplan_meier_matches_lifelines_style_replay(spark, sf_dir):
+    """Ŝ must be monotone non-increasing from 1, and equal a direct
+    Python KM replay over the same durations."""
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_kaplan_meier,
+    )
+
+    rows = q_agg_kaplan_meier(spark, sf_dir).collect()
+    assert rows
+    s_vals = [r.survival_r6 for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in s_vals)
+    assert all(a >= b for a, b in zip(s_vals, s_vals[1:])), "not monotone"
+    # Python replay
+    ev = load(spark, sf_dir, "events")
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("conv_ts"),
+        )
+        .collect()
+    )
+    end_ts = ev.agg(F.max("ts")).first()[0]
+    durs = []
+    for r in span:
+        if r.conv_ts is not None:
+            durs.append(((r.conv_ts.date() - r.first_ts.date()).days, True))
+        else:
+            durs.append(((end_ts.date() - r.first_ts.date()).days, False))
+    s = 1.0
+    expect = {}
+    for t in sorted({t for t, died in durs if died}):
+        n_risk = sum(1 for u, _ in durs if u >= t)
+        d = sum(1 for u, died in durs if died and u == t)
+        s *= 1.0 - d / n_risk
+        expect[t] = (d, n_risk, round(s, 6))
+    for r in rows:
+        d, n_risk, sv = expect[r.t_days]
+        assert (r.d, r.n_risk) == (d, n_risk)
+        assert abs(r.survival_r6 - sv) < 1e-5
+
+
+def test_user_paths_cover_all_users(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        PATH_LEN,
+        q_agg_user_path_topk,
+    )
+
+    rows = q_agg_user_path_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        steps = r.path.split(" > ")
+        assert 1 <= len(steps) <= PATH_LEN
+    # the head path count cannot exceed the user population
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) <= n_users
