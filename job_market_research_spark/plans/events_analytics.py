@@ -1397,3 +1397,164 @@ def q_agg_kaplan_meier(spark, sf_dir: str) -> DataFrame:
         "n_risk",
         F.round("s", 6).alias("survival_r6"),
     ).orderBy("t_days")
+
+
+#: Poisson bootstrap: replicate count, CI rank cut (2.5%/97.5% of 64),
+#: and the exact Poisson(1) CDF thresholds (identical literals on both
+#: engines — the draw is a pure function of (event_id, replicate)).
+BOOT_B = 64
+BOOT_LO_RK = 2
+BOOT_HI_RK = 63
+_BOOT_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+_BOOT_W_SQL = (
+    "CASE WHEN u < {c0} THEN 0 WHEN u < {c1} THEN 1 WHEN u < {c2} THEN 2 "
+    "WHEN u < {c3} THEN 3 WHEN u < {c4} THEN 4 ELSE 5 END"
+).format(
+    c0=_BOOT_CDF[0], c1=_BOOT_CDF[1], c2=_BOOT_CDF[2], c3=_BOOT_CDF[3],
+    c4=_BOOT_CDF[4],
+)
+
+
+@query(
+    "stat_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT event_type, value, b,
+             (CAST(('0x' || substr(md5('boot#' || CAST(event_id AS VARCHAR)
+                || '#' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM events, unnest(range(0, {BOOT_B})) AS t(b)
+    ),
+    weighted AS (
+      SELECT event_type, b, {_BOOT_W_SQL} AS w, value FROM drawn
+    ),
+    reps AS (
+      SELECT event_type, b,
+             CAST(SUM(CAST(w * CAST(value AS DECIMAL(28,10))
+                  AS DECIMAL(38,10))) AS DOUBLE)
+               / SUM(w) AS mean_b
+      FROM weighted GROUP BY event_type, b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT event_type, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY mean_b, b) AS rk
+      FROM reps
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mean_v
+      FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, round(b.mean_v, 6) AS mean_r6,
+           round(MAX(CASE WHEN r.rk = {BOOT_LO_RK} THEN r.mean_b END), 6)
+             AS ci_lo_r6,
+           round(MAX(CASE WHEN r.rk = {BOOT_HI_RK} THEN r.mean_b END), 6)
+             AS ci_hi_r6
+    FROM base b JOIN ranked r USING (event_type)
+    GROUP BY b.event_type, b.mean_v
+    ORDER BY b.event_type
+    """,
+    tags=("stats", "beyond"),
+)
+def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean
+    value (the streaming/MapReduce bootstrap of Chamandy et al. 2012:
+    resampling-with-replacement replaced by independent Poisson(1)
+    row weights, which needs NO global sample size and parallelizes
+    embarrassingly). {BOOT_B} replicates; the 2nd/63rd ranked
+    replicate means bound the ≈95% interval.
+
+    Every draw is a pure hash function of (event_id, replicate) via
+    the exact Poisson(1) CDF literals — retries, partitioning and
+    engines all see identical weights (the same seeded-inverse-CDF
+    discipline as `privacy_dp_count_release`). Replicate sums run in
+    exact DECIMAL; replicate means are a (type × B)-bounded table and
+    the rank window is type-keyed. One fan-out scan (rows × B — at
+    100 TB pick B by budget and fan out via the same explode, still
+    one shuffle of (type, b) partial sums)."""
+    from pyspark.sql.window import Window
+
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    drawn = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "value",
+        "b",
+        (
+            (
+                portable_hash(
+                    F.concat(
+                        F.lit("boot#"),
+                        F.col("event_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                + 0.5
+            )
+            / 4294967296.0
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _BOOT_CDF[0], 0)
+        .when(F.col("u") < _BOOT_CDF[1], 1)
+        .when(F.col("u") < _BOOT_CDF[2], 2)
+        .when(F.col("u") < _BOOT_CDF[3], 3)
+        .when(F.col("u") < _BOOT_CDF[4], 4)
+        .otherwise(5)
+    )
+    weighted = drawn.select("event_type", "b", w.alias("w"), "value")
+    reps = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(
+                    (F.col("w") * F.col("value").cast("decimal(28,10)")).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double")
+                / F.sum("w")
+            ).alias("mean_b"),
+            F.sum("w").alias("wsum"),
+        )
+        .filter(F.col("wsum") > 0)
+        .drop("wsum")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ranked = reps.withColumn("rk", rk)
+    base = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("mean_v")
+    )
+    return (
+        base.join(ranked, "event_type")
+        .groupBy("event_type", "mean_v")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rk") == BOOT_LO_RK, F.col("mean_b"))), 6
+            ).alias("ci_lo_r6"),
+            F.round(
+                F.max(F.when(F.col("rk") == BOOT_HI_RK, F.col("mean_b"))), 6
+            ).alias("ci_hi_r6"),
+        )
+        .select(
+            "event_type",
+            F.round("mean_v", 6).alias("mean_r6"),
+            "ci_lo_r6",
+            "ci_hi_r6",
+        )
+        .orderBy("event_type")
+    )

@@ -384,6 +384,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "pipeline_rag_index_e2e",
     "agg_user_path_topk",
     "agg_kaplan_meier",
+    "stat_poisson_bootstrap_ci",
 )
 
 

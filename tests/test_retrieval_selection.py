@@ -739,3 +739,20 @@ def test_user_paths_cover_all_users(spark, sf_dir):
     # the head path count cannot exceed the user population
     n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) <= n_users
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_stat_poisson_bootstrap_ci,
+    )
+
+    rows = q_stat_poisson_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo_r6 is not None and r.ci_hi_r6 is not None
+        assert r.ci_lo_r6 <= r.ci_hi_r6
+        # a 95% CI from the data's own replicates should bracket the
+        # point estimate (deterministic here, so assert it outright)
+        assert r.ci_lo_r6 <= r.mean_r6 <= r.ci_hi_r6
+    again = q_stat_poisson_bootstrap_ci(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
