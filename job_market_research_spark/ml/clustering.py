@@ -24,6 +24,8 @@ same per-round plan for real use.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
@@ -581,3 +583,201 @@ def q_sample_coreset_sensitivity(spark, sf_dir: str) -> DataFrame:
         .orderBy("race_key", "vec_id")
         .limit(CORESET_K)
     )
+
+
+#: AdaBoost-stump training: rounds, threshold grid size, ε clamp.
+ADA_ROUNDS = 3
+ADA_BINS = 16
+ADA_EPS_CLAMP = 1.0e-6
+
+_ADA_BASE_SQL = f"""
+    rows AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM rows),
+    thr AS (
+      SELECT lo + (k * (hi - lo)) // {ADA_BINS + 1} AS theta
+      FROM bounds, unnest(generate_series(1, {ADA_BINS})) AS t(k)
+    ),
+    hyps AS (
+      SELECT theta, p FROM thr, (VALUES (1), (-1)) AS pol(p)
+    )"""
+
+
+def _ada_round_sql(t: int, w_expr: str) -> str:
+    """One boosting round: weighted error per hypothesis (explode rows
+    × 32 hypotheses), deterministic argmin, alpha."""
+    return f""",
+    err{t} AS (
+      SELECT h.theta, h.p,
+             round(CAST(SUM(CASE WHEN (CASE WHEN r.x <= h.theta THEN h.p
+                                       ELSE -h.p END) <> r.y
+                  THEN CAST({w_expr} AS DECIMAL(28,14)) ELSE 0 END) AS DOUBLE)
+                  / CAST((SELECT SUM(CAST({w_expr} AS DECIMAL(28,14)))
+                          FROM rows r) AS DOUBLE), 9) AS eps
+      FROM rows r CROSS JOIN hyps h
+      GROUP BY h.theta, h.p
+    ),
+    m{t} AS (
+      SELECT theta, p,
+             least(greatest(eps, {ADA_EPS_CLAMP}), 1 - {ADA_EPS_CLAMP})
+               AS eps
+      FROM err{t} ORDER BY eps, theta, p LIMIT 1
+    ),
+    a{t} AS (
+      SELECT theta, p, eps,
+             round(0.5 * ln((1 - eps) / eps), 9) AS alpha
+      FROM m{t}
+    )"""
+
+
+def _ada_w_expr(upto: int) -> str:
+    """Cumulative weight of a row after rounds 1..upto (1.0 before)."""
+    if upto == 0:
+        return "1.0"
+    terms = " + ".join(
+        f"(SELECT -alpha * (CASE WHEN r.x <= theta THEN p ELSE -p END)"
+        f" FROM a{j}) * r.y"
+        for j in range(1, upto + 1)
+    )
+    return f"exp({terms})"
+
+
+def _ada_oracle(rounds: int = ADA_ROUNDS) -> str:
+    parts = ["    WITH" + _ADA_BASE_SQL]
+    for t in range(1, rounds + 1):
+        parts.append(_ada_round_sql(t, _ada_w_expr(t - 1)))
+    score = " + ".join(
+        f"(SELECT alpha * (CASE WHEN r.x <= theta THEN p ELSE -p END)"
+        f" FROM a{j})"
+        for j in range(1, rounds + 1)
+    )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {t} AS rnd, theta, CAST(p AS INT) AS polarity,"
+        f" eps AS eps_r9, alpha AS alpha_r9 FROM a{t}"
+        for t in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+    acc AS (
+      SELECT round(CAST(SUM(CASE WHEN (CASE WHEN ({score}) >= 0 THEN 1
+                                       ELSE -1 END) = r.y
+                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS acc
+      FROM rows r
+    )
+    SELECT CAST(rnd AS INT) AS rnd, theta, polarity, eps_r9, alpha_r9,
+           (SELECT acc FROM acc) AS train_acc_r6
+    FROM (
+{unions}
+    ) ORDER BY rnd"""
+    )
+    return "".join(parts)
+
+
+@query("ml_adaboost_stumps", oracle=_ada_oracle())
+def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
+    """AdaBoost with depth-1 decision stumps (Freund & Schapire 1997),
+    trained end-to-end as aggregations: {ADA_ROUNDS} rounds of
+    'score all {ADA_BINS}×2 candidate stumps by weighted error in one
+    exploded aggregation, pick the argmin, reweight' — boosting joins
+    OLS/Naive-Bayes/k-means in the training-as-aggregation family
+    (per round: ONE distributed pass + a 1-row argmin collect, exactly
+    the BPE-training loop shape). Label: is-purchase; feature: the
+    event value in integer cents.
+
+    Cross-engine exactness: thresholds are INTEGER cent expressions
+    from integer min/max (no float grid), stump comparisons are
+    integer, weighted-error sums run in exact DECIMAL, and ε/α are
+    rounded to 9 dp before use (argmin ties then break on (θ, pol) —
+    so a libm exp/ln ulp can never flip the learned model). Weights
+    are exp of a ±α sum, recomputed per round from the learned
+    literals rather than mutated in place — retry-safe and
+    oracle-replayable. Output: the learned stump per round + training
+    accuracy of the weighted vote."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
+    )
+    rows = rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
+    b = rows.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    thetas = [lo + (k * (hi - lo)) // (ADA_BINS + 1) for k in range(1, ADA_BINS + 1)]
+    hyps = [(th, p) for th in thetas for p in (1, -1)]
+    learned = []  # (rnd, theta, pol, eps, alpha)
+
+    def w_col():
+        if not learned:
+            return F.lit(1.0)
+        terms = None
+        for _, th, p, _, alpha in learned:
+            h = F.when(F.col("x") <= th, p).otherwise(-p)
+            term = (-alpha * h) * F.col("y")
+            terms = term if terms is None else terms + term
+        return F.exp(terms)
+
+    for rnd in range(1, ADA_ROUNDS + 1):
+        w = w_col()
+        hyp_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(th).alias("theta"),
+                    F.lit(p).alias("p"),
+                    F.when(
+                        F.when(F.col("x") <= th, p).otherwise(-p)
+                        != F.col("y"),
+                        w.cast("decimal(28,14)"),
+                    )
+                    .otherwise(F.lit(0).cast("decimal(28,14)"))
+                    .alias("wm"),
+                )
+                for th, p in hyps
+            ]
+        )
+        errs = (
+            rows.select(w.cast("decimal(28,14)").alias("wtot"),
+                        F.explode(hyp_arr).alias("h"))
+            .groupBy("h.theta", "h.p")
+            .agg(
+                F.sum("h.wm").alias("mis"),
+                F.sum("wtot").alias("tot"),
+            )
+            .select(
+                "theta",
+                "p",
+                F.round(
+                    F.col("mis").cast("double") / F.col("tot").cast("double"),
+                    9,
+                ).alias("eps"),
+            )
+        )
+        top = errs.orderBy("eps", "theta", "p").first()
+        eps = min(max(top["eps"], ADA_EPS_CLAMP), 1 - ADA_EPS_CLAMP)
+        alpha = round(0.5 * math.log((1 - eps) / eps), 9)
+        learned.append((rnd, top["theta"], top["p"], eps, alpha))
+
+    score = None
+    for _, th, p, _, alpha in learned:
+        h = F.when(F.col("x") <= th, p).otherwise(-p)
+        term = alpha * h
+        score = term if score is None else score + term
+    acc = rows.agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.when(score >= 0, 1).otherwise(-1) == F.col("y"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("acc")
+    ).first()["acc"]
+    return rows.sparkSession.createDataFrame(
+        [(r, th, p, e, a, acc) for r, th, p, e, a in learned],
+        "rnd int, theta long, polarity int, eps_r9 double,"
+        " alpha_r9 double, train_acc_r6 double",
+    ).orderBy("rnd")

@@ -1558,3 +1558,107 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Stationary-distribution power-iteration rounds.
+MARKOV_ROUNDS = 3
+
+_MARKOV_BASE_SQL = """
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT t.prev_type, t.next_type,
+             CAST(t.n AS DOUBLE) / s.n_out AS p
+      FROM trans t
+      JOIN (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out
+            FROM trans GROUP BY 1) s USING (prev_type)
+    ),
+    states AS (SELECT DISTINCT prev_type AS st FROM trans),
+    pi0 AS (
+      SELECT st, 1.0 / (SELECT COUNT(*) FROM states) AS pi FROM states
+    )"""
+
+
+def _markov_oracle(rounds: int = MARKOV_ROUNDS) -> str:
+    parts = ["    WITH" + _MARKOV_BASE_SQL]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    pi{t} AS (
+      SELECT p.next_type AS st,
+             CAST(SUM(CAST(prev.pi * p.p AS DECIMAL(28,14))) AS DOUBLE)
+               AS pi
+      FROM p JOIN pi{t - 1} prev ON prev.st = p.prev_type
+      GROUP BY p.next_type
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT st AS event_type, round(pi, 9) AS pi_r9
+    FROM pi{rounds} ORDER BY st"""
+    )
+    return "".join(parts)
+
+
+@query("agg_markov_stationary", oracle=_markov_oracle())
+def q_agg_markov_stationary(spark, sf_dir: str) -> DataFrame:
+    """Where user flows settle: {MARKOV_ROUNDS} power-iteration rounds
+    of π ← πP over the empirical transition matrix from
+    `agg_event_transitions` — the stationary occupancy that says which
+    event types dominate the long-run journey (same algebra as
+    PageRank without damping, on the |types|-state chain).
+
+    After the single user-keyed lag window, EVERYTHING is bounded:
+    the matrix is |types|² rows, each iteration a |types|²-row join +
+    decimal-summed aggregation. At 100 TB the transition counting is
+    the only corpus-sized work — the chain algebra is constant-size
+    and could run on the driver; keeping it relational keeps the whole
+    plan one lazy DAG and the oracle replayable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    p = trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        (F.col("n").cast("double") / F.col("n_out")).alias("p"),
+    )
+    states = trans.select(F.col("prev_type").alias("st")).distinct()
+    n_states = states.agg(F.count("*").alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "st", (F.lit(1.0) / F.col("ns")).alias("pi")
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            p.join(
+                F.broadcast(pi.withColumnRenamed("st", "prev_type")),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("st"))
+            .agg(
+                F.sum(
+                    (F.col("pi") * F.col("p")).cast("decimal(28,14)")
+                )
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    return pi.select(
+        F.col("st").alias("event_type"), F.round("pi", 9).alias("pi_r9")
+    ).orderBy("event_type")

@@ -385,6 +385,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "agg_user_path_topk",
     "agg_kaplan_meier",
     "stat_poisson_bootstrap_ci",
+    "agg_markov_stationary",
+    "ml_adaboost_stumps",
 )
 
 

@@ -756,3 +756,72 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
         assert r.ci_lo_r6 <= r.mean_r6 <= r.ci_hi_r6
     again = q_stat_poisson_bootstrap_ci(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_markov_stationary_sums_to_one(spark, sf_dir):
+    from job_market_research_spark.plans.events_analytics import (
+        q_agg_markov_stationary,
+    )
+
+    rows = q_agg_markov_stationary(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.pi_r9 for r in rows)
+    assert abs(total - 1.0) < 1e-6  # chain has no dangling states
+    assert all(r.pi_r9 > 0 for r in rows)
+
+
+def test_adaboost_error_decreases_and_replays_in_sklearn_style(
+    spark, sf_dir
+):
+    """Each learned stump's weighted error must beat chance (< 0.5
+    after clamping), alpha must be positive, and the model replays
+    exactly in a Python reference implementation."""
+    import math as _m
+
+    from job_market_research_spark.ml.clustering import (
+        ADA_BINS,
+        ADA_EPS_CLAMP,
+        ADA_ROUNDS,
+        q_ml_adaboost_stumps,
+    )
+
+    rows = q_ml_adaboost_stumps(spark, sf_dir).collect()
+    assert len(rows) == ADA_ROUNDS
+    for r in rows:
+        assert 0 < r.eps_r9 < 0.5 + 1e-9
+        assert r.alpha_r9 > 0
+        assert 0.0 <= r.train_acc_r6 <= 1.0
+    # Python replay
+    data = [
+        (int(round(v * 100)), 1 if t == "purchase" else -1)
+        for v, t in load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_type")
+        .collect()
+    ]
+    lo, hi = min(x for x, _ in data), max(x for x, _ in data)
+    thetas = [lo + (k * (hi - lo)) // (ADA_BINS + 1) for k in range(1, ADA_BINS + 1)]
+    w = [1.0] * len(data)
+    for r in rows:
+        best = None
+        tot = sum(w)
+        for th in thetas:
+            for p in (1, -1):
+                mis = sum(
+                    wi
+                    for wi, (x, y) in zip(w, data)
+                    if (p if x <= th else -p) != y
+                )
+                eps = round(mis / tot, 9)
+                key = (eps, th, p)
+                if best is None or key < best:
+                    best = key
+        eps, th, p = best
+        eps = min(max(eps, ADA_EPS_CLAMP), 1 - ADA_EPS_CLAMP)
+        alpha = round(0.5 * _m.log((1 - eps) / eps), 9)
+        assert (r.theta, r.polarity) == (th, p), r
+        assert abs(r.eps_r9 - eps) < 1e-8 and abs(r.alpha_r9 - alpha) < 1e-8
+        w = [
+            wi * _m.exp(-alpha * y * (p if x <= th else -p))
+            for wi, (x, y) in zip(w, data)
+        ]
