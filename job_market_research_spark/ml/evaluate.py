@@ -226,3 +226,129 @@ def q_ml_calibration_bins(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Threshold sweep: equal-width candidate grid size.
+F1_GRID = 32
+
+
+@query(
+    "ml_threshold_tune_f1",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(-0.25
+               + 1.8 * (CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in')))
+                       AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')))
+               + 0.05 * (CAST(len(text) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')))
+               + 0.001 * len(list_filter(string_split(text, ' '),
+                             x -> x <> '')), 6) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    grid AS (
+      SELECT k, lo + k * (hi - lo) / {F1_GRID + 1} AS theta
+      FROM bounds, unnest(generate_series(1, {F1_GRID})) AS t(k)
+    ),
+    sweep AS (
+      SELECT g.k, g.theta,
+             CAST(SUM(CASE WHEN s.s >= g.theta AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.s >= g.theta AND s.y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s.s < g.theta AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s CROSS JOIN grid g
+      GROUP BY g.k, g.theta
+    )
+    SELECT CAST(k AS INT) AS k, round(theta, 6) AS theta_r6, tp, fp, fn,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                 ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1_r6
+    FROM sweep ORDER BY k
+    """,
+    tags=("evaluation", "beyond"),
+)
+def q_ml_threshold_tune_f1(spark, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning for the quality gate: sweep {F1_GRID}
+    equal-width thresholds over the linear quality score
+    (`text_quality_model`'s exact feature algebra) against a reference
+    label (lang=='en' as the held-out 'verified good' proxy) and
+    report the full TP/FP/FN/F1 curve — the calibration step between
+    training a filter and deploying it (ship the argmax row's θ;
+    shipping a default 0.5 on an uncalibrated score is the classic
+    silent-recall killer).
+
+    One conditional-agg pass over scored docs × the broadcast grid:
+    counts are exact integers, F1 is one ratio of exact counts per
+    grid row (zero-denominator rows pinned to 0), the grid edges are
+    identical double arithmetic on both engines. |grid| rows out."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("long")
+    s = F.round(
+        F.lit(-0.25)
+        + F.lit(1.8) * (n_stop.cast("double") / n_tokens)
+        + F.lit(0.05)
+        * (F.length("text").cast("long").cast("double") / n_tokens)
+        + F.lit(0.001) * n_tokens,
+        6,
+    )
+    scored = docs.select(
+        s.alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    grid = (
+        spark.range(1, F1_GRID + 1)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            (
+                F.col("lo")
+                + F.col("k") * (F.col("hi") - F.col("lo")) / (F1_GRID + 1)
+            ).alias("theta"),
+        )
+    )
+    sweep = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("k", "theta")
+        .agg(
+            F.sum(
+                F.when((F.col("s") >= F.col("theta")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("s") >= F.col("theta")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("s") < F.col("theta")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0.0).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return sweep.select(
+        "k",
+        F.round("theta", 6).alias("theta_r6"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(f1, 6).alias("f1_r6"),
+    ).orderBy("k")

@@ -823,3 +823,111 @@ def q_window_peak_detect(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_changepoint_detect",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS m,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS pre,
+             SUM(n * n) OVER (PARTITION BY event_type) AS sq,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM daily
+    ),
+    sse AS (
+      SELECT event_type, day, i, m, pre, tot,
+             round(CAST(sq AS DOUBLE)
+               - CAST(pre AS DOUBLE) * pre / i
+               - CAST(tot - pre AS DOUBLE) * (tot - pre) / (m - i), 6)
+               AS sse
+      FROM indexed WHERE i < m
+    ),
+    best AS (
+      SELECT event_type, day, i, m, pre, tot, sse,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY sse, day) AS rk
+      FROM sse
+    )
+    SELECT event_type, day AS split_day,
+           round(CAST(pre AS DOUBLE) / i, 6) AS mean_before_r6,
+           round(CAST(tot - pre AS DOUBLE) / (m - i), 6) AS mean_after_r6,
+           sse AS sse_r6
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("timeseries", "stats", "beyond"),
+)
+def q_window_changepoint_detect(spark, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (Scott &
+    Knott 1974; the first split of every changepoint tree): per event
+    type, the day that splits the daily-count series into two segments
+    with minimum total within-segment SSE — closed form from prefix
+    sums, SSE(i) = Σx² − P_i²/i − (T−P_i)²/(m−i), no candidate loop.
+    The "when did the trend actually break" primitive behind
+    `window_cusum_change`'s alarm (CUSUM says THAT a shift happened;
+    this pins WHERE it most likely happened).
+
+    Scale shape: the corpus collapses to the per-(type, day) count
+    table (bounded by observation days); prefix sums, SSE and the
+    argmin are all type-keyed windows over that bounded series. All
+    moments are exact integers; SSE is double algebra over them,
+    round-6 before the (sse, day) argmin tie-break."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    indexed = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wt).alias("m"),
+        F.sum("n").over(wo).alias("pre"),
+        F.sum(F.col("n") * F.col("n")).over(wt).alias("sq"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    sse = indexed.filter(F.col("i") < F.col("m")).select(
+        "event_type",
+        "day",
+        "i",
+        "m",
+        "pre",
+        "tot",
+        F.round(
+            F.col("sq").cast("double")
+            - F.col("pre").cast("double") * F.col("pre") / F.col("i")
+            - (F.col("tot") - F.col("pre")).cast("double")
+            * (F.col("tot") - F.col("pre"))
+            / (F.col("m") - F.col("i")),
+            6,
+        ).alias("sse"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("sse", "day")
+    )
+    return (
+        sse.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.round(F.col("pre").cast("double") / F.col("i"), 6).alias(
+                "mean_before_r6"
+            ),
+            F.round(
+                (F.col("tot") - F.col("pre")).cast("double")
+                / (F.col("m") - F.col("i")),
+                6,
+            ).alias("mean_after_r6"),
+            F.col("sse").alias("sse_r6"),
+        )
+        .orderBy("event_type")
+    )

@@ -387,6 +387,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "stat_poisson_bootstrap_ci",
     "agg_markov_stationary",
     "ml_adaboost_stumps",
+    "ml_threshold_tune_f1",
+    "window_changepoint_detect",
 )
 
 

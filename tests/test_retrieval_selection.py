@@ -825,3 +825,55 @@ def test_adaboost_error_decreases_and_replays_in_sklearn_style(
             wi * _m.exp(-alpha * y * (p if x <= th else -p))
             for wi, (x, y) in zip(w, data)
         ]
+
+
+def test_f1_sweep_counts_consistent(spark, sf_dir):
+    from job_market_research_spark.ml.evaluate import (
+        F1_GRID,
+        q_ml_threshold_tune_f1,
+    )
+
+    rows = q_ml_threshold_tune_f1(spark, sf_dir).collect()
+    assert len(rows) == F1_GRID
+    n_pos = rows[0].tp + rows[0].fn
+    for r in rows:
+        assert r.tp + r.fn == n_pos, "positives must be threshold-invariant"
+        denom = 2 * r.tp + r.fp + r.fn
+        expect = 0.0 if denom == 0 else round(2.0 * r.tp / denom, 6)
+        assert abs(r.f1_r6 - expect) < 1e-9
+    # thresholds ascend; tp is non-increasing as threshold rises
+    thetas = [r.theta_r6 for r in rows]
+    assert thetas == sorted(thetas)
+    tps = [r.tp for r in rows]
+    assert all(a >= b for a, b in zip(tps, tps[1:]))
+
+
+def test_changepoint_minimizes_sse_vs_python_scan(spark, sf_dir):
+    from job_market_research_spark.plans.timeseries import (
+        q_window_changepoint_detect,
+    )
+
+    rows = q_window_changepoint_detect(spark, sf_dir).collect()
+    assert rows
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r["count"]))
+    for r in rows:
+        xs = [n for _, n in sorted(series[r.event_type])]
+        days = [d for d, _ in sorted(series[r.event_type])]
+        best = None
+        sq, tot, m = sum(x * x for x in xs), sum(xs), len(xs)
+        pre = 0
+        for i in range(1, m):
+            pre += xs[i - 1]
+            sse = round(sq - pre * pre / i - (tot - pre) ** 2 / (m - i), 6)
+            key = (sse, days[i - 1])
+            if best is None or key < best:
+                best = key
+        assert (r.sse_r6, r.split_day) == best, r.event_type
