@@ -43,7 +43,24 @@ def revenue_expr() -> Column:
 
 ORACLE_SUM = "CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
 ORACLE_AVG = "CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({col})"
+#: The product sum carries scale 8; REDUCE to scale 4 before the double
+#: cast. Money data is 2dp × 2dp → products have exactly ≤4 decimals, so
+#: the scale cut is exact — and a scale-4 integer magnitude stays below
+#: 2^53 far longer, where DuckDB's two-step decimal→double conversion
+#: (int128→double, then /10^scale) stops being correctly rounded vs
+#: Spark's BigDecimal.doubleValue (observed: 1-ulp divergence at sf0.1
+#: on a ~5e9 revenue sum at scale 8; exact at scale 4).
 ORACLE_REVENUE = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+    " AS DECIMAL(38,4)) AS DOUBLE)"
 )
+
+
+def revenue_sum(alias: str) -> Column:
+    """SUM of the exact-decimal revenue, scale-reduced to 4 (exact for
+    2dp money) before the double cast — keeps the decimal→double
+    conversion correctly rounded on BOTH engines at any magnitude."""
+    return (
+        F.sum(revenue_expr()).cast("decimal(38,4)").cast("double").alias(alias)
+    )

@@ -27,6 +27,7 @@ from job_market_research_spark.exact import (
     exact_avg,
     exact_sum,
     revenue_expr,
+    revenue_sum,
 )
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
@@ -300,7 +301,7 @@ def join_star_wide(spark, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            revenue_sum("revenue"),
             F.sum(F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0)).alias(
                 "with_part"
             ),
@@ -554,7 +555,7 @@ def agg_pricing_summary(spark, sf_dir: str) -> DataFrame:
         .agg(
             exact_sum("l_quantity", "sum_qty"),
             exact_sum("l_extendedprice", "sum_base_price"),
-            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+            revenue_sum("sum_disc_price"),
             exact_avg("l_quantity", "avg_qty"),
             exact_avg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
