@@ -963,3 +963,80 @@ def q_text_bigram_lm_kn(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=_bpe_encode_oracle().replace(
+        f"""
+    SELECT w, freq,
+           replace(substr(enc, 2, length(enc) - 2), '||', ' ') AS seg,
+           CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||'))
+                AS INT) AS n_tokens
+    FROM v{BPE_ROUNDS}
+    ORDER BY freq DESC, w LIMIT {BPE_ENC_TOP}""",
+        f""",
+    seg AS (
+      SELECT w,
+             CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||'))
+                  AS BIGINT) AS n_tokens
+      FROM v{BPE_ROUNDS}
+    ),
+    corpus_words AS (
+      SELECT lang, t AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    )
+    SELECT c.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(s.n_tokens) AS DOUBLE) / COUNT(*), 6)
+             AS fertility_r6
+    FROM corpus_words c JOIN seg s USING (w)
+    GROUP BY c.lang ORDER BY c.lang""",
+    ),
+    tags=("ir", "tokenizer", "beyond"),
+)
+def q_text_tokenizer_fertility(spark, sf_dir: str) -> DataFrame:
+    """Corpus tokenizer fertility BY LANGUAGE — the metric tokenizer
+    teams actually ship (tokens-per-word; a language with 2× fertility
+    pays 2× the context budget): the trained BPE segmentation
+    (`text_bpe_encode`) joined BACK onto the full token stream by
+    word, exactly the join-back pattern that query's docstring
+    promises for full-text tokenization. Reveals per-language
+    tokenizer bias from one vocab-sized join.
+
+    Scale shape: the segmentation table is vocab-sized and keyed by
+    word; the corpus token stream joins it BY KEY (co-partitioned at
+    100 TB, broadcastable when the vocab is small) and collapses
+    immediately to |langs| rows with exact integer sums."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\|\|")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    corpus_words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    return (
+        corpus_words.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("fertility_r6"),
+        )
+        .orderBy("lang")
+    )

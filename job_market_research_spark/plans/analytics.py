@@ -725,3 +725,112 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+@query(
+    "join_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def q_join_shipping_priority(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders of one
+    market segment by discounted revenue — the canonical
+    filter→join→aggregate→top-k OLAP plan, included so the engine's
+    benchmark-classic surface is explicit next to the domain queries.
+
+    Plan notes at scale: both filters push to their parquet scans
+    BEFORE the joins (segment on customer, dates on orders/lineitem),
+    the customer side shrinks to one segment (broadcastable), orders ⋈
+    lineitem co-partitions on orderkey, revenue sums in exact DECIMAL
+    reduced to scale 4 (`exact.revenue_sum` rationale), and the top-10
+    is TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(revenue_sum("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, nation
+    """,
+)
+def q_join_local_supplier_volume(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    customer and supplier share a nation, one region only — the
+    benchmark's classic multi-join with a non-key equality
+    (c_nationkey = s_nationkey) folded into the supplier join.
+
+    Scale notes: region/nation broadcast (fixed cardinality); the
+    region filter prunes the nation dimension BEFORE the big joins;
+    orders ⋈ lineitem co-partitions on orderkey; the extra nationkey
+    equality rides the supplier hash join as a second key, not a
+    post-filter. Revenue in exact DECIMAL, scale-4 reduced."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(revenue_sum("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )

@@ -389,6 +389,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_adaboost_stumps",
     "ml_threshold_tune_f1",
     "window_changepoint_detect",
+    "text_tokenizer_fertility",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
 )
 
 
