@@ -401,6 +401,7 @@ def load_all() -> dict[str, QuerySpec]:
     # Imports are for the registration side effects.
     from job_market_research_spark.plans import (  # noqa: F401
         analytics,
+        classics,
         events_analytics,
         star_v2,
         timeseries,
