@@ -1,0 +1,318 @@
+"""Published corpus-quality filter suites (beyond-reference).
+
+Two filter families every LLM training-data pipeline ships:
+
+- `text_gopher_filters` — the Gopher repetition/format rules (Rae et
+  al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+  from Training Gopher", Table A1): word-count bounds, mean-word-
+  length bounds, symbol-to-word ratio, bullet/ellipsis line ratios,
+  alphabetic-word ratio, minimum stop-word presence.
+- `text_ccnet_buckets` — CCNet's head/middle/tail split (Wenzek et
+  al. 2020): per-language perplexity terciles under a corpus LM, the
+  standard way to grade web text into quality tiers before mixing.
+
+The synthetic corpus is clean word soup, so the Gopher query SEEDS
+deterministic dirty variants per doc_id residue (same discipline as
+text_pii_redact's planted emails) — every rule demonstrably fires.
+
+Exactness: every Gopher rule is an integer cross-multiplication
+(3·n_words ≤ n_chars instead of a float mean compare), so the flags
+hash-match with no float involved anywhere. The CCNet tercile is an
+NTILE over the round-6 perplexity score with doc_id tie-break —
+deterministic rank input on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+
+#: Gopher thresholds (Rae et al. 2021, Table A1) — the word-count
+#: lower bound keeps the published value; the corpus's 10-110-word
+#: docs make it discriminative rather than vacuous.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+#: symbol-to-word < 0.1; bullet lines ≤ 0.9; ellipsis lines ≤ 0.3;
+#: alphabetic words > 0.8 — all applied as integer cross-multiplies.
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+GOPHER_MIN_STOPWORDS = 2
+
+#: Distinct-stopword presence count, rendered once for the oracle.
+_STOP_KINDS_SQL = " + ".join(
+    "CASE WHEN list_contains(string_split_regex(text, '\\s+'), "
+    "'" + sw + "') THEN 1 ELSE 0 END"
+    for sw in GOPHER_STOPWORDS
+)
+
+_SEED_SQL = """
+      SELECT doc_id, source,
+             CASE doc_id % 13
+               WHEN 0 THEN text || ' ### ## #### ### ## # ###'
+               WHEN 1 THEN '- one' || chr(10) || '- two' || chr(10) ||
+                           '- three' || chr(10) || '- four'
+               WHEN 2 THEN 'alpha beta...' || chr(10) || 'gamma delta...'
+                           || chr(10) || 'epsilon zeta...' || chr(10)
+                           || 'keep this line'
+               WHEN 3 THEN 'xx qq zz ww yy vv kk jj'
+               ELSE text
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH seeded AS ({_SEED_SQL}),
+    feats AS (
+      SELECT doc_id, source,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          AS n_words,
+        length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> starts_with(x, '- '))) AS n_bullet,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> ends_with(x, '...'))) AS n_ell_lines,
+        len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        {_STOP_KINDS_SQL} AS n_stop_kinds
+      FROM seeded
+    ),
+    flags AS (
+      SELECT source,
+        CASE WHEN n_words < {GOPHER_MIN_WORDS}
+               OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS f_words,
+        CASE WHEN {GOPHER_MIN_MEAN_WORD_LEN} * n_words > n_wchars
+               OR n_wchars > {GOPHER_MAX_MEAN_WORD_LEN} * n_words
+             THEN 1 ELSE 0 END AS f_wordlen,
+        CASE WHEN 10 * (n_hash + n_ell) >= n_words THEN 1 ELSE 0 END
+          AS f_symbol,
+        CASE WHEN 10 * n_bullet > 9 * n_lines THEN 1 ELSE 0 END AS f_bullet,
+        CASE WHEN 10 * n_ell_lines > 3 * n_lines THEN 1 ELSE 0 END
+          AS f_ellipsis,
+        CASE WHEN 5 * n_alpha <= 4 * n_words THEN 1 ELSE 0 END AS f_alpha,
+        CASE WHEN n_stop_kinds < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+          AS f_stop
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_words) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_wordlen) AS BIGINT) AS fail_word_len,
+           CAST(SUM(f_symbol) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(f_bullet) AS BIGINT) AS fail_bullet_lines,
+           CAST(SUM(f_ellipsis) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_ratio,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CASE WHEN f_words + f_wordlen + f_symbol + f_bullet
+                          + f_ellipsis + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "curation", "beyond"),
+)
+def q_text_gopher_filters(spark, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule sweep (Rae et al. 2021 Table A1) over the
+    corpus, reported as per-source rule-failure counts — the audit a
+    pipeline runs to decide which sources need which filters BEFORE
+    dropping a single row. Dirty variants (symbol spam, all-bullet
+    docs, ellipsis-line docs, stopword-free gibberish) are seeded
+    deterministically by doc_id residue so every rule demonstrably
+    fires on this corpus.
+
+    Scale shape: ONE scan — every rule is a native string/array
+    expression fused into the same projection (like
+    validate_expectations), and the output is |sources| rows from one
+    map-side-combinable aggregation. No rule needs corpus statistics,
+    so there is no second pass and no broadcast. Exactness: every
+    threshold is an integer cross-multiply (3·n_words ≤ n_chars, not
+    a float mean) — no doubles anywhere."""
+    seeded = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" ### ## #### ### ## # ###")),
+        )
+        .when(F.col("doc_id") % 13 == 1, F.lit("- one\n- two\n- three\n- four"))
+        .when(
+            F.col("doc_id") % 13 == 2,
+            F.lit("alpha beta...\ngamma delta...\nepsilon zeta...\nkeep this line"),
+        )
+        .when(F.col("doc_id") % 13 == 3, F.lit("xx qq zz ww yy vv kk jj"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+    lines = F.split(F.col("text"), "\n")
+    feats = seeded.select(
+        "source",
+        F.size(words).alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), "\\s+", "")).alias("n_wchars"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        ).alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("n_ell"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, lambda x: x.startswith("- "))).alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).alias(
+            "n_ell_lines"
+        ),
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        sum(
+            F.when(F.array_contains(words, sw), 1).otherwise(0)
+            for sw in GOPHER_STOPWORDS
+        ).alias("n_stop_kinds"),
+    )
+    f_words = F.when(
+        (F.col("n_words") < GOPHER_MIN_WORDS)
+        | (F.col("n_words") > GOPHER_MAX_WORDS),
+        1,
+    ).otherwise(0)
+    f_wordlen = F.when(
+        (GOPHER_MIN_MEAN_WORD_LEN * F.col("n_words") > F.col("n_wchars"))
+        | (F.col("n_wchars") > GOPHER_MAX_MEAN_WORD_LEN * F.col("n_words")),
+        1,
+    ).otherwise(0)
+    f_symbol = F.when(
+        10 * (F.col("n_hash") + F.col("n_ell")) >= F.col("n_words"), 1
+    ).otherwise(0)
+    f_bullet = F.when(10 * F.col("n_bullet") > 9 * F.col("n_lines"), 1).otherwise(0)
+    f_ellipsis = F.when(
+        10 * F.col("n_ell_lines") > 3 * F.col("n_lines"), 1
+    ).otherwise(0)
+    f_alpha = F.when(5 * F.col("n_alpha") <= 4 * F.col("n_words"), 1).otherwise(0)
+    f_stop = F.when(F.col("n_stop_kinds") < GOPHER_MIN_STOPWORDS, 1).otherwise(0)
+    flags = feats.select(
+        "source",
+        f_words.alias("f_words"),
+        f_wordlen.alias("f_wordlen"),
+        f_symbol.alias("f_symbol"),
+        f_bullet.alias("f_bullet"),
+        f_ellipsis.alias("f_ellipsis"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+    )
+    total_fails = (
+        F.col("f_words")
+        + F.col("f_wordlen")
+        + F.col("f_symbol")
+        + F.col("f_bullet")
+        + F.col("f_ellipsis")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_words").cast("long").alias("fail_word_count"),
+            F.sum("f_wordlen").cast("long").alias("fail_word_len"),
+            F.sum("f_symbol").cast("long").alias("fail_symbol_ratio"),
+            F.sum("f_bullet").cast("long").alias("fail_bullet_lines"),
+            F.sum("f_ellipsis").cast("long").alias("fail_ellipsis_lines"),
+            F.sum("f_alpha").cast("long").alias("fail_alpha_ratio"),
+            F.sum("f_stop").cast("long").alias("fail_stopwords"),
+            F.sum(F.when(total_fails == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+#: CCNet buckets: perplexity terciles per language (1 = head/best,
+#: 3 = tail/worst), computed over the SAME add-one unigram LM as
+#: text_lm_perplexity.
+CCNET_BUCKETS = 3
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    totals AS (SELECT COUNT(*) AS n, COUNT(DISTINCT token) AS v FROM tok),
+    per_doc AS (
+      SELECT tok.doc_id,
+             round(SUM(-ln(CAST(counts.c + 1 AS DOUBLE)
+                           / (totals.n + totals.v))) / COUNT(*), 6)
+               AS avg_neg_logp
+      FROM tok JOIN counts USING (token) CROSS JOIN totals
+      GROUP BY tok.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, p.avg_neg_logp,
+             NTILE({CCNET_BUCKETS}) OVER (
+               PARTITION BY d.lang
+               ORDER BY p.avg_neg_logp, p.doc_id) AS bucket
+      FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(avg_neg_logp), 6) AS min_score,
+           round(MAX(avg_neg_logp), 6) AS max_score
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    tags=("quality", "curation", "beyond"),
+)
+def q_text_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per-language
+    perplexity terciles under the corpus unigram LM — bucket 1 is the
+    cleanest text, bucket 3 the candidate-discard tail. The tiering
+    step between scoring (text_lm_perplexity) and mixing
+    (sample_temperature_mixture).
+
+    Plan shape: the LM score is the same two-shuffle pipeline as
+    text_lm_perplexity (vocab join-back broadcast, per-doc agg); the
+    tercile is ONE lang-partitioned NTILE window over the bounded
+    per-doc score table, then a |langs|×3-row aggregate. NTILE ranks
+    on the ROUND-6 score with doc_id tie-break, so both engines
+    assign identical buckets. At 100 TB the exact per-lang NTILE
+    would become an approx-quantile cut on the same scores — the
+    bucket boundaries change by ±ε, the plan shape does not."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    stats = tok.agg(
+        (F.count("*") + F.countDistinct("token")).cast("double").alias("__n_plus_v")
+    )
+    neg_logp = -F.log((F.col("c") + 1).cast("double") / F.col("__n_plus_v"))
+    per_doc = (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", neg_logp.alias("neg_logp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("neg_logp") / F.count("*"), 6).alias("avg_neg_logp"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    bucketed = per_doc.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).withColumn("bucket", F.ntile(CCNET_BUCKETS).over(w))
+    return (
+        bucketed.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("avg_neg_logp"), 6).alias("min_score"),
+            F.round(F.max("avg_neg_logp"), 6).alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -352,3 +352,156 @@ def q_ml_threshold_tune_f1(spark, sf_dir: str) -> DataFrame:
         "fn",
         F.round(f1, 6).alias("f1_r6"),
     ).orderBy("k")
+
+
+#: NDCG position discounts as INTEGERS: round(1e6 / log2(i+1)) for
+#: rank i = 1..10, plus their prefix sums (the ideal DCG for h hits).
+#: Integer-izing the discounts removes libm log2 AND float-sum order
+#: from the metric entirely — DCG accumulates as an exact integer and
+#: NDCG is one double division at the end (same trick as
+#: ml_adaboost_stumps' integer-cent thresholds). Rendered from ONE
+#: Python list into both engines.
+_NDCG_W = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_IDEAL = (
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+)
+
+_NDCG_W_SQL = "[" + ", ".join(str(x) for x in _NDCG_W) + "]"
+_NDCG_IDEAL_SQL = "[" + ", ".join(str(x) for x in _NDCG_IDEAL) + "]"
+
+
+@query(
+    "ml_eval_retrieval_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+      FROM e WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * q.qv[i])) / (e.nrm * q.qnrm), 6)
+               AS cosine
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ),
+    topk AS (
+      SELECT qid,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rk
+      FROM ranked WHERE rk <= 10
+    ),
+    per_q AS (
+      SELECT qid,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+             SUM(rel * ({_NDCG_W_SQL})[rk]) AS dcg_i
+      FROM topk GROUP BY qid
+    )
+    SELECT qid, n_rel,
+           round(CAST(n_rel AS DOUBLE) / 10, 6) AS precision_r6,
+           CASE WHEN first_rel IS NULL THEN 0.0
+                ELSE round(1.0 / first_rel, 6) END AS mrr_r6,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE round(CAST(dcg_i AS DOUBLE)
+                           / ({_NDCG_IDEAL_SQL})[n_rel], 6) END AS ndcg_r6
+    FROM per_q ORDER BY qid
+    """,
+    tags=("eval", "retrieval", "beyond"),
+)
+def q_ml_eval_retrieval_ndcg(spark, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (precision@k, MRR, NDCG@10) of the
+    brute-force cosine retriever against label-match relevance — the
+    in-engine eval loop for the ANN family (a retriever you can't
+    score at corpus scale is a retriever you can't tune). Relevance is
+    binary: the retrieved vector shares the query's label.
+
+    Plan shape: identical to ann_batch_topk (broadcast query set,
+    corpus-parallel scoring, per-query rank window), then ONE bounded
+    per-query aggregate — |queries| rows out. Exactness: ranking is on
+    the round-6 cosine with vec_id tie-break (identical k on both
+    engines); DCG uses integer position discounts (_NDCG_W) so the
+    metric is exact-integer until one final double division. At 100 TB
+    the scored set is |corpus| × |queries| rows but every stage is
+    map-side except the rank window's query-key shuffle."""
+    from pyspark.sql import Window
+
+    from job_market_research_spark.ml.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+    )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 7)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    topk = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "qid",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            "rk",
+        )
+    )
+    w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
+    ideal_arr = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    per_q = topk.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("rk"))).alias("dcg_i"),
+    )
+    return per_q.select(
+        "qid",
+        "n_rel",
+        F.round(F.col("n_rel").cast("double") / 10, 6).alias("precision_r6"),
+        F.when(F.col("first_rel").isNull(), 0.0)
+        .otherwise(F.round(1.0 / F.col("first_rel"), 6))
+        .alias("mrr_r6"),
+        F.when(F.col("n_rel") == 0, 0.0)
+        .otherwise(
+            F.round(
+                F.col("dcg_i").cast("double")
+                / F.element_at(ideal_arr, F.col("n_rel").cast("int")),
+                6,
+            )
+        )
+        .alias("ndcg_r6"),
+    ).orderBy("qid")

@@ -426,6 +426,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus,
         dates,
         enrich,
+        quality_filters,
         scalars,
         text,
     )
