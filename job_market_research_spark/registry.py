@@ -412,6 +412,7 @@ def load_all() -> dict[str, QuerySpec]:
         bucketing,
         cleaning,
         dedup,
+        intervals,
         joins,
         matview,
         nested,
@@ -419,6 +420,7 @@ def load_all() -> dict[str, QuerySpec]:
         scd,
         sessionize,
         setops,
+        sketches,
         skew,
         temporal_joins,
     )

@@ -54,6 +54,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # KM survival runs on the DISTINCT-death-day table: bounded by the
     # observation window (days), not by corpus size
     "agg_kaplan_meier": "|distinct death days| rows after day agg",
+    # the cumulative-offset window runs on the per-day delta totals:
+    # |days of history| rows; the corpus-sized sweep itself is
+    # day-partitioned (the two-level prefix-sum design)
+    "window_concurrency_sweep": "|days| rows after per-day delta agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
