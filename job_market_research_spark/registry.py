@@ -402,6 +402,7 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.plans import (  # noqa: F401
         analytics,
         classics,
+        robust_stats,
         events_analytics,
         star_v2,
         timeseries,
@@ -440,13 +441,14 @@ def load_all() -> dict[str, QuerySpec]:
         geometry,
         graph,
         ir,
+        linkage,
         neardup,
         sampling,
         similarity,
         vectors,
     )
     from job_market_research_spark.multimodal import binary_ops, real_media  # noqa: F401
-    from job_market_research_spark.streaming import sessions, windows  # noqa: F401
+    from job_market_research_spark.streaming import bitmaps, sessions, windows  # noqa: F401
 
     green = _driver_green_evidence()
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
