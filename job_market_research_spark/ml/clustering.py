@@ -721,7 +721,16 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
         return F.exp(terms)
 
     for rnd in range(1, ADA_ROUNDS + 1):
-        w = w_col()
+        # Materialize the row weight ONCE behind an explode barrier:
+        # it appears in all 32 hypothesis slots + the total, and
+        # CollapseProject would inline the exp() chain into each
+        # (higher-order/codegen CSE does not catch it — measured 33×
+        # the exp cost without the barrier).
+        wrows = rows.select(
+            "x",
+            "y",
+            F.explode(F.array(w_col().cast("decimal(28,14)"))).alias("wd"),
+        )
         hyp_arr = F.array(
             *[
                 F.struct(
@@ -730,7 +739,7 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
                     F.when(
                         F.when(F.col("x") <= th, p).otherwise(-p)
                         != F.col("y"),
-                        w.cast("decimal(28,14)"),
+                        F.col("wd"),
                     )
                     .otherwise(F.lit(0).cast("decimal(28,14)"))
                     .alias("wm"),
@@ -739,8 +748,8 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
             ]
         )
         errs = (
-            rows.select(w.cast("decimal(28,14)").alias("wtot"),
-                        F.explode(hyp_arr).alias("h"))
+            wrows.select(F.col("wd").alias("wtot"),
+                         F.explode(hyp_arr).alias("h"))
             .groupBy("h.theta", "h.p")
             .agg(
                 F.sum("h.wm").alias("mis"),

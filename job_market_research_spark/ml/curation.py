@@ -856,15 +856,24 @@ RAG_BUCKETS = 4
 RAG_TOP = 5
 RAG_QUERY = "spark hash stream"
 
+#: One 60-bit md5 PER TOKEN; each of the 8 dims reads a different
+#: 4-bit lane (stride-7 rotation over the 60 bits). The old form
+#: hashed every (dim, token) pair — 8 md5 per token was the whole cost
+#: of the e2e pipeline (8.7 s → ~3 s at sf0.1). Lane overlap is fine:
+#: this is the deterministic stand-in encoder, not a real embedding.
+_RAG_HL_SPARK = (
+    "transform(ctoks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS LONG))"
+)
+_RAG_HL_SQL = (
+    "list_transform(ctoks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+)
 _RAG_EMB_SPARK = (
-    f"transform(sequence(0, {RAG_DIMS - 1}), j -> aggregate(ctoks, 0L,"
-    " (acc, t) -> acc + CAST(conv(substr(md5(concat(CAST(j AS STRING),"
-    " '#', t)), 1, 8), 16, 10) AS LONG) % 16))"
+    f"transform(sequence(0, {RAG_DIMS - 1}), j -> aggregate(chl, 0L,"
+    " (acc, h) -> acc + (shiftright(h, CAST((7 * j) % 46 AS INT)) & 15L)))"
 )
 _RAG_EMB_SQL = (
     f"list_transform(range(0, {RAG_DIMS}), j -> list_sum(list_transform("
-    "ctoks, t -> ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || t), 1, 8))"
-    "::BIGINT % 16)))"
+    "chl, h -> (h >> CAST((7 * j) % 46 AS INT)) & 15)))"
 )
 
 
@@ -886,8 +895,11 @@ _RAG_EMB_SQL = (
             FROM toks)
       WHERE start < len(toks)
     ),
+    hashed AS (
+      SELECT doc_id, chunk_id, {_RAG_HL_SQL} AS chl FROM chunks
+    ),
     embedded AS (
-      SELECT doc_id, chunk_id, {_RAG_EMB_SQL} AS v FROM chunks
+      SELECT doc_id, chunk_id, {_RAG_EMB_SQL} AS v FROM hashed
     ),
     indexed AS (
       SELECT doc_id, chunk_id, v,
@@ -899,8 +911,9 @@ _RAG_EMB_SQL = (
     q AS (
       SELECT {_RAG_EMB_SQL} AS v,
              list_sum({_RAG_EMB_SQL}) % {RAG_BUCKETS} AS bucket
-      FROM (SELECT list_filter(string_split('{RAG_QUERY}', ' '),
-                               x -> x <> '') AS ctoks)
+      FROM (SELECT {_RAG_HL_SQL} AS chl
+            FROM (SELECT list_filter(string_split('{RAG_QUERY}', ' '),
+                                     x -> x <> '') AS ctoks))
     ),
     probed AS (
       SELECT i.doc_id, i.chunk_id,
@@ -950,8 +963,20 @@ def q_pipeline_rag_index_e2e(spark, sf_dir: str) -> DataFrame:
         (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
         F.expr(f"slice(toks, start + 1, {CHUNK_SIZE})").alias("ctoks"),
     )
-    embedded = chunks.select(
-        "doc_id", "chunk_id", F.expr(_RAG_EMB_SPARK).alias("v")
+    # The explode-of-singleton is a deliberate projection-collapse
+    # BARRIER: downstream bucket/nrm/cosine all reference `v`, and
+    # CollapseProject would otherwise inline the full md5+fold
+    # embedding expression into each of them (higher-order functions
+    # get no common-subexpression elimination) — measured 4× the
+    # embedding cost without it. The Generate materializes v ONCE.
+    embedded = (
+        chunks.select(
+            "doc_id", "chunk_id", F.expr(_RAG_HL_SPARK).alias("chl")
+        )
+        .select("doc_id", "chunk_id", F.expr(_RAG_EMB_SPARK).alias("v0"))
+        .select(
+            "doc_id", "chunk_id", F.explode(F.array("v0")).alias("v")
+        )
     )
     indexed = embedded.select(
         "doc_id",
@@ -969,7 +994,9 @@ def q_pipeline_rag_index_e2e(spark, sf_dir: str) -> DataFrame:
             f"filter(split('{RAG_QUERY}', ' '), x -> x != '')"
         ).alias("ctoks")
     )
-    q = qdf.select(F.expr(_RAG_EMB_SPARK).alias("qv")).select(
+    q = qdf.select(F.expr(_RAG_HL_SPARK).alias("chl")).select(
+        F.expr(_RAG_EMB_SPARK).alias("qv")
+    ).select(
         "qv",
         F.expr(f"aggregate(qv, 0L, (a, x) -> a + x) % {RAG_BUCKETS}").alias(
             "qbucket"
