@@ -999,3 +999,115 @@ def q_sample_hard_negatives(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+#: Matryoshka truncation: the low-dim prefix used by the cheap
+#: first-pass search, and the overlap metric's cut depth.
+TRUNC_DIMS = 16
+
+
+@query(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm,
+             embedding[1:{TRUNC_DIMS}]::DOUBLE[] AS tv,
+             sqrt(list_sum(list_transform(embedding[1:{TRUNC_DIMS}]::DOUBLE[],
+                           x -> x * x))) AS tnrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, tv AS qtv, tnrm AS qtnrm
+      FROM e WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * q.qv[i])) / (e.nrm * q.qnrm), 6)
+               AS cos_full,
+             round(list_sum(list_transform(range(1, {TRUNC_DIMS} + 1),
+                            i -> e.tv[i] * q.qtv[i])) / (e.tnrm * q.qtnrm), 6)
+               AS cos_trunc
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    rk AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_full DESC, vec_id) AS rk_full,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_trunc DESC, vec_id) AS rk_trunc
+      FROM scored
+    )
+    SELECT qid,
+           CAST(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_trunc <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           round(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_trunc <= {TOP_K}
+                          THEN 1 ELSE 0 END) / {TOP_K}.0, 6) AS recall_r6
+    FROM rk GROUP BY qid ORDER BY qid
+    """,
+    tags=("ann", "eval", "beyond"),
+)
+def q_ann_dim_truncation_recall(spark, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall (the Matryoshka-representation
+    question): how much of the full-64-dim cosine top-{TOP_K} does a
+    {TRUNC_DIMS}-dim prefix search recover, per query. The metric that
+    decides whether the cheap low-dim first pass + full-dim re-rank
+    (ann_rp_rerank's shape) is safe for a given embedding table —
+    measured IN-ENGINE, over the same corpus the index will serve.
+
+    Plan shape: both scorings ride ONE corpus × query broadcast join
+    (two fold expressions in the same projection — no second scan);
+    per-query ranks are two windows over the same (qid)-partitioned
+    shuffle; output is |queries| rows of integer overlap counts.
+    Ranking on round-6 scores with vec_id tie-break keeps both
+    engines' top-k identical."""
+    from pyspark.sql import Window
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("tv", F.slice(F.col("v"), 1, TRUNC_DIMS))
+        .withColumn("tnrm", l2_norm(F.col("tv")))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tv").alias("qtv"),
+        F.col("tnrm").alias("qtnrm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")).alias(
+                "cos_full"
+            ),
+            cosine(
+                F.col("tv"), F.col("qtv"), F.col("tnrm"), F.col("qtnrm")
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.desc("cos_full"), "vec_id")
+    w_trunc = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), "vec_id")
+    rk = scored.select(
+        "qid",
+        F.row_number().over(w_full).alias("rk_full"),
+        F.row_number().over(w_trunc).alias("rk_trunc"),
+    )
+    hit = F.when(
+        (F.col("rk_full") <= TOP_K) & (F.col("rk_trunc") <= TOP_K), 1
+    ).otherwise(0)
+    return (
+        rk.groupBy("qid")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            F.round(F.sum(hit) / float(TOP_K), 6).alias("recall_r6"),
+        )
+        .orderBy("qid")
+    )

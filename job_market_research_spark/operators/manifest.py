@@ -1,0 +1,119 @@
+"""Manifest-based file skipping (beyond-reference).
+
+The core mechanic of every lake table format (Iceberg manifests, Delta
+file statistics, Hive min/max footers): keep per-file column stats in
+a small manifest table, and answer selective queries by reading ONLY
+the files whose [min, max] range can contain matches. Spark's own
+parquet reader prunes row groups inside a file; the manifest prunes
+WHOLE FILES before the scan is even planned — at 100 TB that is the
+difference between listing 10 files and listing 100 000.
+
+`maintenance_manifest_prune` builds the whole loop from primitives:
+range-clustered write (repartitionByRange so files have tight date
+ranges), manifest derivation (one input_file_name() aggregation),
+manifest-driven file selection (a |files|-row driver decision — the
+same bounded-collect class as a first() argmin), and the pruned read.
+Correctness is oracle-checked against the unpruned table; the actual
+file-skipping is pinned by test (reads fewer files than exist).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.registry import query
+from job_market_research_spark.sources.readers import scratch_dir
+
+#: Range-clustered layout: file count and the probe window.
+MANIFEST_FILES = 8
+_WIN_LO = "1996-01-01 00:00:00"
+_WIN_HI = "1996-07-01 00:00:00"
+
+#: Memoized staged layout + manifest per sf_dir (immutable testdata).
+_STAGED: dict[str, tuple[str, list[dict]]] = {}
+
+
+def stage_range_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    """Write orders range-clustered by o_orderdate into MANIFEST_FILES
+    files and derive the per-file manifest (min/max date, row count).
+    The manifest is |files| rows — collecting it to the driver is the
+    bounded-metadata pattern, not a data collect."""
+    key = os.path.abspath(sf_dir)
+    if key in _STAGED:
+        return _STAGED[key]
+    out = scratch_dir("manifest_orders")
+    (
+        load(spark, sf_dir, "orders")
+        .repartitionByRange(MANIFEST_FILES, "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = [
+        r.asDict()
+        for r in (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+                F.count("*").alias("n_rows"),
+            )
+            .collect()
+        )
+    ]
+    _STAGED[key] = (out, manifest)
+    return out, manifest
+
+
+@query(
+    "maintenance_manifest_prune",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_WIN_LO}'
+      AND o_orderdate <  TIMESTAMP '{_WIN_HI}'
+    GROUP BY 1 ORDER BY priority
+    """,
+    tags=("maintenance", "lake", "beyond"),
+)
+def q_maintenance_manifest_prune(spark, sf_dir: str) -> DataFrame:
+    """Half-year order summary answered through the manifest: only
+    files whose [min, max] o_orderdate range OVERLAPS the window are
+    read (overlap test — conservative, so correctness never depends
+    on the clustering being perfect); the residual filter still
+    applies inside the surviving files. The oracle runs the same
+    query on the unpruned table, so the driver hash proves the pruned
+    read loses nothing; tests/test_manifest.py pins that it actually
+    skipped files. At 100 TB the manifest itself is a table (one row
+    per file) and the selection is a metadata-only query — this is
+    Iceberg/Delta data skipping expressed in engine primitives."""
+    _, manifest = stage_range_clustered(spark, sf_dir)
+    lo = F.lit(_WIN_LO).cast("timestamp")
+    hi = F.lit(_WIN_HI).cast("timestamp")
+    import datetime
+
+    win_lo = datetime.datetime.fromisoformat(_WIN_LO)
+    win_hi = datetime.datetime.fromisoformat(_WIN_HI)
+    selected = [
+        m["file"]
+        for m in manifest
+        if m["lo"] < win_hi and m["hi"] >= win_lo
+    ]
+    return (
+        spark.read.parquet(*selected)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("priority")
+    )

@@ -119,3 +119,87 @@ def q_agg_theil_sen_trend(spark, sf_dir: str) -> DataFrame:
         .select("event_type", "n_days", "slope_r6", "intercept_r6")
         .orderBy("event_type")
     )
+
+
+@query(
+    "profile_degree_powerlaw",
+    oracle="""
+    WITH deg AS (
+      SELECT o_custkey, COUNT(*) AS d FROM orders GROUP BY o_custkey
+    ),
+    hist AS (SELECT d, COUNT(*) AS nd FROM deg GROUP BY d),
+    pts AS (
+      SELECT CAST(round(ln(CAST(d AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM hist
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_r6,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept_r6
+    FROM m
+    """,
+    tags=("profile", "graph", "beyond"),
+)
+def q_profile_degree_powerlaw(spark, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit: log-log OLS over the
+    orders-per-customer histogram — the one-number answer to "is this
+    activity graph heavy-tailed, and how heavy" (slope ≈ −α; a steep
+    α says salting/df-caps are optional, a shallow one says they are
+    load-bearing — this profiler is how the skew mitigations in
+    operators/skew.py get their evidence at 100 TB).
+
+    Scale: corpus → |customers| degrees (one count) → |distinct
+    degrees| histogram rows (bounded by max activity, ~dozens) — all
+    regression algebra happens on that bounded table. Exactness: ln
+    values round-6 then DECIMAL (exact, order-free sums; the
+    perplexity discipline), closed-form slope/intercept from the
+    moment sums with one double division at the end."""
+    deg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("nd"))
+    pts = hist.select(
+        F.round(F.log(F.col("d").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("nd").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope_r6"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_r6"),
+    )

@@ -415,6 +415,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         intervals,
         joins,
+        manifest,
         matview,
         nested,
         quality,
