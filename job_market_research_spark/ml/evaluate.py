@@ -505,3 +505,125 @@ def q_ml_eval_retrieval_ndcg(spark, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_r6"),
     ).orderBy("qid")
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,
+        len(list_filter(string_split(text,' '), x -> x <> ''))   AS n_tok
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(least(floor(CAST(c_en AS DOUBLE) / n_tok
+                              * {CAL_DENSITY_SCALE}), {CAL_BINS - 1}) AS INT)
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM c WHERE n_tok > 0 GROUP BY 1
+    ),
+    seg AS (
+      SELECT j.bin AS j, k.bin AS k,
+             SUM(m.n_en) AS s, SUM(m.n_docs) AS n
+      FROM bins j JOIN bins k ON j.bin <= k.bin
+      JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2
+    ),
+    inner_min AS (
+      SELECT i.bin AS bin, seg.j,
+             MIN(CAST(seg.s AS DOUBLE) / seg.n) AS mn
+      FROM bins i JOIN seg ON seg.j <= i.bin AND seg.k >= i.bin
+      GROUP BY 1, 2
+    )
+    SELECT b.bin AS bin, b.n_docs,
+           round(CAST(b.n_en AS DOUBLE) / b.n_docs, 6) AS rate_r6,
+           round(MAX(im.mn), 6) AS iso_rate_r6
+    FROM bins b JOIN inner_min im ON im.bin = b.bin
+    GROUP BY b.bin, b.n_docs, b.n_en
+    ORDER BY b.bin
+    """,
+    tags=("eval", "calibration", "beyond"),
+)
+def q_ml_isotonic_calibration(spark, sf_dir: str) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) calibration of the
+    English-ness score, via the minimax closed form: the isotonic fit
+    at bin i equals max over j ≤ i of min over k ≥ i of the weighted
+    mean of [j..k] — no sequential pooling loop, so the whole fit is
+    three joins over the BOUNDED bin table (|bins|³ segment means for
+    |bins| ≤ {CAL_BINS} — trivially small however big the corpus).
+    ml_calibration_bins DIAGNOSES miscalibration; this op produces
+    the monotone correction a filter would actually apply.
+
+    Exactness: segment means are integer-count ratios — identical
+    doubles on both engines — and min/max over identical doubles is
+    exact; the only rounding is on output."""
+    toks = tokens("text")
+    c = load(spark, sf_dir, "documents").select(
+        "lang",
+        _count_token(toks, "the").alias("c_en"),
+        F.size(F.filter(toks, lambda x: x != "")).alias("n_tok"),
+    )
+    bins = (
+        c.filter(F.col("n_tok") > 0)
+        .groupBy(
+            F.least(
+                F.floor(
+                    F.col("c_en").cast("double")
+                    / F.col("n_tok")
+                    * CAL_DENSITY_SCALE
+                ),
+                F.lit(CAL_BINS - 1).cast("long"),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+        )
+    )
+    j = bins.select(F.col("bin").alias("j"))
+    k = bins.select(F.col("bin").alias("k"))
+    m = bins.select(
+        F.col("bin").alias("mb"),
+        F.col("n_en").alias("m_en"),
+        F.col("n_docs").alias("m_docs"),
+    )
+    seg = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (F.sum("m_en").cast("double") / F.sum("m_docs")).alias("mean_jk")
+        )
+    )
+    i = bins.select(F.col("bin").alias("i"))
+    inner_min = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_jk").alias("mn"))
+    )
+    iso = inner_min.groupBy("i").agg(F.round(F.max("mn"), 6).alias("iso_rate_r6"))
+    return (
+        bins.join(F.broadcast(iso), bins.bin == iso.i)
+        .select(
+            "bin",
+            "n_docs",
+            F.round(F.col("n_en").cast("double") / F.col("n_docs"), 6).alias(
+                "rate_r6"
+            ),
+            "iso_rate_r6",
+        )
+        .orderBy("bin")
+    )

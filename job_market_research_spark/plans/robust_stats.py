@@ -203,3 +203,196 @@ def q_profile_degree_powerlaw(spark, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_r6"),
         F.round((sy - slope * sx) / n, 6).alias("intercept_r6"),
     )
+
+
+#: MAD anomaly knobs: consistency constant (σ ≈ 1.4826·MAD for a
+#: normal) and the flag threshold in robust sigmas.
+MAD_K = 1.4826
+MAD_SIGMAS = 3.0
+#: Planted burst: the 6th observed day's purchase events re-emitted
+#: this many extra times (the corpus has no natural burst days — the
+#: text_pii_redact seeding discipline, so the detector demonstrably
+#: fires and the oracle replays the same spike).
+MAD_BURST_X = 4
+
+
+@query(
+    "window_anomaly_mad",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT event_type, ts FROM events
+      UNION ALL
+      SELECT event_type, ts
+      FROM events, unnest(range(0, {MAD_BURST_X})) AS r(k)
+      WHERE event_type = 'purchase'
+        AND epoch_us(ts) // {_DAY_US} = (
+          SELECT MIN(epoch_us(ts) // {_DAY_US}) + 5 FROM events)
+    ),
+    daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM seeded GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, round(quantile_cont(y, 0.5), 6) AS med_y
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.y, m.med_y,
+             round(abs(d.y - m.med_y), 6) AS adev
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad_y
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.y,
+           d.med_y, md.mad_y,
+           round(abs(d.y - d.med_y)
+                 / ({MAD_K} * greatest(md.mad_y, 0.5)), 6) AS robust_z_r6
+    FROM dev d JOIN mad md USING (event_type)
+    WHERE abs(d.y - d.med_y)
+          > {MAD_SIGMAS} * {MAD_K} * greatest(md.mad_y, 0.5)
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "robust", "anomaly", "beyond"),
+)
+def q_window_anomaly_mad(spark, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly days per event type — the
+    robust twin of window_zscore_anomaly: mean/std move WITH the
+    outliers they are supposed to flag (masking), median/MAD do not,
+    so a burst day cannot hide itself by inflating the threshold.
+    MAD=0 degenerates (an over-half-constant series flags everything),
+    so the denominator floors at 0.5 counts — standard practice.
+
+    Scale: corpus → bounded per-(type, day) table in one count; both
+    medians and the flag scan run on that bounded table (the Theil–Sen
+    discipline). Exactness: medians via percentile↔quantile_cont on
+    integer counts, round-6 before every ratio."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", (F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
+    )
+    burst_day = ev.agg((F.min("day") + 5).alias("bday"))
+    burst = (
+        ev.crossJoin(F.broadcast(burst_day))
+        .filter((F.col("event_type") == "purchase") & (F.col("day") == F.col("bday")))
+        .crossJoin(F.broadcast(
+            ev.sparkSession.range(MAD_BURST_X).select(F.col("id").alias("k"))
+        ))
+        .select("event_type", "ts", "day")
+    )
+    seeded = ev.select("event_type", "ts", "day").unionByName(burst)
+    daily = seeded.groupBy("event_type", "day").agg(F.count("*").alias("y"))
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("y", F.lit(0.5)), 6).alias("med_y")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "med_y",
+        F.round(F.abs(F.col("y") - F.col("med_y")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad_y")
+    )
+    denom = MAD_K * F.greatest(F.col("mad_y"), F.lit(0.5))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("y") - F.col("med_y")) > MAD_SIGMAS * denom)
+        .select(
+            "event_type",
+            "day",
+            "y",
+            "med_y",
+            "mad_y",
+            F.round(F.abs(F.col("y") - F.col("med_y")) / denom, 6).alias(
+                "robust_z_r6"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Neyman allocation: total sample budget to split across strata.
+NEYMAN_BUDGET = 100
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+                      * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS syy
+      FROM customer GROUP BY 1
+    ),
+    sd AS (
+      SELECT stratum, n_h,
+             round(sqrt((syy - sy * sy / n_h) / n_h), 6) AS sd_r6
+      FROM s
+    ),
+    tot AS (SELECT SUM(n_h * sd_r6) AS z FROM sd)
+    SELECT stratum, n_h, sd_r6,
+           round(n_h * sd_r6 / z, 6) AS share_r6,
+           CAST(round({NEYMAN_BUDGET} * round(n_h * sd_r6 / z, 6))
+                AS BIGINT) AS alloc_n
+    FROM sd, tot ORDER BY stratum
+    """,
+    tags=("sampling", "stats", "beyond"),
+)
+def q_sample_neyman_allocation(spark, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a fixed
+    budget across strata proportionally to N_h·σ_h (minimizes the
+    stratified estimator's variance) — the design step BEFORE
+    sample_stratified draws anything; at 100 TB you allocate from a
+    one-pass moment profile instead of equal shares and stop
+    oversampling homogeneous strata.
+
+    Exactness: per-stratum sums/sum-of-squares in exact DECIMAL, the
+    population σ as one deterministic sqrt rounded to 6, shares as
+    round-6 ratios, integer allocations from the ROUNDED share (both
+    engines round the same double). One map-side-combinable pass;
+    |strata| rows out."""
+    s = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sy"),
+            F.sum(
+                F.col("c_acctbal").cast("decimal(18,4)")
+                * F.col("c_acctbal").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    sd = s.select(
+        "stratum",
+        "n_h",
+        F.round(
+            F.sqrt(
+                (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_h"))
+                / F.col("n_h")
+            ),
+            6,
+        ).alias("sd_r6"),
+    )
+    tot = sd.agg(F.sum(F.col("n_h") * F.col("sd_r6")).alias("z"))
+    share = F.round(F.col("n_h") * F.col("sd_r6") / F.col("z"), 6)
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            "sd_r6",
+            share.alias("share_r6"),
+            F.round(NEYMAN_BUDGET * share).cast("long").alias("alloc_n"),
+        )
+        .orderBy("stratum")
+    )

@@ -417,6 +417,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         manifest,
         matview,
+        privacy_release,
         nested,
         quality,
         scd,

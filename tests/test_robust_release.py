@@ -1,0 +1,117 @@
+"""Semantic pins for the MAD anomaly detector, Neyman allocation,
+isotonic calibration and the DP vocabulary release."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.ml.evaluate import q_ml_isotonic_calibration
+from job_market_research_spark.operators.privacy_release import (
+    DPV_TAU,
+    q_privacy_dp_vocab_release,
+)
+from job_market_research_spark.plans.robust_stats import (
+    NEYMAN_BUDGET,
+    q_sample_neyman_allocation,
+    q_window_anomaly_mad,
+)
+
+
+def test_mad_flags_exactly_the_planted_burst(spark, sf_dir):
+    rows = q_window_anomaly_mad(spark, sf_dir).collect()
+    assert rows, "planted burst day not flagged"
+    assert all(r["event_type"] == "purchase" for r in rows)
+    assert all(r["robust_z_r6"] > 3.0 for r in rows)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    rows = q_sample_neyman_allocation(spark, sf_dir).collect()
+    assert abs(sum(r["share_r6"] for r in rows) - 1.0) < 1e-4
+    # Per-stratum rounding can drift by at most |strata|/2.
+    assert abs(sum(r["alloc_n"] for r in rows) - NEYMAN_BUDGET) <= len(rows)
+    for r in rows:
+        assert r["sd_r6"] > 0
+
+
+def test_isotonic_fit_is_monotone_and_matches_pav(spark, sf_dir):
+    rows = sorted(
+        q_ml_isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_rate_r6"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit is not monotone"
+    # Full PAV replay in Python over the same (n_en, n_docs) bins.
+    from job_market_research_spark.ml.evaluate import (
+        CAL_BINS,
+        CAL_DENSITY_SCALE,
+    )
+    from job_market_research_spark.functions.text import _count_token, tokens
+
+    toks = tokens("text")
+    bins = {
+        r["bin"]: (r["n_en"], r["n_docs"])
+        for r in (
+            load(spark, sf_dir, "documents")
+            .select(
+                "lang",
+                _count_token(toks, "the").alias("c_en"),
+                F.size(F.filter(toks, lambda x: x != "")).alias("n_tok"),
+            )
+            .filter(F.col("n_tok") > 0)
+            .groupBy(
+                F.least(
+                    F.floor(
+                        F.col("c_en").cast("double")
+                        / F.col("n_tok")
+                        * CAL_DENSITY_SCALE
+                    ),
+                    F.lit(CAL_BINS - 1).cast("long"),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .agg(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                    "n_en"
+                ),
+                F.count("*").alias("n_docs"),
+            )
+            .collect()
+        )
+    }
+    order = sorted(bins)
+    # Classic PAV: pool adjacent violators left to right.
+    blocks = [[bins[b][0], bins[b][1]] for b in order]  # [sum_y, n]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expected = []
+    bi = iter(order)
+    for s, n in blocks:
+        covered = 0
+        while covered < n:
+            b = next(bi)
+            covered += bins[b][1]
+            expected.append(round(s / n, 6))
+    got = [r["iso_rate_r6"] for r in rows]
+    assert got == expected, (got, expected)
+
+
+def test_dp_vocab_release_drops_rare_tokens(spark, sf_dir):
+    released = q_privacy_dp_vocab_release(spark, sf_dir).collect()
+    assert released
+    for r in released:
+        # With Laplace(1) noise rounded at 6dp, a token needs a doc
+        # frequency near tau to survive; nothing rare slips through.
+        assert r["doc_freq"] >= DPV_TAU - 15, r
+        assert r["noisy_r6"] >= DPV_TAU
+    # Determinism: the seeded draw releases the identical set again.
+    again = q_privacy_dp_vocab_release(spark, sf_dir).collect()
+    assert released == again
