@@ -396,3 +396,234 @@ def q_sample_neyman_allocation(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+#: Welch test: the two arms and the normal critical value literal.
+AB_ARM_A = "view"
+AB_ARM_B = "purchase"
+AB_CRIT = 1.959964
+
+
+@query(
+    "agg_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS syy
+      FROM events WHERE event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+        AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sy / n AS mean,
+             (syy - sy * sy / n) / (n - 1) AS var
+      FROM s
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             round(a.mean, 6) AS mean_a_r6, round(b.mean, 6) AS mean_b_r6,
+             (a.mean - b.mean)
+               / sqrt(a.var / a.n + b.var / b.n) AS t,
+             power(a.var / a.n + b.var / b.n, 2)
+               / (power(a.var / a.n, 2) / (a.n - 1)
+                  + power(b.var / b.n, 2) / (b.n - 1)) AS df
+      FROM (SELECT * FROM m WHERE event_type = '{AB_ARM_A}') a,
+           (SELECT * FROM m WHERE event_type = '{AB_ARM_B}') b
+    )
+    SELECT n_a, n_b, mean_a_r6, mean_b_r6,
+           round(t, 6) AS t_stat_r6,
+           round(df, 6) AS welch_df_r6,
+           CASE WHEN abs(t) > {AB_CRIT} THEN 1 ELSE 0 END AS significant_5pct
+    FROM w
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_welch_ttest(spark, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event arms — the
+    A/B-testing primitive: per-arm mean/variance from ONE exact-
+    DECIMAL moment pass, t statistic and Welch–Satterthwaite degrees
+    of freedom in closed form, significance against the two-sided 5%
+    normal critical value (a literal — no special functions, so no
+    libm divergence risk beyond the final round-6). The p-value knob
+    every experimentation platform turns into a shipped/not-shipped
+    decision, computed in-engine at corpus scale.
+
+    Scale: one map-side-combinable aggregation over the filtered
+    scan; everything after is 2-row algebra."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sy"),
+            F.sum(
+                F.col("value").cast("decimal(28,10)")
+                * F.col("value").cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sy") / F.col("n")).alias("mean"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.filter(F.col("event_type") == AB_ARM_A).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == AB_ARM_B).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    va = F.col("var_a") / F.col("n_a")
+    vb = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va + vb)
+    df = F.pow(va + vb, 2) / (
+        F.pow(va, 2) / (F.col("n_a") - 1) + F.pow(vb, 2) / (F.col("n_b") - 1)
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a_r6"),
+        F.round("mean_b", 6).alias("mean_b_r6"),
+        F.round(t, 6).alias("t_stat_r6"),
+        F.round(df, 6).alias("welch_df_r6"),
+        F.when(F.abs(t) > AB_CRIT, 1).otherwise(0).alias("significant_5pct"),
+    )
+
+
+#: CUPED: the pre-period used for the covariate, the measurement
+#: period, and the metric arms (user-level daily value sums).
+CUPED_SPLIT_DAY = 15
+
+
+@query(
+    "agg_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) // {_DAY_US}
+                            - (SELECT MIN(epoch_us(ts) // {_DAY_US})
+                               FROM events) < {CUPED_SPLIT_DAY}
+                           THEN CAST(value AS DECIMAL(28,10)) END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) // {_DAY_US}
+                            - (SELECT MIN(epoch_us(ts) // {_DAY_US})
+                               FROM events) >= {CUPED_SPLIT_DAY}
+                           THEN CAST(value AS DECIMAL(28,10)) END)
+                  AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    filled AS (
+      SELECT user_id, coalesce(x, 0.0) AS x, coalesce(y, 0.0) AS y
+      FROM per_user
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))
+                      * CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))
+                      * CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))
+                      * CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+      FROM filled
+    )
+    SELECT n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta_r6,
+           round((syy - sy * sy / n) / n, 6) AS var_y_r6,
+           round(((syy - sy * sy / n)
+                  - power(sxy - sx * sy / n, 2) / (sxx - sx * sx / n)) / n, 6)
+             AS var_cuped_r6,
+           round(power(sxy - sx * sy / n, 2)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+             AS var_reduction_r6
+    FROM mom
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_cuped_adjustment(spark, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per-user pre-
+    period spend (days < {CUPED_SPLIT_DAY}) as the covariate for the
+    measurement-period metric; θ = cov(x,y)/var(x), and the adjusted
+    metric's variance drops by exactly the squared correlation — the
+    experiment-sensitivity multiplier every large A/B platform ships.
+    Var(y_cuped) = Var(y)·(1 − ρ²) is reported next to the raw
+    variance so the reduction is auditable.
+
+    Scale: corpus → one user-keyed conditional aggregation (the
+    pre/post split rides the same pass as CASE arms) → ONE 5-moment
+    exact-DECIMAL aggregate → 1-row closed-form algebra. No joins at
+    corpus size. Missing pre-period users coalesce to 0 (kept — at
+    100 TB dropping them biases θ toward heavy users)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.unix_micros("ts") / _DAY_US).cast("long")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        day - F.col("d0") < CUPED_SPLIT_DAY,
+                        F.col("value").cast("decimal(28,10)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        day - F.col("d0") >= CUPED_SPLIT_DAY,
+                        F.col("value").cast("decimal(28,10)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,10)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(28,10)") * F.col("y").cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(28,10)") * F.col("x").cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(28,10)") * F.col("y").cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return mom.select(
+        "n",
+        F.round(cxy / cxx, 6).alias("theta_r6"),
+        F.round(cyy / n, 6).alias("var_y_r6"),
+        F.round((cyy - F.pow(cxy, 2) / cxx) / n, 6).alias("var_cuped_r6"),
+        F.round(F.pow(cxy, 2) / (cxx * cyy), 6).alias("var_reduction_r6"),
+    )

@@ -435,7 +435,11 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         text,
     )
-    from job_market_research_spark.sources import readers, sinks  # noqa: F401
+    from job_market_research_spark.sources import (  # noqa: F401
+        binary_source,
+        readers,
+        sinks,
+    )
     from job_market_research_spark.ml import (  # noqa: F401
         clustering,
         curation,

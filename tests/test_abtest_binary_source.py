@@ -1,0 +1,74 @@
+"""Pins for the A/B-testing primitives (Welch, CUPED) and the
+binaryFile landing-zone source."""
+
+from __future__ import annotations
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from job_market_research_spark.io import load
+from job_market_research_spark.plans.robust_stats import (
+    AB_ARM_A,
+    AB_ARM_B,
+    q_agg_cuped_adjustment,
+    q_agg_welch_ttest,
+)
+from job_market_research_spark.sources.binary_source import (
+    BINFILE_N,
+    q_scan_binaryfile_source,
+)
+
+
+def test_welch_matches_python_replay(spark, sf_dir):
+    vals = {
+        AB_ARM_A: [],
+        AB_ARM_B: [],
+    }
+    for r in (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r["event_type"]].append(r["value"])
+    a, b = vals[AB_ARM_A], vals[AB_ARM_B]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    t = (statistics.mean(a) - statistics.mean(b)) / (
+        (va / len(a) + vb / len(b)) ** 0.5
+    )
+    row = q_agg_welch_ttest(spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["t_stat_r6"] - t) < 1e-3
+    assert row["welch_df_r6"] > min(len(a), len(b)) - 1
+    assert row["significant_5pct"] in (0, 1)
+
+
+def test_cuped_variance_never_increases(spark, sf_dir):
+    row = q_agg_cuped_adjustment(spark, sf_dir).collect()[0]
+    assert row["n"] > 0
+    # CUPED's guarantee: Var(y_cuped) = Var(y)(1 - rho^2) <= Var(y).
+    assert row["var_cuped_r6"] <= row["var_y_r6"] + 1e-9
+    assert 0.0 <= row["var_reduction_r6"] <= 1.0
+    expected = row["var_y_r6"] * (1 - row["var_reduction_r6"])
+    assert abs(row["var_cuped_r6"] - expected) < 1e-2 * max(row["var_y_r6"], 1)
+
+
+def test_binaryfile_roundtrip_is_byte_exact(spark, sf_dir):
+    rows = q_scan_binaryfile_source(spark, sf_dir).collect()
+    assert len(rows) == BINFILE_N
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINFILE_N)
+        .collect()
+    }
+    import hashlib
+
+    for r in rows:
+        text = docs[r["doc_id"]]
+        assert r["n_bytes"] == len(text.encode())
+        assert r["content_md5"] == hashlib.md5(text.encode()).hexdigest()
