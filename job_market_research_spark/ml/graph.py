@@ -713,3 +713,111 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
     return state.select(
         "node", F.round("h", 9).alias("hub"), F.round("a", 9).alias("auth")
     ).orderBy("node")
+
+
+#: Modularity report size (largest communities by size).
+MOD_TOP = 15
+
+
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    nbr AS (
+      SELECT a AS v, b AS nb FROM und
+      UNION ALL
+      SELECT b AS v, a AS nb FROM und
+    ),
+    l0 AS (SELECT doc_id AS v, doc_id AS lab FROM docs),
+    {_lpa_round_sql("l0", "l1")},
+    {_lpa_round_sql("l1", "l2")},
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY v
+    ),
+    comm AS (
+      SELECT l.lab AS community,
+             CAST(COUNT(*) AS BIGINT) AS size,
+             CAST(SUM(coalesce(dg.d, 0)) AS BIGINT) AS degree_sum
+      FROM l2 l LEFT JOIN deg dg ON dg.v = l.v
+      GROUP BY l.lab
+    ),
+    intra AS (
+      SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS l_c
+      FROM und u JOIN l2 la ON la.v = u.a JOIN l2 lb ON lb.v = u.b
+      WHERE la.lab = lb.lab GROUP BY la.lab
+    )
+    SELECT c.community, c.size,
+           CAST(coalesce(i.l_c, 0) AS BIGINT) AS intra_edges,
+           c.degree_sum,
+           round(CAST(coalesce(i.l_c, 0) AS DOUBLE) / m.m
+                 - power(CAST(c.degree_sum AS DOUBLE) / (2 * m.m), 2), 6)
+             AS q_term_r6
+    FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
+    ORDER BY c.size DESC, c.community LIMIT {MOD_TOP}
+    """,
+    tags=("graph", "beyond"),
+)
+def q_graph_modularity_score(spark, sf_dir: str) -> DataFrame:
+    """Newman modularity terms for the label-propagation communities:
+    Q_c = L_c/m − (D_c/2m)² per community (L_c intra-community edges,
+    D_c degree mass, m total edges) — the number that says whether
+    graph_label_propagation found real structure or noise (Q_c near
+    zero ⇒ the community is no denser than a random rewiring). LPA
+    proposes, modularity audits — detection without this audit is how
+    junk communities reach production.
+
+    Scale: the LPA rounds reuse lpa_round (node-partitioned joins);
+    the audit adds one degree count, one label-keyed intra-edge join
+    (edges join the |V|-sized label table twice on node id — both
+    co-partitioned), and |communities| rows of closed-form algebra.
+    All terms are integer-count ratios, round-6 on output."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nb"))
+    )
+    labels = docs.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lab"))
+    for _ in range(2):
+        labels = lpa_round(nbr, labels)
+    m_df = und.agg(F.count("*").cast("long").alias("m"))
+    deg = nbr.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    comm = (
+        labels.join(deg, "v", "left")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0)))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("v").alias("a"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("v").alias("b"), F.col("lab").alias("lab_b"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count("*").cast("long").alias("l_c"))
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "size",
+            F.coalesce(F.col("l_c"), F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce(F.col("l_c"), F.lit(0)).cast("double") / F.col("m")
+                - F.pow(
+                    F.col("degree_sum").cast("double") / (2 * F.col("m")), 2
+                ),
+                6,
+            ).alias("q_term_r6"),
+        )
+        .orderBy(F.desc("size"), "community")
+        .limit(MOD_TOP)
+    )

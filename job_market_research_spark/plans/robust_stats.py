@@ -627,3 +627,156 @@ def q_agg_cuped_adjustment(spark, sf_dir: str) -> DataFrame:
         F.round((cyy - F.pow(cxy, 2) / cxx) / n, 6).alias("var_cuped_r6"),
         F.round(F.pow(cxy, 2) / (cxx * cyy), 6).alias("var_reduction_r6"),
     )
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treated,
+             CASE WHEN epoch_us(ts) // {_DAY_US}
+                   - (SELECT MIN(epoch_us(ts) // {_DAY_US}) FROM events)
+                  < {CUPED_SPLIT_DAY} THEN 0 ELSE 1 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mean_v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT
+      round(MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END), 6)
+        AS t_post_r6,
+      round(MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END), 6)
+        AS t_pre_r6,
+      round(MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END), 6)
+        AS c_post_r6,
+      round(MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END), 6)
+        AS c_pre_r6,
+      round((MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END)
+             - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END))
+            - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END)
+               - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END)), 6)
+        AS did_r6,
+      CAST(SUM(n) AS BIGINT) AS n_events
+    FROM cells
+    """,
+    tags=("stats", "abtest", "causal", "beyond"),
+)
+def q_agg_diff_in_diff(spark, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: (treated post − treated
+    pre) − (control post − control pre) over the four (arm, period)
+    cell means — the causal-inference workhorse for launches that
+    can't be randomized per-user (arm here is the deterministic
+    user_id parity; period splits at day {CUPED_SPLIT_DAY}, the CUPED
+    boundary). Controls for both arm-level baseline differences and
+    period-level shocks in one subtraction.
+
+    Scale: the whole estimator is ONE conditional aggregation to a
+    4-cell table (map-side combinable), then literal algebra. Cell
+    means are exact-DECIMAL sums over exact counts."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.unix_micros("ts") / _DAY_US).cast("long")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            F.when(day - F.col("d0") < CUPED_SPLIT_DAY, 0)
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*")
+            ).alias("mean_v"),
+        )
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_v"))
+    )
+    did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+    return cells.agg(
+        F.round(cell(1, 1), 6).alias("t_post_r6"),
+        F.round(cell(1, 0), 6).alias("t_pre_r6"),
+        F.round(cell(0, 1), 6).alias("c_post_r6"),
+        F.round(cell(0, 0), 6).alias("c_pre_r6"),
+        F.round(did, 6).alias("did_r6"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+#: SRM gate: chi-square critical value at 5%, 1 dof (a literal).
+SRM_CRIT = 3.841459
+SRM_SALT = "exp1#"
+
+
+@query(
+    "agg_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5('{SRM_SALT}'
+                   || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           round(power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6)
+             AS chi2_r6,
+           CASE WHEN power(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                     + power(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                     > {SRM_CRIT} THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_srm_check(spark, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate: users are hash-assigned to two
+    50/50 arms (seeded md5 — the deterministic assignment function an
+    experimentation platform actually ships, replayable on both
+    engines) and the observed split is chi-square-tested against the
+    design ratio. An SRM flag invalidates an experiment BEFORE anyone
+    reads its metrics — the first gate in every A/B pipeline. Chi-
+    square is rational arithmetic (the monitor_feature_drift policy:
+    no libm in the decision).
+
+    Scale: distinct users (one shuffle), a 2-cell conditional count,
+    literal algebra."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    assign = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.pmod(
+                portable_hash(
+                    F.concat(F.lit(SRM_SALT), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("arm")
+        )
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = F.pow(F.col("n_a") - e, 2) / e + F.pow(F.col("n_b") - e, 2) / e
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2_r6"),
+        F.when(chi2 > SRM_CRIT, 1).otherwise(0).alias("srm_flag"),
+    )

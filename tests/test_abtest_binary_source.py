@@ -72,3 +72,38 @@ def test_binaryfile_roundtrip_is_byte_exact(spark, sf_dir):
         text = docs[r["doc_id"]]
         assert r["n_bytes"] == len(text.encode())
         assert r["content_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_did_equals_cell_algebra(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_diff_in_diff,
+    )
+
+    row = q_agg_diff_in_diff(spark, sf_dir).collect()[0]
+    expected = (row["t_post_r6"] - row["t_pre_r6"]) - (
+        row["c_post_r6"] - row["c_pre_r6"]
+    )
+    assert abs(row["did_r6"] - expected) < 1e-5
+    assert row["n_events"] > 0
+
+
+def test_srm_balanced_assignment_passes(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import q_agg_srm_check
+
+    row = q_agg_srm_check(spark, sf_dir).collect()[0]
+    assert row["n_a"] + row["n_b"] > 0
+    # A hash split of the synthetic users is balanced: no SRM.
+    assert row["srm_flag"] == 0
+    assert row["chi2_r6"] >= 0
+
+
+def test_modularity_terms_bounded_and_consistent(spark, sf_dir):
+    from job_market_research_spark.ml.graph import q_graph_modularity_score
+
+    rows = q_graph_modularity_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Each community's intra edges can't exceed its size choose 2.
+        assert r["intra_edges"] <= r["size"] * (r["size"] - 1) // 2 + r["size"]
+        # Q terms live in (-1, 1).
+        assert -1.0 < r["q_term_r6"] < 1.0
