@@ -316,3 +316,96 @@ def q_text_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+#: Watermark-detection knobs (Kirchenbauer et al. 2023): green-list
+#: fraction gamma (hash parity → 1/2), and the z flag threshold.
+WM_GAMMA = 0.5
+WM_Z_FLAG = 4.0
+WM_SALT = "wm-v1#"
+
+
+@query(
+    "text_watermark_detect",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, source,
+             CAST(len(t) - 1 AS BIGINT) AS n_pairs,
+             len(list_filter(range(2, len(t) + 1),
+                 i -> CAST(('0x' || substr(md5('{WM_SALT}' || t[i-1] || '#'
+                      || t[i]), 1, 8)) AS BIGINT) % 2 = 0)) AS n_green
+      FROM toks WHERE len(t) >= 2
+    ),
+    scored AS (
+      SELECT source, doc_id, n_pairs, n_green,
+             round((n_green - {WM_GAMMA} * n_pairs)
+                   / sqrt(n_pairs * {WM_GAMMA} * (1 - {WM_GAMMA})), 6) AS z
+      FROM bigrams WHERE n_pairs > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN z > {WM_Z_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(MAX(z), 6) AS max_z_r6
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "curation", "watermark", "beyond"),
+)
+def q_text_watermark_detect(spark, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer et al. 2023): a
+    watermarking LLM biases each token toward a 'green list' seeded by
+    the previous token; a detector recomputes the same partition and
+    z-tests each document's green fraction against the unwatermarked
+    γ = {WM_GAMMA}. The curation question this answers at 100 TB:
+    how much of a crawl is OUR OWN model's output (training on it
+    collapses quality). Natural text scores z ≈ 0; this corpus is
+    unwatermarked, so the per-source report showing max z well under
+    {WM_Z_FLAG} IS the negative control — a planted-watermark
+    positive control lives in the pytest pin.
+
+    Plan shape: one tokenize scan; the green test is a pure bigram
+    hash parity evaluated inside an array fold (no explode — counts
+    come out of list_filter/size), so the corpus never fans out; one
+    |sources|-row aggregate. The z denominator is sqrt of an integer
+    product — identical doubles both engines, round-6."""
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", toks.alias("t")
+    ).filter(F.size("t") >= 2)
+    green = F.expr(
+        "size(filter(sequence(2, size(t)), i -> "
+        f"pmod(conv(substr(md5(concat('{WM_SALT}', "
+        "element_at(t, CAST(i - 1 AS INT)), '#', "
+        "element_at(t, CAST(i AS INT)))), 1, 8), 16, 10), 2) = 0))"
+    )
+    bigrams = docs.select(
+        "source",
+        "doc_id",
+        (F.size("t") - 1).cast("long").alias("n_pairs"),
+        green.cast("long").alias("n_green"),
+    ).filter(F.col("n_pairs") > 0)
+    z = F.round(
+        (F.col("n_green") - WM_GAMMA * F.col("n_pairs"))
+        / F.sqrt(F.col("n_pairs") * WM_GAMMA * (1 - WM_GAMMA)),
+        6,
+    )
+    return (
+        bigrams.select("source", z.alias("z"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("z") > WM_Z_FLAG, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.round(F.max("z"), 6).alias("max_z_r6"),
+        )
+        .orderBy("source")
+    )

@@ -12,7 +12,7 @@ test the mean path; this one survives outliers).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
@@ -779,4 +779,258 @@ def q_agg_srm_check(spark, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(chi2, 6).alias("chi2_r6"),
         F.when(chi2 > SRM_CRIT, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+#: mSPRT knobs: pre-period length (days) that fixes mu0/sigma, the
+#: mixture variance tau^2 = sigma^2, and ln(1/alpha) at alpha = 5%.
+MSPRT_PRE_DAYS = 5
+MSPRT_LOG_CRIT = 2.995732
+
+
+@query(
+    "agg_sequential_msprt",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             epoch_us(ts) // {_DAY_US}
+               - (SELECT MIN(epoch_us(ts) // {_DAY_US}) FROM events) AS day
+      FROM events WHERE value IS NOT NULL
+    ),
+    pre AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mu0,
+             (CAST(SUM(CAST(value AS DECIMAL(28,10))
+                       * CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+              - power(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+                / COUNT(*)) / (COUNT(*) - 1) AS var0
+      FROM ev WHERE day < {MSPRT_PRE_DAYS} GROUP BY event_type
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_d,
+             SUM(CAST(value AS DECIMAL(28,10))) AS s_d
+      FROM ev WHERE day >= {MSPRT_PRE_DAYS} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             SUM(n_d) OVER w AS n_cum,
+             CAST(SUM(s_d) OVER w AS DOUBLE) AS s_cum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+           CAST(c.n_cum AS BIGINT) AS n_cum,
+           round(0.5 * ln(p.var0 / (p.var0 + c.n_cum * p.var0))
+                 + power(CAST(c.n_cum AS DOUBLE), 2) * p.var0
+                   * power(c.s_cum / c.n_cum - p.mu0, 2)
+                   / (2 * p.var0 * (p.var0 + c.n_cum * p.var0)), 6)
+             AS log_lambda_r6,
+           CASE WHEN 0.5 * ln(p.var0 / (p.var0 + c.n_cum * p.var0))
+                     + power(CAST(c.n_cum AS DOUBLE), 2) * p.var0
+                       * power(c.s_cum / c.n_cum - p.mu0, 2)
+                       / (2 * p.var0 * (p.var0 + c.n_cum * p.var0))
+                     > {MSPRT_LOG_CRIT} THEN 1 ELSE 0 END AS reject
+    FROM cum c JOIN pre p USING (event_type)
+    ORDER BY event_type, day
+    """,
+    tags=("stats", "abtest", "sequential", "beyond"),
+)
+def q_agg_sequential_msprt(spark, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT, Johari et al.
+    2017): per event type, the cumulative post-period mean is tested
+    daily against the pre-period baseline with the normal-mixture
+    likelihood ratio (τ² = σ²) — the monitor an experimentation
+    platform keeps open so it can STOP EARLY without inflating false
+    positives the way repeated fixed-horizon t-tests do (the Welch
+    query answers one look; this one answers every look). Emitted as
+    log Λ against ln(1/α) to avoid exp overflow on long drifts.
+
+    Scale: baseline moments and daily partials are one conditional
+    aggregation each; the cumulative window runs PER EVENT TYPE over
+    the bounded day table. ln/pow on deterministic doubles, round-6
+    on output."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day_abs = (F.unix_micros("ts") / _DAY_US).cast("long")
+    d0 = ev.agg(F.min(day_abs).alias("d0"))
+    ev = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type", "value", (day_abs - F.col("d0")).alias("day")
+    )
+    dec = F.col("value").cast("decimal(28,10)")
+    pre = (
+        ev.filter(F.col("day") < MSPRT_PRE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            (F.sum(dec).cast("double") / F.count("*")).alias("mu0"),
+            (
+                (
+                    F.sum(dec * dec).cast("double")
+                    - F.pow(F.sum(dec).cast("double"), 2) / F.count("*")
+                )
+                / (F.count("*") - 1)
+            ).alias("var0"),
+        )
+    )
+    daily = (
+        ev.filter(F.col("day") >= MSPRT_PRE_DAYS)
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_d"), F.sum(dec).alias("s_d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n_d").over(w).alias("n_cum"),
+        F.sum("s_d").over(w).cast("double").alias("s_cum"),
+    )
+    n = F.col("n_cum").cast("double")
+    delta = F.col("s_cum") / F.col("n_cum") - F.col("mu0")
+    v = F.col("var0")
+    log_lam = 0.5 * F.log(v / (v + n * v)) + F.pow(n, 2) * v * F.pow(delta, 2) / (
+        2 * v * (v + n * v)
+    )
+    return (
+        cum.join(F.broadcast(pre), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.col("n_cum").cast("long").alias("n_cum"),
+            F.round(log_lam, 6).alias("log_lambda_r6"),
+            F.when(log_lam > MSPRT_LOG_CRIT, 1).otherwise(0).alias("reject"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+#: Post-stratification: fixed pre-period activity bands (no quantile
+#: window — band edges are literals, so strata never need a sort).
+STRATA_EDGES = (1, 5, 20)
+
+
+@query(
+    "ml_ate_poststratified",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS treated,
+             CAST(SUM(CASE WHEN epoch_us(ts) // {_DAY_US}
+                            - (SELECT MIN(epoch_us(ts) // {_DAY_US})
+                               FROM events) < {CUPED_SPLIT_DAY}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+             CAST(coalesce(SUM(CASE WHEN epoch_us(ts) // {_DAY_US}
+                            - (SELECT MIN(epoch_us(ts) // {_DAY_US})
+                               FROM events) >= {CUPED_SPLIT_DAY}
+                           THEN CAST(value AS DECIMAL(28,10)) END), 0)
+                  AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    banded AS (
+      SELECT CASE WHEN pre_n < {STRATA_EDGES[0]} THEN 0
+                  WHEN pre_n < {STRATA_EDGES[1]} THEN 1
+                  WHEN pre_n < {STRATA_EDGES[2]} THEN 2
+                  ELSE 3 END AS stratum,
+             treated, y
+      FROM per_user
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(treated) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN treated = 1
+                           THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE)
+               / nullif(SUM(treated), 0) AS mean_t,
+             CAST(SUM(CASE WHEN treated = 0
+                           THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE)
+               / nullif(SUM(1 - treated), 0) AS mean_c
+      FROM banded GROUP BY stratum
+    ),
+    tot AS (SELECT SUM(n_h) AS n FROM cells)
+    SELECT stratum, n_h, n_t,
+           round(mean_t, 6) AS mean_t_r6,
+           round(mean_c, 6) AS mean_c_r6,
+           round(mean_t - mean_c, 6) AS ate_h_r6,
+           round((mean_t - mean_c) * n_h / tot.n, 6) AS weighted_term_r6
+    FROM cells, tot ORDER BY stratum
+    """,
+    tags=("stats", "causal", "beyond"),
+)
+def q_ml_ate_poststratified(spark, sf_dir: str) -> DataFrame:
+    """Post-stratified average treatment effect: users band by FIXED
+    pre-period activity edges {STRATA_EDGES} (literal edges — no
+    quantile sort at corpus scale), the per-stratum treated/control
+    mean gap is the stratum ATE, and the N_h/N-weighted terms sum to
+    the adjusted estimate — the standard bias correction when arms
+    are imbalanced on a pre-treatment covariate (simple mean
+    difference mixes the activity imbalance into the effect).
+
+    Scale: one user-keyed conditional aggregation (pre-count and
+    post-outcome in the same pass), one |strata|-cell aggregate,
+    broadcast total. Cell means are exact-decimal sums over exact
+    counts; empty cells null out via nullif rather than dividing by
+    zero."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.unix_micros("ts") / _DAY_US).cast("long")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day - F.col("d0") < CUPED_SPLIT_DAY, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pre_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        day - F.col("d0") >= CUPED_SPLIT_DAY,
+                        F.col("value").cast("decimal(28,10)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            F.when(F.col("pre_n") < STRATA_EDGES[0], 0)
+            .when(F.col("pre_n") < STRATA_EDGES[1], 1)
+            .when(F.col("pre_n") < STRATA_EDGES[2], 2)
+            .otherwise(3)
+            .alias("stratum"),
+            "y",
+        )
+    )
+    ydec = F.col("y").cast("decimal(28,10)")
+    cells = per_user.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("treated").cast("long").alias("n_t"),
+        (
+            F.sum(F.when(F.col("treated") == 1, ydec)).cast("double")
+            / F.nullif(F.sum("treated"), F.lit(0))
+        ).alias("mean_t"),
+        (
+            F.sum(F.when(F.col("treated") == 0, ydec)).cast("double")
+            / F.nullif(F.sum(1 - F.col("treated")), F.lit(0))
+        ).alias("mean_c"),
+    )
+    tot = cells.agg(F.sum("n_h").alias("n"))
+    ate = F.col("mean_t") - F.col("mean_c")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            "n_t",
+            F.round("mean_t", 6).alias("mean_t_r6"),
+            F.round("mean_c", 6).alias("mean_c_r6"),
+            F.round(ate, 6).alias("ate_h_r6"),
+            F.round(ate * F.col("n_h") / F.col("n"), 6).alias(
+                "weighted_term_r6"
+            ),
+        )
+        .orderBy("stratum")
     )

@@ -115,3 +115,69 @@ def test_dp_vocab_release_drops_rare_tokens(spark, sf_dir):
     # Determinism: the seeded draw releases the identical set again.
     again = q_privacy_dp_vocab_release(spark, sf_dir).collect()
     assert released == again
+
+
+def test_watermark_negative_control_and_planted_positive(spark, sf_dir):
+    """Natural text must NOT look watermarked; a constructed all-green
+    doc must. The positive control replays the detector's own hash on
+    a crafted bigram chain."""
+    import hashlib
+
+    from job_market_research_spark.functions.quality_filters import (
+        WM_SALT,
+        WM_Z_FLAG,
+        q_text_watermark_detect,
+    )
+
+    rows = q_text_watermark_detect(spark, sf_dir).collect()
+    assert rows
+    # Negative control: unwatermarked corpus — nothing flagged.
+    assert all(r["n_flagged"] == 0 for r in rows)
+    assert all(r["max_z_r6"] < WM_Z_FLAG for r in rows)
+
+    # Positive control: greedily build a 60-token green chain and
+    # check its z-score clears the flag by construction.
+    def green(prev: str, cur: str) -> bool:
+        h = hashlib.md5(f"{WM_SALT}{prev}#{cur}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2 == 0
+
+    vocab = [f"w{i}" for i in range(50)]
+    doc = ["w0"]
+    while len(doc) < 60:
+        doc.append(next(c for c in vocab if green(doc[-1], c)))
+    n_pairs = len(doc) - 1
+    n_green = sum(green(a, b) for a, b in zip(doc, doc[1:]))
+    z = (n_green - 0.5 * n_pairs) / (n_pairs * 0.25) ** 0.5
+    assert n_green == n_pairs and z > WM_Z_FLAG
+
+
+def test_msprt_monotone_under_sustained_drift(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_sequential_msprt,
+    )
+
+    rows = q_agg_sequential_msprt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cum"] > 0
+        assert r["reject"] in (0, 1)
+        # log-lambda is finite (no exp overflow by construction).
+        assert abs(r["log_lambda_r6"]) < 1e9
+
+
+def test_poststratified_ate_weights_sum_to_one(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_ml_ate_poststratified,
+    )
+
+    rows = q_ml_ate_poststratified(spark, sf_dir).collect()
+    assert rows
+    n = sum(r["n_h"] for r in rows)
+    # The weighted terms recombine into a sane overall ATE.
+    overall = sum(r["weighted_term_r6"] for r in rows)
+    naive = sum(
+        (r["ate_h_r6"] or 0) * r["n_h"] for r in rows if r["ate_h_r6"]
+    ) / n
+    assert abs(overall - naive) < 1e-3
+    for r in rows:
+        assert 0 <= r["n_t"] <= r["n_h"]
