@@ -409,3 +409,76 @@ def q_text_watermark_detect(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Seeded JSON-shape variants: the testdata's props is uniformly
+#: {"k": N}, so the profiler plants realistic schema drift by
+#: event_id residue (extra keys, a nested object, a null) — the
+#: text_pii_redact seeding discipline for semi-structured data.
+_JSON_SEED_SPARK = """
+  CASE CAST(event_id % 5 AS INT)
+    WHEN 0 THEN concat('{"k": ', get_json_object(props, '$.k'),
+                       ', "src": "web"}')
+    WHEN 1 THEN concat('{"k": ', get_json_object(props, '$.k'),
+                       ', "device": "mobile", "v": 2}')
+    WHEN 2 THEN concat('{"meta": {"k": ', get_json_object(props, '$.k'),
+                       '}}')
+    WHEN 3 THEN concat('{"k": ', get_json_object(props, '$.k'),
+                       ', "ref": null}')
+    ELSE props
+  END
+"""
+_JSON_SEED_SQL = """
+  CASE CAST(event_id % 5 AS INT)
+    WHEN 0 THEN '{"k": ' || json_extract_string(props, '$.k')
+                || ', "src": "web"}'
+    WHEN 1 THEN '{"k": ' || json_extract_string(props, '$.k')
+                || ', "device": "mobile", "v": 2}'
+    WHEN 2 THEN '{"meta": {"k": ' || json_extract_string(props, '$.k')
+                || '}}'
+    WHEN 3 THEN '{"k": ' || json_extract_string(props, '$.k')
+                || ', "ref": null}'
+    ELSE props
+  END
+"""
+
+
+@query(
+    "profile_json_keys",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT event_type, ({_JSON_SEED_SQL}) AS props FROM events
+    ),
+    keyed AS (
+      SELECT event_type, unnest(json_keys(props)) AS key FROM seeded
+    )
+    SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM keyed GROUP BY 1, 2 ORDER BY event_type, key
+    """,
+    tags=("profile", "semistructured", "beyond"),
+)
+def q_profile_json_keys(spark, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiler: top-level key frequency of the
+    props JSON per event type — the first question against any
+    landed JSON feed ("what shapes are actually in here, and at what
+    rates") and the input to a from_json schema decision. Schema
+    drift is planted deterministically (extra keys, a nested object,
+    an explicit null) so the profile demonstrates real divergence.
+
+    Scale: one scan; json_object_keys is a native JVM expression and
+    the explode fans out ≤ |keys| per event; the aggregate is
+    map-side combinable to |types|×|keys| rows. No from_json with a
+    guessed schema anywhere — the profiler is what makes guessing
+    unnecessary."""
+    seeded = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_JSON_SEED_SPARK).alias("props")
+    )
+    return (
+        seeded.select(
+            "event_type",
+            F.explode(F.json_object_keys("props")).alias("key"),
+        )
+        .groupBy("event_type", "key")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy("event_type", "key")
+    )

@@ -117,3 +117,77 @@ def q_maintenance_manifest_prune(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+#: Compaction planning: pseudo-file count and target rows per output.
+COMPACT_BUCKETS = 32
+COMPACT_TARGET_ROWS = 2000
+
+
+@query(
+    "maintenance_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderkey % {COMPACT_BUCKETS} AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    planned AS (
+      SELECT file_id, n_rows,
+             CAST(coalesce(SUM(n_rows) OVER (
+               ORDER BY n_rows DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {COMPACT_TARGET_ROWS} AS BIGINT) AS group_id
+      FROM files
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows
+    FROM planned GROUP BY group_id ORDER BY group_id
+    """,
+    tags=("maintenance", "lake", "beyond"),
+)
+def q_maintenance_compaction_plan(spark, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING: given a manifest of file row
+    counts (content-defined here — orderkey buckets stand in for the
+    file table so both engines see the identical manifest), assign
+    files to output groups by the running-sum water-filling rule:
+    sort largest-first, a file joins group floor(prefix_rows/target).
+    Each group lands within one file of the target — the plan
+    `maintenance_compact_small_files` would execute, produced without
+    reading a single data byte (manifest-only, like the pruning twin).
+
+    Scale: the plan computes on the |files| manifest table — the
+    cumulative window is bounded by file count, not data size (at
+    100 TB a manifest of 100k files is still a window over 100k
+    rows; beyond that, plan per partition). The greedy rule is
+    deterministic with the (n_rows desc, file_id) total order."""
+    files = (
+        load(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % COMPACT_BUCKETS).alias("file_id"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("n_rows"), "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "file_id",
+        "n_rows",
+        (
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / COMPACT_TARGET_ROWS
+        )
+        .cast("long")
+        .alias("group_id"),
+    )
+    return (
+        planned.groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+        )
+        .orderBy("group_id")
+    )

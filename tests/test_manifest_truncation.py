@@ -80,3 +80,35 @@ def test_degree_powerlaw_matches_python_replay(spark, sf_dir):
     assert row["n_points"] == n
     assert abs(row["slope_r6"] - slope) < 1e-4
     assert abs(row["intercept_r6"] - intercept) < 1e-4
+
+
+def test_compaction_plan_groups_near_target(spark, sf_dir):
+    from job_market_research_spark.operators.manifest import (
+        COMPACT_TARGET_ROWS,
+        q_maintenance_compaction_plan,
+    )
+
+    rows = q_maintenance_compaction_plan(spark, sf_dir).collect()
+    assert rows
+    # Every group except possibly the last lands within one file's
+    # rows of the target (water-filling guarantee).
+    max_file = max(r["total_rows"] for r in rows)
+    for r in rows[:-1]:
+        assert r["total_rows"] >= COMPACT_TARGET_ROWS - max_file
+    from job_market_research_spark.io import load
+
+    assert sum(r["total_rows"] for r in rows) == load(
+        spark, sf_dir, "orders"
+    ).count()
+
+
+def test_json_key_profile_shows_planted_drift(spark, sf_dir):
+    from job_market_research_spark.functions.quality_filters import (
+        q_profile_json_keys,
+    )
+
+    rows = q_profile_json_keys(spark, sf_dir).collect()
+    keys = {r["key"] for r in rows}
+    # Planted drift keys all surface; the nested object contributes
+    # its TOP-LEVEL key only.
+    assert {"k", "src", "device", "v", "meta", "ref"} <= keys

@@ -58,6 +58,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # |days of history| rows; the corpus-sized sweep itself is
     # day-partitioned (the two-level prefix-sum design)
     "window_concurrency_sweep": "|days| rows after per-day delta agg",
+    # the water-filling plan runs on the |files| manifest table
+    # (COMPACT_BUCKETS rows), never on data rows
+    "maintenance_compaction_plan": "|files| manifest rows only",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
