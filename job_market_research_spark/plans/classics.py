@@ -637,3 +637,162 @@ def q_filter_inactive_customers(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "agg_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {ORACLE_REVENUE} AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q_agg_product_type_profit(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp table
+    means no ps_supplycost term, so profit reduces to discounted
+    revenue for the name-matched parts ('%red%' plays the original's
+    '%green%' color filter). The plan shape survives the adaptation:
+    a LIKE-filtered part dimension broadcasts and prunes the fact
+    rows, supplier→nation broadcasts, lineitem ⋈ orders co-partitions
+    on orderkey, and the (nation, year) aggregate is map-side
+    combinable."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nation = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(revenue_sum("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "agg_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40
+    """,
+)
+def q_agg_supplier_part_count(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the original
+    counts suppliers per part family from partsupp; without that
+    table the OBSERVED supplier set comes from lineitem's
+    (partkey, suppkey) pairs — the shipped-with relationship instead
+    of the catalog one, same query shape. Brand exclusion + size IN
+    list push into the broadcast part scan; COUNT(DISTINCT suppkey)
+    expands once on the (brand, type, size) grid."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+@query(
+    "join_waiting_orders",
+    oracle=f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q_join_waiting_orders(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    commitdate/receiptdate, so "late" is ship > order date + 60 days.
+    The double correlation is the point of this classic — the
+    supplier was THE ONLY late one on a multi-supplier order:
+    EXISTS(another supplier) → LEFT SEMI on orderkey with a
+    supplier-inequality residual; NOT EXISTS(another LATE supplier)
+    → LEFT ANTI with the same shape plus the lateness residual
+    (which references the ORDER date — carried through the probe
+    side so the anti-join condition stays joinable). Top-20 blamed
+    suppliers by wait count."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("skey"),
+            "o_orderdate",
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("okey2"), F.col("l_suppkey").alias("skey2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("okey3"),
+        F.col("l_suppkey").alias("skey3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("okey") == F.col("okey2"))
+            & (F.col("skey") != F.col("skey2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("okey") == F.col("okey3"))
+            & (F.col("skey") != F.col("skey3"))
+            & (
+                F.col("ship3")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(supp), F.col("skey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -80,3 +80,27 @@ def test_nation_trade_volume_nonempty_at_sf001():
         )
     sql = load_all()["agg_nation_trade_volume"].oracle
     assert len(con.execute(sql).fetchall()) > 0
+
+
+def test_waiting_orders_has_semi_and_anti_joins(spark, sf_dir):
+    """Q21's double correlation must decorrelate into one LeftSemi
+    (another supplier exists) AND one LeftAnti (no other late one)."""
+    from job_market_research_spark.plans.classics import q_join_waiting_orders
+
+    plan = _plan(q_join_waiting_orders(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_product_profit_broadcasts_filtered_part(spark, sf_dir):
+    from job_market_research_spark.plans.classics import (
+        q_agg_product_type_profit,
+    )
+
+    plan = _plan(q_agg_product_type_profit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # The LIKE filter must reach SOME scan's pushed filters (the part
+    # scan — other scans don't reference p_name at all).
+    assert any(
+        "p_name" in seg.split("\n")[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ), plan
