@@ -318,6 +318,35 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",
     "ml_ols_closed_form",
     "window_skyline_pareto",
+    # round-5 third wave (this session) — interleaved here so the r5
+    # driver window (first 50 unproven) proves BOTH waves: the full
+    # benchmark-classic surface first, then the flagship new families;
+    # everything below rotates into r6+ windows.
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "agg_revenue_forecast",
+    "topk_returned_customers",
+    "topk_large_volume_orders",
+    "join_disjunctive_pred",
+    "agg_order_priority_semi",
+    "agg_orders_per_customer_hist",
+    "agg_promo_revenue_share",
+    "agg_nation_trade_volume",
+    "agg_market_share",
+    "topk_supplier_revenue",
+    "agg_small_qty_revenue",
+    "agg_priority_lateness",
+    "filter_inactive_customers",
+    "join_waiting_orders",
+    "agg_product_type_profit",
+    "agg_supplier_part_count",
+    "agg_bitmap_distinct_users",
+    "stream_bitmap_distinct",
+    "maintenance_manifest_prune",
+    "text_gopher_filters",
+    "text_watermark_detect",
+    "ml_eval_retrieval_ndcg",
+    "agg_theil_sen_trend",
     "scan_schema_evolution",
     "agg_audience_overlap",
     "multimodal_audio_fingerprint",
@@ -390,8 +419,6 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_threshold_tune_f1",
     "window_changepoint_detect",
     "text_tokenizer_fertility",
-    "join_shipping_priority",
-    "join_local_supplier_volume",
 )
 
 
