@@ -1034,3 +1034,111 @@ def q_ml_ate_poststratified(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+#: Seasonal decomposition: centered moving-average half-window (±3
+#: days ⇒ a 7-day trend window aligned with the weekly cycle).
+STL_HALF_W = 3
+
+
+@query(
+    "window_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT event_type, day, y,
+             CASE WHEN COUNT(*) OVER w = 2 * {STL_HALF_W} + 1
+                  THEN SUM(y) OVER w END AS t7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {STL_HALF_W} PRECEDING
+                            AND {STL_HALF_W} FOLLOWING)
+    ),
+    season AS (
+      SELECT event_type, day % 7 AS dow,
+             7 * SUM(y) - SUM(t7) AS num,
+             7 * COUNT(*) AS den
+      FROM trend WHERE t7 IS NOT NULL
+      GROUP BY event_type, day % 7
+    )
+    SELECT t.event_type, CAST(t.day AS BIGINT) AS day, t.y,
+           t.t7 / 7.0 AS trend,
+           s.num / CAST(s.den AS DOUBLE) AS seasonal,
+           (s.den * t.y - (s.den // 7) * t.t7 - s.num)
+             / CAST(s.den AS DOUBLE) AS residual
+    FROM trend t JOIN season s
+      ON s.event_type = t.event_type AND s.dow = t.day % 7
+    WHERE t.t7 IS NOT NULL
+    ORDER BY t.event_type, t.day
+    """,
+    tags=("timeseries", "decompose", "beyond"),
+)
+def q_window_seasonal_decompose(spark, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily count series:
+    trend = 7-day centered moving average (full windows only — edge
+    days have no unbiased trend and are excluded, not zero-filled),
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest. agg_seasonal_anomaly COMPARES against a seasonal
+    baseline; this op actually SEPARATES the components, which is
+    what forecasting and anomaly thresholds both consume.
+
+    Scale: everything beyond the one daily count runs on the bounded
+    (type, day) table — type-keyed windows, a 7-row seasonal profile
+    per type, one join back. Exactness: every component is an
+    INTEGER numerator over an integer denominator with exactly ONE
+    double division at output (seasonal = (7·Σy − ΣT)/(7n)) — no
+    rounding anywhere, so the cross-engine half-rounding trap (Spark
+    rounds a decimal rendering, C rounds the binary value; they
+    disagree on exact halves) cannot occur by construction."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-STL_HALF_W, STL_HALF_W)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.when(
+            F.count("*").over(w) == 2 * STL_HALF_W + 1, F.sum("y").over(w)
+        ).alias("t7"),
+    ).filter(F.col("t7").isNotNull())
+    season = trend.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(
+        (7 * F.sum("y") - F.sum("t7")).alias("num"),
+        (7 * F.count("*")).alias("den"),
+    )
+    den_d = F.col("den").cast("double")
+    return (
+        trend.withColumn("dow", F.col("day") % 7)
+        .join(F.broadcast(season), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "y",
+            (F.col("t7") / 7.0).alias("trend"),
+            (F.col("num") / den_d).alias("seasonal"),
+            (
+                (
+                    F.col("den") * F.col("y")
+                    - (F.col("den") / 7).cast("long") * F.col("t7")
+                    - F.col("num")
+                )
+                / den_d
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -181,3 +181,19 @@ def test_poststratified_ate_weights_sum_to_one(spark, sf_dir):
     assert abs(overall - naive) < 1e-3
     for r in rows:
         assert 0 <= r["n_t"] <= r["n_h"]
+
+
+def test_seasonal_decompose_components_add_back(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_window_seasonal_decompose,
+    )
+
+    rows = q_window_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Additivity is exact by construction (shared denominator).
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+    # Seasonal terms per (type, dow) sum to ~0 across the profile.
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["day"] % 7] = r["seasonal"]
