@@ -482,3 +482,186 @@ def q_profile_json_keys(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_events"))
         .orderBy("event_type", "key")
     )
+
+
+#: Chat-template construction shared by both engines: a [system,
+#: user, assistant] transcript from each doc's first two words, with
+#: planted violations by doc_id residue (checked in residue order).
+_CHAT_SPARK = """
+  CASE
+    WHEN doc_id % 7 = 0 THEN
+      concat('[{"role":"system","content":"assist"},',
+             '{"role":"user","content":"', element_at(split(text, ' '), 1),
+             '"}]')
+    WHEN doc_id % 11 = 0 THEN
+      concat('[{"role":"system","content":"assist"},',
+             '{"role":"user","content":"', element_at(split(text, ' '), 1),
+             '"},{"role":"assistant","content":""}]')
+    WHEN doc_id % 13 = 0 THEN
+      concat('[{"role":"system","content":"assist"},',
+             '{"role":"user","content":"', element_at(split(text, ' '), 1),
+             '"},{"role":"asistant","content":"',
+             element_at(split(text, ' '), 2), '"}]')
+    WHEN doc_id % 5 = 0 THEN
+      concat('[{"role":"system","content":"assist"},',
+             '{"role":"user","content":"', element_at(split(text, ' '), 1),
+             '"},{"role":"user","content":"',
+             element_at(split(text, ' '), 2),
+             '"},{"role":"assistant","content":"ok"}]')
+    ELSE
+      concat('[{"role":"system","content":"assist"},',
+             '{"role":"user","content":"', element_at(split(text, ' '), 1),
+             '"},{"role":"assistant","content":"',
+             element_at(split(text, ' '), 2), '"}]')
+  END
+"""
+_CHAT_SQL = """
+  CASE
+    WHEN doc_id % 7 = 0 THEN
+      '[{"role":"system","content":"assist"},'
+      || '{"role":"user","content":"' || string_split(text, ' ')[1] || '"}]'
+    WHEN doc_id % 11 = 0 THEN
+      '[{"role":"system","content":"assist"},'
+      || '{"role":"user","content":"' || string_split(text, ' ')[1]
+      || '"},{"role":"assistant","content":""}]'
+    WHEN doc_id % 13 = 0 THEN
+      '[{"role":"system","content":"assist"},'
+      || '{"role":"user","content":"' || string_split(text, ' ')[1]
+      || '"},{"role":"asistant","content":"'
+      || string_split(text, ' ')[2] || '"}]'
+    WHEN doc_id % 5 = 0 THEN
+      '[{"role":"system","content":"assist"},'
+      || '{"role":"user","content":"' || string_split(text, ' ')[1]
+      || '"},{"role":"user","content":"' || string_split(text, ' ')[2]
+      || '"},{"role":"assistant","content":"ok"}]'
+    ELSE
+      '[{"role":"system","content":"assist"},'
+      || '{"role":"user","content":"' || string_split(text, ' ')[1]
+      || '"},{"role":"assistant","content":"'
+      || string_split(text, ' ')[2] || '"}]'
+  END
+"""
+
+
+@query(
+    "text_chat_format_validate",
+    oracle=f"""
+    WITH chats AS (
+      SELECT doc_id, source, ({_CHAT_SQL}) AS chat FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, source,
+             list_transform(CAST(json_extract(chat, '$[*].role') AS VARCHAR[]),
+                            x -> trim(x, '"')) AS roles,
+             list_transform(CAST(json_extract(chat, '$[*].content')
+                                 AS VARCHAR[]),
+                            x -> trim(x, '"')) AS contents
+      FROM chats
+    ),
+    flags AS (
+      SELECT source,
+        CASE WHEN len(list_filter(roles,
+               x -> x NOT IN ('system', 'user', 'assistant'))) > 0
+             THEN 1 ELSE 0 END AS f_bad_role,
+        CASE WHEN roles[len(roles)] <> 'assistant' THEN 1 ELSE 0 END
+          AS f_bad_ending,
+        CASE WHEN len(list_filter(range(2, len(roles) + 1),
+               i -> roles[CAST(i AS INT)] = roles[CAST(i AS INT) - 1])) > 0
+             THEN 1 ELSE 0 END AS f_bad_alternation,
+        CASE WHEN len(list_filter(contents, x -> x = '')) > 0
+             THEN 1 ELSE 0 END AS f_empty_content
+      FROM parsed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chats,
+           CAST(SUM(f_bad_role) AS BIGINT) AS n_bad_role,
+           CAST(SUM(f_bad_ending) AS BIGINT) AS n_bad_ending,
+           CAST(SUM(f_bad_alternation) AS BIGINT) AS n_bad_alternation,
+           CAST(SUM(f_empty_content) AS BIGINT) AS n_empty_content,
+           CAST(SUM(CASE WHEN f_bad_role + f_bad_ending
+                          + f_bad_alternation + f_empty_content = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    tags=("quality", "sft", "beyond"),
+)
+def q_text_chat_format_validate(spark, sf_dir: str) -> DataFrame:
+    """Chat-template validation for SFT data: every transcript must
+    use known roles, alternate speakers, end on an assistant turn and
+    carry non-empty content — the four structural checks an
+    instruction-tuning pipeline runs before a single token reaches
+    the tokenizer (a truncated or role-corrupted transcript trains
+    the model to stop mid-conversation). Transcripts are constructed
+    deterministically from the corpus with violations planted per
+    doc_id residue: truncation (%7), empty assistant (%11), role typo
+    (%13), double-user turn (%5).
+
+    Scale: one scan; role/content extraction is a native JSON path
+    over the transcript string, the four rules are array expressions
+    in the same projection, and the report is |sources| rows of
+    integer counts — no parsing UDF, no schema guess."""
+    chats = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_CHAT_SPARK).alias("chat")
+    )
+    parsed = chats.select(
+        "source",
+        F.from_json(
+            F.col("chat"), "array<struct<role:string,content:string>>"
+        ).alias("msgs"),
+    ).select(
+        "source",
+        F.expr("transform(msgs, m -> m.role)").alias("roles"),
+        F.expr("transform(msgs, m -> m.content)").alias("contents"),
+    )
+    f_bad_role = F.when(
+        F.size(
+            F.expr(
+                "filter(roles, x -> x NOT IN ('system', 'user', 'assistant'))"
+            )
+        )
+        > 0,
+        1,
+    ).otherwise(0)
+    f_bad_ending = F.when(
+        F.element_at(F.col("roles"), -1) != "assistant", 1
+    ).otherwise(0)
+    f_bad_alternation = F.when(
+        F.size(
+            F.expr(
+                "filter(sequence(2, size(roles)), i -> "
+                "element_at(roles, CAST(i AS INT)) = "
+                "element_at(roles, CAST(i AS INT) - 1))"
+            )
+        )
+        > 0,
+        1,
+    ).otherwise(0)
+    f_empty = F.when(
+        F.size(F.expr("filter(contents, x -> x = '')")) > 0, 1
+    ).otherwise(0)
+    flags = parsed.select(
+        "source",
+        f_bad_role.alias("f_bad_role"),
+        f_bad_ending.alias("f_bad_ending"),
+        f_bad_alternation.alias("f_bad_alternation"),
+        f_empty.alias("f_empty_content"),
+    )
+    all_ok = (
+        F.col("f_bad_role")
+        + F.col("f_bad_ending")
+        + F.col("f_bad_alternation")
+        + F.col("f_empty_content")
+        == 0
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chats"),
+            F.sum("f_bad_role").cast("long").alias("n_bad_role"),
+            F.sum("f_bad_ending").cast("long").alias("n_bad_ending"),
+            F.sum("f_bad_alternation").cast("long").alias("n_bad_alternation"),
+            F.sum("f_empty_content").cast("long").alias("n_empty_content"),
+            F.sum(F.when(all_ok, 1).otherwise(0)).cast("long").alias("n_valid"),
+        )
+        .orderBy("source")
+    )

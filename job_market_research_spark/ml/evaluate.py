@@ -627,3 +627,175 @@ def q_ml_isotonic_calibration(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Bradley-Terry: two unrolled minorization-maximization rounds; every
+#: cross-item sum goes through round-9 DECIMAL terms so bounded-group
+#: double summation can't reorder across engines.
+BT_ROUNDS_DOC = 2
+
+
+@query(
+    "ml_bradley_terry_strength",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mean_v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    duels AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CASE WHEN a.mean_v > b.mean_v THEN 1
+                  WHEN a.mean_v < b.mean_v THEN -1 ELSE 0 END AS outcome
+      FROM per_user a JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    ),
+    games AS (
+      SELECT item_a, item_b,
+             CAST(COUNT(*) FILTER (WHERE outcome <> 0) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE outcome = 1) AS BIGINT) AS w_a
+      FROM duels GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT item_a AS item, n AS g, w_a AS w FROM games
+      UNION ALL
+      SELECT item_b AS item, n AS g, n - w_a AS w FROM games
+    ),
+    tot AS (
+      SELECT item, CAST(SUM(g) AS BIGINT) AS games,
+             CAST(SUM(w) AS BIGINT) AS wins
+      FROM items GROUP BY item
+    ),
+    p1 AS (
+      SELECT item, games, wins,
+             round(2.0 * wins / games, 9) AS p
+      FROM tot
+    ),
+    pair_terms AS (
+      SELECT g.item_a AS item,
+             CAST(round(g.n / (pa.p + pb.p), 9) AS DECIMAL(18,9)) AS term
+      FROM games g JOIN p1 pa ON pa.item = g.item_a
+                   JOIN p1 pb ON pb.item = g.item_b
+      UNION ALL
+      SELECT g.item_b AS item,
+             CAST(round(g.n / (pa.p + pb.p), 9) AS DECIMAL(18,9)) AS term
+      FROM games g JOIN p1 pa ON pa.item = g.item_a
+                   JOIN p1 pb ON pb.item = g.item_b
+    ),
+    p2 AS (
+      SELECT t.item, t.games, t.wins,
+             round(t.wins / CAST(SUM(pt.term) AS DOUBLE), 9) AS p
+      FROM tot t JOIN pair_terms pt ON pt.item = t.item
+      GROUP BY t.item, t.games, t.wins, t.wins
+    ),
+    norm AS (
+      SELECT CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) AS z FROM p2
+    )
+    SELECT item, games, wins,
+           round(p / z, 6) AS strength_r6
+    FROM p2, norm ORDER BY item
+    """,
+    tags=("preference", "eval", "beyond"),
+)
+def q_ml_bradley_terry_strength(spark, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength estimation from pairwise preferences —
+    the aggregation step of preference/reward-data pipelines (human
+    A-vs-B judgments → per-item strengths). Preferences derive
+    deterministically here: for each user, event type A beats B when
+    the user's mean value for A is higher (exact-decimal means, ties
+    dropped). Two unrolled MM rounds (p ← W_i / Σ_j n_ij/(p_i+p_j)),
+    the BPE/PageRank unrolled-iteration discipline: each round's
+    cross-item sums go through round-9 DECIMAL terms so bounded-group
+    double summation order can't diverge between engines.
+
+    Scale: corpus → (user, type) means (one shuffle) → |types|²
+    duel counts → ALL MM algebra on the |types|-row table with
+    broadcast joins. Strengths normalize to Σ = 1, round-6."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("mean_v")
+    )
+    a = per_user.select(
+        "user_id",
+        F.col("event_type").alias("item_a"),
+        F.col("mean_v").alias("va"),
+    )
+    b = per_user.select(
+        F.col("user_id").alias("uid_b"),
+        F.col("event_type").alias("item_b"),
+        F.col("mean_v").alias("vb"),
+    )
+    duels = a.join(
+        b,
+        (a.user_id == b.uid_b) & (F.col("item_a") < F.col("item_b")),
+    ).select(
+        "item_a",
+        "item_b",
+        F.when(F.col("va") > F.col("vb"), 1)
+        .when(F.col("va") < F.col("vb"), -1)
+        .otherwise(0)
+        .alias("outcome"),
+    )
+    games = (
+        duels.filter(F.col("outcome") != 0)
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("outcome") == 1, 1).otherwise(0)).alias("w_a"),
+        )
+    )
+    items = games.select(
+        F.col("item_a").alias("item"), F.col("n").alias("g"), F.col("w_a").alias("w")
+    ).unionByName(
+        games.select(
+            F.col("item_b").alias("item"),
+            F.col("n").alias("g"),
+            (F.col("n") - F.col("w_a")).alias("w"),
+        )
+    )
+    tot = items.groupBy("item").agg(
+        F.sum("g").cast("long").alias("games"),
+        F.sum("w").cast("long").alias("wins"),
+    )
+    p1 = tot.select(
+        "item",
+        "games",
+        "wins",
+        F.round(2.0 * F.col("wins") / F.col("games"), 9).alias("p"),
+    )
+    pa = p1.select(F.col("item").alias("item_a"), F.col("p").alias("p_a"))
+    pb = p1.select(F.col("item").alias("item_b"), F.col("p").alias("p_b"))
+    gj = games.join(F.broadcast(pa), "item_a").join(F.broadcast(pb), "item_b")
+    term = F.round(F.col("n") / (F.col("p_a") + F.col("p_b")), 9).cast(
+        "decimal(18,9)"
+    )
+    pair_terms = gj.select(F.col("item_a").alias("item"), term.alias("term")).unionByName(
+        gj.select(F.col("item_b").alias("item"), term.alias("term"))
+    )
+    p2 = (
+        tot.join(pair_terms, "item")
+        .groupBy("item", "games", "wins")
+        .agg(
+            F.round(
+                F.col("wins") / F.sum("term").cast("double"), 9
+            ).alias("p")
+        )
+    )
+    norm = p2.agg(
+        F.sum(F.col("p").cast("decimal(18,9)")).cast("double").alias("z")
+    )
+    return (
+        p2.crossJoin(F.broadcast(norm))
+        .select(
+            "item",
+            "games",
+            "wins",
+            F.round(F.col("p") / F.col("z"), 6).alias("strength_r6"),
+        )
+        .orderBy("item")
+    )

@@ -197,3 +197,44 @@ def test_seasonal_decompose_components_add_back(spark, sf_dir):
     by_type: dict[str, dict[int, float]] = {}
     for r in rows:
         by_type.setdefault(r["event_type"], {})[r["day"] % 7] = r["seasonal"]
+
+
+def test_bradley_terry_strengths_normalize_and_rank_sanely(spark, sf_dir):
+    from job_market_research_spark.ml.evaluate import (
+        q_ml_bradley_terry_strength,
+    )
+
+    rows = q_ml_bradley_terry_strength(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["strength_r6"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r["strength_r6"] < 1
+        assert 0 <= r["wins"] <= r["games"]
+    # The item with the best win RATE gets the top strength (BT is
+    # monotone in win rate for a near-balanced schedule).
+    best_by_rate = max(rows, key=lambda r: r["wins"] / r["games"])
+    best_by_strength = max(rows, key=lambda r: r["strength_r6"])
+    assert best_by_rate["item"] == best_by_strength["item"]
+
+
+def test_chat_validator_counts_planted_violations(spark, sf_dir):
+    from job_market_research_spark.functions.quality_filters import (
+        q_text_chat_format_validate,
+    )
+
+    rows = q_text_chat_format_validate(spark, sf_dir).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in (
+            "n_chats",
+            "n_bad_role",
+            "n_bad_ending",
+            "n_bad_alternation",
+            "n_empty_content",
+            "n_valid",
+        )
+    }
+    # Every planted violation class fires; most transcripts are valid.
+    for k in ("n_bad_role", "n_bad_ending", "n_bad_alternation", "n_empty_content"):
+        assert tot[k] > 0, k
+    assert tot["n_valid"] > tot["n_chats"] // 2
