@@ -1142,3 +1142,320 @@ def q_window_seasonal_decompose(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: Split conformal: hash split into calibration/test, miscoverage
+#: level alpha = 0.1 (90% intervals).
+CONF_ALPHA = 0.1
+
+
+@query(
+    "ml_conformal_prediction",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, event_id, value,
+             CASE WHEN CAST(('0x' || substr(md5('conf#'
+                    || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'cal' ELSE 'test' END AS split
+      FROM events WHERE value IS NOT NULL
+    ),
+    model AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS pred
+      FROM ev WHERE split = 'cal' GROUP BY event_type
+    ),
+    cal_resid AS (
+      SELECT e.event_type, round(abs(e.value - m.pred), 6) AS r
+      FROM ev e JOIN model m USING (event_type) WHERE e.split = 'cal'
+    ),
+    counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM cal_resid GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rk
+      FROM cal_resid
+    ),
+    q AS (
+      SELECT ra.event_type, c.n_cal, ra.r AS qhat
+      FROM ranked ra JOIN counts c USING (event_type)
+      WHERE ra.rk = least(c.n_cal,
+              CAST(ceil((1 - {CONF_ALPHA}) * (c.n_cal + 1)) AS BIGINT))
+    )
+    SELECT e.event_type, q.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.qhat AS qhat_r6,
+           round(CAST(SUM(CASE WHEN abs(e.value - m.pred) <= q.qhat
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage_r6
+    FROM ev e
+    JOIN model m USING (event_type)
+    JOIN q USING (event_type)
+    WHERE e.split = 'test'
+    GROUP BY e.event_type, q.n_cal, q.qhat
+    ORDER BY e.event_type
+    """,
+    tags=("stats", "uncertainty", "beyond"),
+)
+def q_ml_conformal_prediction(spark, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018):
+    hash-split the events, fit the trivial per-type mean predictor on
+    the calibration half, take the ceil((1-α)(n+1))/n-th DISCRETE
+    quantile of absolute calibration residuals as the interval
+    half-width, and AUDIT the finite-sample guarantee on the held-out
+    half — coverage ≥ 1−α by exchangeability, model quality
+    irrelevant. The distribution-free uncertainty wrapper any
+    in-engine predictor (OLS, kNN, quality model) can wear.
+
+    Exactness: the split is a seeded md5 parity; residuals round-6
+    before ranking; BOTH engines select the identical order statistic
+    with an explicit row_number-over-sorted-residuals rank filter
+    (no engine-specific quantile semantics in the loop). Coverage is
+    a ratio of exact counts."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (
+                F.pmod(
+                    portable_hash(
+                        F.concat(
+                            F.lit("conf#"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0
+            ).alias("is_cal"),
+        )
+    )
+    model = (
+        ev.filter(F.col("is_cal"))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*")
+            ).alias("pred")
+        )
+    )
+    cal = (
+        ev.filter(F.col("is_cal"))
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("pred")), 6).alias("r"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("r")
+    counted = cal.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cal", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    qhat = (
+        counted.filter(
+            F.col("rk")
+            == F.least(
+                F.col("n_cal"),
+                F.ceil((1 - CONF_ALPHA) * (F.col("n_cal") + 1)).cast("int"),
+            )
+        )
+        .select(
+            "event_type",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("r").alias("qhat_r6"),
+        )
+    )
+    test = ev.filter(~F.col("is_cal")).join(F.broadcast(model), "event_type")
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "qhat_r6")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("pred"))
+                        <= F.col("qhat_r6"),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("coverage_r6"),
+        )
+        .select(
+            "event_type", "n_cal", "n_test", "qhat_r6", "coverage_r6"
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Winsorization caps (5th / 95th percentile of each group).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "window_winsorize_trim",
+    oracle=f"""
+    WITH caps AS (
+      SELECT event_type,
+             round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+             round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    capped AS (
+      SELECT e.event_type,
+             CAST(least(greatest(e.value, c.lo), c.hi)
+                  AS DECIMAL(28,10)) AS wv,
+             CASE WHEN e.value >= c.lo AND e.value <= c.hi
+                  THEN CAST(e.value AS DECIMAL(28,10)) END AS tv
+      FROM events e JOIN caps c USING (event_type)
+      WHERE e.value IS NOT NULL
+    )
+    SELECT cp.event_type, c.lo AS cap_lo_r6, c.hi AS cap_hi_r6,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(tv) AS BIGINT) AS n_kept,
+           CAST(SUM(wv) AS DOUBLE) / COUNT(*) AS winsor_mean,
+           CAST(SUM(tv) AS DOUBLE) / COUNT(tv) AS trimmed_mean
+    FROM capped cp JOIN caps c ON c.event_type = cp.event_type
+    GROUP BY cp.event_type, c.lo, c.hi
+    ORDER BY cp.event_type
+    """,
+    tags=("stats", "robust", "beyond"),
+)
+def q_window_winsorize_trim(spark, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per event type: values clamp to
+    (or drop outside) the round-6 5th/95th percentile caps — the
+    robust location estimates a metrics platform reports next to the
+    raw mean so one fat-finger value can't move a dashboard. Both
+    estimates in ONE pass over the cap-joined scan.
+
+    Exactness: caps are round-6 interpolated percentiles
+    (`agg_percentiles` convention); the clamped/kept values sum in
+    exact DECIMAL, and the means are emitted as unrounded
+    sum/count doubles (the exact_avg convention — no round-6 of a
+    possibly-half mean)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    caps = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    capped = ev.join(F.broadcast(caps), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("decimal(28,10)")
+        .alias("wv"),
+        F.when(
+            (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")),
+            F.col("value").cast("decimal(28,10)"),
+        ).alias("tv"),
+    )
+    return (
+        capped.groupBy(
+            "event_type",
+            F.col("lo").alias("cap_lo_r6"),
+            F.col("hi").alias("cap_hi_r6"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("tv").cast("long").alias("n_kept"),
+            (F.sum("wv").cast("double") / F.count("*")).alias("winsor_mean"),
+            (F.sum("tv").cast("double") / F.count("tv")).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Power analysis literals: z_{1-alpha/2} at 5% two-sided, z_{1-beta}
+#: at 80% power, and the relative effect sizes to tabulate.
+POWER_Z_ALPHA = 1.959964
+POWER_Z_BETA = 0.841621
+POWER_EFFECTS = (0.01, 0.02, 0.05, 0.10)
+
+
+@query(
+    "agg_power_analysis",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mean_v,
+             (CAST(SUM(CAST(value AS DECIMAL(28,10))
+                       * CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+              - power(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+                / COUNT(*)) / (COUNT(*) - 1) AS var_v
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(eff AS DOUBLE) AS rel_effect,
+           round(mean_v, 6) AS mean_r6,
+           CAST(ceil(2.0 * var_v
+                * power({POWER_Z_ALPHA} + {POWER_Z_BETA}, 2)
+                / power(eff * mean_v, 2)) AS BIGINT) AS n_per_arm
+    FROM m, unnest([{", ".join(str(e) for e in POWER_EFFECTS)}]) AS t(eff)
+    ORDER BY event_type, rel_effect
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_power_analysis(spark, sf_dir: str) -> DataFrame:
+    """Experiment power calculator: per-arm sample size needed to
+    detect a 1/2/5/10% relative lift of each metric at 5% two-sided
+    significance and 80% power — n = 2σ²(z_α + z_β)²/Δ², the closed
+    form behind every experimentation platform's duration estimator,
+    fed by one exact-DECIMAL moment pass over the corpus (the power
+    table and the Welch test share the same moments). z values are
+    literals, so no special functions anywhere.
+
+    The reading: the metric with the largest σ/μ needs the longest
+    experiment — this table is why platforms prefer low-variance
+    proxy metrics."""
+    dec = F.col("value").cast("decimal(28,10)")
+    m = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(dec).cast("double") / F.count("*")).alias("mean_v"),
+            (
+                (
+                    F.sum(dec * dec).cast("double")
+                    - F.pow(F.sum(dec).cast("double"), 2) / F.count("*")
+                )
+                / (F.count("*") - 1)
+            ).alias("var_v"),
+        )
+    )
+    effects = F.array(*[F.lit(float(e)) for e in POWER_EFFECTS])
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    return (
+        m.select(
+            "event_type",
+            "mean_v",
+            "var_v",
+            F.explode(effects).alias("rel_effect"),
+        )
+        .select(
+            "event_type",
+            "rel_effect",
+            F.round("mean_v", 6).alias("mean_r6"),
+            F.ceil(
+                2.0
+                * F.col("var_v")
+                * z2
+                / F.pow(F.col("rel_effect") * F.col("mean_v"), 2)
+            )
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("event_type", "rel_effect")
+    )

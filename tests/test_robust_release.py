@@ -238,3 +238,47 @@ def test_chat_validator_counts_planted_violations(spark, sf_dir):
     for k in ("n_bad_role", "n_bad_ending", "n_bad_alternation", "n_empty_content"):
         assert tot[k] > 0, k
     assert tot["n_valid"] > tot["n_chats"] // 2
+
+
+def test_conformal_coverage_honors_guarantee(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        CONF_ALPHA,
+        q_ml_conformal_prediction,
+    )
+
+    rows = q_ml_conformal_prediction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["qhat_r6"] >= 0
+        # Finite-sample guarantee: coverage >= 1 - alpha minus a
+        # small-sample slack of ~1/sqrt(n_test).
+        slack = 1.5 / max(r["n_test"], 1) ** 0.5
+        assert r["coverage_r6"] >= (1 - CONF_ALPHA) - slack, r
+
+
+def test_winsorized_means_are_between_caps(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_window_winsorize_trim,
+    )
+
+    for r in q_window_winsorize_trim(spark, sf_dir).collect():
+        assert r["cap_lo_r6"] <= r["winsor_mean"] <= r["cap_hi_r6"]
+        assert r["cap_lo_r6"] <= r["trimmed_mean"] <= r["cap_hi_r6"]
+        assert r["n_kept"] <= r["n"]
+        # ~90% of values survive a 5/95 trim.
+        assert r["n_kept"] >= 0.8 * r["n"]
+
+
+def test_power_analysis_scales_inverse_square(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_power_analysis,
+    )
+
+    rows = q_agg_power_analysis(spark, sf_dir).collect()
+    by_type: dict[str, dict[float, int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["rel_effect"]] = r["n_per_arm"]
+    for et, d in by_type.items():
+        # Halving the effect quadruples the required n (ceil slack).
+        assert d[0.01] >= 3.9 * d[0.02], (et, d)
+        assert d[0.05] >= 3.9 * d[0.10], (et, d)
