@@ -107,3 +107,41 @@ def test_modularity_terms_bounded_and_consistent(spark, sf_dir):
         assert r["intra_edges"] <= r["size"] * (r["size"] - 1) // 2 + r["size"]
         # Q terms live in (-1, 1).
         assert -1.0 < r["q_term_r6"] < 1.0
+
+
+def test_hive_partition_discovery_prunes_directories(spark, sf_dir):
+    from job_market_research_spark.sources.binary_source import (
+        q_scan_hive_partition_types,
+        stage_hive_partitions,
+    )
+
+    src = stage_hive_partitions(spark, sf_dir)
+    df = spark.read.parquet(src).filter(F.col("year") == 1997)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "year" in pf, plan
+    # Discovered partition columns come back TYPED (int, not string).
+    schema = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert schema["year"] == "int" and schema["month"] == "int", schema
+    assert q_scan_hive_partition_types(spark, sf_dir).count() == 12
+
+
+def test_csv_roundtrip_preserves_every_hazard(spark, sf_dir):
+    from job_market_research_spark.sources.binary_source import (
+        q_sink_csv_escape_roundtrip,
+    )
+
+    rows = q_sink_csv_escape_roundtrip(spark, sf_dir).collect()
+    assert len(rows) == 100
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    }
+    import hashlib
+
+    for r in rows:
+        expected = ' "quoted", with, commas\nand a newline: ' + docs[r["doc_id"]][:40]
+        assert r["payload_len"] == len(expected)
+        assert r["payload_md5"] == hashlib.md5(expected.encode()).hexdigest()
