@@ -790,3 +790,137 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
         "rnd int, theta long, polarity int, eps_r9 double,"
         " alpha_r9 double, train_acc_r6 double",
     ).orderBy("rnd")
+
+
+#: GBDT-stump regression: boosting rounds and the hour-threshold grid.
+GBDT_ROUNDS = 3
+
+
+def _gbdt_round_sql(stats: str, pred: str, out_pick: str, out_pred: str) -> str:
+    """One unrolled gradient-boosting round as DuckDB CTEs: score every
+    hour threshold on the 24-row moment table, pick the min-SSE stump
+    (round-9, theta tie-break), emit the updated per-hour prediction."""
+    return f"""
+    grid_{out_pick} AS (
+      SELECT t.theta,
+             SUM(CASE WHEN s.h <= t.theta THEN s.n END) AS nl,
+             SUM(CASE WHEN s.h <= t.theta
+                      THEN s.sy - s.n * p.f END) AS rl,
+             SUM(CASE WHEN s.h > t.theta THEN s.n END) AS nr,
+             SUM(CASE WHEN s.h > t.theta
+                      THEN s.sy - s.n * p.f END) AS rr,
+             SUM(s.qy - 2 * p.f * s.sy + s.n * p.f * p.f) AS sse0
+      FROM {stats} s
+      JOIN {pred} p ON p.h = s.h
+      CROSS JOIN (SELECT unnest(range(0, 23)) AS theta) t
+      GROUP BY t.theta
+    ),
+    {out_pick} AS (
+      SELECT theta, round(rl / nl, 9) AS gl, round(rr / nr, 9) AS gr,
+             round(sse0 - rl * rl / nl - rr * rr / nr, 6) AS sse
+      FROM grid_{out_pick}
+      WHERE nl > 0 AND nr > 0
+      ORDER BY round(sse0 - rl * rl / nl - rr * rr / nr, 9), theta
+      LIMIT 1
+    ),
+    {out_pred} AS (
+      SELECT s.h,
+             p.f + CASE WHEN s.h <= k.theta THEN k.gl ELSE k.gr END AS f
+      FROM {stats} s JOIN {pred} p ON p.h = s.h CROSS JOIN {out_pick} k
+    )"""
+
+
+@query(
+    "ml_gbdt_stumps_regression",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS qy
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    f0 AS (
+      SELECT round(SUM(sy) / SUM(n), 9) AS f FROM stats
+    ),
+    p0 AS (SELECT h, f0.f AS f FROM stats, f0),
+    {_gbdt_round_sql("stats", "p0", "k1", "p1")},
+    {_gbdt_round_sql("stats", "p1", "k2", "p2")},
+    {_gbdt_round_sql("stats", "p2", "k3", "p3")}
+    SELECT 1 AS rnd, CAST(theta AS BIGINT) AS theta,
+           gl AS gamma_left_r9, gr AS gamma_right_r9, sse AS sse_r6
+    FROM k1
+    UNION ALL
+    SELECT 2, CAST(theta AS BIGINT), gl, gr, sse FROM k2
+    UNION ALL
+    SELECT 3, CAST(theta AS BIGINT), gl, gr, sse FROM k3
+    ORDER BY rnd
+    """,
+    tags=("ml", "training", "beyond"),
+)
+def q_ml_gbdt_stumps_regression(spark, sf_dir: str) -> DataFrame:
+    """Gradient-boosted depth-1 regression (squared loss, Friedman
+    2001) predicting event value from hour-of-day — boosting joins
+    AdaBoost/OLS/k-means in the training-as-aggregation family, and
+    shows the regression-side trick: ONE corpus pass collapses to the
+    24-row per-hour moment table (n, Σy, Σy²), and because stump
+    ensembles are piecewise-constant IN THE FEATURE, every boosting
+    round — residual means, SSE of all 23 candidate thresholds, the
+    argmin, the leaf values — is closed-form algebra on those 24 rows.
+    Three rounds cost three 24-row passes, not three corpus scans.
+
+    Exactness: moments in exact DECIMAL; leaf values round-9 before
+    use; the argmin compares round-9 SSE with a theta tie-break (the
+    AdaBoost discipline, so a ulp cannot flip the learned tree)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(28,10)")
+    stats = (
+        ev.groupBy(F.hour("ts").cast("long").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("sy"),
+            F.sum(dec * dec).cast("double").alias("qy"),
+        )
+        .collect()
+    )
+    import builtins
+
+    n_tot = builtins.sum(r["n"] for r in stats)
+    sy_tot = builtins.sum(r["sy"] for r in stats)
+    f = {r["h"]: round(sy_tot / n_tot, 9) for r in stats}
+    learned = []
+    for rnd in range(1, GBDT_ROUNDS + 1):
+        best = None
+        for theta in range(0, 23):
+            nl = builtins.sum(r["n"] for r in stats if r["h"] <= theta)
+            nr = n_tot - nl
+            if nl == 0 or nr == 0:
+                continue
+            rl = builtins.sum(
+                r["sy"] - r["n"] * f[r["h"]] for r in stats if r["h"] <= theta
+            )
+            rr = builtins.sum(
+                r["sy"] - r["n"] * f[r["h"]] for r in stats if r["h"] > theta
+            )
+            sse0 = builtins.sum(
+                r["qy"] - 2 * f[r["h"]] * r["sy"] + r["n"] * f[r["h"]] ** 2
+                for r in stats
+            )
+            sse = round(sse0 - rl * rl / nl - rr * rr / nr, 9)
+            key = (sse, theta)
+            if best is None or key < best[0]:
+                best = (key, theta, round(rl / nl, 9), round(rr / nr, 9))
+        _, theta, gl, gr = best
+        learned.append((rnd, theta, gl, gr, round(best[0][0], 6)))
+        f = {
+            h: f[h] + (gl if h <= theta else gr) for h in f
+        }
+    # Driver-side round loop mirrors the adaboost/BPE shape: the
+    # distributed work is the ONE moment pass above; each round is
+    # 24-row algebra identical to the oracle's unrolled CTEs.
+    return ev.sparkSession.createDataFrame(
+        learned,
+        "rnd int, theta long, gamma_left_r9 double,"
+        " gamma_right_r9 double, sse_r6 double",
+    ).orderBy("rnd")

@@ -282,3 +282,20 @@ def test_power_analysis_scales_inverse_square(spark, sf_dir):
         # Halving the effect quadruples the required n (ceil slack).
         assert d[0.01] >= 3.9 * d[0.02], (et, d)
         assert d[0.05] >= 3.9 * d[0.10], (et, d)
+
+
+def test_gbdt_sse_never_increases(spark, sf_dir):
+    from job_market_research_spark.ml.clustering import (
+        q_ml_gbdt_stumps_regression,
+    )
+
+    rows = sorted(
+        q_ml_gbdt_stumps_regression(spark, sf_dir).collect(),
+        key=lambda r: r["rnd"],
+    )
+    assert len(rows) == 3
+    sses = [r["sse_r6"] for r in rows]
+    # Squared-loss boosting: each greedy stump can only reduce SSE.
+    assert all(a >= b - 1e-6 for a, b in zip(sses, sses[1:])), sses
+    for r in rows:
+        assert 0 <= r["theta"] <= 22
