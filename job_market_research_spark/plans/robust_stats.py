@@ -1459,3 +1459,210 @@ def q_agg_power_analysis(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rel_effect")
     )
+
+
+#: Mann-Whitney arms (reused from the Welch pair) and z critical.
+MWU_CRIT = 1.959964
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             RANK() OVER (ORDER BY m) AS rk,
+             COUNT(*) OVER (PARTITION BY m) AS nt
+      FROM daily
+    ),
+    avg_ranked AS (
+      SELECT event_type, rk + (nt - 1) / 2.0 AS ar FROM ranked
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = '{AB_ARM_A}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN event_type = '{AB_ARM_B}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN event_type = '{AB_ARM_A}' THEN
+             CAST(ar * 2 AS BIGINT) END) AS BIGINT) AS r2_a
+      FROM avg_ranked
+    )
+    SELECT n_a, n_b,
+           round(r2_a / 2.0 - n_a * (n_a + 1) / 2.0, 6) AS u_stat,
+           round((r2_a / 2.0 - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z_r6,
+           CASE WHEN abs((r2_a / 2.0 - n_a * (n_a + 1) / 2.0
+                          - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)) > {MWU_CRIT}
+                THEN 1 ELSE 0 END AS significant_5pct
+    FROM s
+    """,
+    tags=("stats", "abtest", "nonparametric", "beyond"),
+)
+def q_agg_mann_whitney_u(spark, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the two arms' DAILY
+    mean values — the nonparametric twin of agg_welch_ttest for when
+    the metric distribution is too heavy-tailed to trust a t-test
+    (ranks are immune to the outliers the MAD detector flags). Tied
+    round-6 day means take average ranks; doubling the average rank
+    keeps the rank sum an exact INTEGER (half-ranks end in .5) until
+    one final division.
+
+    Scale: corpus → the bounded per-(arm, day) mean table; the global
+    rank window runs over those ≤ 2·|days| rows only (allowlisted
+    bounded window), and the U/z algebra is a 1-row closed form with
+    a literal critical value."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+        )
+        .groupBy("event_type", (F.unix_micros("ts") / _DAY_US).cast("long"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    w_rank = Window.orderBy("m")
+    w_ties = Window.partitionBy("m")
+    ranked = daily.select(
+        "event_type",
+        (F.rank().over(w_rank) + (F.count("*").over(w_ties) - 1) / 2.0).alias(
+            "ar"
+        ),
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("event_type") == AB_ARM_A, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == AB_ARM_B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("event_type") == AB_ARM_A,
+                (F.col("ar") * 2).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("r2_a"),
+    )
+    u = F.col("r2_a") / 2.0 - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    z = (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(
+        F.col("n_a") * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1) / 12.0
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_r6"),
+        F.when(F.abs(z) > MWU_CRIT, 1).otherwise(0).alias("significant_5pct"),
+    )
+
+
+@query(
+    "ml_shapley_r2_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dayofweek(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sz,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))
+                      * CAST(hour(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(dayofweek(ts) AS DECIMAL(28,10))
+                      * CAST(dayofweek(ts) AS DECIMAL(28,10))) AS DOUBLE) AS szz,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))
+                      * CAST(dayofweek(ts) AS DECIMAL(28,10))) AS DOUBLE) AS sxz,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(dayofweek(ts) AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS szy,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS syy
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type,
+             sxx - sx * sx / n AS cxx, szz - sz * sz / n AS czz,
+             sxz - sx * sz / n AS cxz, sxy - sx * sy / n AS cxy,
+             szy - sz * sy / n AS czy, syy - sy * sy / n AS cyy
+      FROM m
+    ),
+    r AS (
+      SELECT event_type,
+             cxy * cxy / (cxx * cyy) AS r2_x,
+             czy * czy / (czz * cyy) AS r2_z,
+             ((cxy * czz - czy * cxz) * cxy
+              + (czy * cxx - cxy * cxz) * czy)
+               / ((cxx * czz - cxz * cxz) * cyy) AS r2_xz
+      FROM c
+    )
+    SELECT event_type,
+           round(r2_xz, 6) AS r2_full_r6,
+           round((r2_x + (r2_xz - r2_z)) / 2, 6) AS phi_hour_r6,
+           round((r2_z + (r2_xz - r2_x)) / 2, 6) AS phi_dow_r6
+    FROM r ORDER BY event_type
+    """,
+    tags=("ml", "attribution", "beyond"),
+)
+def q_ml_shapley_r2_features(spark, sf_dir: str) -> DataFrame:
+    """Shapley decomposition of the two-feature OLS R² (value ~ hour +
+    day-of-week, per event type): each feature's attribution averages
+    its marginal R² contribution over both insertion orders — the
+    LMG/Shapley answer to "which feature carries the fit" that
+    (unlike raw per-feature R²) is immune to the double-counting
+    collinearity causes, and sums exactly to the full-model R²
+    (pinned by test). The feature-importance sibling of
+    agg_shapley_attribution's conversion-credit query.
+
+    Scale: ONE exact-DECIMAL 9-moment pass; every R² (single and
+    two-feature via Cramer) and both Shapley terms are closed-form
+    algebra on the |types|-row moment table."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.hour("ts").cast("decimal(28,10)")
+    z = F.dayofweek("ts").cast("decimal(28,10)")
+    y = F.col("value").cast("decimal(28,10)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(z).cast("double").alias("sz"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(z * z).cast("double").alias("szz"),
+        F.sum(x * z).cast("double").alias("sxz"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(z * y).cast("double").alias("szy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    r2_x = cxy * cxy / (cxx * cyy)
+    r2_z = czy * czy / (czz * cyy)
+    r2_xz = ((cxy * czz - czy * cxz) * cxy + (czy * cxx - cxy * cxz) * czy) / (
+        (cxx * czz - cxz * cxz) * cyy
+    )
+    return m.select(
+        "event_type",
+        F.round(r2_xz, 6).alias("r2_full_r6"),
+        F.round((r2_x + (r2_xz - r2_z)) / 2, 6).alias("phi_hour_r6"),
+        F.round((r2_z + (r2_xz - r2_x)) / 2, 6).alias("phi_dow_r6"),
+    ).orderBy("event_type")

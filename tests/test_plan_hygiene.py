@@ -61,6 +61,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # the water-filling plan runs on the |files| manifest table
     # (COMPACT_BUCKETS rows), never on data rows
     "maintenance_compaction_plan": "|files| manifest rows only",
+    # the rank window runs over the 2-arm per-day mean table
+    # (≤ 2·|days| rows after the daily aggregation)
+    "agg_mann_whitney_u": "2·|days| rows after per-day mean agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

@@ -299,3 +299,29 @@ def test_gbdt_sse_never_increases(spark, sf_dir):
     assert all(a >= b - 1e-6 for a, b in zip(sses, sses[1:])), sses
     for r in rows:
         assert 0 <= r["theta"] <= 22
+
+
+def test_mann_whitney_consistency(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_mann_whitney_u,
+    )
+
+    row = q_agg_mann_whitney_u(spark, sf_dir).collect()[0]
+    # U is bounded by n_a * n_b; the z flag is a valid indicator.
+    assert 0 <= row["u_stat"] <= row["n_a"] * row["n_b"]
+    assert row["significant_5pct"] == (1 if abs(row["z_r6"]) > 1.96 else 0)
+
+
+def test_shapley_r2_efficiency_axiom(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_ml_shapley_r2_features,
+    )
+
+    rows = q_ml_shapley_r2_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Shapley efficiency: attributions sum to the full-model R2.
+        assert abs(
+            r["phi_hour_r6"] + r["phi_dow_r6"] - r["r2_full_r6"]
+        ) < 1e-5, r
+        assert 0 <= r["r2_full_r6"] <= 1
