@@ -96,3 +96,126 @@ def q_stream_bitmap_distinct(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_welch_monitor",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(28,10))) AS sy,
+             SUM(CAST(value AS DECIMAL(28,10))
+                 * CAST(value AS DECIMAL(28,10))) AS qy
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sy AS DOUBLE) / n AS mean,
+             (CAST(qy AS DOUBLE)
+              - power(CAST(sy AS DOUBLE), 2) / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a_r6, round(b.mean, 6) AS mean_b_r6,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat_r6
+    FROM (SELECT * FROM m WHERE event_type = 'view') a,
+         (SELECT * FROM m WHERE event_type = 'purchase') b
+    """,
+    tags=("streaming", "abtest", "beyond"),
+)
+def q_stream_welch_monitor(spark, sf_dir: str) -> DataFrame:
+    """Streaming experiment monitor: each arrival micro-batch folds
+    into per-arm MOMENT state (n, Σy, Σy² in exact DECIMAL — sums are
+    merge-invariant under ANY arrival split, the KMV/bitmap argument
+    applied to statistics), and the terminal Welch t is computed from
+    the merged moments. The strict batch oracle hash-proves the whole
+    path: an experimentation dashboard fed by this stream shows
+    EXACTLY the numbers a batch recomputation would.
+
+    State: 2 arms × 3 decimals per batch — constant regardless of
+    batch size; a continuous deployment compacts the moment store by
+    the same addition or keys it in the state store."""
+    import os as _os
+
+    from job_market_research_spark.streaming.windows import _stage_events
+
+    src = _stage_events(spark, sf_dir, "stream_welch")
+    schema = load(spark, sf_dir, "events").schema
+    root = scratch_dir("stream_welch_state")
+    state = _os.path.join(root, "moments")
+    seed = spark.createDataFrame(
+        [], "event_type string, n long, sy decimal(28,10), qy decimal(38,10)"
+    )
+    seed.write.mode("overwrite").parquet(state)
+
+    def fold_moments(batch_df: DataFrame, epoch_id: int) -> None:
+        dec = F.col("value").cast("decimal(28,10)")
+        (
+            batch_df.filter(
+                F.col("event_type").isin("view", "purchase")
+                & F.col("value").isNotNull()
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec).cast("decimal(28,10)").alias("sy"),
+                F.sum(dec * dec).cast("decimal(38,10)").alias("qy"),
+            )
+            .write.mode("append")
+            .parquet(state)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_type", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_moments)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    m = (
+        spark.read.parquet(state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sy").alias("sy"),
+            F.sum("qy").alias("qy"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sy").cast("double") / F.col("n")).alias("mean"),
+            (
+                (
+                    F.col("qy").cast("double")
+                    - F.pow(F.col("sy").cast("double"), 2) / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("var"),
+        )
+    )
+    a = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a_r6"),
+        F.round("mean_b", 6).alias("mean_b_r6"),
+        F.round(t, 6).alias("t_stat_r6"),
+    )

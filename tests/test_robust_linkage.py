@@ -91,3 +91,22 @@ def test_stream_bitmap_equals_batch_bitmap(spark, sf_dir):
         if r["event_type"] != "ALL"
     }
     assert streamed == batch
+
+
+def test_stream_welch_equals_batch_welch(spark, sf_dir):
+    """Arrival-split invariance for statistics: the streamed moment
+    merge must reproduce the batch Welch t exactly (the batch query
+    uses arms view/purchase in the same order)."""
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_welch_ttest,
+    )
+    from job_market_research_spark.streaming.bitmaps import (
+        q_stream_welch_monitor,
+    )
+
+    streamed = q_stream_welch_monitor(spark, sf_dir).collect()[0]
+    batch = q_agg_welch_ttest(spark, sf_dir).collect()[0]
+    assert streamed["n_a"] == batch["n_a"]
+    assert streamed["n_b"] == batch["n_b"]
+    assert streamed["mean_a_r6"] == batch["mean_a_r6"]
+    assert streamed["t_stat_r6"] == batch["t_stat_r6"]
