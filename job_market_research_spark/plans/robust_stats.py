@@ -1666,3 +1666,163 @@ def q_ml_shapley_r2_features(spark, sf_dir: str) -> DataFrame:
         F.round((r2_x + (r2_xz - r2_z)) / 2, 6).alias("phi_hour_r6"),
         F.round((r2_z + (r2_xz - r2_x)) / 2, 6).alias("phi_dow_r6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_price_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT p_type,
+             CAST(round(ln(l_extendedprice / l_quantity), 6)
+                  AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6)) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM pts GROUP BY p_type
+    )
+    SELECT p_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS elasticity_r6
+    FROM m ORDER BY p_type
+    """,
+    tags=("stats", "econometrics", "beyond"),
+)
+def q_agg_price_elasticity(spark, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part type: the log-log OLS slope
+    of quantity on unit price (extendedprice/quantity) — the classic
+    econometric read of the fact table (slope ≈ −ε; near 0 means
+    demand ignores price). Methodologically the retail twin of
+    profile_degree_powerlaw: ln-transform, round-6 into exact DECIMAL
+    moments (order-free sums), closed-form slope, one corpus pass.
+
+    At 100 TB the moment aggregation is map-side combinable per type
+    and nothing else scales with data."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load(spark, sf_dir, "part")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log("l_quantity"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    m = pts.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return m.select(
+        "p_type",
+        F.col("n").cast("long").alias("n"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "elasticity_r6"
+        ),
+    ).orderBy("p_type")
+
+
+@query(
+    "agg_retention_halflife",
+    oracle=f"""
+    WITH firstseen AS (
+      SELECT user_id, MIN(epoch_us(ts) // {_DAY_US}) AS d0
+      FROM events GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT CAST((epoch_us(e.ts) // {_DAY_US} - f.d0) // 7 AS BIGINT)
+               AS week_offset,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM events e JOIN firstseen f ON e.user_id = f.user_id
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(week_offset AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(n_users AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS y
+      FROM weekly WHERE n_users > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_weeks,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
+             AS decay_rate_r6,
+           round(-0.693147 / nullif((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 0), 6)
+             AS halflife_weeks_r6
+    FROM m
+    """,
+    tags=("stats", "retention", "beyond"),
+)
+def q_agg_retention_halflife(spark, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(active users) ~ week-offset on the
+    cohort-collapsed weekly activity curve and convert the decay rate
+    to a half-life (−ln2/slope) — the single number product teams
+    quote from the retention triangle agg_retention_cohort reports in
+    full. Exponential decay is THE null model for retention; a
+    half-life materially longer than the null is the signal.
+
+    Scale: the fit runs on the ≤|weeks| aggregate; ln values round-6
+    into exact DECIMAL moments (the powerlaw/elasticity discipline)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / _DAY_US).cast("long").alias("d")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    weekly = (
+        ev.join(firstseen, "user_id")
+        .groupBy(((F.col("d") - F.col("d0")) / 7).cast("long").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") > 0)
+    )
+    pts = weekly.select(
+        F.col("week_offset").cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("n_users").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    # nullif guards: a single week (zero x-variance) or a perfectly
+    # flat curve (zero slope) yields NULL, not a crash — ANSI mode
+    # makes unguarded zero division a runtime error.
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return m.select(
+        F.col("n").cast("long").alias("n_weeks"),
+        F.round(slope, 6).alias("decay_rate_r6"),
+        F.round(-0.693147 / F.nullif(slope, F.lit(0.0)), 6).alias(
+            "halflife_weeks_r6"
+        ),
+    )

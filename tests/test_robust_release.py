@@ -325,3 +325,20 @@ def test_shapley_r2_efficiency_axiom(spark, sf_dir):
             r["phi_hour_r6"] + r["phi_dow_r6"] - r["r2_full_r6"]
         ) < 1e-5, r
         assert 0 <= r["r2_full_r6"] <= 1
+
+
+def test_elasticity_and_halflife_sane(spark, sf_dir):
+    from job_market_research_spark.plans.robust_stats import (
+        q_agg_price_elasticity,
+        q_agg_retention_halflife,
+    )
+
+    for r in q_agg_price_elasticity(spark, sf_dir).collect():
+        assert r["n"] > 0
+        assert abs(r["elasticity_r6"]) < 100  # finite, sane scale
+    row = q_agg_retention_halflife(spark, sf_dir).collect()[0]
+    assert row["n_weeks"] >= 2
+    # A flat activity curve NULLs out (guarded division); when decay
+    # exists it must be negative with a positive half-life.
+    if row["decay_rate_r6"] is not None and row["decay_rate_r6"] != 0:
+        assert (row["decay_rate_r6"] < 0) == (row["halflife_weeks_r6"] > 0)
