@@ -291,3 +291,137 @@ def q_text_ngram_novelty(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_excise_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0
+                  THEN list_concat(
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')[1:{SPAN_TOKEN_CAP}],
+                    string_split('{_PLANT}', ' '))
+                  ELSE list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')[1:{SPAN_TOKEN_CAP}]
+             END AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i, array_to_string(t[i + 1: i + {SPAN_N}], ' ') AS gram
+      FROM toks, unnest(range(0, greatest(len(t) - {SPAN_N} + 1, 0))) AS s(i)
+    ),
+    inv AS (
+      SELECT gram, MIN(doc_id) AS canon
+      FROM spans GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {GRAM_DF_CAP}
+    ),
+    cov AS (
+      SELECT DISTINCT s.doc_id, u.pos
+      FROM spans s JOIN inv USING (gram),
+           unnest(range(s.i, s.i + {SPAN_N})) AS u(pos)
+      WHERE s.doc_id <> inv.canon
+    ),
+    rows_ AS (
+      SELECT tk.doc_id, p.idx, tk.t[p.idx + 1] AS tok
+      FROM toks tk, unnest(range(0, len(tk.t))) AS p(idx)
+      WHERE tk.doc_id IN (SELECT doc_id FROM cov)
+    ),
+    marked AS (
+      SELECT r.doc_id, r.idx, r.tok, c.pos IS NOT NULL AS excised
+      FROM rows_ r LEFT JOIN cov c ON c.doc_id = r.doc_id AND c.pos = r.idx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE NOT excised) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE excised) AS BIGINT) AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY idx)
+                      FILTER (WHERE NOT excised), '') AS kept_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "corpus", "beyond"),
+)
+def q_dedup_excise_spans(spark, sf_dir: str) -> DataFrame:
+    """Duplicated-span EXCISION — the second half of the Lee et al.
+    (2022) substring-dedup recipe that `dedup_span_ngram` inventories:
+    every 8-token span occurring in 2..df-cap distinct documents keeps
+    its first (min doc_id) occurrence and is cut from every other
+    document, with the survivor text rebuilt positionally (the
+    text_strip_boilerplate rebuild pattern). Output: one row per
+    EDITED document — total/kept/removed token counts plus the
+    rebuilt text; untouched documents pass through unreported.
+
+    Scale shape: shingle explode (fan-out bounded by the token cap) →
+    one groupBy(gram) for the inventory (df-capped, partial-agg
+    combinable) → hash join spans⋈inventory on the high-cardinality
+    gram key (both sides corpus-scale: shuffle join, NOT broadcast) →
+    per-doc covered-position sets (≤ token-cap elements each) → a
+    map-side lambda rebuild. No global sort, no window, no UDF; every
+    shuffle key (gram, doc_id) is near-uniform. The df-cap is what
+    keeps the excision sane AND the join bounded: a stop-phrase gram
+    above the cap would both ablate half the corpus and fan the join
+    out by cap² — same guard, same constant, as the inventory query.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(tokens("text"), 1, SPAN_TOKEN_CAP).alias("t"),
+    )
+    docs = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat("t", F.split(F.lit(_PLANT), " ")),
+        ).otherwise(F.col("t")),
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= SPAN_N,
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SPAN_N}),"
+                    f" i -> struct(i AS i,"
+                    f" array_join(slice(t, i + 1, {SPAN_N}), ' ') AS gram))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<i:int,gram:string>>")
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    inv = (
+        spans.groupBy("gram")
+        .agg(
+            F.min("doc_id").alias("canon"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= GRAM_DF_CAP))
+        .select("gram", "canon")
+    )
+    cov = (
+        spans.join(inv, "gram")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_N - 1)).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    kept = F.filter("t", lambda x, i: ~F.array_contains(F.col("cov"), i))
+    return (
+        docs.join(cov, "doc_id")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_total"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_total",
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.col("n_total") - F.size("kept")).cast("long").alias("n_removed"),
+            F.coalesce(F.array_join("kept", " "), F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -419,6 +419,11 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_threshold_tune_f1",
     "window_changepoint_detect",
     "text_tokenizer_fertility",
+    # round-5 fourth wave: span excision + bounded-iteration fits
+    "dedup_excise_spans",
+    "ml_logreg_newton",
+    "stat_ks_two_sample",
+    "dedup_best_of_cluster",
 )
 
 

@@ -164,3 +164,28 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark, sf_dir):
     assert rebuilt.count() == new.count()
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_excise_spans_cuts_plant_keeps_canonical(spark, sf_dir):
+    from job_market_research_spark.functions.corpus import (
+        _PLANT,
+        q_dedup_excise_spans,
+    )
+
+    got = q_dedup_excise_spans(spark, sf_dir)
+    edited = {r["doc_id"]: r for r in got.collect()}
+    planted = [d for d in edited if d % 23 == 0]
+    # every planted doc except the canonical first occurrence loses at
+    # least the 10 plant tokens; the rebuilt text no longer ends in the
+    # boilerplate sentence
+    assert len(planted) >= 2
+    assert 0 not in planted or edited[0]["n_removed"] < 10  # doc 0 is canon
+    for d in planted:
+        if d == 0:
+            continue
+        assert edited[d]["n_removed"] >= 10
+        assert not edited[d]["kept_text"].endswith(_PLANT)
+        assert (
+            edited[d]["n_total"]
+            == edited[d]["n_kept"] + edited[d]["n_removed"]
+        )
