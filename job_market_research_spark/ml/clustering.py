@@ -924,3 +924,199 @@ def q_ml_gbdt_stumps_regression(spark, sf_dir: str) -> DataFrame:
         "rnd int, theta long, gamma_left_r9 double,"
         " gamma_right_r9 double, sse_r6 double",
     ).orderBy("rnd")
+
+
+@query(
+    "ml_logreg_newton",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+      FROM lineitem
+    ),
+    m1 AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(p) AS sp,
+             SUM(CAST(p AS DECIMAL(19,2)) * p) AS spp,
+             SUM(CAST(p AS DECIMAL(19,2)) * y) AS spy
+      FROM base GROUP BY l_returnflag
+    ),
+    s1 AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS a,
+             CAST(sy AS DOUBLE) AS syd,
+             CAST(sp AS DOUBLE) / 10000.0 AS su,
+             CAST(spp AS DOUBLE) / 100000000.0 AS suu,
+             CAST(spy AS DOUBLE) / 10000.0 AS suy
+      FROM m1
+    ),
+    betas1 AS (
+      SELECT l_returnflag, n,
+             4.0 * (suu * (syd - a / 2.0) - su * (suy - su / 2.0))
+               / (a * suu - su * su) AS a0,
+             4.0 * (a * (suy - su / 2.0) - su * (syd - a / 2.0))
+               / (a * suu - su * su) AS a1
+      FROM s1
+    ),
+    scored AS (
+      SELECT b.l_returnflag, b.y, b.p,
+             CAST(p AS DECIMAL(19,2)) * b.p AS pp,
+             CAST(round(1.0 / (1.0 + exp(-(t.a0 + t.a1
+                    * (CAST(b.p AS DOUBLE) / 10000.0)))), 6)
+                  AS DECIMAL(8,6)) AS pr
+      FROM base b JOIN betas1 t USING (l_returnflag)
+    ),
+    wrow AS (
+      SELECT l_returnflag, y, p, pp, pr,
+             CAST(CAST(pr AS DECIMAL(9,6))
+                  * CAST(1 - pr AS DECIMAL(8,6)) AS DECIMAL(17,12)) AS w
+      FROM scored
+    ),
+    m2 AS (
+      SELECT l_returnflag,
+             SUM(w) AS sw,
+             -- first factors widened to width 19: DuckDB keeps
+             -- width<=18 products in int64 and overflows (the
+             -- ml_ols_multivariate trick)
+             SUM(CAST(CAST(w AS DECIMAL(19,12)) * p AS DECIMAL(36,14)))
+               AS swp,
+             SUM(CAST(CAST(w AS DECIMAL(19,12)) * CAST(pp AS DECIMAL(19,4))
+                      AS DECIMAL(38,16))) AS swpp,
+             SUM(CAST(y - pr AS DECIMAL(8,6))) AS g0s,
+             SUM(CAST(CAST(y - pr AS DECIMAL(19,6)) * p AS DECIMAL(28,8)))
+               AS g1s
+      FROM wrow GROUP BY l_returnflag
+    ),
+    s2 AS (
+      SELECT m2.l_returnflag,
+             CAST(sw AS DOUBLE) AS aw,
+             CAST(swp AS DOUBLE) / 10000.0 AS bw,
+             CAST(swpp AS DOUBLE) / 100000000.0 AS cw,
+             CAST(g0s AS DOUBLE) AS g0,
+             CAST(g1s AS DOUBLE) / 10000.0 AS g1
+      FROM m2
+    )
+    SELECT t.l_returnflag, t.n,
+           round(t.a0 + (cw * g0 - bw * g1) / (aw * cw - bw * bw), 6)
+             AS b0_r6,
+           round(t.a1 + (aw * g1 - bw * g0) / (aw * cw - bw * bw), 6)
+             AS b1_r6
+    FROM betas1 t JOIN s2 USING (l_returnflag)
+    ORDER BY t.l_returnflag
+    """,
+    tags=("ml", "stats", "beyond"),
+)
+def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
+    """Logistic regression by BOUNDED Newton-Raphson: fit
+    P(quantity > 25) ~ extendedprice per returnflag with exactly two
+    Newton steps from the zero vector, each step ONE exact-decimal
+    moment pass over the corpus (the ml_ols_multivariate discipline
+    extended to an iterative GLM). Step 1 is closed-form (at beta=0
+    every weight is 1/4, so the update is 4·(XᵀX)⁻¹Xᵀ(y−½)); step 2
+    re-scores every row with the broadcast step-1 coefficients,
+    rounds the sigmoid to 6 decimals (the round-then-DECIMAL policy —
+    exp() is the ONLY libm call, and a 1-ulp engine difference cannot
+    move a value across a 1e-6 boundary in practice), and accumulates
+    the weighted moments exactly; the 2×2 solve is plain column
+    algebra on the per-group one-row table.
+
+    Scale: two corpus scans total (the iteration count is a CONSTANT,
+    not data-dependent), map-side decimal partials, a 3-row broadcast
+    join for the re-score, |groups| output rows. This is the shape an
+    iterative fit must take at 100 TB — per-iteration full passes
+    with driver-side tiny solves, never per-row Python.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("y"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+    )
+    m1 = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p").cast("decimal(19,2)") * F.col("p")).alias("spp"),
+        F.sum(F.col("p").cast("decimal(19,2)") * F.col("y")).alias("spy"),
+    )
+    s1 = m1.select(
+        "l_returnflag",
+        "n",
+        F.col("n").cast("double").alias("a"),
+        F.col("sy").cast("double").alias("syd"),
+        (F.col("sp").cast("double") / F.lit(10000.0)).alias("su"),
+        (F.col("spp").cast("double") / F.lit(100000000.0)).alias("suu"),
+        (F.col("spy").cast("double") / F.lit(10000.0)).alias("suy"),
+    )
+    a, syd = F.col("a"), F.col("syd")
+    su, suu, suy = F.col("su"), F.col("suu"), F.col("suy")
+    det1 = a * suu - su * su
+    betas1 = s1.select(
+        "l_returnflag",
+        "n",
+        (
+            F.lit(4.0)
+            * (suu * (syd - a / F.lit(2.0)) - su * (suy - su / F.lit(2.0)))
+            / det1
+        ).alias("a0"),
+        (
+            F.lit(4.0)
+            * (a * (suy - su / F.lit(2.0)) - su * (syd - a / F.lit(2.0)))
+            / det1
+        ).alias("a1"),
+    )
+    z = F.col("a0") + F.col("a1") * (F.col("p").cast("double") / F.lit(10000.0))
+    scored = li.join(F.broadcast(betas1.select("l_returnflag", "a0", "a1")),
+                     "l_returnflag").select(
+        "l_returnflag",
+        "y",
+        "p",
+        (F.col("p").cast("decimal(19,2)") * F.col("p")).alias("pp"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .cast("decimal(8,6)")
+        .alias("pr"),
+    )
+    wrow = scored.withColumn(
+        "w",
+        (
+            F.col("pr").cast("decimal(9,6)")
+            * (F.lit(1) - F.col("pr")).cast("decimal(8,6)")
+        ).cast("decimal(17,12)"),
+    )
+    m2 = wrow.groupBy("l_returnflag").agg(
+        F.sum("w").alias("sw"),
+        F.sum((F.col("w") * F.col("p")).cast("decimal(36,14)")).alias("swp"),
+        F.sum(
+            (F.col("w") * F.col("pp").cast("decimal(19,4)")).cast(
+                "decimal(38,16)"
+            )
+        ).alias("swpp"),
+        F.sum((F.col("y") - F.col("pr")).cast("decimal(8,6)")).alias("g0s"),
+        F.sum(
+            (
+                (F.col("y") - F.col("pr")).cast("decimal(9,6)") * F.col("p")
+            ).cast("decimal(28,8)")
+        ).alias("g1s"),
+    )
+    s2 = m2.select(
+        "l_returnflag",
+        F.col("sw").cast("double").alias("aw"),
+        (F.col("swp").cast("double") / F.lit(10000.0)).alias("bw"),
+        (F.col("swpp").cast("double") / F.lit(100000000.0)).alias("cw"),
+        F.col("g0s").cast("double").alias("g0"),
+        (F.col("g1s").cast("double") / F.lit(10000.0)).alias("g1"),
+    )
+    aw, bw, cw = F.col("aw"), F.col("bw"), F.col("cw")
+    g0, g1 = F.col("g0"), F.col("g1")
+    det2 = aw * cw - bw * bw
+    return (
+        betas1.join(s2, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("a0") + (cw * g0 - bw * g1) / det2, 6).alias("b0_r6"),
+            F.round(F.col("a1") + (aw * g1 - bw * g0) / det2, 6).alias("b1_r6"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -656,3 +656,37 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert [
         (r["merge_left"], r["merge_right"], r["support"]) for r in got
     ] == expected
+
+
+def test_logreg_newton_matches_numpy_two_steps(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.ml.clustering import q_ml_logreg_newton
+
+    rows = q_ml_logreg_newton(spark, sf_dir).collect()
+    assert rows
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append(
+            (1.0 if r.l_quantity > 25 else 0.0, r.l_extendedprice / 10000.0)
+        )
+    for r in rows:
+        y, u = map(np.array, zip(*by_flag[r.l_returnflag]))
+        X = np.column_stack([np.ones_like(u), u])
+        beta = np.zeros(2)
+        for _ in range(2):
+            p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+            w = p * (1 - p)
+            H = X.T @ (X * w[:, None])
+            beta = beta + np.linalg.solve(H, X.T @ (y - p))
+        # our sigmoid is quantized to 6 decimals before the weighted
+        # moments; the fitted betas agree to ~1e-3
+        assert abs(r.b0_r6 - beta[0]) < 1e-3, (r.l_returnflag, r.b0_r6, beta)
+        assert abs(r.b1_r6 - beta[1]) < 1e-3
