@@ -1826,3 +1826,137 @@ def q_agg_retention_halflife(spark, sf_dir: str) -> DataFrame:
             "halflife_weeks_r6"
         ),
     )
+
+
+#: Range-bucket count for the distributed ECDF prefix sum. The
+#: bucket-level cumulative window runs over exactly this many rows
+#: regardless of corpus size (cluster-config bound, not data bound).
+KS_BUCKETS = 64
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+      SELECT c_acctbal AS v,
+             CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n2
+      FROM customer GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(n1) OVER (ORDER BY v) AS f1,
+             SUM(n2) OVER (ORDER BY v) AS f2
+      FROM vals
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM vals),
+    d AS (
+      SELECT v, ABS(f1 * tot.t2 - f2 * tot.t1) AS dn FROM cum, tot
+    ),
+    best AS (SELECT v, dn FROM d ORDER BY dn DESC, v LIMIT 1)
+    SELECT CAST(tot.t1 AS BIGINT) AS n1,
+           CAST(tot.t2 AS BIGINT) AS n2,
+           CAST(best.dn AS BIGINT) AS d_num,
+           round(CAST(best.dn AS DOUBLE) / (tot.t1 * tot.t2), 6)
+             AS ks_d_r6,
+           best.v AS at_value
+    FROM tot, best
+    """,
+    tags=("stats", "drift", "beyond"),
+)
+def q_stat_ks_two_sample(spark, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic between the hash-split
+    halves of customer account balances (the monitor_feature_drift
+    snapshot pair, tested on the FULL distribution instead of binned
+    counts). D is computed EXACTLY in integers — max |F1·N2 − F2·N1|
+    over distinct values — so the statistic hash-matches across
+    engines with no libm anywhere; the report is one row: both sample
+    sizes, the integer numerator, D itself, and the value where the
+    ECDFs diverge most (ties broken toward the smallest value).
+
+    Scale shape — a distributed ECDF via the two-level prefix sum
+    (window_concurrency_sweep's design): distinct values are range-
+    bucketed by a PURE FUNCTION of the value (KS_BUCKETS literal
+    boundaries, no sampling); within-bucket cumulative counts use a
+    bucket-PARTITIONED window; the bucket-level offsets come from a
+    global window over exactly KS_BUCKETS rows (bounded by config,
+    not data — allowlisted in test_plan_hygiene) broadcast back onto
+    the per-value rows. No corpus-sized single-partition sort exists
+    anywhere in the plan; the oracle replays the same ECDF with one
+    flat window, bit-for-bit equal because everything is integer."""
+    vals = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_acctbal").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("c_custkey") % 2 == 0, 0).otherwise(1))
+            .cast("long")
+            .alias("n2"),
+        )
+        .withColumn(
+            "bkt",
+            F.least(
+                F.greatest(
+                    F.floor((F.col("v") + 1000.0) / 11000.0 * KS_BUCKETS).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(KS_BUCKETS - 1),
+            ),
+        )
+    )
+    win_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = vals.select(
+        "bkt",
+        "v",
+        F.sum("n1").over(win_in).alias("c1"),
+        F.sum("n2").over(win_in).alias("c2"),
+    )
+    win_b = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        vals.groupBy("bkt")
+        .agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("t1").over(win_b), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(win_b), F.lit(0)).alias("o2"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    d = (
+        cums.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "t1",
+            "t2",
+            F.abs(
+                (F.col("o1") + F.col("c1")) * F.col("t2")
+                - (F.col("o2") + F.col("c2")) * F.col("t1")
+            ).alias("dn"),
+        )
+    )
+    return d.agg(
+        F.max("t1").cast("long").alias("n1"),
+        F.max("t2").cast("long").alias("n2"),
+        F.max("dn").cast("long").alias("d_num"),
+        F.round(
+            F.max("dn").cast("double") / (F.max("t1") * F.max("t2")), 6
+        ).alias("ks_d_r6"),
+        F.max_by("v", F.struct(F.col("dn"), (-F.col("v")).alias("nv"))).alias(
+            "at_value"
+        ),
+    )

@@ -690,3 +690,27 @@ def test_logreg_newton_matches_numpy_two_steps(spark, sf_dir):
         # moments; the fitted betas agree to ~1e-3
         assert abs(r.b0_r6 - beta[0]) < 1e-3, (r.l_returnflag, r.b0_r6, beta)
         assert abs(r.b1_r6 - beta[1]) < 1e-3
+
+
+def test_ks_two_sample_matches_numpy_ecdf(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.plans.robust_stats import (
+        q_stat_ks_two_sample,
+    )
+
+    row = q_stat_ks_two_sample(spark, sf_dir).first()
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    a = np.sort([r.c_acctbal for r in cust if r.c_custkey % 2 == 0])
+    b = np.sort([r.c_acctbal for r in cust if r.c_custkey % 2 == 1])
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.max(np.abs(f1 - f2))
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert abs(row["ks_d_r6"] - d) < 1e-6
+    # the reported argmax value really achieves the max gap
+    i = np.searchsorted(grid, row["at_value"])
+    assert abs(abs(f1[i] - f2[i]) - d) < 1e-12

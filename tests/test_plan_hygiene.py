@@ -64,6 +64,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # the rank window runs over the 2-arm per-day mean table
     # (≤ 2·|days| rows after the daily aggregation)
     "agg_mann_whitney_u": "2·|days| rows after per-day mean agg",
+    # the bucket-offset window of the two-level ECDF prefix sum runs
+    # over exactly KS_BUCKETS (=64) rows; the per-value cumulative is
+    # bucket-partitioned
+    "stat_ks_two_sample": "KS_BUCKETS rows after per-bucket agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
