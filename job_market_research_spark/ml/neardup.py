@@ -1460,3 +1460,109 @@ def q_dedup_winnowing(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("winnow_sim") >= WIN_SIM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_best_of_cluster",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, upper(text)
+      FROM documents WHERE doc_id % 12 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' !!! *** !!!'
+      FROM documents WHERE doc_id % 12 = 0
+    ),
+    scored AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+             round(CAST(length(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     '\\s+', ' ', 'g'))) AS DOUBLE)
+                   / length(text), 6) AS clean_ratio
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, h, clean_ratio,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY clean_ratio DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM scored
+    )
+    SELECT h AS cluster_hash,
+           CAST(n AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id,
+           clean_ratio AS rep_clean_ratio,
+           CAST(n - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1 AND n >= 2
+    ORDER BY cluster_hash
+    """,
+    tags=("dedup", "curation", "beyond"),
+)
+def q_dedup_best_of_cluster(spark, sf_dir: str) -> DataFrame:
+    """Cluster-representative SELECTION — the policy step after
+    duplicate detection: exact dedup keeps min-id (dedup_exact_hash),
+    but a curation pipeline keeps the BEST copy. Documents cluster
+    under a normalization key (lowercase, punctuation stripped,
+    whitespace collapsed — so case variants and punctuation-mangled
+    mirrors collide); within a cluster the representative is the copy
+    with the highest cleanliness ratio |normalized| / |raw| (a junk-
+    suffixed mirror scores lower; a pure case variant ties and the
+    smallest doc_id wins). Every 12th document is planted with an
+    uppercased mirror and a punctuation-appended mirror, so clusters
+    deterministically exercise both tie-break arms.
+
+    Scale: one map-side normalize+hash pass, ONE groupBy(h) with a
+    max_by aggregate — no window, no sort, no pairwise anything; the
+    plan is identical in shape to dedup_exact_hash (the oracle uses a
+    rank window only because DuckDB's arg_max takes a single ordering
+    key)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 12 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.upper("text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 12 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" !!! *** !!!")).alias("text"),
+            )
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    scored = corpus.select(
+        "doc_id",
+        F.md5(norm).alias("h"),
+        F.round(
+            F.length(norm).cast("double") / F.length("text"), 6
+        ).alias("clean_ratio"),
+    )
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("clean_ratio")),
+        F.struct(F.col("clean_ratio"), (-F.col("doc_id")).alias("nd")),
+    )
+    return (
+        scored.groupBy(F.col("h").alias("cluster_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            best.alias("best"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_hash",
+            "n_members",
+            F.col("best.doc_id").alias("rep_doc_id"),
+            F.col("best.clean_ratio").alias("rep_clean_ratio"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_hash")
+    )

@@ -108,3 +108,21 @@ def test_span_inventory_df_cap_excludes_hot_gram(spark, tmp_path):
     assert hot not in grams, "hot gram above the df-cap leaked into the inventory"
     assert cold in grams, "legitimately duplicated gram missing"
     assert all(2 <= r.n_docs <= GRAM_DF_CAP for r in out)
+
+
+def test_best_of_cluster_prefers_clean_copy(spark, sf_dir):
+    from job_market_research_spark.ml.neardup import q_dedup_best_of_cluster
+
+    rows = q_dedup_best_of_cluster(spark, sf_dir).collect()
+    assert rows
+    reps = {r.rep_doc_id for r in rows}
+    for r in rows:
+        # planted triples: {orig, upper-mirror (+3e6), junk-mirror (+4e6)}
+        if r.n_members == 3:
+            # junk-appended mirror never wins; case tie resolves to the
+            # smallest doc_id, i.e. the original
+            assert r.rep_doc_id < 3000000, r
+    # at least one planted triple exists at every sf
+    assert any(r.n_members == 3 for r in rows)
+    assert all(r.n_dropped == r.n_members - 1 for r in rows)
+    assert len(reps) == len(rows)
