@@ -1960,3 +1960,92 @@ def q_stat_ks_two_sample(spark, sf_dir: str) -> DataFrame:
             "at_value"
         ),
     )
+
+
+#: Order statistics used by the Hill estimator (top HILL_K + 1 rows).
+HILL_K = 50
+
+
+@query(
+    "agg_hill_tail_index",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    topk AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+      FROM (SELECT * FROM counts ORDER BY x DESC, user_id
+            LIMIT {HILL_K + 1})
+    ),
+    m AS (SELECT MAX(rk) AS nsel FROM topk),
+    thr AS (SELECT x AS xk1 FROM topk, m WHERE rk = m.nsel),
+    lns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(round(ln(CAST(x AS DOUBLE)), 6)
+                      AS DECIMAL(18,6))) AS sumln
+      FROM topk, m WHERE rk < m.nsel
+    )
+    SELECT lns.k,
+           thr.xk1,
+           round((CAST(sumln AS DOUBLE)
+                  - lns.k * round(ln(CAST(thr.xk1 AS DOUBLE)), 6))
+                 / lns.k, 6) AS hill_h_r6,
+           round(lns.k / nullif(CAST(sumln AS DOUBLE)
+                  - lns.k * round(ln(CAST(thr.xk1 AS DOUBLE)), 6), 0), 6)
+             AS tail_alpha_r6
+    FROM lns, thr
+    """,
+    tags=("stats", "tail", "beyond"),
+)
+def q_agg_hill_tail_index(spark, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail exponent of per-user activity: on
+    the top min(HILL_K+1, |users|) order statistics of events-per-user,
+    H = mean(ln X(i) − ln X(k+1)) and the tail index α = 1/H — the
+    standard answer to "how heavy is the whale tail", sharper than
+    fitting the whole histogram (the degree power-law profiler) when
+    only the extreme tail matters for capacity/skew planning.
+
+    Scale: one groupBy(user) shuffle, then a TakeOrderedAndProject
+    top-(k+1) cut — the rank window that separates the threshold
+    order statistic runs on exactly HILL_K+1 rows by construction
+    (allowlisted; ir_hybrid_rrf precedent). ln values round-6 into
+    exact decimals before summation (the repo's libm policy)."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    topk = (
+        counts.orderBy(F.desc("x"), "user_id")
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("x"), "user_id")),
+        )
+    )
+    m = topk.agg(F.max("rk").alias("nsel"))
+    t = topk.crossJoin(F.broadcast(m))
+    thr = t.filter(F.col("rk") == F.col("nsel")).select(
+        F.col("x").alias("xk1")
+    )
+    lns = t.filter(F.col("rk") < F.col("nsel")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.round(F.log(F.col("x").cast("double")), 6).cast("decimal(18,6)")
+        ).alias("sumln"),
+    )
+    a = F.col("sumln").cast("double") - F.col("k") * F.round(
+        F.log(F.col("xk1").cast("double")), 6
+    )
+    return (
+        lns.crossJoin(F.broadcast(thr))
+        .select(
+            "k",
+            "xk1",
+            F.round(a / F.col("k"), 6).alias("hill_h_r6"),
+            F.round(F.col("k") / F.nullif(a, F.lit(0.0)), 6).alias(
+                "tail_alpha_r6"
+            ),
+        )
+    )

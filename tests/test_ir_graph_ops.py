@@ -714,3 +714,32 @@ def test_ks_two_sample_matches_numpy_ecdf(spark, sf_dir):
     # the reported argmax value really achieves the max gap
     i = np.searchsorted(grid, row["at_value"])
     assert abs(abs(f1[i] - f2[i]) - d) < 1e-12
+
+
+def test_hill_estimator_matches_numpy_order_stats(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.plans.robust_stats import (
+        HILL_K,
+        q_agg_hill_tail_index,
+    )
+
+    row = q_agg_hill_tail_index(spark, sf_dir).first()
+    counts = np.sort(
+        np.array(
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .count()
+            .select("count")
+            .toPandas()["count"]
+        )
+    )[::-1]
+    nsel = min(HILL_K + 1, len(counts))
+    top = counts[:nsel].astype(float)
+    k = nsel - 1
+    h = float(np.mean(np.log(top[:k]) - np.log(top[k])))
+    assert row["k"] == k
+    assert row["xk1"] == top[k]
+    assert abs(row["hill_h_r6"] - h) < 1e-4
+    assert abs(row["tail_alpha_r6"] - 1.0 / h) < 1e-2
+    assert row["tail_alpha_r6"] > 0

@@ -68,6 +68,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # over exactly KS_BUCKETS (=64) rows; the per-value cumulative is
     # bucket-partitioned
     "stat_ks_two_sample": "KS_BUCKETS rows after per-bucket agg",
+    # the rank window separating the threshold order statistic runs on
+    # exactly HILL_K+1 rows after the TakeOrdered top-k cut
+    "agg_hill_tail_index": "HILL_K+1 rows after top-k cut",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
