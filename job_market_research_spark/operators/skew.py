@@ -130,6 +130,21 @@ _CMS_HASH = (
 )
 
 
+def cms_bucket(salt_col, token_col):
+    """Counter column for a (depth-salt, key) pair — md5-portable so
+    the DuckDB oracle addresses the identical cell."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    return F.pmod(
+        portable_hash(
+            F.concat(
+                F.lit("cms"), salt_col.cast("string"), F.lit("#"), token_col
+            )
+        ),
+        F.lit(CMS_WIDTH),
+    )
+
+
 @query(
     "agg_cms_heavy_hitters",
     oracle=f"""
@@ -179,21 +194,6 @@ def q_agg_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
     twin (cms_est ≥ true_n always; pinned in tests) — at 100 TB you
     drop the exact column and keep the sketch, which never shuffles
     more than 256 rows. Hashes are md5-portable; all counts integer."""
-    from job_market_research_spark.ml.neardup import portable_hash
-
-    def cms_bucket(salt_col, token_col):
-        return F.pmod(
-            portable_hash(
-                F.concat(
-                    F.lit("cms"),
-                    salt_col.cast("string"),
-                    F.lit("#"),
-                    token_col,
-                )
-            ),
-            F.lit(CMS_WIDTH),
-        )
-
     tok = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))

@@ -424,6 +424,10 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_logreg_newton",
     "stat_ks_two_sample",
     "dedup_best_of_cluster",
+    "agg_hill_tail_index",
+    "sample_pps_systematic",
+    "privacy_dp_median",
+    "scan_manifest_time_travel",
 )
 
 

@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.operators.sketches import BITMAP_BITS
+from job_market_research_spark.operators.skew import (
+    _CMS_HASH,
+    CMS_DEPTH,
+    CMS_TOP,
+    cms_bucket,
+)
 from job_market_research_spark.registry import query
 from job_market_research_spark.sources.readers import scratch_dir
 from job_market_research_spark.streaming.windows import _stage_events
@@ -219,3 +225,119 @@ def q_stream_welch_monitor(spark, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b_r6"),
         F.round(t, 6).alias("t_stat_r6"),
     )
+
+
+@query(
+    "stream_cms_topk",
+    oracle=f"""
+    WITH counters AS (
+      SELECT d, {_CMS_HASH.format(salt="d", col="CAST(user_id AS VARCHAR)")}
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(d)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+    ),
+    probe AS (
+      SELECT v.user_id, v.true_n, MIN(c.c) AS cms_est
+      FROM vocab v,
+           unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(d)
+      JOIN counters c
+        ON c.d = s.d
+       AND c.b = {_CMS_HASH.format(salt="s.d",
+                                   col="CAST(v.user_id AS VARCHAR)")}
+      GROUP BY v.user_id, v.true_n
+    )
+    SELECT user_id, true_n, cms_est FROM probe
+    ORDER BY cms_est DESC, user_id LIMIT {CMS_TOP}
+    """,
+    tags=("streaming", "sketch", "skew", "beyond"),
+)
+def q_stream_cms_topk(spark, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via a mergeable count-min sketch: each
+    arrival micro-batch folds its user-activity stream into its OWN
+    CMS_DEPTH×CMS_WIDTH counter grid (the one-pass weighted-vocab
+    trick from agg_cms_heavy_hitters) and appends the grid rows;
+    the terminal read ADDS cells across batches — CMS merge is
+    element-wise addition, associative and commutative, so the merged
+    grid is bit-identical to the batch grid under any arrival split,
+    which the strict DuckDB oracle hash-proves (the KMV/bitmap merge-
+    invariance discipline applied to frequency estimation). The probe
+    then reports the CMS_TOP estimated-hottest users with their exact
+    counts riding along as the error contract (cms_est ≥ true_n).
+
+    State per batch: ≤ CMS_DEPTH×CMS_WIDTH rows (256), CONSTANT in
+    batch size — the whole point of sketching the stream. At 100 TB/
+    day the grid never shuffles more than 256 rows per micro-batch;
+    the candidate probe stays a broadcast join against the grid."""
+    src = _stage_events(spark, sf_dir, "stream_cms")
+    schema = load(spark, sf_dir, "events").schema
+    root = scratch_dir("stream_cms_state")
+    state = os.path.join(root, "grid")
+    seed = spark.createDataFrame([], "d int, b long, c long")
+    seed.write.mode("overwrite").parquet(state)
+
+    def fold_grid(batch_df: DataFrame, epoch_id: int) -> None:
+        vocab = (
+            batch_df.select(F.col("user_id").cast("string").alias("u"))
+            .groupBy("u")
+            .agg(F.count("*").alias("n"))
+        )
+        grid = (
+            vocab.select(
+                "u",
+                "n",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias(
+                    "d"
+                ),
+            )
+            .select(
+                "d",
+                cms_bucket(F.col("d"), F.col("u")).alias("b"),
+                "n",
+            )
+            .groupBy("d", "b")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+        grid.write.mode("append").parquet(state)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_grid)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("d", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    vocab = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    probe = (
+        vocab.select(
+            "user_id",
+            "true_n",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .withColumn(
+            "b", cms_bucket(F.col("d"), F.col("user_id").cast("string"))
+        )
+        .join(F.broadcast(merged), ["d", "b"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return probe.orderBy(F.desc("cms_est"), "user_id").limit(CMS_TOP)

@@ -877,3 +877,52 @@ def test_changepoint_minimizes_sse_vs_python_scan(spark, sf_dir):
             if best is None or key < best:
                 best = key
         assert (r.sse_r6, r.split_day) == best, r.event_type
+
+
+def test_stream_cms_matches_batch_grid_and_bounds(spark, sf_dir):
+    """The batch-split-merged CMS grid must estimate every probed key
+    identically to a single-pass batch grid (cell addition is the
+    merge), and the CMS one-sided error contract must hold."""
+    from job_market_research_spark.operators.skew import (
+        CMS_DEPTH,
+        cms_bucket,
+    )
+    from job_market_research_spark.streaming.bitmaps import q_stream_cms_topk
+
+    rows = q_stream_cms_topk(spark, sf_dir).collect()
+    assert rows
+    batch_grid = {
+        (r.d, r.b): r.c
+        for r in (
+            load(spark, sf_dir, "events")
+            .select(F.col("user_id").cast("string").alias("u"))
+            .select(
+                "u",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias(
+                    "d"
+                ),
+            )
+            .select("d", cms_bucket(F.col("d"), F.col("u")).alias("b"))
+            .groupBy("d", "b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+    }
+    cells = (
+        spark.createDataFrame(
+            [(str(r.user_id),) for r in rows], "u string"
+        )
+        .select(
+            "u",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .select("u", "d", cms_bucket(F.col("d"), F.col("u")).alias("b"))
+        .collect()
+    )
+    by_user = {}
+    for c in cells:
+        by_user.setdefault(c.u, []).append(batch_grid[(c.d, c.b)])
+    for r in rows:
+        assert r.cms_est >= r.true_n  # one-sided error, always
+        # the streamed estimate equals the single-pass batch-grid min
+        assert r.cms_est == min(by_user[str(r.user_id)]), r
