@@ -104,3 +104,134 @@ def q_privacy_dp_vocab_release(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("noisy_r6") >= DPV_TAU)
         .orderBy("token")
     )
+
+
+#: Exponential-mechanism knobs: privacy budget, the data-independent
+#: candidate grid (bin lower edges over the acctbal domain), and the
+#: versioned seed salt. 11000/128 = 85.9375 is dyadic, so every grid
+#: edge is EXACT in both engines' doubles.
+DPM_EPSILON = 0.5
+DPM_BINS = 128
+DPM_SALT = "dpm-v1#"
+
+
+@query(
+    "privacy_dp_median",
+    oracle=f"""
+    WITH bins AS (
+      SELECT CAST(least(greatest(floor((c_acctbal + 1000.0) / 11000.0
+                                       * {DPM_BINS}), 0),
+                        {DPM_BINS - 1}) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1
+    ),
+    grid AS (SELECT g AS b FROM generate_series(0, {DPM_BINS - 1}) t(g)),
+    tot AS (SELECT SUM(cnt) AS n FROM bins),
+    cum AS (
+      SELECT grid.b,
+             CAST(COALESCE(SUM(bins.cnt) OVER (
+               ORDER BY grid.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM grid LEFT JOIN bins USING (b)
+    ),
+    scored AS (
+      SELECT b, below, tot.n,
+             -abs(2 * below - tot.n) AS u2,
+             round(-ln(-ln((CAST(('0x' || substr(md5('{DPM_SALT}'
+                      || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0)), 6) AS g_r6
+      FROM cum, tot
+    )
+    SELECT CAST(-1000.0 + b * 85.9375 AS DOUBLE) AS released_median,
+           b AS grid_bin,
+           below AS n_below,
+           CAST(n AS BIGINT) AS n,
+           round({DPM_EPSILON} * u2 / 4.0 + g_r6, 6) AS score_r6
+    FROM scored
+    ORDER BY round({DPM_EPSILON} * u2 / 4.0 + g_r6, 6) DESC, b
+    LIMIT 1
+    """,
+    tags=("privacy", "beyond"),
+)
+def q_privacy_dp_median(spark, sf_dir: str) -> DataFrame:
+    """Differentially-private median via the EXPONENTIAL MECHANISM
+    (McSherry & Talwar 2007): candidates are a FIXED data-independent
+    grid of DPM_BINS bin edges over the acctbal domain; each
+    candidate's utility is the (exact, integer) rank distance to the
+    median, u(c) = -|2·#{x<c} − n| (sensitivity-2 in this ×2 scaling,
+    hence the ε·u2/4 score); selection replays the Gumbel-max trick —
+    argmax(ε·u/2 + Gumbel) samples exactly ∝ exp(ε·u/2) — with a
+    SEEDED per-candidate Gumbel so the DuckDB oracle reproduces the
+    release bit-for-bit. Same honesty contract as
+    privacy_dp_count_release: replayable noise proves the MECHANISM
+    (candidate independence, correct utility/sensitivity, correct
+    Gumbel shape); production swaps in a CSPRNG draw.
+
+    Scale: one binning aggregation (DPM_BINS keys, map-side
+    combinable), a prefix sum over exactly DPM_BINS rows (bounded by
+    the grid constant — allowlisted global window), Gumbel scoring as
+    per-row expressions, TakeOrdered(1). The corpus is touched once."""
+    from job_market_research_spark.ml.neardup import portable_hash
+    from pyspark.sql import Window
+
+    width = 11000.0 / DPM_BINS
+    bins = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("c_acctbal") + 1000.0) / 11000.0 * DPM_BINS
+                    ).cast("long"),
+                    F.lit(0),
+                ),
+                F.lit(DPM_BINS - 1),
+            ).alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grid = spark.range(DPM_BINS).select(F.col("id").alias("b"))
+    cum = (
+        grid.join(bins, "b", "left")
+        .select("b", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("below"),
+        )
+    )
+    tot = bins.agg(F.sum("cnt").alias("n"))
+    uu = (
+        portable_hash(F.concat(F.lit(DPM_SALT), F.col("b").cast("string")))
+        + 0.5
+    ) / 4294967296.0
+    g_r6 = F.round(-F.log(-F.log(uu)), 6)
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            "below",
+            "n",
+            (-F.abs(2 * F.col("below") - F.col("n"))).alias("u2"),
+            g_r6.alias("g_r6"),
+        )
+        .select(
+            (F.lit(-1000.0) + F.col("b") * width).alias("released_median"),
+            F.col("b").alias("grid_bin"),
+            F.col("below").alias("n_below"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                DPM_EPSILON * F.col("u2") / 4.0 + F.col("g_r6"), 6
+            ).alias("score_r6"),
+        )
+    )
+    return scored.orderBy(F.desc("score_r6"), "grid_bin").limit(1)
