@@ -191,3 +191,85 @@ def q_maintenance_compaction_plan(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+#: Time-travel layout: commits 0..TT_COMMITS-1 each add one file
+#: (bucket = o_orderkey % TT_COMMITS), and the query reads AS OF this
+#: snapshot — files from commits ≤ TT_AS_OF only.
+TT_COMMITS = 4
+TT_AS_OF = 2
+
+#: Memoized commit log per sf_dir: [(commit_id, path, n_rows), ...].
+_COMMIT_LOG: dict[str, list[tuple[int, str, int]]] = {}
+
+
+def stage_commit_log(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """Simulate a lake table's append history: TT_COMMITS commits, each
+    landing one file that holds the o_orderkey % TT_COMMITS == commit
+    slice of orders. The commit log (one row per file: commit id,
+    path, row count) is the snapshot manifest — bounded metadata, like
+    the range-clustered manifest above."""
+    key = os.path.abspath(sf_dir)
+    if key in _COMMIT_LOG:
+        return _COMMIT_LOG[key]
+    root = scratch_dir("orders_commit_log")
+    orders = load(spark, sf_dir, "orders")
+    log: list[tuple[int, str, int]] = []
+    for commit in range(TT_COMMITS):
+        path = os.path.join(root, f"commit={commit}")
+        part = orders.filter(F.col("o_orderkey") % TT_COMMITS == commit)
+        part.write.mode("overwrite").parquet(path)
+        log.append((commit, path, part.count()))
+    _COMMIT_LOG[key] = log
+    return log
+
+
+@query(
+    "scan_manifest_time_travel",
+    oracle=f"""
+    SELECT CAST({TT_AS_OF} AS BIGINT) AS snapshot_id,
+           o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey % {TT_COMMITS} <= {TT_AS_OF}
+    GROUP BY 2 ORDER BY priority
+    """,
+    tags=("scan", "lake", "beyond"),
+)
+def q_scan_manifest_time_travel(spark, sf_dir: str) -> DataFrame:
+    """Snapshot time travel answered through a commit log: the staged
+    table accumulates one file per commit; reading AS OF snapshot
+    TT_AS_OF selects exactly the files whose commit id is ≤ the
+    snapshot — an Iceberg/Delta `VERSION AS OF` expressed in engine
+    primitives. File selection is a |commits|-row metadata decision
+    (never a data scan of dropped commits); the oracle recomputes the
+    same snapshot from the commit → key-slice invariant, so the
+    driver hash proves the as-of read returns precisely the rows that
+    existed at that version — no leakage from later commits.
+
+    Scale: the commit log is one row per file (metadata-sized); the
+    as-of read plans only the surviving files, so the scan cost is
+    proportional to the SNAPSHOT's size, not the table's full
+    history. Later commits never enter the DAG at all — the pruning
+    happens before Spark lists a single dropped file."""
+    log = stage_commit_log(spark, sf_dir)
+    selected = [path for commit, path, _ in log if commit <= TT_AS_OF]
+    return (
+        spark.read.parquet(*selected)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.lit(TT_AS_OF).cast("long").alias("snapshot_id"),
+            "priority",
+            "n_orders",
+            "total_value",
+        )
+        .orderBy("priority")
+    )

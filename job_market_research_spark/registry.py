@@ -425,7 +425,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "stat_ks_two_sample",
     "dedup_best_of_cluster",
     "agg_hill_tail_index",
-    "sample_pps_systematic",
+    "stream_cms_topk",
     "privacy_dp_median",
     "scan_manifest_time_travel",
 )

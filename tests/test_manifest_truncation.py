@@ -112,3 +112,24 @@ def test_json_key_profile_shows_planted_drift(spark, sf_dir):
     # Planted drift keys all surface; the nested object contributes
     # its TOP-LEVEL key only.
     assert {"k", "src", "device", "v", "meta", "ref"} <= keys
+
+
+def test_time_travel_reads_only_snapshot_files(spark, sf_dir):
+    """The as-of plan must touch only commits ≤ TT_AS_OF, and a later
+    snapshot must strictly grow the result."""
+    from job_market_research_spark.operators.manifest import (
+        TT_AS_OF,
+        TT_COMMITS,
+        q_scan_manifest_time_travel,
+        stage_commit_log,
+    )
+
+    log = stage_commit_log(spark, sf_dir)
+    assert len(log) == TT_COMMITS
+    rows = q_scan_manifest_time_travel(spark, sf_dir).collect()
+    assert rows and all(r.snapshot_id == TT_AS_OF for r in rows)
+    n_asof = sum(r.n_orders for r in rows)
+    # exactly the commit-log row counts of the surviving snapshots
+    assert n_asof == sum(n for c, _, n in log if c <= TT_AS_OF)
+    # the full table (all commits) is strictly bigger
+    assert n_asof < sum(n for _, _, n in log)
