@@ -235,3 +235,93 @@ def q_privacy_dp_median(spark, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score_r6"), "grid_bin").limit(1)
+
+
+#: Randomized-response knobs: truth probability 3/4 ⇒ ε = ln 3 local
+#: DP for a binary attribute; versioned salt for the seeded coin.
+RR_P_TRUTH = 0.75
+RR_SALT = "rr-v1#"
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INT) AS truth
+      FROM events GROUP BY user_id
+    ),
+    coined AS (
+      SELECT truth,
+             CASE WHEN (CAST(('0x' || substr(md5('{RR_SALT}'
+                        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0 < {RR_P_TRUTH}
+                  THEN truth ELSE 1 - truth END AS reported
+      FROM users
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(reported) AS BIGINT) AS n_reported_true,
+           round(CAST(SUM(reported) AS DOUBLE) / COUNT(*), 6)
+             AS reported_rate_r6,
+           round((CAST(SUM(reported) AS DOUBLE) / COUNT(*)
+                  - {1.0 - RR_P_TRUTH})
+                 / {2.0 * RR_P_TRUTH - 1.0}, 6) AS debiased_rate_r6,
+           round(CAST(SUM(truth) AS DOUBLE) / COUNT(*), 6) AS true_rate_r6
+    FROM coined
+    """,
+    tags=("privacy", "beyond"),
+)
+def q_privacy_randomized_response(spark, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy via Warner's randomized response:
+    each user reports their binary attribute (ever purchased)
+    truthfully with probability RR_P_TRUTH = 3/4 and flipped
+    otherwise — ε = ln 3 local DP, the mechanism under RAPPOR-style
+    telemetry — and the aggregate debiases the reported rate with
+    (p̂ − (1−p))/(2p−1). The per-user coin is a SEEDED md5 uniform
+    (the module's replayable-noise honesty contract: the oracle
+    re-flips every coin bit-for-bit, proving mechanism + debiasing;
+    production draws the coin ON DEVICE — that locality is the whole
+    point of the local model). The exact rate rides along as the
+    verification contract column.
+
+    Scale: one groupBy(user) + one global aggregate; the flip is a
+    map-side expression. Nothing about the mechanism shuffles more
+    than the user-attribute table itself."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("truth")
+        )
+    )
+    coin = (
+        portable_hash(
+            F.concat(F.lit(RR_SALT), F.col("user_id").cast("string"))
+        )
+        + 0.5
+    ) / 4294967296.0
+    coined = users.select(
+        "truth",
+        F.when(coin < RR_P_TRUTH, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("reported"),
+    )
+    p_hat = F.sum("reported").cast("double") / F.count("*")
+    return coined.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("reported").cast("long").alias("n_reported_true"),
+        F.round(p_hat, 6).alias("reported_rate_r6"),
+        F.round(
+            (p_hat - (1.0 - RR_P_TRUTH)) / (2.0 * RR_P_TRUTH - 1.0), 6
+        ).alias("debiased_rate_r6"),
+        F.round(F.sum("truth").cast("double") / F.count("*"), 6).alias(
+            "true_rate_r6"
+        ),
+    )

@@ -767,3 +767,26 @@ def test_dp_median_lands_near_true_median(spark, sf_dir):
     # determinism: the seeded mechanism re-releases the same value
     again = q_privacy_dp_median(spark, sf_dir).first()
     assert tuple(row) == tuple(again)
+
+
+def test_randomized_response_debiasing_tracks_truth(spark, sf_dir):
+    from job_market_research_spark.operators.privacy_release import (
+        RR_P_TRUTH,
+        q_privacy_randomized_response,
+    )
+
+    row = q_privacy_randomized_response(spark, sf_dir).first()
+    assert 0 <= row["n_reported_true"] <= row["n_users"]
+    # debias identity holds exactly on the reported rate
+    expect = (row["reported_rate_r6"] - (1 - RR_P_TRUTH)) / (
+        2 * RR_P_TRUTH - 1
+    )
+    assert abs(row["debiased_rate_r6"] - expect) < 2e-6
+    # the debiased estimate is within RR sampling noise of truth
+    # (4·binomial-σ of the flip process at p=3/4)
+    import math
+
+    sigma = 2.0 * math.sqrt(
+        RR_P_TRUTH * (1 - RR_P_TRUTH) / row["n_users"]
+    ) / (2 * RR_P_TRUTH - 1)
+    assert abs(row["debiased_rate_r6"] - row["true_rate_r6"]) <= 4 * sigma
