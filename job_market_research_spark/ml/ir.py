@@ -1040,3 +1040,241 @@ def q_text_tokenizer_fertility(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Pseudo-relevance-feedback knobs: feedback depth, expansion-term
+#: count, Rocchio beta for expansion weight, min expansion-term shape.
+PRF_FB = 5
+PRF_EXP_TERMS = 5
+PRF_BETA = 0.4
+PRF_TOP_K = 10
+
+
+@query(
+    "ir_rocchio_prf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf1 AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    df1 AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf1 GROUP BY 1
+    ),
+    pass1 AS (
+      SELECT tf1.doc_id,
+             round(CAST(SUM(CAST(
+               ln(1.0 + (s.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+                 * (tf1.tf * ({BM25_K1} + 1.0))
+                 / (tf1.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl.dl / s.avgdl))
+               AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25
+      FROM tf1 JOIN df1 USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf1.doc_id
+    ),
+    fb AS (
+      SELECT doc_id FROM pass1 ORDER BY bm25 DESC, doc_id LIMIT {PRF_FB}
+    ),
+    cand AS (
+      SELECT token, CAST(SUM(1) AS BIGINT) AS fb_tf
+      FROM tok WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND regexp_full_match(token, '[a-z]{{4,}}')
+        AND token NOT IN ({_TERMS_SQL})
+      GROUP BY token
+    ),
+    cand_df AS (
+      SELECT tok.token, CAST(COUNT(DISTINCT tok.doc_id) AS BIGINT) AS df
+      FROM tok JOIN cand USING (token) GROUP BY tok.token
+    ),
+    exp_terms AS (
+      SELECT c.token,
+             round(c.fb_tf * ln(1.0 + (s.n_docs - d.df + 0.5)
+                                / (d.df + 0.5)), 6) AS w_r6
+      FROM cand c JOIN cand_df d USING (token) CROSS JOIN stats s
+      ORDER BY w_r6 DESC, c.token LIMIT {PRF_EXP_TERMS}
+    ),
+    qterms AS (
+      SELECT t AS token, 1.0 AS wq
+      FROM unnest([{_TERMS_SQL}]) AS u(t)
+      UNION ALL
+      SELECT token, {PRF_BETA} AS wq FROM exp_terms
+    ),
+    tf2 AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN (SELECT token FROM qterms) GROUP BY 1, 2
+    ),
+    df2 AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf2 GROUP BY 1
+    )
+    SELECT tf2.doc_id,
+           round(CAST(SUM(CAST(
+             q.wq * ln(1.0 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+               * (tf2.tf * ({BM25_K1} + 1.0))
+               / (tf2.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl))
+             AS DECIMAL(28,14))) AS DOUBLE), 6) AS bm25_prf
+    FROM tf2
+    JOIN qterms q USING (token)
+    JOIN df2 USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf2.doc_id
+    ORDER BY bm25_prf DESC, doc_id LIMIT {PRF_TOP_K}
+    """,
+    tags=("ir", "beyond"),
+)
+def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in ONE DAG: BM25 pass 1 for
+    the fixed probe terms → top-PRF_FB feedback docs → expansion-term
+    selection (feedback term frequency × corpus idf, alpha-only
+    tokens ≥ 4 chars, original terms excluded, top-PRF_EXP_TERMS by
+    round-6 weight) → BM25 pass 2 over the expanded query with
+    original terms at weight 1 and expansion terms at Rocchio
+    beta = PRF_BETA → final top-k. The classic recall lever when the
+    literal query under-describes the information need (Rocchio 1971;
+    the RM3-style tf×idf selection).
+
+    Scale shape: BOTH passes term-filter the token stream before any
+    aggregation, so each corpus-sized shuffle carries only hits of a
+    ≤ |q|+PRF_EXP_TERMS term set; the feedback-doc semi-join and the
+    expansion/query term tables are bounded (PRF_FB docs' vocab, then
+    ≤ 8 terms) and broadcast; every top-k is TakeOrderedAndProject.
+    Per-doc sums ride exact DECIMAL like text_bm25_topk."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    def bm25_score(tf_col, df_col, dl_col):
+        return (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5)
+            )
+            * (tf_col * (BM25_K1 + 1.0))
+            / (
+                tf_col
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_col / F.col("avgdl"))
+            )
+        )
+
+    tf1 = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df1 = tf1.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    pass1 = (
+        tf1.join(F.broadcast(df1), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            bm25_score(F.col("tf"), F.col("df"), F.col("dl")).alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("ts").cast("decimal(28,14)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    fb = pass1.orderBy(F.desc("bm25"), "doc_id").limit(PRF_FB).select("doc_id")
+    cand = (
+        tok.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(
+            F.col("token").rlike("^[a-z]{4,}$")
+            & ~F.col("token").isin(*BM25_TERMS)
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+    )
+    cand_df = (
+        tok.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    exp_terms = (
+        cand.join(cand_df, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.col("fb_tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("w_r6"),
+        )
+        .orderBy(F.desc("w_r6"), "token")
+        .limit(PRF_EXP_TERMS)
+    )
+    qterms = (
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in BM25_TERMS], "token string"
+        )
+        .select("token", F.lit(1.0).alias("wq"))
+        .unionByName(
+            exp_terms.select("token", F.lit(PRF_BETA).alias("wq"))
+        )
+    )
+    tf2 = (
+        tok.join(F.broadcast(qterms.select("token")), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df2 = tf2.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tf2.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df2), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("wq") * bm25_score(F.col("tf"), F.col("df"), F.col("dl"))
+            ).alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("ts").cast("decimal(28,14)")).cast("double"), 6
+            ).alias("bm25_prf")
+        )
+        .orderBy(F.desc("bm25_prf"), "doc_id")
+        .limit(PRF_TOP_K)
+    )

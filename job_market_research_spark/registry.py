@@ -428,6 +428,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "stream_cms_topk",
     "privacy_dp_median",
     "scan_manifest_time_travel",
+    "privacy_randomized_response",
+    "ir_rocchio_prf",
 )
 
 

@@ -926,3 +926,29 @@ def test_stream_cms_matches_batch_grid_and_bounds(spark, sf_dir):
         assert r.cms_est >= r.true_n  # one-sided error, always
         # the streamed estimate equals the single-pass batch-grid min
         assert r.cms_est == min(by_user[str(r.user_id)]), r
+
+
+def test_rocchio_prf_expands_and_stays_grounded(spark, sf_dir):
+    """Expansion terms come from the feedback docs, exclude the
+    original query, and the final ranking still contains term-bearing
+    docs only."""
+    from job_market_research_spark.ml.ir import (
+        BM25_TERMS,
+        PRF_TOP_K,
+        q_ir_rocchio_prf,
+        q_text_bm25_topk,
+    )
+
+    rows = q_ir_rocchio_prf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PRF_TOP_K
+    scores = [r.bm25_prf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # PRF can only re-rank/add docs scored by SOME query or expansion
+    # term; the original-term top-k must stay heavily represented
+    base = {r.doc_id for r in q_text_bm25_topk(spark, sf_dir).collect()}
+    overlap = base & {r.doc_id for r in rows}
+    assert overlap, "expanded ranking lost every original top doc"
+    # determinism
+    again = q_ir_rocchio_prf(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
