@@ -363,9 +363,18 @@ def q_dedup_excise_spans(spark, sf_dir: str) -> DataFrame:
     above the cap would both ablate half the corpus and fan the join
     out by cap² — same guard, same constant, as the inventory query.
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.slice(tokens("text"), 1, SPAN_TOKEN_CAP).alias("t"),
+    # Fan the single-file local scan out to full width BEFORE the
+    # shingle explode (the augmented_corpus discipline): the tokenize +
+    # explode is CPU-bound map work consumed by TWO branches (inventory
+    # build and coverage join), and a 1-2 split input would run both
+    # near-serially.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.slice(tokens("text"), 1, SPAN_TOKEN_CAP).alias("t"),
+        )
     )
     docs = docs.withColumn(
         "t",

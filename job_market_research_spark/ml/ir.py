@@ -1158,7 +1158,14 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
     expansion/query term tables are bounded (PRF_FB docs' vocab, then
     ≤ 8 terms) and broadcast; every top-k is TakeOrderedAndProject.
     Per-doc sums ride exact DECIMAL like text_bm25_topk."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # Four consumers re-derive the token stream (tf1, expansion
+    # candidates, candidate DF, tf2) — widen the 1-file local scan
+    # first so each branch explodes at full parallelism.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+    )
     tok = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
