@@ -1120,3 +1120,207 @@ def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: Deterministic EM init for the 1-D two-component GMM: symmetric
+#: weights, spread means, equal variances (sd 2000).
+GMM_MU0 = (1000.0, 7000.0)
+GMM_V0 = 4000000.0
+
+
+@query(
+    "ml_gmm_em",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS xd,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+             CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                  * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(13,4)) AS xx
+      FROM customer
+    ),
+    e1 AS (
+      SELECT x, xx,
+             CAST(round(1.0 / (1.0 + exp(-(
+               -(xd - {GMM_MU0[0]}) * (xd - {GMM_MU0[0]}) / (2.0 * {GMM_V0})
+               + (xd - {GMM_MU0[1]}) * (xd - {GMM_MU0[1]}) / (2.0 * {GMM_V0})
+             ))), 6) AS DECIMAL(8,6)) AS r1
+      FROM base
+    ),
+    m1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r1) AS sr,
+             SUM(CAST(CAST(r1 AS DECIMAL(19,6)) * x AS DECIMAL(28,8)))
+               AS srx,
+             SUM(CAST(CAST(r1 AS DECIMAL(19,6)) * xx AS DECIMAL(38,10)))
+               AS srxx,
+             SUM(x) AS sx,
+             SUM(CAST(xx AS DECIMAL(19,4))) AS sxx
+      FROM e1
+    ),
+    p1 AS (
+      SELECT n,
+             CAST(sr AS DOUBLE) / n AS pi1,
+             CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE) AS mu1,
+             greatest(CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+               - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))
+                 * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)), 1e-6) AS v1,
+             (CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+               / (n - CAST(sr AS DOUBLE)) AS mu2,
+             greatest((CAST(sxx AS DOUBLE) - CAST(srxx AS DOUBLE))
+               / (n - CAST(sr AS DOUBLE))
+               - ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+                  / (n - CAST(sr AS DOUBLE)))
+                 * ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+                    / (n - CAST(sr AS DOUBLE))), 1e-6) AS v2
+      FROM m1
+    ),
+    e2 AS (
+      SELECT b.x, b.xx,
+             CAST(round(1.0 / (1.0 + exp(-(
+               ln(p.pi1) - ln(1.0 - p.pi1)
+               - 0.5 * (ln(p.v1) - ln(p.v2))
+               - (b.xd - p.mu1) * (b.xd - p.mu1) / (2.0 * p.v1)
+               + (b.xd - p.mu2) * (b.xd - p.mu2) / (2.0 * p.v2)
+             ))), 6) AS DECIMAL(8,6)) AS r1
+      FROM base b CROSS JOIN p1 p
+    ),
+    m2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r1) AS sr,
+             SUM(CAST(CAST(r1 AS DECIMAL(19,6)) * x AS DECIMAL(28,8)))
+               AS srx,
+             SUM(CAST(CAST(r1 AS DECIMAL(19,6)) * xx AS DECIMAL(38,10)))
+               AS srxx,
+             SUM(x) AS sx,
+             SUM(CAST(xx AS DECIMAL(19,4))) AS sxx
+      FROM e2
+    )
+    SELECT n,
+           round(CAST(sr AS DOUBLE) / n, 6) AS pi1_r6,
+           round(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS mu1_r6,
+           round(sqrt(greatest(CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+             - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))
+               * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)), 1e-6)), 6)
+             AS sd1_r6,
+           round((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+                 / (n - CAST(sr AS DOUBLE)), 6) AS mu2_r6,
+           round(sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(srxx AS DOUBLE))
+             / (n - CAST(sr AS DOUBLE))
+             - ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+                / (n - CAST(sr AS DOUBLE)))
+               * ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+                  / (n - CAST(sr AS DOUBLE))), 1e-6)), 6) AS sd2_r6
+    FROM m2
+    """,
+    tags=("ml", "stats", "beyond"),
+)
+def q_ml_gmm_em(spark, sf_dir: str) -> DataFrame:
+    """1-D two-component Gaussian mixture fit by BOUNDED EM — exactly
+    two E/M rounds from a deterministic init (spread means, equal
+    variances, symmetric weights), completing the bounded-iteration
+    trio: k-means (broadcast argmin), Newton logistic (weighted
+    moments), now EM (soft-responsibility moments). Each E-step is a
+    map-side expression (the responsibility is a 2-component posterior
+    = a sigmoid of the log-density gap, round-6 quantized — the
+    logreg_newton libm policy); each M-step is ONE exact-decimal
+    moment aggregation; component-2 moments come from totals minus
+    component-1 (r2 = 1 − r1, so no second weighted pass). The second
+    round's parameters broadcast as a 1-row crossJoin.
+
+    Scale: two corpus scans (iteration count constant), no window, no
+    driver state beyond 5 parameters. sqrt is IEEE-correctly-rounded
+    (safe cross-engine); ln/exp pass through the round-6 gate."""
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").cast("double").alias("xd"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+        (
+            F.col("c_acctbal").cast("decimal(18,2)").cast("decimal(19,2)")
+            * F.col("c_acctbal").cast("decimal(18,2)")
+        )
+        .cast("decimal(13,4)")
+        .alias("xx"),
+    )
+
+    def resp(z):
+        return (
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            .cast("decimal(8,6)")
+            .alias("r1")
+        )
+
+    def mstep(e):
+        return e.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("r1").alias("sr"),
+            F.sum(
+                (F.col("r1").cast("decimal(19,6)") * F.col("x")).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("srx"),
+            F.sum(
+                (F.col("r1").cast("decimal(19,6)") * F.col("xx")).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("srxx"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("xx").cast("decimal(19,4)")).alias("sxx"),
+        )
+
+    xd = F.col("xd")
+    z1 = (
+        -(xd - GMM_MU0[0]) * (xd - GMM_MU0[0]) / (2.0 * GMM_V0)
+        + (xd - GMM_MU0[1]) * (xd - GMM_MU0[1]) / (2.0 * GMM_V0)
+    )
+    m1 = mstep(base.select("x", "xx", resp(z1)))
+    sr, srx, srxx = (
+        F.col("sr").cast("double"),
+        F.col("srx").cast("double"),
+        F.col("srxx").cast("double"),
+    )
+    sx, sxx, n = F.col("sx").cast("double"), F.col("sxx").cast("double"), F.col("n")
+    p1 = m1.select(
+        "n",
+        (sr / n).alias("pi1"),
+        (srx / sr).alias("mu1"),
+        F.greatest(srxx / sr - (srx / sr) * (srx / sr), F.lit(1e-6)).alias(
+            "v1"
+        ),
+        ((sx - srx) / (n - sr)).alias("mu2"),
+        F.greatest(
+            (sxx - srxx) / (n - sr)
+            - ((sx - srx) / (n - sr)) * ((sx - srx) / (n - sr)),
+            F.lit(1e-6),
+        ).alias("v2"),
+    )
+    z2 = (
+        F.log(F.col("pi1"))
+        - F.log(F.lit(1.0) - F.col("pi1"))
+        - 0.5 * (F.log(F.col("v1")) - F.log(F.col("v2")))
+        - (xd - F.col("mu1")) * (xd - F.col("mu1")) / (2.0 * F.col("v1"))
+        + (xd - F.col("mu2")) * (xd - F.col("mu2")) / (2.0 * F.col("v2"))
+    )
+    m2 = mstep(
+        base.crossJoin(F.broadcast(p1)).select("x", "xx", resp(z2))
+    )
+    return m2.select(
+        "n",
+        F.round(sr / n, 6).alias("pi1_r6"),
+        F.round(srx / sr, 6).alias("mu1_r6"),
+        F.round(
+            F.sqrt(
+                F.greatest(srxx / sr - (srx / sr) * (srx / sr), F.lit(1e-6))
+            ),
+            6,
+        ).alias("sd1_r6"),
+        F.round((sx - srx) / (n - sr), 6).alias("mu2_r6"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (sxx - srxx) / (n - sr)
+                    - ((sx - srx) / (n - sr)) * ((sx - srx) / (n - sr)),
+                    F.lit(1e-6),
+                )
+            ),
+            6,
+        ).alias("sd2_r6"),
+    )

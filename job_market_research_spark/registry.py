@@ -430,6 +430,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "scan_manifest_time_travel",
     "privacy_randomized_response",
     "ir_rocchio_prf",
+    "ml_gmm_em",
 )
 
 

@@ -790,3 +790,50 @@ def test_randomized_response_debiasing_tracks_truth(spark, sf_dir):
         RR_P_TRUTH * (1 - RR_P_TRUTH) / row["n_users"]
     ) / (2 * RR_P_TRUTH - 1)
     assert abs(row["debiased_rate_r6"] - row["true_rate_r6"]) <= 4 * sigma
+
+
+def test_gmm_em_matches_numpy_two_rounds(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.ml.clustering import (
+        GMM_MU0,
+        GMM_V0,
+        q_ml_gmm_em,
+    )
+
+    row = q_ml_gmm_em(spark, sf_dir).first()
+    x = np.array(
+        [
+            r.c_acctbal
+            for r in load(spark, sf_dir, "customer")
+            .select("c_acctbal")
+            .collect()
+        ]
+    )
+    pi1, mu, v = 0.5, list(GMM_MU0), [GMM_V0, GMM_V0]
+    for _ in range(2):
+        z = (
+            np.log(pi1 / (1 - pi1))
+            - 0.5 * (np.log(v[0]) - np.log(v[1]))
+            - (x - mu[0]) ** 2 / (2 * v[0])
+            + (x - mu[1]) ** 2 / (2 * v[1])
+        )
+        r1 = 1.0 / (1.0 + np.exp(-z))
+        n1 = r1.sum()
+        mu = [float((r1 * x).sum() / n1), float(((1 - r1) * x).sum() / (len(x) - n1))]
+        v = [
+            max(float((r1 * x * x).sum() / n1 - mu[0] ** 2), 1e-6),
+            max(
+                float(((1 - r1) * x * x).sum() / (len(x) - n1) - mu[1] ** 2),
+                1e-6,
+            ),
+        ]
+        pi1 = float(n1 / len(x))
+    assert row["n"] == len(x)
+    assert abs(row["pi1_r6"] - pi1) < 1e-3
+    assert abs(row["mu1_r6"] - mu[0]) < 1.0  # round-6 responsibilities
+    assert abs(row["mu2_r6"] - mu[1]) < 1.0
+    assert abs(row["sd1_r6"] - v[0] ** 0.5) < 2.0
+    assert abs(row["sd2_r6"] - v[1] ** 0.5) < 2.0
+    # init ordering is preserved: component 1 sits below component 2
+    assert row["mu1_r6"] < row["mu2_r6"]
