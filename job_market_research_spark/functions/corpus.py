@@ -434,3 +434,77 @@ def q_dedup_excise_spans(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                    s -> s <> '')), 1) AS BIGINT) AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+                    '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_r6,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 6) AS fk_grade_r6
+    FROM feats WHERE n_words > 0 ORDER BY doc_id
+    """,
+    tags=("text", "quality", "beyond"),
+)
+def q_text_readability_scores(spark, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document — the
+    readability gates used alongside Gopher/C4 rules when curating
+    educational/reading-level-targeted corpora (e.g. textbook-style
+    filtering). Syllables are approximated by vowel-group runs (the
+    standard dictionary-free proxy; whitespace breaks runs, so a
+    corpus-wide regexp count equals the per-word sum), sentences by
+    terminal punctuation (the text_sentence_stats splitter), with
+    floor-1 guards so punctuation-free docs score rather than crash.
+
+    Scale: three counting expressions inside whole-stage codegen —
+    scan-shaped, zero shuffle, no UDF; the formulas are pure rational
+    arithmetic over the integer counts (round-6 only at the end)."""
+    txt = load(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("long")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.transform(
+                    F.split("text", r"[.!?]+"), lambda s: F.trim(s)
+                ),
+                lambda s: s != "",
+            )
+        ),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    feats = txt.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_r6"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade_r6"),
+    ).orderBy("doc_id")
