@@ -653,3 +653,132 @@ def q_sample_balanced_classes(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Priority-sampling knobs: sample size and the seed salt for the
+#: per-item uniform.
+PRI_K = 200
+PRI_SALT = "pri-v1#"
+
+
+@query(
+    "sample_priority_subset_sum",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS wgt,
+             CAST(o_totalprice AS DOUBLE)
+               / ((CAST(('0x' || substr(md5('{PRI_SALT}'
+                     || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   + 0.5) / 4294967296.0) AS q
+      FROM orders
+    ),
+    topk AS (
+      SELECT *, row_number() OVER (ORDER BY q DESC, o_orderkey) AS rk
+      FROM (SELECT * FROM w ORDER BY q DESC, o_orderkey
+            LIMIT {PRI_K + 1})
+    ),
+    tau AS (SELECT q AS t FROM topk WHERE rk = {PRI_K + 1}),
+    est AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             SUM(CAST(round(greatest(CAST(wgt AS DOUBLE), tau.t), 4)
+                      AS DECIMAL(18,4))) AS e
+      FROM topk, tau WHERE rk <= {PRI_K}
+      GROUP BY o_orderpriority
+    ),
+    truth AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT truth.o_orderpriority AS priority,
+           COALESCE(est.n_sampled, 0) AS n_sampled,
+           round(CAST(COALESCE(est.e, 0) AS DOUBLE), 4) AS est_total_r4,
+           CAST(truth.t AS DOUBLE) AS true_total
+    FROM truth LEFT JOIN est USING (o_orderpriority)
+    ORDER BY priority
+    """,
+    tags=("sample", "sketch", "beyond"),
+)
+def q_sample_priority_subset_sum(spark, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup 2007): give every order
+    a priority q = weight / seeded-uniform, keep the top PRI_K, and
+    let τ be the (K+1)-th priority; then Σ max(w, τ) over the sampled
+    members of ANY subset is an unbiased estimate of that subset's
+    true weight sum — the optimal generic scheme for "sample once,
+    answer arbitrary subset-sum queries later" (the per-class revenue
+    columns here, with the exact totals riding along as the
+    contract). The uniform is an md5-seeded draw so both engines
+    sample the identical set and τ (the module's replay discipline).
+
+    Scale: one map-side priority expression, a TakeOrderedAndProject
+    top-(K+1) cut (the rank window runs on K+1 rows by construction —
+    allowlisted), then a |classes|-row aggregate; per-item HT weights
+    round-4 into exact decimals before summation. The true-total
+    contract column is one extra map-side-combinable aggregate."""
+    w = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("wgt"),
+        (
+            F.col("o_totalprice").cast("double")
+            / (
+                (
+                    portable_hash(
+                        F.concat(
+                            F.lit(PRI_SALT),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    )
+                    + 0.5
+                )
+                / 4294967296.0
+            )
+        ).alias("q"),
+    )
+    topk = (
+        w.orderBy(F.desc("q"), "o_orderkey")
+        .limit(PRI_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("q"), "o_orderkey")),
+        )
+    )
+    # population ≤ K ⇒ no (K+1)-th priority ⇒ τ = 0 and every weight
+    # passes through exactly (the sample IS the population)
+    tau = topk.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == PRI_K + 1, F.col("q"))), F.lit(0.0)
+        ).alias("t")
+    )
+    est = (
+        topk.filter(F.col("rk") <= PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(
+                F.round(
+                    F.greatest(F.col("wgt").cast("double"), F.col("t")), 4
+                ).cast("decimal(18,4)")
+            ).alias("e"),
+        )
+    )
+    truth = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"))
+    )
+    return (
+        truth.join(F.broadcast(est), "o_orderpriority", "left")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.round(
+                F.coalesce(F.col("e"), F.lit(0)).cast("double"), 4
+            ).alias("est_total_r4"),
+            F.col("t").cast("double").alias("true_total"),
+        )
+        .orderBy("priority")
+    )

@@ -431,6 +431,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_randomized_response",
     "ir_rocchio_prf",
     "ml_gmm_em",
+    "text_readability_scores",
+    "sample_priority_subset_sum",
 )
 
 

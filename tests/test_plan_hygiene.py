@@ -74,6 +74,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # the rank prefix sum runs over the fixed DPM_BINS candidate grid
     # (128 rows by construction, data-independent)
     "privacy_dp_median": "DPM_BINS candidate-grid rows",
+    # the priority-rank window runs on PRI_K+1 rows after the
+    # TakeOrdered top-k cut
+    "sample_priority_subset_sum": "PRI_K+1 rows after top-k cut",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

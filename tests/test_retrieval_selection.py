@@ -952,3 +952,27 @@ def test_rocchio_prf_expands_and_stays_grounded(spark, sf_dir):
     # determinism
     again = q_ir_rocchio_prf(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_priority_sampling_estimator_identities(spark, sf_dir):
+    """Duffield-Lund-Thorup invariants: K items sampled (or the whole
+    population when it is smaller), every HT weight >= the raw weight,
+    and the class estimates sum to the global estimate."""
+    from job_market_research_spark.ml.sampling import (
+        PRI_K,
+        q_sample_priority_subset_sum,
+    )
+
+    rows = q_sample_priority_subset_sum(spark, sf_dir).collect()
+    n_pop = load(spark, sf_dir, "orders").count()
+    n_sampled = sum(r.n_sampled for r in rows)
+    assert n_sampled == min(PRI_K, n_pop)
+    assert all(r.est_total_r4 >= 0 for r in rows)
+    total_true = sum(r.true_total for r in rows)
+    total_est = sum(r.est_total_r4 for r in rows)
+    # unbiased estimator, single draw: within 5x is a smoke sanity
+    # bound, not a statistical claim (K=200 of ~n_pop weights)
+    assert 0.2 * total_true < total_est < 5 * total_true
+    # determinism
+    again = q_sample_priority_subset_sum(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
