@@ -507,3 +507,119 @@ def q_multimodal_scene_cut(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+#: VAD geometry: equal frames per clip, activity = frame mean |sample|
+#: above the threshold (integer cross-multiply, no division).
+VAD_FRAMES = 16
+VAD_THRESHOLD = 16380
+VAD_MAX_DOC = 200
+
+VAD_SCHEMA = (
+    "doc_id long, n_active long, longest_run long, active_ratio_r6 double"
+)
+
+
+def _audio_vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-energy VAD through the real WAV path: encode → sniff →
+    decode, split into VAD_FRAMES frames, mark a frame voice-active
+    when energy > threshold · n_frame_samples (integer compare), and
+    report the active count, the longest active run and the ratio."""
+    from job_market_research_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    frames = VAD_FRAMES
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = d % 1600 + 160
+            rate = 8000 + (d % 3) * 4000
+            samples = (
+                ((np.arange(n, dtype=np.int64) * (d + 3)) % 65521) - 32760
+            ).astype(np.int16)
+            decoded, _ = decode_wav(encode_wav_pcm16(samples, rate))
+            s = np.abs(decoded.astype(np.int64))
+            f = (np.arange(n) * frames) // n
+            energy = np.bincount(f, weights=s, minlength=frames).astype(np.int64)
+            cnt = np.bincount(f, minlength=frames).astype(np.int64)
+            active = energy > VAD_THRESHOLD * cnt
+            longest = run = 0
+            for a in active:
+                run = run + 1 if a else 0
+                longest = max(longest, run)
+            rows.append(
+                (
+                    d,
+                    int(active.sum()),
+                    longest,
+                    round(float(active.sum()) / frames, 6),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_active", "longest_run", "active_ratio_r6"],
+        )
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, (ii.i * {VAD_FRAMES}) // ({_AUD_N}) AS f,
+             SUM(ABS((ii.i * (doc_id + 3)) % 65521 - 32760)) AS energy,
+             COUNT(*) AS cnt
+      FROM documents, unnest(range(0, {_AUD_N})) AS ii(i)
+      WHERE doc_id < {VAD_MAX_DOC}
+      GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, f FROM fr WHERE energy > {VAD_THRESHOLD} * cnt
+    ),
+    isl AS (
+      SELECT doc_id,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM act
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+      FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(a.n, 0) AS BIGINT) AS n_active,
+             CAST(COALESCE(r.lr, 0) AS BIGINT) AS longest_run
+      FROM (SELECT DISTINCT doc_id FROM fr) d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM act GROUP BY doc_id) a
+        USING (doc_id)
+      LEFT JOIN (SELECT doc_id, MAX(run) AS lr FROM runs GROUP BY doc_id) r
+        USING (doc_id)
+    )
+    SELECT doc_id, n_active, longest_run,
+           round(CAST(n_active AS DOUBLE) / {VAD_FRAMES}, 6)
+             AS active_ratio_r6
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_vad(spark, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over real-decoded WAV clips: the
+    speech-data curation gate (drop silent clips, measure speech
+    density, find the longest contiguous speech run for segmentation)
+    expressed as frame-energy thresholding — the classic
+    energy-based VAD, with the threshold compare as an integer
+    cross-multiply so the DuckDB oracle replays every frame decision
+    from the synthesis recipe (same discipline as the audio
+    fingerprint; the gaps-and-islands longest-run is 16 frames/doc).
+
+    Scale: the waveform never leaves the Arrow batch — only three
+    integers + a ratio per clip return; no shuffle at all on the
+    Spark side (per-clip reduction inside mapInPandas), ordered by
+    the bounded probe set."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < VAD_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_audio_vad, schema=VAD_SCHEMA).orderBy("doc_id")

@@ -433,6 +433,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "ml_gmm_em",
     "text_readability_scores",
     "sample_priority_subset_sum",
+    "multimodal_audio_vad",
 )
 
 

@@ -976,3 +976,18 @@ def test_priority_sampling_estimator_identities(spark, sf_dir):
     # determinism
     again = q_sample_priority_subset_sum(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_audio_vad_invariants(spark, sf_dir):
+    from job_market_research_spark.multimodal.real_media import (
+        VAD_FRAMES,
+        q_multimodal_audio_vad,
+    )
+
+    rows = q_multimodal_audio_vad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.longest_run <= r.n_active <= VAD_FRAMES
+        assert abs(r.active_ratio_r6 - r.n_active / VAD_FRAMES) < 1e-6
+    # the uniform-ish synthetic signal is loud: most clips have speech
+    assert sum(1 for r in rows if r.n_active > 0) > len(rows) // 2
