@@ -138,3 +138,118 @@ def q_window_concurrency_sweep(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_bucket")
     )
+
+
+#: Bucket width for the bucketized interval-overlap join: one hour of
+#: microseconds. Replication factor per interval = its span in hours
+#: (≤ 24 here — both interval sets are day-scoped).
+OVERLAP_BUCKET_US = 3_600_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, epoch_us(ts) // {SWEEP_BUCKET_US} AS d,
+             MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, epoch_us(ts) // {SWEEP_BUCKET_US} AS d,
+             MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT b.event_type,
+             least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ov
+      FROM a JOIN b ON a.d = b.d
+      WHERE a.lo <= b.hi AND b.lo <= a.hi
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("join", "intervals", "beyond"),
+)
+def q_join_interval_overlap(spark, sf_dir: str) -> DataFrame:
+    """BIG×BIG interval-overlap join, bucketized to equi — the shape
+    `join_range`'s docstring points to when NEITHER side fits in a
+    broadcast: per-(user, day) activity spans against per-(type, day)
+    activity spans. Each interval replicates to every OVERLAP_BUCKET
+    (hour) it covers — replication bounded by span/width, ≤ 24 here —
+    the join becomes a plain hash equi-join on the bucket id, and the
+    classic FIRST-OVERLAP-BUCKET rule (keep a pair only in the bucket
+    containing max(lo_a, lo_b)) dedups replicated matches WITHOUT a
+    distinct shuffle. Overlap lengths are integer microseconds, so
+    the naive day-equi oracle join hash-proves the bucketized plan
+    returns exactly the same pairs.
+
+    At 100 TB this is the interval join that works: no broadcast of a
+    corpus-sized side, no nested-loop, fan-out a constant, and the
+    bucket key near-uniform (hot hours salt like any hot key)."""
+    us = F.unix_micros("ts")
+    ev = load(spark, sf_dir, "events")
+    a = (
+        ev.groupBy(
+            "user_id",
+            (us / SWEEP_BUCKET_US).cast("long").alias("d"),
+        )
+        .agg(F.min(us).alias("lo_a"), F.max(us).alias("hi_a"))
+    )
+    b = (
+        ev.groupBy(
+            "event_type",
+            (us / SWEEP_BUCKET_US).cast("long").alias("d"),
+        )
+        .agg(F.min(us).alias("lo_b"), F.max(us).alias("hi_b"))
+    )
+    W = OVERLAP_BUCKET_US
+    a_r = a.select(
+        "user_id",
+        "lo_a",
+        "hi_a",
+        F.explode(
+            F.sequence(
+                (F.col("lo_a") / W).cast("long"),
+                (F.col("hi_a") / W).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    b_r = b.select(
+        "event_type",
+        "lo_b",
+        "hi_b",
+        F.explode(
+            F.sequence(
+                (F.col("lo_b") / W).cast("long"),
+                (F.col("hi_b") / W).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    pairs = (
+        a_r.join(b_r, "bkt")
+        .filter(
+            (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a"))
+            # first-overlap-bucket dedup: count each pair exactly once
+            & (
+                F.col("bkt")
+                == (F.greatest("lo_a", "lo_b") / W).cast("long")
+            )
+        )
+        .select(
+            "event_type",
+            (
+                F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+            ).alias("ov"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("ov").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy("event_type")
+    )

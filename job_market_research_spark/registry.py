@@ -434,6 +434,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_readability_scores",
     "sample_priority_subset_sum",
     "multimodal_audio_vad",
+    "join_interval_overlap",
 )
 
 

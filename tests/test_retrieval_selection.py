@@ -991,3 +991,46 @@ def test_audio_vad_invariants(spark, sf_dir):
         assert abs(r.active_ratio_r6 - r.n_active / VAD_FRAMES) < 1e-6
     # the uniform-ish synthetic signal is loud: most clips have speech
     assert sum(1 for r in rows if r.n_active > 0) > len(rows) // 2
+
+
+def test_interval_overlap_bucketized_equals_naive(spark, sf_dir):
+    """The replicated-bucket + first-overlap-bucket plan must return
+    exactly the naive day-equi join's pairs."""
+    from job_market_research_spark.operators.intervals import (
+        SWEEP_BUCKET_US,
+        q_join_interval_overlap,
+    )
+
+    got = {
+        r.event_type: (r.n_overlaps, r.total_overlap_us)
+        for r in q_join_interval_overlap(spark, sf_dir).collect()
+    }
+    us = F.unix_micros("ts")
+    ev = load(spark, sf_dir, "events")
+    a = ev.groupBy(
+        "user_id", (us / SWEEP_BUCKET_US).cast("long").alias("d")
+    ).agg(F.min(us).alias("lo_a"), F.max(us).alias("hi_a"))
+    b = ev.groupBy(
+        "event_type", (us / SWEEP_BUCKET_US).cast("long").alias("d")
+    ).agg(F.min(us).alias("lo_b"), F.max(us).alias("hi_b"))
+    naive = {
+        r.event_type: (r.n, r.tot)
+        for r in (
+            a.join(b, "d")
+            .filter(
+                (F.col("lo_a") <= F.col("hi_b"))
+                & (F.col("lo_b") <= F.col("hi_a"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+                )
+                .cast("long")
+                .alias("tot"),
+            )
+            .collect()
+        )
+    }
+    assert got == naive and got
