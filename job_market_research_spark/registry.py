@@ -435,6 +435,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "sample_priority_subset_sum",
     "multimodal_audio_vad",
     "join_interval_overlap",
+    "stream_histogram_quantile",
 )
 
 

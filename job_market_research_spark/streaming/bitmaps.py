@@ -341,3 +341,128 @@ def q_stream_cms_topk(spark, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
     )
     return probe.orderBy(F.desc("cms_est"), "user_id").limit(CMS_TOP)
+
+
+#: Histogram-quantile sketch geometry: fixed equal-width bins over the
+#: event-value domain, and the probe quantiles.
+HQ_BINS = 64
+HQ_LO, HQ_HI = 0.0, 500.0
+HQ_QUANTILES = (0.5, 0.95, 0.99)
+
+_HQ_BIN_SQL = (
+    f"CAST(least(greatest(floor((value - {HQ_LO}) / ({HQ_HI} - {HQ_LO})"
+    f" * {HQ_BINS}), 0), {HQ_BINS - 1}) AS BIGINT)"
+)
+
+
+@query(
+    "stream_histogram_quantile",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_HQ_BIN_SQL} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, c, SUM(c) OVER (ORDER BY b) AS cm,
+             (SELECT SUM(c) FROM h) AS n
+      FROM h
+    ),
+    qs AS (SELECT q FROM unnest([{", ".join(str(q) for q in HQ_QUANTILES)}])
+           AS t(q)),
+    pick AS (
+      SELECT qs.q, MIN(cum.b) AS b
+      FROM qs JOIN cum ON cum.cm >= qs.q * cum.n
+      GROUP BY qs.q
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           b AS bin,
+           round({HQ_LO} + b * (({HQ_HI} - {HQ_LO}) / {HQ_BINS}), 6)
+             AS est_lo_r6,
+           round({HQ_LO} + (b + 1) * (({HQ_HI} - {HQ_LO}) / {HQ_BINS}), 6)
+             AS est_hi_r6
+    FROM pick ORDER BY q
+    """,
+    tags=("streaming", "sketch", "quantile", "beyond"),
+)
+def q_stream_histogram_quantile(spark, sf_dir: str) -> DataFrame:
+    """Streaming quantiles via a mergeable fixed-bin histogram — the
+    fourth arrival-split-invariance proof (after KMV min-merge,
+    bitmap OR-merge, CMS cell-add): each micro-batch appends its own
+    HQ_BINS-bin value histogram; the terminal read ADDS bins and
+    answers P50/P95/P99 as the first bin whose cumulative count
+    reaches q·N. Fixed equal-width bins are what production latency
+    pipelines actually deploy when the value domain is known (HDR
+    histograms); the answer is an interval [bin_lo, bin_hi) with
+    error bounded by the bin width — honest sketch semantics the
+    strict oracle replays exactly, unlike a t-digest whose centroid
+    merge is order-DEPENDENT and cannot be hash-proven.
+
+    State per batch: ≤ HQ_BINS rows, constant in batch size; the
+    quantile scan is a cumulative over 64 rows (bounded window —
+    allowlisted)."""
+    src = _stage_events(spark, sf_dir, "stream_hq")
+    schema = load(spark, sf_dir, "events").schema
+    root = scratch_dir("stream_hq_state")
+    state = os.path.join(root, "bins")
+    seed = spark.createDataFrame([], "b long, c long")
+    seed.write.mode("overwrite").parquet(state)
+    width = (HQ_HI - HQ_LO) / HQ_BINS
+
+    def bin_col():
+        return F.least(
+            F.greatest(
+                F.floor((F.col("value") - HQ_LO) / (HQ_HI - HQ_LO) * HQ_BINS)
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(HQ_BINS - 1),
+        )
+
+    def fold_hist(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(bin_col().alias("b"))
+            .agg(F.count("*").cast("long").alias("c"))
+            .write.mode("append")
+            .parquet(state)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_hist)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cum = merged.select(
+        "b",
+        F.sum("c")
+        .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+    ).crossJoin(F.broadcast(merged.agg(F.sum("c").alias("n"))))
+    qs = spark.createDataFrame([(q,) for q in HQ_QUANTILES], "q double")
+    pick = (
+        F.broadcast(qs)
+        .join(cum, F.col("cm") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("b").alias("bin"))
+    )
+    return pick.select(
+        "q",
+        "bin",
+        F.round(HQ_LO + F.col("bin") * width, 6).alias("est_lo_r6"),
+        F.round(HQ_LO + (F.col("bin") + 1) * width, 6).alias("est_hi_r6"),
+    ).orderBy("q")

@@ -77,6 +77,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # the priority-rank window runs on PRI_K+1 rows after the
     # TakeOrdered top-k cut
     "sample_priority_subset_sum": "PRI_K+1 rows after top-k cut",
+    # the cumulative runs over the merged histogram: HQ_BINS (=64)
+    # rows regardless of stream length
+    "stream_histogram_quantile": "HQ_BINS rows after bin merge",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —

@@ -1034,3 +1034,30 @@ def test_interval_overlap_bucketized_equals_naive(spark, sf_dir):
         )
     }
     assert got == naive and got
+
+
+def test_stream_histogram_quantile_brackets_exact(spark, sf_dir):
+    """The merged-histogram quantile interval must bracket the exact
+    order-statistic quantile (sketch error <= one bin width)."""
+    from job_market_research_spark.streaming.bitmaps import (
+        q_stream_histogram_quantile,
+    )
+
+    rows = q_stream_histogram_quantile(spark, sf_dir).collect()
+    assert len(rows) == 3
+    import numpy as np
+
+    vals = np.sort(
+        np.array(
+            [
+                r.value
+                for r in load(spark, sf_dir, "events")
+                .select("value")
+                .collect()
+                if r.value is not None
+            ]
+        )
+    )
+    for r in rows:
+        exact = vals[min(int(np.ceil(r.q * len(vals))) - 1, len(vals) - 1)]
+        assert r.est_lo_r6 <= exact <= r.est_hi_r6, (r, exact)
