@@ -2049,3 +2049,129 @@ def q_agg_hill_tail_index(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: MI feature-ranking geometry: bin counts per candidate feature.
+MI_PRICE_BINS = 16
+MI_DISC_BINS = 11
+
+
+@query(
+    "agg_mutual_information",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y,
+             CAST(least(greatest(floor(l_extendedprice / 120000.0
+                  * {MI_PRICE_BINS}), 0), {MI_PRICE_BINS - 1}) AS BIGINT)
+               AS price_bin,
+             CAST(least(greatest(floor(l_discount / 0.11
+                  * {MI_DISC_BINS}), 0), {MI_DISC_BINS - 1}) AS BIGINT)
+               AS disc_bin
+      FROM lineitem
+    ),
+    long_ AS (
+      SELECT 'price' AS feature, price_bin AS bin, y FROM base
+      UNION ALL
+      SELECT 'discount' AS feature, disc_bin AS bin, y FROM base
+    ),
+    joint AS (
+      SELECT feature, bin, y, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM long_ GROUP BY 1, 2, 3
+    ),
+    mx AS (
+      SELECT feature, bin, CAST(SUM(nxy) AS BIGINT) AS nx
+      FROM joint GROUP BY 1, 2
+    ),
+    my AS (
+      SELECT feature, y, CAST(SUM(nxy) AS BIGINT) AS ny
+      FROM joint GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(nxy) AS BIGINT) AS n
+      FROM joint GROUP BY 1
+    ),
+    terms AS (
+      SELECT j.feature,
+             CAST(round((CAST(j.nxy AS DOUBLE) / t.n)
+                  * ln(CAST(j.nxy AS DOUBLE) * t.n
+                       / (CAST(mx.nx AS DOUBLE) * my.ny)), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM joint j
+      JOIN mx USING (feature, bin)
+      JOIN my ON my.feature = j.feature AND my.y = j.y
+      JOIN tot t ON t.feature = j.feature
+    )
+    SELECT feature,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS mi_nats_r6
+    FROM terms GROUP BY feature ORDER BY feature
+    """,
+    tags=("stats", "ml", "beyond"),
+)
+def q_agg_mutual_information(spark, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) per candidate feature —
+    the model-free feature-ranking primitive (and the data-valuation
+    screen for "does this column carry signal about the target"):
+    label = quantity > 25, candidates = binned price and discount,
+    MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the contingency table.
+    Discount should score ≈ 0 (independent of quantity) and price
+    above it — the ranking a feature-selection pass would read off.
+
+    Scale: ONE corpus aggregation builds the joint contingency table
+    (a 2-row stack explode, then groupBy(feature, bin, y) — bounded
+    output: Σ bins × 2 rows); marginals, totals and the p·ln p terms
+    are joins and expressions over that bounded table. Log terms
+    round-6 into exact decimals before the final sum (libm policy)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("y"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    F.col("l_extendedprice") / 120000.0 * MI_PRICE_BINS
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(MI_PRICE_BINS - 1),
+        ).alias("price_bin"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("l_discount") / 0.11 * MI_DISC_BINS).cast(
+                    "long"
+                ),
+                F.lit(0),
+            ),
+            F.lit(MI_DISC_BINS - 1),
+        ).alias("disc_bin"),
+    )
+    long_ = li.selectExpr(
+        "stack(2, 'price', price_bin, 'discount', disc_bin)"
+        " AS (feature, bin)",
+        "y",
+    )
+    joint = long_.groupBy("feature", "bin", "y").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    mx = joint.groupBy("feature", "bin").agg(
+        F.sum("nxy").cast("long").alias("nx")
+    )
+    my = joint.groupBy("feature", "y").agg(
+        F.sum("nxy").cast("long").alias("ny")
+    )
+    tot = joint.groupBy("feature").agg(F.sum("nxy").cast("long").alias("n"))
+    term = F.round(
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        joint.join(F.broadcast(mx), ["feature", "bin"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(tot), "feature")
+        .select("feature", term.alias("term"))
+        .groupBy("feature")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("mi_nats_r6"))
+        .orderBy("feature")
+    )

@@ -436,6 +436,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_vad",
     "join_interval_overlap",
     "stream_histogram_quantile",
+    "agg_mutual_information",
 )
 
 

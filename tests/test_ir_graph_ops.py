@@ -837,3 +837,55 @@ def test_gmm_em_matches_numpy_two_rounds(spark, sf_dir):
     assert abs(row["sd2_r6"] - v[1] ** 0.5) < 2.0
     # init ordering is preserved: component 1 sits below component 2
     assert row["mu1_r6"] < row["mu2_r6"]
+
+
+def test_mutual_information_matches_numpy_and_is_nonneg(spark, sf_dir):
+    import numpy as np
+
+    from job_market_research_spark.plans.robust_stats import (
+        MI_DISC_BINS,
+        MI_PRICE_BINS,
+        q_agg_mutual_information,
+    )
+
+    rows = {
+        r.feature: r.mi_nats_r6
+        for r in q_agg_mutual_information(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    y = np.array([1 if r.l_quantity > 25 else 0 for r in li])
+
+    def mi(bins):
+        joint = {}
+        for b, yy in zip(bins, y):
+            joint[(b, yy)] = joint.get((b, yy), 0) + 1
+        n = len(y)
+        px, py = {}, {}
+        for (b, yy), c in joint.items():
+            px[b] = px.get(b, 0) + c
+            py[yy] = py.get(yy, 0) + c
+        return sum(
+            (c / n) * np.log(c * n / (px[b] * py[yy]))
+            for (b, yy), c in joint.items()
+        )
+
+    pb = np.array(
+        [
+            min(max(int(r.l_extendedprice / 120000.0 * MI_PRICE_BINS), 0),
+                MI_PRICE_BINS - 1)
+            for r in li
+        ]
+    )
+    db = np.array(
+        [
+            min(max(int(r.l_discount / 0.11 * MI_DISC_BINS), 0),
+                MI_DISC_BINS - 1)
+            for r in li
+        ]
+    )
+    assert abs(rows["price"] - mi(pb)) < 1e-3
+    assert abs(rows["discount"] - mi(db)) < 1e-3
+    # MI is non-negative up to the round-6 term quantization
+    assert rows["price"] >= -1e-4 and rows["discount"] >= -1e-4
