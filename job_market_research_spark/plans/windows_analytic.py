@@ -444,34 +444,65 @@ def q_agg_sketch_bounds(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_prod")  # sketch outputs are engine-specific: rows-only check
+@query(
+    "agg_sketch_prod",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS hll_sane,
+           TRUE AS p50_in_range
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
 def q_agg_sketch_prod(spark, sf_dir: str) -> DataFrame:
     """The PRODUCTION sketch aggregation — what actually runs at
     100 TB: ONLY mergeable, constant-memory-per-group sketches (HLL++
-    distinct, t-digest median), no exact twin anywhere in the plan.
+    distinct, t-digest median), no exact-distinct expansion and no
+    per-group percentile sort anywhere in the plan.
 
     `agg_sketch_bounds` (the contract entry) deliberately carries
     count_distinct + percentile_disc alongside the sketches to PROVE
-    the error bounds against the DuckDB oracle — which makes that plan
-    2× the cost of exact instead of 1/100th of it. This entry is the
-    split the round-4 verdict asked for: verification stays on the
-    contract query; the production path demonstrates the scale-correct
-    plan (map-side partial sketch merge, no distinct-value shuffle, no
-    per-group sort). tests/test_plan_hygiene.py::test_sketch_prod_plan
-    pins the plan exact-free. Sketch estimates cannot hash-match a
-    different engine, so this is one of the repo's rare rows-only
-    entries — by construction, not omission."""
+    the tight error bounds against the DuckDB oracle — which makes
+    that plan 2× the cost of exact instead of 1/100th of it. This
+    entry is the split the round-4 verdict asked for: tight-bound
+    verification stays on the contract query; the production path
+    demonstrates the scale-correct plan (map-side partial sketch
+    merge, no distinct-value shuffle, no per-group sort).
+    tests/test_plan_hygiene.py::test_sketch_prod_plan pins the plan
+    exact-free.
+
+    Sketch ESTIMATES are engine-specific and cannot hash-match DuckDB,
+    so the driver contract here is the deterministic envelope the
+    sketch-only plan can self-certify: count/min/max are themselves
+    mergeable constant-memory aggregates (they add nothing to the
+    shuffle that the sketches don't already pay), and the emitted
+    booleans — estimate within [1, 1.2·n] for HLL rsd=2%, approx-p50
+    inside [min, max] (approx_percentile returns an element of the
+    group, so this is an invariant, not a tolerance) — are TRUE on any
+    correct run. The oracle replays the exact count plus literal TRUE;
+    the ±5%/±1% tight bounds stay proven by agg_sketch_bounds."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
-                "approx_distinct_custkey"
-            ),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("__ad"),
             F.count("*").cast("long").alias("n_orders"),
             F.approx_percentile(
                 "o_totalprice", F.lit(0.5), F.lit(10000)
-            ).alias("approx_p50_totalprice"),
+            ).alias("__ap"),
+            F.min("o_totalprice").alias("__lo"),
+            F.max("o_totalprice").alias("__hi"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            (
+                (F.col("__ad") >= F.least(F.lit(1), F.col("n_orders")))
+                & (F.col("__ad") <= F.ceil(F.col("n_orders") * 1.2))
+            ).alias("hll_sane"),
+            F.col("__ap").between(F.col("__lo"), F.col("__hi")).alias(
+                "p50_in_range"
+            ),
         )
         .orderBy("priority")
     )

@@ -137,6 +137,43 @@ FORCE_REPROVE: frozenset[str] = frozenset()
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # ---- round-6 window head (names may repeat below; FIRST position
+    # wins). The r5 verdict front-loads the judge-weighted first-class
+    # scale operators with zero driver rows — the two repaired
+    # contract-oracle sketches, the interval join, the streaming
+    # sketch family, the round-5 dedup wave, then the heavy stats/ML
+    # fits — so CORRECTNESS_r06's 50-row window proves the strongest
+    # designs first.
+    "agg_sketch_prod",
+    "agg_hll_partitioned_merge",
+    "join_interval_overlap",
+    "stream_cms_topk",
+    "stream_kmv_distinct",
+    "stream_histogram_quantile",
+    "agg_mutual_information",
+    "dedup_incremental_minhash",
+    "dedup_cdc_chunking",
+    "dedup_winnowing",
+    "dedup_excise_spans",
+    "dedup_best_of_cluster",
+    "dedup_containment",
+    "agg_kmv_audience_sketch",
+    "agg_cms_heavy_hitters",
+    "ann_mips_topk",
+    "ann_filtered_topk",
+    "multimodal_scene_cut",
+    "multimodal_audio_vad",
+    "multimodal_audio_fingerprint",
+    "stat_poisson_bootstrap_ci",
+    "ml_adaboost_stumps",
+    "ml_logreg_newton",
+    "ml_gmm_em",
+    "stat_ks_two_sample",
+    "ir_hybrid_rrf",
+    "ir_rocchio_prf",
+    "pipeline_rag_index_e2e",
+    "pipeline_curation_e2e",
+    # ---- end round-6 head; historical order follows ----
     # semantics changed in round 3 → must re-prove ahead of any
     # cosmetically-stale green (position here orders tier 1 too)
     "text_skill_ner",
@@ -501,26 +538,46 @@ def load_all() -> dict[str, QuerySpec]:
     from job_market_research_spark.multimodal import binary_ops, real_media  # noqa: F401
     from job_market_research_spark.streaming import bitmaps, sessions, windows  # noqa: F401
 
-    green = _driver_green_evidence()
-    reg_pos = {name: i for i, name in enumerate(REGISTRY)}
-    prio = {name: i for i, name in enumerate(UNPROVEN_PRIORITY)}
+    return {
+        name: REGISTRY[name]
+        for name in evidence_order(
+            list(REGISTRY),
+            green=_driver_green_evidence(),
+            mtime_of={n: _module_mtime(REGISTRY[n].fn) for n in REGISTRY},
+        )
+    }
+
+
+def evidence_order(
+    names: list[str],
+    green: dict[str, tuple[int, float]],
+    mtime_of: dict[str, float],
+) -> list[str]:
+    """Pure ordering rule behind `load_all` (unit-tested with synthetic
+    evidence in tests/test_registry_rotation.py):
+
+    Tier 0: never driver-green (or semantics force-reproven) — ordered
+    by UNPROVEN_PRIORITY (first occurrence wins), unlisted names after.
+    Tier 1: green but the defining module was edited more than
+    _STALENESS_SLACK_S after the proving file was written (stale —
+    re-prove; the slack absorbs the uniform re-stamp a fresh checkout
+    applies to every file). Tier 2: green on current code — ordered
+    OLDEST PROVING ROUND FIRST, so queries whose newest green row is
+    rounds old rotate back into the driver's bounded window for
+    freshness even when unedited (round-4 verdict: 48 §2 queries
+    coasting on r2 proof re-enter once tier 0 drains)."""
+    reg_pos = {name: i for i, name in enumerate(names)}
+    # First occurrence wins: the round-6 head re-lists names that also
+    # appear in the historical order below it — the head position must
+    # be the effective one.
+    prio: dict[str, int] = {}
+    for i, name in enumerate(UNPROVEN_PRIORITY):
+        prio.setdefault(name, i)
 
     def key(name: str) -> tuple[int, float, int]:
-        # Tier 0: never driver-green (or semantics force-reproven).
-        # Tier 1: green but the defining module was edited more than
-        # _STALENESS_SLACK_S after the proving file was written
-        # (stale — re-prove; the slack absorbs the uniform re-stamp a
-        # fresh checkout applies to every file). Tier 2: green on
-        # current code — ordered OLDEST PROVING ROUND FIRST, so
-        # queries whose newest green row is rounds old rotate back
-        # into the driver's bounded window for freshness even when
-        # unedited (round-4 verdict: 48 queries coasting on r2 proof).
         if name not in green or name in FORCE_REPROVE:
             tier = 0
-        elif (
-            _module_mtime(REGISTRY[name].fn)
-            > green[name][1] + _STALENESS_SLACK_S
-        ):
+        elif mtime_of.get(name, 0.0) > green[name][1] + _STALENESS_SLACK_S:
             tier = 1
         else:
             tier = 2
@@ -528,7 +585,7 @@ def load_all() -> dict[str, QuerySpec]:
             return (tier, 0.0, prio.get(name, len(prio) + reg_pos[name]))
         return (2, float(green[name][0]), reg_pos[name])
 
-    return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
+    return sorted(names, key=key)
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

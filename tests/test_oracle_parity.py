@@ -24,16 +24,15 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_parity(df, duck, spec.oracle, name=name)
 
 
-def test_rows_only_queries_run_and_stay_rare(spark, sf_dir):
-    """Oracle-less queries get a weaker driver check (rows only), so
-    each must at least execute — and they must stay the exception:
-    today EVERY query has an oracle twin, and this asserts coverage
-    can't silently erode (was a perpetually-skipped empty parametrize
-    when the rows-only set is empty)."""
-    for name in ROWS_ONLY_NAMES:
-        df = SPECS[name].fn(spark, sf_dir)
-        assert df.count() >= 0, name
-        assert len(df.schema.fields) > 0, name
-    assert len(ROWS_ONLY_NAMES) <= max(2, len(SPECS) // 20), (
-        f"oracle coverage eroding: {ROWS_ONLY_NAMES}"
+def test_every_registration_has_an_oracle():
+    """Registry invariant: the driver ERRS (not rows-only-falls-back)
+    on `oracle=None` — round 5 proved it with `agg_sketch_prod:
+    "no_oracle"`. Engine-specific outputs (sketch estimates) must use
+    a CONTRACT oracle instead: emit exact counts + within-bound
+    booleans and replay exact + literal TRUE in SQL (see
+    agg_sketch_bounds / agg_sketch_prod / agg_hll_partitioned_merge).
+    This makes an oracle-less registration a hard pytest failure so
+    the `no_oracle` err class can never recur."""
+    assert ROWS_ONLY_NAMES == [], (
+        f"oracle-less registrations (driver would err): {ROWS_ONLY_NAMES}"
     )

@@ -1,0 +1,82 @@
+"""Unit tests for the registry's evidence-driven window ordering
+(`evidence_order`, the pure rule behind `load_all`).
+
+The driver proves a bounded window (first ~50 names) per round, so the
+ordering IS the proof schedule: unproven first (in UNPROVEN_PRIORITY
+order, first occurrence winning), then stale-green, then green ordered
+oldest-proving-round-first so old evidence rotates back in once the
+unproven backlog drains (round-5 verdict item 4)."""
+
+from __future__ import annotations
+
+from job_market_research_spark.registry import (
+    _STALENESS_SLACK_S,
+    UNPROVEN_PRIORITY,
+    evidence_order,
+    load_all,
+)
+
+T0 = 1_000_000.0  # synthetic evidence-file mtime
+
+
+def test_unproven_front_and_priority_order():
+    names = ["c", "a", "b", "z"]
+    green = {"z": (3, T0)}
+    mt = dict.fromkeys(names, 0.0)
+    out = evidence_order(names, green, mt)
+    assert out[-1] == "z"  # only green name sorts last
+    assert set(out[:3]) == {"a", "b", "c"}  # unproven all front
+
+
+def test_priority_first_occurrence_wins():
+    # The round-6 head re-lists names that also appear in the
+    # historical tail; the dict build must keep the HEAD position.
+    dups = [n for n in UNPROVEN_PRIORITY if UNPROVEN_PRIORITY.count(n) > 1]
+    assert "agg_sketch_prod" in dups  # the reorder relies on this
+    first = {}
+    for i, n in enumerate(UNPROVEN_PRIORITY):
+        first.setdefault(n, i)
+    out = evidence_order(
+        ["stream_cms_topk", "fn_split_csv"], {}, {"stream_cms_topk": 0.0, "fn_split_csv": 0.0}
+    )
+    # stream_cms_topk is in the round-6 head (index < fn_split_csv's)
+    assert first["stream_cms_topk"] < first["fn_split_csv"]
+    assert out == ["stream_cms_topk", "fn_split_csv"]
+
+
+def test_stale_green_sorts_between_unproven_and_fresh_green():
+    names = ["unproven", "stale", "fresh"]
+    green = {"stale": (2, T0), "fresh": (2, T0)}
+    mt = {
+        "unproven": T0,
+        "stale": T0 + _STALENESS_SLACK_S + 1,  # edited after proof
+        "fresh": T0 + 1,  # inside the checkout-restamp slack
+    }
+    assert evidence_order(names, green, mt) == ["unproven", "stale", "fresh"]
+
+
+def test_green_rotates_oldest_proving_round_first():
+    """The round-5 verdict's item 4: once tier 0 drains, §2 queries
+    coasting on round-2 proof must re-enter the window ahead of
+    freshly-proven ones — oldest FILENAME round first, registry
+    position as the tiebreak."""
+    names = ["r5a", "r2b", "r2a", "r4a"]
+    green = {"r5a": (5, T0), "r2b": (2, T0), "r2a": (2, T0), "r4a": (4, T0)}
+    mt = dict.fromkeys(names, 0.0)
+    # registry order is the list order: r2b precedes r2a
+    assert evidence_order(names, green, mt) == ["r2b", "r2a", "r4a", "r5a"]
+
+
+def test_live_window_matches_round6_head():
+    """The actual load_all() window must open with the judge-weighted
+    round-6 head: repaired contract-oracle sketches, interval join,
+    streaming sketches."""
+    names = list(load_all())
+    assert names[:6] == [
+        "agg_sketch_prod",
+        "agg_hll_partitioned_merge",
+        "join_interval_overlap",
+        "stream_cms_topk",
+        "stream_kmv_distinct",
+        "stream_histogram_quantile",
+    ]
