@@ -1552,6 +1552,11 @@ def q_stat_poisson_bootstrap_ci(spark, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 0, F.col("c"))).alias("vsum0"),
         F.count(F.when(F.col("g") == 0, F.lit(1))).alias("vn0"),
     )
+    # Both the replicate table and the base mean branch off this
+    # (types × B/4)-bounded frame; without a lineage cut each branch
+    # would recompute the whole 16× md5 fan-out scan (plan-verified).
+    # Lazy local checkpoint materializes the 80-row frame once.
+    aggd = aggd.localCheckpoint(eager=False)
     lanes = F.array(
         *[
             F.struct(
