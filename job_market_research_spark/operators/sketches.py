@@ -171,15 +171,30 @@ def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
     """HLL distinct-users with an explicit merge proof: per-event-type
     DataSketches HLL sketches (hll_sketch_agg), a global estimate from
     hll_union_agg OF THE PER-TYPE SKETCHES, and a one-pass global
-    sketch — the output's `merge_matches_direct` column pins that
-    union-of-partials equals direct (HLL's defining mergeability), and
-    `est_within_5pct` pins the estimate against the in-plan exact
-    count (lgK=12 → rsd ≈1.6%, checked at a conservative ±5%). The
-    sketch BYTES and raw estimates are Spark-specific — DuckDB cannot
-    replay them — so the oracle replays the exact counts plus literal
-    TRUE/1: the driver hash-matches only if the merge identity holds
-    and every estimate honors its advertised bound (the
-    agg_sketch_bounds contract trick).
+    sketch. `merge_matches_direct` pins that the union-of-partials
+    estimate agrees with the direct one-pass estimate to within ±5%
+    of the exact count, and `est_within_5pct` pins the merged
+    estimate against the in-plan exact count (lgK=12 → rsd ≈1.6%,
+    checked at a conservative ±5%).
+
+    Why BOUNDED agreement, not equality: estimate equality across a
+    merge is impossible by design in DataSketches HLL once the sketch
+    leaves exact (coupon) mode — a directly-built sketch answers with
+    the HIP estimator (tracks insertion history) while a union result
+    must discard HIP and fall back to the composite estimator, so the
+    two estimates of the SAME item set legitimately differ by O(rsd).
+    At 150 distinct (sf0.01) both paths sit in coupon mode and match
+    bit-for-bit; at 1500 distinct (sf0.1) they diverge — found by the
+    round-6 sf0.1 sweep, pinned by test_sketches_intervals at
+    estimation-mode cardinality. The EXACT merge identities live in
+    the bitmap/KMV twins (agg_bitmap_distinct_users OR-merge,
+    stream_kmv_distinct min-merge), where state is integer-exact.
+
+    The sketch BYTES and raw estimates are Spark-specific — DuckDB
+    cannot replay them — so the oracle replays the exact counts plus
+    literal TRUE: the driver hash-matches only if the bounded merge
+    agreement holds and every estimate honors its advertised bound
+    (the agg_sketch_bounds contract trick).
 
     Scale: per-segment state is ~1.5 kB regardless of cardinality;
     partials combine map-side; the union row reads |types| sketches.
@@ -212,7 +227,11 @@ def q_agg_hll_partitioned_merge(spark, sf_dir: str) -> DataFrame:
     all_row = merged.crossJoin(direct).select(
         F.lit("ALL").alias("event_type"),
         F.col("distinct_exact").cast("long").alias("distinct_exact"),
-        F.when(F.col("est_merged") == F.col("est_direct"), 1)
+        F.when(
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= 0.05 * F.col("distinct_exact"),
+            1,
+        )
         .otherwise(0)
         .alias("merge_matches_direct"),
         within(F.col("est_merged")),
