@@ -1174,13 +1174,24 @@ def q_dedup_cdc_chunking(spark, sf_dir: str) -> DataFrame:
     integer-exact (max term sum ≈ 5.6e13 ≪ 2^63) and md5 chunk ids are
     portable, so DuckDB replays boundaries AND chunk identities
     bit-for-bit."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "text",
-        F.expr(
-            "transform(sequence(1, length(text)),"
-            " i -> ascii(substring(text, CAST(i AS INT), 1)))"
-        ).alias("cps"),
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # One byte-cheap raw-row shuffle fans the single local parquet
+        # split out to full width before the O(len·W) per-char hashing
+        # (the augmented_corpus discipline; on a cluster the scan has
+        # thousands of splits and this is a cheap no-op rebalance).
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "text",
+            # split('') is O(len) total; the per-index
+            # substring(text, i, 1) alternative re-scans the string
+            # from the front each call — O(len^2) per document.
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias(
+                "cps"
+            ),
+        )
     )
     b = docs.select(
         "doc_id",
@@ -1404,39 +1415,38 @@ def q_dedup_winnowing(spark, sf_dir: str) -> DataFrame:
     rightmost-position tie rule changes which position is recorded,
     not which hash values survive — and matching is on values).
 
-    Scale shape: gram hashing + the window min are doc-partitioned
-    (one key-ordered window, no cross-doc data motion); fingerprint
-    sets then flow through the SAME df-capped inverted-index join as
-    every other near-dup operator (GRAM_DF_CAP bounds hot-fingerprint
-    fan-out at cap²). Similarity = shared / min(|A|,|B|) — the
-    containment-style normalization that survives length mismatch."""
-    from pyspark.sql import Window
-
+    Scale shape: fingerprint selection is ENTIRELY map-side — per doc
+    one array of gram hashes, one transform taking each window's
+    array_min, one array_distinct — so no per-position row explode
+    (the earlier shape carried a full copy of the text on every one
+    of its len(text) gram rows), no per-doc sort window, and no
+    (doc, fp) distinct shuffle; the first shuffle any byte sees is
+    the df-capped inverted-index join every other near-dup operator
+    uses (GRAM_DF_CAP bounds hot-fingerprint fan-out at cap²).
+    The gram-hash array is bound once via a single-element transform
+    lambda so CollapseProject cannot re-inline its construction into
+    every window's array_min (the adaboost explode-barrier lesson,
+    solved here without the barrier). Similarity =
+    shared / min(|A|,|B|) — the containment-style normalization that
+    survives length mismatch."""
     corpus = augmented_corpus(spark, sf_dir)
-    grams = corpus.filter(F.length("text") >= WIN_K).select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, length(text) - {WIN_K} + 1)")
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        "i",
-        portable_hash(F.expr(f"substring(text, CAST(i AS INT), {WIN_K})")).alias(
-            "h"
-        ),
+    gram_hash = (
+        f"CAST(conv(substring(md5(substring(text, CAST(i AS INT),"
+        f" {WIN_K})), 1, 8), 16, 10) AS BIGINT)"
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("i")
-    wins = grams.select(
-        "doc_id",
-        "i",
-        F.min("h").over(wdoc.rowsBetween(0, WIN_W - 1)).alias("fp"),
-        F.max("i").over(Window.partitionBy("doc_id")).alias("max_i"),
+    hs = (
+        f"transform(sequence(1, length(text) - {WIN_K} + 1),"
+        f" i -> {gram_hash})"
     )
-    fps = (
-        wins.filter(F.col("i") <= F.col("max_i") - (WIN_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
+    fp_arr = (
+        f"element_at(transform(array({hs}), hs ->"
+        f" array_distinct(transform(sequence(1, size(hs) - {WIN_W - 1}),"
+        f" j -> array_min(slice(hs, CAST(j AS INT), {WIN_W}))))), 1)"
+    )
+    # Docs with fewer than W grams (len < K + W - 1) select no
+    # fingerprints — same rows the old window-filter shape produced.
+    fps = corpus.filter(F.length("text") >= WIN_K + WIN_W - 1).select(
+        "doc_id", F.explode(F.expr(fp_arr)).alias("fp")
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = df_capped(fps, "fp")
