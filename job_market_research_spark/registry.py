@@ -137,6 +137,65 @@ FORCE_REPROVE: frozenset[str] = frozenset()
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # ---- round-7 window head (names may repeat below; FIRST position
+    # wins). The r6 verdict's tasks 2+7: the judge-weighted stragglers
+    # first (the only ANN query with no driver row, the last unproven
+    # streaming sketch, the privacy-release family, the 7 text ops
+    # still carrying pytest-only evidence), then scans/sinks, samplers,
+    # graph, asof joins, window/timeseries and bounded-ML fits to fill
+    # the 50-slot window. The 22 homogeneous experimentation-stats
+    # aggregates defer to the r8 window, draining the backlog to zero.
+    "ann_dim_truncation_recall",
+    "stream_welch_monitor",
+    "privacy_dp_count_release",
+    "privacy_dp_median",
+    "privacy_dp_vocab_release",
+    "privacy_randomized_response",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "text_bigram_lm_kn",
+    "text_ccnet_buckets",
+    "text_chat_format_validate",
+    "text_readability_scores",
+    "text_tokenizer_fertility",
+    "scan_manifest_time_travel",
+    "scan_binaryfile_source",
+    "sink_csv_escape_roundtrip",
+    "scan_hive_partition_types",
+    "sample_dsir_importance",
+    "sample_gumbel_weighted",
+    "sample_coreset_sensitivity",
+    "sample_hard_negatives",
+    "sample_balanced_classes",
+    "sample_priority_subset_sum",
+    "sample_neyman_allocation",
+    "graph_bfs_hops",
+    "graph_link_prediction",
+    "graph_hits",
+    "graph_modularity_score",
+    "profile_degree_powerlaw",
+    "join_asof_tolerance",
+    "join_asof_forward",
+    "privacy_pseudonymize_join",
+    "window_cusum_change",
+    "window_downsample_lttb",
+    "window_peak_detect",
+    "window_ewma_bounded",
+    "window_changepoint_detect",
+    "window_anomaly_mad",
+    "window_seasonal_decompose",
+    "window_winsorize_trim",
+    "ml_ols_multivariate",
+    "ml_threshold_tune_f1",
+    "ml_gbdt_stumps_regression",
+    "ml_isotonic_calibration",
+    "ml_bradley_terry_strength",
+    "ml_record_linkage_fs",
+    "ml_conformal_prediction",
+    "profile_benford_audit",
+    "profile_data_card",
+    "profile_json_keys",
+    # ---- end round-7 head ----
     # ---- round-6 window head (names may repeat below; FIRST position
     # wins). The r5 verdict front-loads the judge-weighted first-class
     # scale operators with zero driver rows — the two repaired
@@ -582,7 +641,12 @@ def evidence_order(
         else:
             tier = 2
         if tier < 2:
-            return (tier, 0.0, prio.get(name, len(prio) + reg_pos[name]))
+            # Sentinel base is the RAW list length (not the deduped
+            # `prio` size): head/tail duplicates make first-occurrence
+            # indices reach past len(prio), so a len(prio)-based
+            # sentinel would let unlisted names sort ahead of listed
+            # ones with large first-occurrence indices.
+            return (tier, 0.0, prio.get(name, len(UNPROVEN_PRIORITY) + reg_pos[name]))
         return (2, float(green[name][0]), reg_pos[name])
 
     return sorted(names, key=key)

@@ -67,16 +67,42 @@ def test_green_rotates_oldest_proving_round_first():
     assert evidence_order(names, green, mt) == ["r2b", "r2a", "r4a", "r5a"]
 
 
-def test_live_window_matches_round6_head():
-    """The actual load_all() window must open with the judge-weighted
-    round-6 head: repaired contract-oracle sketches, interval join,
-    streaming sketches."""
+def test_unlisted_unproven_sort_after_all_listed():
+    """The sentinel for tier-0 names NOT in UNPROVEN_PRIORITY must
+    exceed every listed first-occurrence index. The list carries
+    head/tail duplicates, so first-occurrence indices can reach past
+    the deduped count — the sentinel base is the RAW list length
+    (round-6 advice: a len(deduped)-based sentinel let unlisted names
+    jump ahead of listed ones with large first-occurrence indices)."""
+    listed = UNPROVEN_PRIORITY[-1]  # largest possible first-occurrence index
+    names = ["zz_unlisted_query", listed]
+    mt = dict.fromkeys(names, 0.0)
+    out = evidence_order(names, {}, mt)
+    assert out == [listed, "zz_unlisted_query"]
+
+
+def test_live_window_fronts_unproven_queries():
+    """While a driver-evidence backlog exists, load_all()'s window head
+    must carry names with NO green CORRECTNESS row — the property the
+    old hard-coded round-head pin was standing in for (it broke the
+    moment the driver proved those names; this version stays true
+    across rounds until the backlog fully drains, then passes
+    vacuously)."""
+    from job_market_research_spark.registry import _driver_green_evidence
+
+    green = _driver_green_evidence()
     names = list(load_all())
-    assert names[:6] == [
-        "agg_sketch_prod",
-        "agg_hll_partitioned_merge",
-        "join_interval_overlap",
-        "stream_cms_topk",
-        "stream_kmv_distinct",
-        "stream_histogram_quantile",
-    ]
+    unproven = [n for n in names if n not in green]
+    if not unproven:  # backlog drained — rotation is oldest-green-first
+        return
+    head = names[: len(unproven)]
+    assert all(n not in green for n in head), (
+        "green query inside the unproven window head: "
+        f"{[n for n in head if n in green][:5]}"
+    )
+    # and the head order follows UNPROVEN_PRIORITY first occurrences
+    first: dict[str, int] = {}
+    for i, n in enumerate(UNPROVEN_PRIORITY):
+        first.setdefault(n, i)
+    listed_head = [n for n in head if n in first]
+    assert listed_head == sorted(listed_head, key=lambda n: first[n])
