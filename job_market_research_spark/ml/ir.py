@@ -1152,32 +1152,37 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
     literal query under-describes the information need (Rocchio 1971;
     the RM3-style tf×idf selection).
 
-    Scale shape: BOTH passes term-filter the token stream before any
-    aggregation, so each corpus-sized shuffle carries only hits of a
-    ≤ |q|+PRF_EXP_TERMS term set; the feedback-doc semi-join and the
-    expansion/query term tables are bounded (PRF_FB docs' vocab, then
-    ≤ 8 terms) and broadcast; every top-k is TakeOrderedAndProject.
-    Per-doc sums ride exact DECIMAL like text_bm25_topk."""
-    # Four consumers re-derive the token stream (tf1, expansion
-    # candidates, candidate DF, tf2) — widen the 1-file local scan
-    # first so each branch explodes at full parallelism.
+    Scale shape: the corpus is tokenized ONCE into a per-(doc, token)
+    count frame — one explode, one map-side-combined shuffle — which
+    is localCheckpoint'ed and feeds all four former token-stream
+    consumers (pass-1 tf, expansion candidates, candidate df, pass-2
+    tf) plus doc length (dl = Σtf). The round-6 plan re-derived the
+    explode per branch: 4 corpus tokenizations per run. The feedback
+    -doc semi-join and the expansion/query term tables are bounded
+    (PRF_FB docs' vocab, then ≤ 8 terms) and broadcast; every top-k
+    is TakeOrderedAndProject. Per-doc sums ride exact DECIMAL like
+    text_bm25_topk. At 100 TB the checkpoint becomes a persisted
+    (MEMORY_AND_DISK) or written-out term-count table — the classic
+    inverted-index materialization — still one corpus pass."""
+    # Widen the 1-file local scan first so the single explode runs at
+    # full parallelism.
     docs = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text")
     )
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
-            "token"
-        ),
+    tcounts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    dl = docs.select(
-        "doc_id",
-        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-        .cast("long")
-        .alias("dl"),
-    )
+    dl = tcounts.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1196,12 +1201,9 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
             )
         )
 
-    tf1 = (
-        tok.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df1 = tf1.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    tf1 = tcounts.filter(F.col("token").isin(*BM25_TERMS))
+    # tcounts is unique per (doc_id, token): COUNT(*) == COUNT(DISTINCT doc_id)
+    df1 = tf1.groupBy("token").agg(F.count("*").alias("df"))
     pass1 = (
         tf1.join(F.broadcast(df1), "token")
         .join(dl, "doc_id")
@@ -1219,18 +1221,18 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
     )
     fb = pass1.orderBy(F.desc("bm25"), "doc_id").limit(PRF_FB).select("doc_id")
     cand = (
-        tok.join(F.broadcast(fb), "doc_id", "left_semi")
+        tcounts.join(F.broadcast(fb), "doc_id", "left_semi")
         .filter(
             F.col("token").rlike("^[a-z]{4,}$")
             & ~F.col("token").isin(*BM25_TERMS)
         )
         .groupBy("token")
-        .agg(F.count("*").cast("long").alias("fb_tf"))
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
     )
     cand_df = (
-        tok.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        tcounts.join(F.broadcast(cand.select("token")), "token", "left_semi")
         .groupBy("token")
-        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        .agg(F.count("*").cast("long").alias("df"))
     )
     exp_terms = (
         cand.join(cand_df, "token")
@@ -1259,12 +1261,10 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
             exp_terms.select("token", F.lit(PRF_BETA).alias("wq"))
         )
     )
-    tf2 = (
-        tok.join(F.broadcast(qterms.select("token")), "token", "left_semi")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    tf2 = tcounts.join(
+        F.broadcast(qterms.select("token")), "token", "left_semi"
     )
-    df2 = tf2.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    df2 = tf2.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf2.join(F.broadcast(qterms), "token")
         .join(F.broadcast(df2), "token")
