@@ -493,11 +493,17 @@ def q_agg_sketch_prod(spark, sf_dir: str) -> DataFrame:
     true distinct ALWAYS, so `estimate ≥ ceil(occupied/1.2)` holds on
     any correct run (HLL rsd=2% never under-shoots 17%) while a gross
     under-estimate (the 90%-low case the advice targets) fails it."""
+    # NULL keys: hash(NULL) returns the seed, which would mark a bucket
+    # while approx_count_distinct ignores NULLs — guard so bitmap and HLL
+    # agree on NULL handling (TPC-H o_custkey is non-null; this is the
+    # nullable-key generalization from round-7 advice).
     bucket = F.pmod(F.hash("o_custkey"), F.lit(1024))
     bitmaps = [
         F.bit_or(
             F.when(
-                (bucket >= 64 * i) & (bucket < 64 * (i + 1)),
+                F.col("o_custkey").isNotNull()
+                & (bucket >= 64 * i)
+                & (bucket < 64 * (i + 1)),
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), pmod(hash(o_custkey), 1024) - {64 * i})"
                 ),

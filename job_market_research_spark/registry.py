@@ -617,14 +617,19 @@ def evidence_order(
 
     Tier 0: never driver-green (or semantics force-reproven) — ordered
     by UNPROVEN_PRIORITY (first occurrence wins), unlisted names after.
-    Tier 1: green but the defining module was edited more than
-    _STALENESS_SLACK_S after the proving file was written (stale —
-    re-prove; the slack absorbs the uniform re-stamp a fresh checkout
-    applies to every file). Tier 2: green on current code — ordered
-    OLDEST PROVING ROUND FIRST, so queries whose newest green row is
-    rounds old rotate back into the driver's bounded window for
-    freshness even when unedited (round-4 verdict: 48 §2 queries
-    coasting on r2 proof re-enter once tier 0 drains)."""
+    Tier 1: green — ordered OLDEST PROVING ROUND FIRST so queries whose
+    newest green row is rounds old rotate back into the driver's
+    bounded window (round-4 verdict: §2 queries coasting on r2 proof
+    re-enter once tier 0 drains; round-7 verdict made evidence AGE the
+    primary freshness bar). Within the same proving round, names whose
+    defining module was edited more than _STALENESS_SLACK_S after the
+    proving file was written sort first (stale-on-edit; the slack
+    absorbs the uniform re-stamp a fresh checkout applies to every
+    file). Staleness is a tiebreak, not a tier: every registered query
+    is already re-proven against its DuckDB oracle on every local
+    pytest run (tests/test_oracle_parity.py), so an edit cannot silently
+    break a green query — letting module-granularity mtime churn
+    outrank genuinely old evidence only starves the rotation."""
     reg_pos = {name: i for i, name in enumerate(names)}
     # First occurrence wins: the round-6 head re-lists names that also
     # appear in the historical order below it — the head position must
@@ -633,21 +638,16 @@ def evidence_order(
     for i, name in enumerate(UNPROVEN_PRIORITY):
         prio.setdefault(name, i)
 
-    def key(name: str) -> tuple[int, float, int]:
+    def key(name: str) -> tuple[int, float, int, int]:
         if name not in green or name in FORCE_REPROVE:
-            tier = 0
-        elif mtime_of.get(name, 0.0) > green[name][1] + _STALENESS_SLACK_S:
-            tier = 1
-        else:
-            tier = 2
-        if tier < 2:
             # Sentinel base is the RAW list length (not the deduped
             # `prio` size): head/tail duplicates make first-occurrence
             # indices reach past len(prio), so a len(prio)-based
             # sentinel would let unlisted names sort ahead of listed
             # ones with large first-occurrence indices.
-            return (tier, 0.0, prio.get(name, len(UNPROVEN_PRIORITY) + reg_pos[name]))
-        return (2, float(green[name][0]), reg_pos[name])
+            return (0, 0.0, 0, prio.get(name, len(UNPROVEN_PRIORITY) + reg_pos[name]))
+        edited = mtime_of.get(name, 0.0) > green[name][1] + _STALENESS_SLACK_S
+        return (1, float(green[name][0]), 0 if edited else 1, reg_pos[name])
 
     return sorted(names, key=key)
 

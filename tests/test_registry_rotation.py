@@ -45,6 +45,8 @@ def test_priority_first_occurrence_wins():
 
 
 def test_stale_green_sorts_between_unproven_and_fresh_green():
+    """Within the SAME proving round, edited-since-proof sorts ahead of
+    unedited (staleness is the round tiebreak)."""
     names = ["unproven", "stale", "fresh"]
     green = {"stale": (2, T0), "fresh": (2, T0)}
     mt = {
@@ -53,6 +55,19 @@ def test_stale_green_sorts_between_unproven_and_fresh_green():
         "fresh": T0 + 1,  # inside the checkout-restamp slack
     }
     assert evidence_order(names, green, mt) == ["unproven", "stale", "fresh"]
+
+
+def test_evidence_age_beats_staleness_across_rounds():
+    """Round-7 restructure: a FRESH round-1 proof must re-enter the
+    window ahead of a STALE round-5 proof. Module-granularity mtime
+    churn (one edit stales every query in the file) must not starve
+    genuinely old evidence — local pytest already re-proves every
+    query against its oracle on each run, so staleness is only a
+    same-round tiebreak, not a tier."""
+    names = ["stale_r5", "fresh_r1"]
+    green = {"stale_r5": (5, T0), "fresh_r1": (1, T0)}
+    mt = {"stale_r5": T0 + _STALENESS_SLACK_S + 1, "fresh_r1": T0}
+    assert evidence_order(names, green, mt) == ["fresh_r1", "stale_r5"]
 
 
 def test_green_rotates_oldest_proving_round_first():
@@ -73,8 +88,22 @@ def test_unlisted_unproven_sort_after_all_listed():
     head/tail duplicates, so first-occurrence indices can reach past
     the deduped count — the sentinel base is the RAW list length
     (round-6 advice: a len(deduped)-based sentinel let unlisted names
-    jump ahead of listed ones with large first-occurrence indices)."""
-    listed = UNPROVEN_PRIORITY[-1]  # largest possible first-occurrence index
+    jump ahead of listed ones with large first-occurrence indices).
+
+    The probe name must be the listed name whose FIRST-OCCURRENCE index
+    is maximal — UNPROVEN_PRIORITY[-1] can be a duplicate whose first
+    occurrence is early, in which case the old len(deduped) sentinel
+    would also pass and the guard is vacuous (round-7 advice)."""
+    first: dict[str, int] = {}
+    for i, n in enumerate(UNPROVEN_PRIORITY):
+        first.setdefault(n, i)
+    listed = max(first, key=first.__getitem__)
+    deduped = len(first)
+    assert first[listed] >= deduped, (
+        "probe name no longer exercises the boundary: its first-occurrence "
+        f"index {first[listed]} is below the deduped count {deduped}, so the "
+        "old buggy len(deduped)-based sentinel would also pass this test"
+    )
     names = ["zz_unlisted_query", listed]
     mt = dict.fromkeys(names, 0.0)
     out = evidence_order(names, {}, mt)
