@@ -695,100 +695,112 @@ def q_ml_adaboost_stumps(spark, sf_dir: str) -> DataFrame:
     are exp of a ±α sum, recomputed per round from the learned
     literals rather than mutated in place — retry-safe and
     oracle-replayable. Output: the learned stump per round + training
-    accuracy of the weighted vote."""
+    accuracy of the weighted vote.
+
+    Round 8 (r7 verdict item 4): every stump prediction AND every
+    row weight is a function of (grid bin, y) only — all thresholds
+    come from the fixed {ADA_BINS}-value θ grid, so rows binned by
+    'first grid index with x ≤ θ_k' are indistinguishable to every
+    hypothesis of every round. The corpus is therefore compressed
+    ONCE into a ≤2·({ADA_BINS}+1)-row (bin, y, n) moment table (one
+    distributed pass after the min/max pass, exactly the per-bin
+    moment shape the GBDT query uses) and every boosting round runs
+    driver-side over those ≤34 tuples — the same precedent alpha
+    already set (Python math.log on the 9dp-rounded eps). Exactness
+    is preserved group-wise: within a group every per-row weight
+    double is identical (same exp argument, terms added in learned
+    order), so the oracle's SUM of n identical DECIMAL(28,14) casts
+    equals n × the cast value — replicated with exact decimal
+    arithmetic (quantize to scale 14, ROUND_HALF_UP, the same
+    rounding Spark's double→decimal cast applies via
+    BigDecimal.valueOf(d).setScale(14, HALF_UP)); the mis/tot ratio
+    then converts each exact decimal to its nearest double, exactly
+    as both engines' decimal→double casts do."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     rows = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
     )
-    rows = rows.repartition(
-        rows.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint()
     b = rows.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
     thetas = [lo + (k * (hi - lo)) // (ADA_BINS + 1) for k in range(1, ADA_BINS + 1)]
-    hyps = [(th, p) for th in thetas for p in (1, -1)]
-    learned = []  # (rnd, theta, pol, eps, alpha)
+    # k is the 1-based grid index: x ≤ θ_k ⟺ bin ≤ k (grid ascending;
+    # bin = 1 + count of grid points strictly below x, so duplicates
+    # from a degenerate lo≈hi grid stay correct).
+    hyps = [(k + 1, th, p) for k, th in enumerate(thetas) for p in (1, -1)]
+    bin_expr = F.lit(1)
+    for th in thetas:
+        bin_expr = bin_expr + F.when(F.col("x") > th, 1).otherwise(0)
+    moments = [
+        (r["b"], r["y"], r["n"])
+        for r in rows.groupBy(bin_expr.alias("b"), "y")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    learned = []  # (rnd, k, theta, pol, eps, alpha)
+    q14 = Decimal("1e-14")
 
-    def w_col():
+    def round_half_up(x: float, scale: str) -> float:
+        """Spark's round(double, n): BigDecimal.valueOf(d) (shortest
+        decimal repr) then setScale(n, HALF_UP) — NOT Python round(),
+        whose half-even ties would diverge from both engines."""
+        return float(Decimal(repr(x)).quantize(Decimal(scale), ROUND_HALF_UP))
+
+    def weight(bin_idx: int, y: int) -> float:
+        """The SAME double the per-row plan computed: identical alpha
+        literals, terms added in learned order, one exp (glibc exp —
+        the ratio's 9dp round absorbs any engine ulp, exactly as it
+        did for the JVM-exp path this replaces)."""
         if not learned:
-            return F.lit(1.0)
-        terms = None
-        for _, th, p, _, alpha in learned:
-            h = F.when(F.col("x") <= th, p).otherwise(-p)
-            term = (-alpha * h) * F.col("y")
-            terms = term if terms is None else terms + term
-        return F.exp(terms)
+            return 1.0
+        s = None
+        for _, k, _, p, _, alpha in learned:
+            h = p if bin_idx <= k else -p
+            term = (-alpha * h) * y
+            s = term if s is None else s + term
+        return math.exp(s)
 
     for rnd in range(1, ADA_ROUNDS + 1):
-        # Materialize the row weight ONCE behind an explode barrier:
-        # it appears in all 32 hypothesis slots + the total, and
-        # CollapseProject would inline the exp() chain into each
-        # (higher-order/codegen CSE does not catch it — measured 33×
-        # the exp cost without the barrier).
-        wrows = rows.select(
-            "x",
-            "y",
-            F.explode(F.array(w_col().cast("decimal(28,14)"))).alias("wd"),
-        )
-        # Round 6: score all 32 hypotheses as ONE keyless wide
-        # aggregation (32 conditional decimal sums + the total) instead
-        # of exploding 32 struct rows per input row — identical
-        # arithmetic (decimal sums are order-independent, the ÷ and
-        # round(…,9) still run JVM-side on the 1-row result), but the
-        # hot scan stays 1× rows with map-side partials (6.3 s → well
-        # under the 5 s budget at sf0.1).
-        zero = F.lit(0).cast("decimal(28,14)")
-        mis_aggs = [
-            F.sum(
-                F.when(
-                    F.when(F.col("x") <= th, p).otherwise(-p) != F.col("y"),
-                    F.col("wd"),
-                ).otherwise(zero)
-            ).alias(f"m{i}")
-            for i, (th, p) in enumerate(hyps)
-        ]
-        eps_row = (
-            wrows.agg(*mis_aggs, F.sum("wd").alias("tot"))
-            .select(
-                *[
-                    F.round(
-                        F.col(f"m{i}").cast("double")
-                        / F.col("tot").cast("double"),
-                        9,
-                    ).alias(f"e{i}")
-                    for i in range(len(hyps))
-                ]
+        # Oracle parity: the oracle casts each row's weight to
+        # DECIMAL(28,14) (round half-up at scale 14) then sums; a
+        # group of n identical values sums to exactly n × the cast
+        # value. Python Decimal sums are exact at any precision.
+        wd = {
+            (bi, y): Decimal(repr(weight(bi, y))).quantize(q14, ROUND_HALF_UP)
+            for bi, y, _ in moments
+        }
+        tot = sum(Decimal(n) * wd[(bi, y)] for bi, y, n in moments)
+        eps_by_hyp = []
+        for k, th, p in hyps:
+            mis = sum(
+                Decimal(n) * wd[(bi, y)]
+                for bi, y, n in moments
+                if (p if bi <= k else -p) != y
             )
-            .first()
-        )
+            eps_by_hyp.append(
+                (round_half_up(float(mis) / float(tot), "1e-9"), th, p, k)
+            )
         # Deterministic argmin with the same (eps, theta, polarity)
         # tiebreak the previous orderBy used.
-        eps_t, th, p = min(
-            (eps_row[f"e{i}"], th, p) for i, (th, p) in enumerate(hyps)
-        )
+        eps_t, th, p, k = min(eps_by_hyp)
         eps = min(max(eps_t, ADA_EPS_CLAMP), 1 - ADA_EPS_CLAMP)
         alpha = round(0.5 * math.log((1 - eps) / eps), 9)
-        learned.append((rnd, th, p, eps, alpha))
+        learned.append((rnd, k, th, p, eps, alpha))
 
-    score = None
-    for _, th, p, _, alpha in learned:
-        h = F.when(F.col("x") <= th, p).otherwise(-p)
-        term = alpha * h
-        score = term if score is None else score + term
-    acc = rows.agg(
-        F.round(
-            F.sum(
-                F.when(
-                    F.when(score >= 0, 1).otherwise(-1) == F.col("y"), 1
-                ).otherwise(0)
-            ).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("acc")
-    ).first()["acc"]
-    return rows.sparkSession.createDataFrame(
-        [(r, th, p, e, a, acc) for r, th, p, e, a in learned],
+    def vote(bin_idx: int) -> int:
+        s = None
+        for _, k, _, p, _, alpha in learned:
+            term = alpha * (p if bin_idx <= k else -p)
+            s = term if s is None else s + term
+        return 1 if s >= 0 else -1
+
+    n_total = sum(n for _, _, n in moments)
+    n_correct = sum(n for bi, y, n in moments if vote(bi) == y)
+    acc = round_half_up(n_correct / n_total, "1e-6")
+    return spark.createDataFrame(
+        [(r, th, p, e, a, acc) for r, _, th, p, e, a in learned],
         "rnd int, theta long, polarity int, eps_r9 double,"
         " alpha_r9 double, train_acc_r6 double",
     ).orderBy("rnd")
