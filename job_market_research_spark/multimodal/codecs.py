@@ -6,9 +6,13 @@ in `binary_ops` gets a REAL path here:
 
 - netpbm images (PGM ``P5`` grayscale, PPM ``P6`` RGB): raw binary
   headers + row-major samples, decoded straight into numpy arrays;
-- WAV PCM16 audio: stdlib ``wave`` container parse + numpy sample view.
+- WAV PCM16 audio: stdlib ``wave`` container parse + numpy sample view;
+- baseline JPEG *headers*: marker-stream walk to SOF0/1/2 for
+  dimensions, precision, and component count (metadata-pass parity
+  for the most common web image format; pixel decode still needs a
+  real codec library).
 
-Anything else (JPEG/PNG/MP4/...) still raises NotImplementedError at
+Anything else (PNG/MP4/JPEG-pixels/...) still raises NotImplementedError at
 the same boundary — the stub is for formats whose codecs genuinely
 aren't installed, not for the codec path itself. Selection is
 ``SPARK_GRAFT_REAL_CODEC`` (default on): with the flag off every format
@@ -95,6 +99,76 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+# ------------------------------------------------------------------ jpeg
+
+
+def encode_jpeg_headers(
+    width: int, height: int, components: int, comment: bytes = b""
+) -> bytes:
+    """Assemble a REAL baseline-JPEG marker stream (SOI, APP0/JFIF,
+    COM, DQT, SOF0, EOI) with the given frame header. Entropy-coded
+    scan data is omitted — this exists to exercise the header parser
+    against genuine marker/segment-length structure, the part of the
+    format a metadata pass reads. Dimensions must fit the format's
+    2-byte fields."""
+    if not (0 < width < 65536 and 0 < height < 65536):
+        raise ValueError("JPEG dimensions are 16-bit")
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    out += b"\xff\xfe" + (len(comment) + 2).to_bytes(2, "big") + comment
+    dqt = b"\x00" + bytes(64)  # one 8-bit quantization table (zeros)
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(components))
+    sof = (
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([components])
+        + comps
+    )
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def parse_jpeg_header(payload: bytes) -> dict:
+    """Baseline-JPEG header parse: walk the marker stream by segment
+    lengths (tolerating 0xFF fill bytes and standalone markers) to the
+    first SOF0/SOF1/SOF2 frame header and return its dimensions,
+    sample precision, component count, and byte offset. No DCT decode
+    — pixel access for JPEG still needs a real codec library and stays
+    behind the NotImplementedError boundary."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError(f"corrupt marker stream at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+            return {
+                "kind": "jpeg",
+                "precision": payload[pos + 4],
+                "height": int.from_bytes(payload[pos + 5 : pos + 7], "big"),
+                "width": int.from_bytes(payload[pos + 7 : pos + 9], "big"),
+                "channels": payload[pos + 9],
+                "sof_offset": pos,
+            }
+        pos += 2 + seg_len
+    raise NotImplementedError("no SOF frame header before EOI")
+
+
 # ------------------------------------------------------------------- wav
 
 
@@ -134,6 +208,8 @@ def sniff_kind(payload: bytes) -> str:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -163,6 +239,10 @@ def decode_media(payload: bytes) -> dict:
             "n_samples": int(samples.shape[0]),
             "channels": 1 if samples.ndim == 1 else samples.shape[1],
         }
+    if kind == "jpeg":
+        # Header-only metadata (dimensions/precision/components from
+        # SOF0) — JPEG pixel decode still needs a real codec library.
+        return parse_jpeg_header(payload)
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )

@@ -623,3 +623,99 @@ def q_multimodal_audio_vad(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(_audio_vad, schema=VAD_SCHEMA).orderBy("doc_id")
+
+
+#: Deterministic JPEG recipe (oracle-replayable): per doc_id d, a
+#: baseline-JPEG marker stream whose SOF0 carries w = d%200+16,
+#: h = d%150+16, 1 or 3 components, preceded by a variable-length COM
+#: segment (d%32 bytes) so the parser's segment-length walk — not a
+#: fixed offset — locates the frame header.
+_JPG_W = "doc_id % 200 + 16"
+_JPG_H = "doc_id % 150 + 16"
+_JPG_C = "1 + (doc_id % 2) * 2"
+_JPG_COM = "doc_id % 32"
+_JPG_MAX_DOC = 300
+#: SOI(2) + APP0(18) + COM(4 + comment) puts DQT at 24+comment and the
+#: SOF0 marker at 93+comment (DQT is 69 bytes: marker+len+65 table).
+JPEG_META_SCHEMA = (
+    "doc_id long, kind string, width long, height long,"
+    " channels long, precision long, sof_offset long"
+)
+
+
+def _jpeg_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import encode_jpeg_headers
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_jpeg_headers(
+                width=d % 200 + 16,
+                height=d % 150 + 16,
+                components=1 + (d % 2) * 2,
+                comment=b"x" * (d % 32),
+            )
+            meta = decode_media(payload)  # magic sniff -> header walk
+            rows.append(
+                (
+                    d,
+                    meta["kind"],
+                    meta["width"],
+                    meta["height"],
+                    meta["channels"],
+                    meta["precision"],
+                    meta["sof_offset"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "kind",
+                "width",
+                "height",
+                "channels",
+                "precision",
+                "sof_offset",
+            ],
+        )
+
+
+@query(
+    "multimodal_jpeg_meta",
+    oracle=f"""
+    SELECT doc_id, 'jpeg' AS kind,
+           CAST({_JPG_W} AS BIGINT) AS width,
+           CAST({_JPG_H} AS BIGINT) AS height,
+           CAST({_JPG_C} AS BIGINT) AS channels,
+           CAST(8 AS BIGINT) AS precision,
+           CAST(93 + ({_JPG_COM}) AS BIGINT) AS sof_offset
+    FROM documents
+    WHERE doc_id < {_JPG_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_jpeg_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG header metadata: assemble a genuine marker
+    stream (SOI / APP0-JFIF / COM / DQT / SOF0 / EOI) per document,
+    then magic-sniff and walk it by segment lengths to the SOF0 frame
+    header — dimensions, component count, sample precision, and the
+    SOF byte offset all come from parsing real bytes, not from the
+    recipe. The variable-length COM segment shifts the frame header
+    per row, so a parser that assumed fixed offsets (instead of
+    honoring each segment's 2-byte length field) would fail the
+    oracle. Pixel decode for JPEG stays behind NotImplementedError —
+    this is the metadata pass a 100 TB image-curation pipeline runs
+    first (dedup by dimensions, filter thumbnails, bucket by aspect
+    ratio) without touching entropy-coded data.
+
+    Scale: payloads are built and parsed inside one Arrow batch; only
+    fixed-width header fields return to the JVM — identical plumbing
+    to the parquet-sourced binary-column path."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JPG_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_jpeg_meta, schema=JPEG_META_SCHEMA).orderBy("doc_id")

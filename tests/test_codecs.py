@@ -65,3 +65,48 @@ def test_flag_off_forces_stub_path(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_REAL_CODEC", "0")
     with pytest.raises(NotImplementedError):
         codecs.decode_media(codecs.encode_pgm(np.zeros((2, 2), np.uint8)))
+
+
+def test_jpeg_header_roundtrip():
+    payload = codecs.encode_jpeg_headers(640, 480, 3, comment=b"hi")
+    meta = codecs.decode_media(payload)
+    assert meta == {
+        "kind": "jpeg",
+        "precision": 8,
+        "height": 480,
+        "width": 640,
+        "channels": 3,
+        "sof_offset": 95,  # SOI(2) + APP0(18) + COM(4+2) + DQT(69)
+    }
+
+
+def test_jpeg_parser_walks_by_segment_length_not_fixed_offset():
+    short = codecs.parse_jpeg_header(codecs.encode_jpeg_headers(10, 20, 1))
+    long = codecs.parse_jpeg_header(
+        codecs.encode_jpeg_headers(10, 20, 1, comment=b"z" * 31)
+    )
+    assert long["sof_offset"] - short["sof_offset"] == 31
+    assert (short["width"], short["height"]) == (10, 20)
+    assert (long["width"], long["height"]) == (10, 20)
+
+
+def test_jpeg_parser_tolerates_fill_bytes_and_standalone_markers():
+    base = codecs.encode_jpeg_headers(33, 44, 1)
+    # splice a TEM standalone marker and a fill byte after APP0 (ends
+    # at offset 20): both are legal inter-segment noise
+    spliced = base[:20] + b"\xff\x01" + b"\xff" + base[20:]
+    meta = codecs.parse_jpeg_header(spliced)
+    assert (meta["width"], meta["height"], meta["channels"]) == (33, 44, 1)
+
+
+def test_jpeg_without_sof_raises():
+    # SOI + APP0 + EOI only — a truncated/metadata-only stream
+    base = codecs.encode_jpeg_headers(1, 1, 1)
+    no_sof = base[:20] + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        codecs.parse_jpeg_header(no_sof)
+
+
+def test_non_jpeg_magic_raises():
+    with pytest.raises(NotImplementedError):
+        codecs.parse_jpeg_header(b"\x89PNG\r\n\x1a\n")
