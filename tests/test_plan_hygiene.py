@@ -150,3 +150,68 @@ def test_knn_classify_broadcasts_query_set(spark, sf_dir):
 def test_cusum_stats_join_is_broadcast(spark, sf_dir):
     plan = _physical_plan(SPECS["window_cusum_change"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_rewrite_fires_on_skewed_star_key(spark):
+    """SCALE.md's analytics row claims 'AQE skew-join on' as the
+    runtime backstop for sf-scaling star joins — pin that the rewrite
+    actually FIRES, not just that the conf is set. Build the star
+    shape (fact ⋈ dim on custkey-like key) with 95% of fact rows on
+    one key, force the sort-merge path (broadcast off) and test-scale
+    skew thresholds, and assert the executed adaptive plan split the
+    hot partition (SortMergeJoin(skew=true) / AQEShuffleRead skewed)
+    while the aggregate stays exact."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+
+        n, hot = 200_000, 7
+        fact = spark.range(0, n).select(
+            F.when(F.col("id") % 20 != 0, F.lit(hot))
+            .otherwise(F.col("id") % 1000)
+            .alias("custkey"),
+            (F.col("id") * 31).alias("spend"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("custkey"),
+            F.concat(F.lit("seg"), F.col("id") % 5).alias("segment"),
+        )
+        agg = fact.join(dim, "custkey").groupBy("segment").agg(
+            F.sum("spend").alias("total")
+        )
+        got = {r["segment"]: r["total"] for r in agg.collect()}
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition; executed plan:\n"
+            + plan[:2000]
+        )
+        # the rewrite must not change results: hot key 7 lands in seg2
+        want_hot = sum(i * 31 for i in range(n) if i % 20 != 0)
+        want = {}
+        for i in range(n):
+            k = hot if i % 20 != 0 else i % 1000
+            want[f"seg{k % 5}"] = want.get(f"seg{k % 5}", 0) + i * 31
+        assert got == want and got["seg2"] >= want_hot
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
