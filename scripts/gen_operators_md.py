@@ -12,18 +12,29 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from job_market_research_spark.registry import load_all  # noqa: E402
+from job_market_research_spark.registry import (  # noqa: E402
+    _driver_green_evidence,
+    load_all,
+)
 
 
 def main() -> None:
     specs = load_all()
+    green = _driver_green_evidence()
     by_module: dict[str, list] = defaultdict(list)
     for name, spec in sorted(specs.items()):
         module = spec.fn.__module__.replace("job_market_research_spark.", "")
         first_line = (spec.doc or "").strip().splitlines()
         summary = first_line[0].rstrip() if first_line else ""
-        by_module[module].append((name, summary, spec.oracle is not None))
+        proof = f"r{green[name][0]}" if name in green else "unproven"
+        by_module[module].append((name, summary, spec.oracle is not None, proof))
 
+    rounds = sorted({green[n][0] for n in specs if n in green})
+    hist = ", ".join(
+        f"r{r}: {sum(1 for n in specs if n in green and green[n][0] == r)}"
+        for r in rounds
+    )
+    unproven = sum(1 for n in specs if n not in green)
     lines = [
         "# Operator inventory (generated)",
         "",
@@ -32,17 +43,23 @@ def main() -> None:
         "driver hash-matches the query against an independent DuckDB SQL twin;",
         "`rows-only` = no exact SQL twin exists (approximate sketches).",
         "",
+        "`proof` = the NEWEST round whose driver CORRECTNESS file records a",
+        "green hash-match for the query (`unproven` = registered but not yet",
+        "sampled by the driver's bounded per-round window; every query is",
+        "additionally re-proven against its oracle on each local pytest run).",
+        f"Freshness histogram — {hist}; unproven: {unproven}.",
+        "",
         "Regenerate with `python scripts/gen_operators_md.py`.",
         "",
     ]
     for module in sorted(by_module):
         lines.append(f"## `{module}`")
         lines.append("")
-        lines.append("| query | check | what it does |")
-        lines.append("|---|---|---|")
-        for name, summary, has_oracle in by_module[module]:
+        lines.append("| query | check | proof | what it does |")
+        lines.append("|---|---|---|---|")
+        for name, summary, has_oracle, proof in by_module[module]:
             check = "oracle" if has_oracle else "rows-only"
-            lines.append(f"| `{name}` | {check} | {summary} |")
+            lines.append(f"| `{name}` | {check} | {proof} | {summary} |")
         lines.append("")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
