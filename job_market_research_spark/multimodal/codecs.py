@@ -10,9 +10,11 @@ in `binary_ops` gets a REAL path here:
 - baseline JPEG *headers*: marker-stream walk to SOF0/1/2 for
   dimensions, precision, and component count (metadata-pass parity
   for the most common web image format; pixel decode still needs a
-  real codec library).
+  real codec library);
+- PNG *headers*: IHDR chunk parse with real CRC-32 verification
+  (dimensions, bit depth, color type → channels).
 
-Anything else (PNG/MP4/JPEG-pixels/...) still raises NotImplementedError at
+Anything else (MP4/JPEG-pixels/PNG-pixels/...) still raises NotImplementedError at
 the same boundary — the stub is for formats whose codecs genuinely
 aren't installed, not for the codec path itself. Selection is
 ``SPARK_GRAFT_REAL_CODEC`` (default on): with the flag off every format
@@ -169,6 +171,63 @@ def parse_jpeg_header(payload: bytes) -> dict:
     raise NotImplementedError("no SOF frame header before EOI")
 
 
+# ------------------------------------------------------------------- png
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: IHDR color type → sample channels (PLTE-indexed counts as 1).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png_headers(
+    width: int, height: int, color_type: int = 2, bit_depth: int = 8
+) -> bytes:
+    """Assemble a REAL PNG chunk stream (magic, IHDR with a correct
+    CRC-32, IEND) — no IDAT, for the same reason as
+    `encode_jpeg_headers`: this exercises the chunk walk + CRC check a
+    metadata pass performs, not pixel decode."""
+    import zlib
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+    out = bytearray(_PNG_MAGIC)
+    for ctype, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out += len(data).to_bytes(4, "big") + ctype + data
+        out += (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(out)
+
+
+def parse_png_header(payload: bytes) -> dict:
+    """PNG IHDR parse with REAL CRC-32 verification: magic, first
+    chunk must be IHDR (spec requirement), its stored CRC must match
+    zlib.crc32 over type+data. Returns dimensions, bit depth, color
+    type, derived channel count, and crc_ok."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload (missing magic)")
+    n = int.from_bytes(payload[8:12], "big")
+    ctype = payload[12:16]
+    if ctype != b"IHDR" or n != 13:
+        raise NotImplementedError("first PNG chunk is not a 13-byte IHDR")
+    data = payload[16 : 16 + n]
+    stored_crc = int.from_bytes(payload[16 + n : 20 + n], "big")
+    color_type = data[9]
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unknown PNG color type {color_type}")
+    return {
+        "kind": "png",
+        "width": int.from_bytes(data[0:4], "big"),
+        "height": int.from_bytes(data[4:8], "big"),
+        "bit_depth": data[8],
+        "color_type": color_type,
+        "channels": _PNG_CHANNELS[color_type],
+        "crc_ok": stored_crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF),
+    }
+
+
 # ------------------------------------------------------------------- wav
 
 
@@ -210,6 +269,8 @@ def sniff_kind(payload: bytes) -> str:
         return "wav"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     return "unknown"
 
 
@@ -243,6 +304,10 @@ def decode_media(payload: bytes) -> dict:
         # Header-only metadata (dimensions/precision/components from
         # SOF0) — JPEG pixel decode still needs a real codec library.
         return parse_jpeg_header(payload)
+    if kind == "png":
+        # Header-only metadata (IHDR + CRC check); pixel decode (IDAT
+        # inflate + unfiltering) stays behind the boundary.
+        return parse_png_header(payload)
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )

@@ -110,3 +110,33 @@ def test_jpeg_without_sof_raises():
 def test_non_jpeg_magic_raises():
     with pytest.raises(NotImplementedError):
         codecs.parse_jpeg_header(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_header_roundtrip_and_crc():
+    payload = codecs.encode_png_headers(320, 240, color_type=6)
+    meta = codecs.decode_media(payload)
+    assert meta == {
+        "kind": "png",
+        "width": 320,
+        "height": 240,
+        "bit_depth": 8,
+        "color_type": 6,
+        "channels": 4,
+        "crc_ok": True,
+    }
+
+
+def test_png_corrupted_crc_detected():
+    payload = bytearray(codecs.encode_png_headers(10, 10))
+    payload[18] ^= 0xFF  # flip a bit inside the IHDR data
+    meta = codecs.parse_png_header(bytes(payload))
+    assert meta["crc_ok"] is False
+
+
+def test_png_bad_magic_and_bad_first_chunk_raise():
+    with pytest.raises(NotImplementedError):
+        codecs.parse_png_header(b"\xff\xd8not a png")
+    # valid magic but first chunk is not IHDR
+    bogus = codecs.encode_png_headers(1, 1)[:8] + b"\x00\x00\x00\x00IEND" + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        codecs.parse_png_header(bogus)
