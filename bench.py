@@ -7,12 +7,23 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized through the `noop` sink (forces the
-whole plan, no driver collect). Headline queries run REPS times (2)
-and report the per-query MIN: at sf0.1 the plans are all-broadcast
+whole plan, no driver collect). At sf0.1 the plans are all-broadcast
 single-stage and wall clock is dominated by planning + codegen +
-machine-load noise (observed spread on identical plans: 7.3-8.7 s),
-so the min isolates steady-state plan cost from ambient noise. Set
-BENCH_ALL=1 to time every registered query once instead.
+machine-load noise — a SINGLE JVM's timings carry ±0.8 s of ambient
+spread on identical plans (round 6 recorded a phantom "21% regression"
+that three fresh-JVM runs in round 7 showed was noise). So the default
+headline method is now min-of-N-fresh-JVMs: the outer process re-execs
+itself BENCH_JVM_REPS times (default 3), each child starts a fresh JVM
+and reports min-of-BENCH_REPS per query, and the outer line merges the
+per-query MIN across children (run-to-run spread of the child totals:
+~1% on an idle machine — r7 recorded 4.25/4.23/4.24 — and up to ~20%
+under ambient load, which is exactly what the per-query min absorbs).
+The merged line carries the per-child totals in "runs" so single-run
+noise is visible without a re-run.
+
+BENCH_JVM_REPS=1 restores the old single-JVM behavior. BENCH_ALL=1
+times every registered query once in one JVM (the full-registry sweep;
+fresh-JVM repetition would triple a ~6 min run for no decision value).
 """
 
 from __future__ import annotations
@@ -20,13 +31,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from job_market_research_spark.registry import load_all
-from job_market_research_spark.session import get_spark
 
 HEADLINE = [
     "join_star_wide",
@@ -40,10 +49,12 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+def run_once(sf_dir: str, sf: float) -> dict:
+    """Time the query set in THIS process (one JVM); return the result
+    dict. Headline queries run BENCH_REPS times (default 2) and report
+    the per-query min within the JVM."""
+    from job_market_research_spark.registry import load_all
+    from job_market_research_spark.session import get_spark
 
     specs = load_all()
     names = (
@@ -67,18 +78,59 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    spark.stop()
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    jvm_reps = 1 if os.environ.get("BENCH_ALL") else int(
+        os.environ.get("BENCH_JVM_REPS", "3")
+    )
+    if os.environ.get("BENCH_INNER") or jvm_reps <= 1:
+        print(json.dumps(run_once(sf_dir, sf)))
+        return
+
+    # Fresh-JVM repetition: re-exec this script so each run pays (and
+    # discards) its own JVM startup, codegen cache, and page-cache state.
+    runs: list[dict] = []
+    for _ in range(jvm_reps):
+        env = dict(os.environ, BENCH_INNER="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    merged: dict[str, float] = {}
+    for name in runs[0]["queries"]:
+        merged[name] = min(r["queries"][name] for r in runs)
+    total = round(sum(merged.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": merged,
                 "sf": sf,
+                "jvm_reps": jvm_reps,
+                "runs": [r["value"] for r in runs],
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
