@@ -782,3 +782,81 @@ def q_sample_priority_subset_sum(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+#: Preference-pair construction: minimum chosen−rejected reward gap.
+PREF_MARGIN = 150.0
+
+
+@query(
+    "sample_preference_pairs",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC, event_id DESC) AS rk_hi,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value ASC, event_id ASC) AS rk_lo,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM ev
+    )
+    SELECT hi.user_id, hi.event_type AS prompt_kind,
+           CAST(hi.n AS BIGINT) AS n_candidates,
+           hi.event_id AS chosen_id, lo.event_id AS rejected_id,
+           hi.value AS chosen_score, lo.value AS rejected_score,
+           hi.value - lo.value AS margin
+    FROM (SELECT * FROM r WHERE rk_hi = 1) hi
+    JOIN (SELECT * FROM r WHERE rk_lo = 1) lo
+      ON hi.user_id = lo.user_id AND hi.event_type = lo.event_type
+    WHERE hi.n >= 2 AND hi.value - lo.value >= {PREF_MARGIN}
+    ORDER BY 1, 2
+    """,
+)
+def q_sample_preference_pairs(spark, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction — the data op that turns
+    a pool of scored completions into (chosen, rejected) training
+    pairs: per prompt group (here (user_id, event_type) standing in
+    for (prompt, sampling run)), chosen = the highest-reward
+    candidate, rejected = the lowest, kept only when the group has ≥2
+    candidates and the reward gap clears PREF_MARGIN (small-margin
+    pairs teach the reward model noise — the standard filter in DPO
+    data recipes).
+
+    Spark-first shape: ONE map-side-combinable aggregation —
+    max/min over a (value, event_id) struct gives the argmax/argmin
+    WITH the deterministic event_id tie-break in the same partial
+    (no rank window, no second corpus pass, no per-group sort). The
+    oracle replays the same selection with two rank windows, proving
+    the struct-extremum plan equals the window plan. Doubles pass
+    through untouched (chosen−rejected on identical parquet doubles
+    is bit-equal cross-engine).
+
+    Scale: one shuffle on the group key; partials bound memory per
+    task; group cardinality = prompts × types, far below row count —
+    and a hot prompt with millions of candidates still reduces
+    map-side to one struct per partition."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.max(F.struct("value", "event_id")).alias("ch"),
+        F.min(F.struct("value", "event_id")).alias("rj"),
+    )
+    return (
+        agg.filter(F.col("n_candidates") >= 2)
+        .select(
+            "user_id",
+            F.col("event_type").alias("prompt_kind"),
+            "n_candidates",
+            F.col("ch.event_id").alias("chosen_id"),
+            F.col("rj.event_id").alias("rejected_id"),
+            F.col("ch.value").alias("chosen_score"),
+            F.col("rj.value").alias("rejected_score"),
+            (F.col("ch.value") - F.col("rj.value")).alias("margin"),
+        )
+        .filter(F.col("margin") >= PREF_MARGIN)
+        .orderBy("user_id", "prompt_kind")
+    )
