@@ -799,3 +799,93 @@ def q_ml_bradley_terry_strength(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+#: pass@k estimator: correctness threshold and the k values reported.
+PASS_K_THRESHOLD = 100.0
+PASS_K_VALUES = (1, 5, 10)
+
+
+def _pass_at_k_sql(k: int) -> str:
+    """1 − Π_{i=0}^{k−1} (n−c−i)/(n−i), factors multiplied left to
+    right — the unbiased pass@k estimator with the product form both
+    engines evaluate identically (each factor is a division of exact
+    small integers; IEEE double products are deterministic). When
+    n−c < k a factor is exactly 0, giving pass@k = 1."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return f"round(1.0 - {prod}, 6)"
+
+
+@query(
+    "ml_eval_pass_at_k",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(CASE WHEN value >= {PASS_K_THRESHOLD} THEN 1 ELSE 0 END) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(c AS BIGINT) AS n_correct,
+           {_pass_at_k_sql(1)} AS pass_at_1_r6,
+           {_pass_at_k_sql(5)} AS pass_at_5_r6,
+           {_pass_at_k_sql(10)} AS pass_at_10_r6
+    FROM s WHERE n >= {max(PASS_K_VALUES)}
+    ORDER BY user_id
+    """,
+)
+def q_ml_eval_pass_at_k(spark, sf_dir: str) -> DataFrame:
+    """pass@k — the standard code/reasoning eval metric (Chen et al.
+    2021): given n samples per problem of which c are correct, the
+    unbiased estimator pass@k = 1 − C(n−c,k)/C(n,k). Problems are
+    user_id groups, a sample is "correct" when its score clears
+    PASS_K_THRESHOLD.
+
+    Cross-engine exactness without big-integer combinatorics: the
+    binomial ratio is the falling-factorial product
+    Π (n−c−i)/(n−i), evaluated as k left-associated double
+    multiplications of exact-integer divisions — no factorials (which
+    overflow BIGINT once n is thousands of samples), no lgamma (libm
+    drift). n−c < k hits an exactly-zero factor, so fully-solvable
+    problems report 1.0 with no special-casing.
+
+    Scale: ONE map-side-combinable aggregation to (n, c) per problem;
+    the estimator is expression-only arithmetic on the bounded
+    per-problem table. At 100 TB of eval samples the shuffle carries
+    two longs per problem."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("value") >= PASS_K_THRESHOLD, 1).otherwise(0)
+            ).cast("long")
+            .alias("c"),
+        )
+        .filter(F.col("n") >= max(PASS_K_VALUES))
+    )
+
+    def pass_col(k: int):
+        prod = None
+        for i in range(k):
+            f = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+                F.col("n") - F.lit(i)
+            ).cast("double")
+            prod = f if prod is None else prod * f
+        return F.round(F.lit(1.0) - prod, 6)
+
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        pass_col(1).alias("pass_at_1_r6"),
+        pass_col(5).alias("pass_at_5_r6"),
+        pass_col(10).alias("pass_at_10_r6"),
+    ).orderBy("user_id")
