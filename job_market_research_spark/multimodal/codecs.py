@@ -171,6 +171,102 @@ def parse_jpeg_header(payload: bytes) -> dict:
     raise NotImplementedError("no SOF frame header before EOI")
 
 
+# ------------------------------------------------------------------ exif
+
+#: EXIF IFD0 tags a curation metadata pass reads.
+_EXIF_TAG_ORIENTATION = 0x0112
+
+
+def encode_exif_app1(orientation: int, big_endian: bool = False) -> bytes:
+    """Assemble a REAL APP1/EXIF segment body: ``Exif\\0\\0`` preamble
+    + TIFF header (II or MM byte order, magic 42, IFD0 offset) + a
+    one-entry IFD0 carrying the Orientation tag as SHORT. Returned
+    bytes are the segment DATA (caller wraps in FFE1+length when
+    splicing into a JPEG)."""
+    bo = ">" if big_endian else "<"
+    import struct
+
+    tiff = struct.pack(f"{bo}2sHI", b"MM" if big_endian else b"II", 42, 8)
+    # IFD0: entry count, then (tag, type=SHORT, count=1, value padded
+    # to 4 bytes IN FILE BYTE ORDER), then next-IFD offset 0.
+    entry = struct.pack(
+        f"{bo}HHIHH", _EXIF_TAG_ORIENTATION, 3, 1, orientation, 0
+    )
+    ifd0 = struct.pack(f"{bo}H", 1) + entry + struct.pack(f"{bo}I", 0)
+    return b"Exif\x00\x00" + tiff + ifd0
+
+
+def parse_exif_orientation(app1_data: bytes) -> dict:
+    """Endian-aware EXIF parse: validate the preamble, read the TIFF
+    byte-order mark + magic 42, follow the IFD0 offset, walk its
+    entries for the Orientation tag (0x0112, SHORT). Returns
+    {"byte_order", "orientation"}; orientation 0 = tag absent (the
+    spec default is then 1 = upright, left to the caller)."""
+    import struct
+
+    if app1_data[:6] != b"Exif\x00\x00":
+        raise NotImplementedError("not an EXIF APP1 payload")
+    t = app1_data[6:]
+    if t[:2] == b"II":
+        bo = "<"
+    elif t[:2] == b"MM":
+        bo = ">"
+    else:
+        raise NotImplementedError(f"bad TIFF byte order {t[:2]!r}")
+    (magic,) = struct.unpack_from(f"{bo}H", t, 2)
+    if magic != 42:
+        raise NotImplementedError(f"bad TIFF magic {magic}")
+    (ifd0,) = struct.unpack_from(f"{bo}I", t, 4)
+    (n_entries,) = struct.unpack_from(f"{bo}H", t, ifd0)
+    orientation = 0
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", t, ifd0 + 2 + 12 * i)
+        if tag == _EXIF_TAG_ORIENTATION and typ == 3 and cnt == 1:
+            (orientation,) = struct.unpack_from(
+                f"{bo}H", t, ifd0 + 2 + 12 * i + 8
+            )
+    return {
+        "byte_order": "big" if bo == ">" else "little",
+        "orientation": orientation,
+    }
+
+
+def splice_jpeg_app1(jpeg: bytes, app1_data: bytes) -> bytes:
+    """Insert an APP1 segment (e.g. EXIF) directly after SOI — where
+    cameras put it. The segment walk in `parse_jpeg_header` skips it
+    by length like any other segment."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    seg = b"\xff\xe1" + (len(app1_data) + 2).to_bytes(2, "big") + app1_data
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def parse_jpeg_exif(payload: bytes) -> dict:
+    """Walk the JPEG marker stream for the first APP1/EXIF segment and
+    parse its orientation (see `parse_exif_orientation`). Raises if no
+    EXIF APP1 exists before EOI."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError(f"corrupt marker stream at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and data[:6] == b"Exif\x00\x00":
+            return parse_exif_orientation(data)
+        pos += 2 + seg_len
+    raise NotImplementedError("no EXIF APP1 segment before EOI")
+
+
 # ------------------------------------------------------------------- png
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

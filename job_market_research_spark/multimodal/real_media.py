@@ -809,3 +809,92 @@ def q_multimodal_png_meta(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(_png_meta, schema=PNG_META_SCHEMA).orderBy("doc_id")
+
+
+#: Deterministic EXIF recipe: orientation cycles 1..8, byte order
+#: alternates little (II) / big (MM) per doc.
+_EXIF_ORI = "doc_id % 8 + 1"
+_EXIF_BO = "CASE WHEN doc_id % 2 = 1 THEN 'big' ELSE 'little' END"
+_EXIF_MAX_DOC = 300
+EXIF_META_SCHEMA = (
+    "doc_id long, byte_order string, orientation long,"
+    " width long, height long, needs_transpose boolean"
+)
+
+
+def _exif_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_exif_app1,
+        encode_jpeg_headers,
+        parse_jpeg_exif,
+        parse_jpeg_header,
+        splice_jpeg_app1,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = splice_jpeg_app1(
+                encode_jpeg_headers(width=d % 200 + 16, height=d % 150 + 16, components=3),
+                encode_exif_app1(orientation=d % 8 + 1, big_endian=bool(d % 2)),
+            )
+            exif = parse_jpeg_exif(payload)
+            sof = parse_jpeg_header(payload)  # frame walk skips APP1
+            rows.append(
+                (
+                    d,
+                    exif["byte_order"],
+                    exif["orientation"],
+                    sof["width"],
+                    sof["height"],
+                    exif["orientation"] >= 5,  # 5-8 transpose axes
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "byte_order",
+                "orientation",
+                "width",
+                "height",
+                "needs_transpose",
+            ],
+        )
+
+
+@query(
+    "multimodal_exif_meta",
+    oracle=f"""
+    SELECT doc_id,
+           {_EXIF_BO} AS byte_order,
+           CAST({_EXIF_ORI} AS BIGINT) AS orientation,
+           CAST(doc_id % 200 + 16 AS BIGINT) AS width,
+           CAST(doc_id % 150 + 16 AS BIGINT) AS height,
+           ({_EXIF_ORI}) >= 5 AS needs_transpose
+    FROM documents
+    WHERE doc_id < {_EXIF_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_exif_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL EXIF orientation parse — the auto-rotate metadata every
+    image-curation pipeline must honor before computing perceptual
+    hashes or aspect-ratio buckets (orientations 5-8 transpose the
+    axes, so stored width/height swap on display). Each document gets
+    a genuine JPEG with an APP1/EXIF segment spliced after SOI: TIFF
+    header with ALTERNATING byte order (II little / MM big endian),
+    magic 42, IFD0 walk to the Orientation SHORT — an endian-blind
+    parser reads orientation 256 for every MM row and fails the hash
+    match, and the SOF0 dimensions prove the frame-header walk skips
+    the APP1 segment by its length field.
+
+    Scale: same Arrow-batch plumbing as the other header passes;
+    fixed-width fields only cross to the JVM."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EXIF_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_exif_meta, schema=EXIF_META_SCHEMA).orderBy("doc_id")

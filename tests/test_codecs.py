@@ -140,3 +140,30 @@ def test_png_bad_magic_and_bad_first_chunk_raise():
     bogus = codecs.encode_png_headers(1, 1)[:8] + b"\x00\x00\x00\x00IEND" + b"\x00" * 4
     with pytest.raises(NotImplementedError):
         codecs.parse_png_header(bogus)
+
+
+def test_exif_orientation_both_byte_orders():
+    for big in (False, True):
+        data = codecs.encode_exif_app1(orientation=6, big_endian=big)
+        meta = codecs.parse_exif_orientation(data)
+        assert meta == {
+            "byte_order": "big" if big else "little",
+            "orientation": 6,
+        }
+
+
+def test_exif_spliced_jpeg_parses_both_ways():
+    jpeg = codecs.splice_jpeg_app1(
+        codecs.encode_jpeg_headers(100, 50, 3),
+        codecs.encode_exif_app1(orientation=8, big_endian=True),
+    )
+    assert codecs.parse_jpeg_exif(jpeg)["orientation"] == 8
+    sof = codecs.parse_jpeg_header(jpeg)
+    assert (sof["width"], sof["height"]) == (100, 50)
+
+
+def test_exif_missing_raises():
+    with pytest.raises(NotImplementedError):
+        codecs.parse_jpeg_exif(codecs.encode_jpeg_headers(1, 1, 1))
+    with pytest.raises(NotImplementedError):
+        codecs.parse_exif_orientation(b"JFIF\x00\x00whatever")
