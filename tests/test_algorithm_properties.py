@@ -175,3 +175,63 @@ def test_race_winners_stable_under_nonwinner_removal(ids, k):
         reduced = [i for i in ids if i != losers[-1]]
         again = sorted(reduced, key=key)[: min(k, len(reduced))]
         assert again == winners
+
+
+# ---------------------------------------------------------- media headers
+
+
+from job_market_research_spark.multimodal import codecs as _codecs
+
+
+@FAST
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    ncomp=st.integers(1, 4),
+    comment=st.binary(max_size=64),
+)
+def test_jpeg_header_roundtrip_property(w, h, ncomp, comment):
+    meta = _codecs.parse_jpeg_header(
+        _codecs.encode_jpeg_headers(w, h, ncomp, comment=comment)
+    )
+    assert (meta["width"], meta["height"], meta["channels"]) == (w, h, ncomp)
+    assert meta["precision"] == 8
+
+
+@FAST
+@given(
+    w=st.integers(1, 2**31 - 1),
+    h=st.integers(1, 2**31 - 1),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_header_roundtrip_property(w, h, ct):
+    meta = _codecs.parse_png_header(_codecs.encode_png_headers(w, h, color_type=ct))
+    assert (meta["width"], meta["height"], meta["color_type"]) == (w, h, ct)
+    assert meta["crc_ok"] is True
+
+
+@FAST
+@given(w=st.integers(1, 1000), h=st.integers(1, 1000), flip=st.integers(16, 28))
+def test_png_any_single_ihdr_corruption_is_detected(w, h, flip):
+    """CRC-32 detects EVERY single-byte corruption of the 13-byte IHDR
+    data (offsets 16..28 cover data; flipping any bit there must
+    break the stored CRC)."""
+    payload = bytearray(_codecs.encode_png_headers(w, h))
+    payload[flip] ^= 0x01
+    # skip flips that undo themselves (none here: xor 0x01 always flips)
+    meta = _codecs.parse_png_header(bytes(payload))
+    assert meta["crc_ok"] is False
+
+
+@FAST
+@given(orientation=st.integers(1, 8), big=st.booleans(), w=st.integers(16, 65535))
+def test_exif_roundtrip_property(orientation, big, w):
+    jpeg = _codecs.splice_jpeg_app1(
+        _codecs.encode_jpeg_headers(w, 32, 3),
+        _codecs.encode_exif_app1(orientation=orientation, big_endian=big),
+    )
+    exif = _codecs.parse_jpeg_exif(jpeg)
+    assert exif["orientation"] == orientation
+    assert exif["byte_order"] == ("big" if big else "little")
+    # the frame walk must still find SOF0 past the spliced APP1
+    assert _codecs.parse_jpeg_header(jpeg)["width"] == w
