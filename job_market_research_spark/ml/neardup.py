@@ -23,7 +23,7 @@ exactly those planted near-dups (plus any incidental ones).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
@@ -1575,4 +1575,68 @@ def q_dedup_best_of_cluster(spark, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
         .orderBy("cluster_hash")
+    )
+
+
+@query(
+    "dedup_soft_downweight",
+    oracle=f"""
+    WITH corpus AS (
+      {AUGMENTED_CORPUS_SQL}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    c AS (
+      SELECT doc_id, source, md5(text) AS h,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM corpus
+    )
+    SELECT doc_id, source, h AS content_hash,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           round(1.0 / n_copies, 6) AS weight_r6
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_dedup_soft_downweight(spark, sf_dir: str) -> DataFrame:
+    """SOFT dedup — keep every copy but downweight it: each document
+    gets loss weight 1/n_copies of its exact-content cluster, so a
+    page crawled 10 000 times contributes one page's worth of
+    gradient instead of dominating the epoch, while (unlike hard
+    dedup) no variant is thrown away and the weights stay usable for
+    mixture re-balancing downstream. This is the weighting
+    counterpart of `dedup_exact_hash` (same corpus-with-exact-copies
+    fixture, same md5 clustering).
+
+    Spark-first shape: ONE count window partitioned by the content
+    hash — key-partitioned (never a global window), one shuffle, and
+    the per-row weight is expression arithmetic (1/n rounded per row,
+    so no order-dependent double sums anywhere).
+
+    Scale: identical to exact dedup's groupBy — the window's
+    partition key is the content hash, near-uniform by construction;
+    a pathological mega-cluster degrades to one big partition exactly
+    as the groupBy would, with AQE skew split as the backstop."""
+    corpus = augmented_corpus(spark, sf_dir).unionByName(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    w = Window.partitionBy("h")
+    return (
+        corpus.select("doc_id", "source", F.md5("text").alias("h"))
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("h").alias("content_hash"),
+            "n_copies",
+            F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight_r6"),
+        )
+        .orderBy("doc_id")
     )

@@ -2175,3 +2175,84 @@ def q_agg_mutual_information(spark, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 6).alias("mi_nats_r6"))
         .orderBy("feature")
     )
+
+
+#: Wilson interval: success threshold and z for a 95% two-sided CI.
+WILSON_THRESHOLD = 100.0
+WILSON_Z = 1.96
+
+#: The Wilson score interval, written ONCE as SQL so Spark (via
+#: F.expr) and DuckDB evaluate the IDENTICAL expression tree: +,*,/
+#: are IEEE-deterministic and sqrt is exactly rounded by IEEE-754
+#: (unlike exp/ln, which are only faithfully rounded and ulp-drift
+#: between libms), so the bounds are bit-equal cross-engine with no
+#: rounding-contract gymnastics beyond the display round.
+_WILSON_CENTER = (
+    f"((s / n) + {WILSON_Z} * {WILSON_Z} / (2.0 * n))"
+    f" / (1.0 + {WILSON_Z} * {WILSON_Z} / n)"
+)
+_WILSON_HALF = (
+    f"({WILSON_Z} / (1.0 + {WILSON_Z} * {WILSON_Z} / n))"
+    f" * sqrt((s / n) * (1.0 - s / n) / n"
+    f" + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n))"
+)
+
+
+@query(
+    "agg_wilson_ci_winrate",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN value >= {WILSON_THRESHOLD}
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_trials,
+           CAST(s AS BIGINT) AS n_success,
+           round(s / n, 6) AS rate_r6,
+           round({_WILSON_CENTER} - {_WILSON_HALF}, 6) AS wilson_lo_r6,
+           round({_WILSON_CENTER} + {_WILSON_HALF}, 6) AS wilson_hi_r6
+    FROM g ORDER BY event_type
+    """,
+)
+def q_agg_wilson_ci_winrate(spark, sf_dir: str) -> DataFrame:
+    """Wilson score interval per arm — THE interval for binomial
+    rates (win rates, pass rates, judge preferences): unlike the
+    normal approximation it never leaves [0, 1] and stays calibrated
+    at small n or extreme rates. One map-side-combinable aggregation
+    to (n, successes) per arm, then closed-form expression arithmetic
+    on the bounded arm table (see _WILSON_CENTER: the formula is
+    shared VERBATIM with the oracle via F.expr, and IEEE's
+    exactly-rounded sqrt makes the bounds bit-equal cross-engine).
+
+    Scale: the shuffle carries two numbers per arm; arms are bounded
+    by the type vocabulary. The interval check lo ≤ p̂ ≤ hi is pinned
+    by test."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("value") >= WILSON_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_trials"),
+        F.col("s").cast("long").alias("n_success"),
+        F.round(F.expr("s / n"), 6).alias("rate_r6"),
+        F.round(F.expr(f"{_WILSON_CENTER} - {_WILSON_HALF}"), 6).alias(
+            "wilson_lo_r6"
+        ),
+        F.round(F.expr(f"{_WILSON_CENTER} + {_WILSON_HALF}"), 6).alias(
+            "wilson_hi_r6"
+        ),
+    ).orderBy("event_type")

@@ -145,3 +145,28 @@ def test_csv_roundtrip_preserves_every_hazard(spark, sf_dir):
         expected = ' "quoted", with, commas\nand a newline: ' + docs[r["doc_id"]][:40]
         assert r["payload_len"] == len(expected)
         assert r["payload_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_wilson_interval_brackets_rate_and_stays_in_unit(spark, sf_dir):
+    """The Wilson interval must contain the point rate and stay inside
+    [0, 1] on every arm (the property the normal approximation lacks),
+    and must match a Python replay of the closed form."""
+    import math
+
+    from job_market_research_spark.plans.robust_stats import (
+        WILSON_Z,
+        q_agg_wilson_ci_winrate,
+    )
+
+    rows = q_agg_wilson_ci_winrate(spark, sf_dir).collect()
+    assert rows
+    z = WILSON_Z
+    for r in rows:
+        n, s = r["n_trials"], r["n_success"]
+        assert 0.0 <= r["wilson_lo_r6"] <= r["rate_r6"] <= r["wilson_hi_r6"] <= 1.0
+        center = ((s / n) + z * z / (2.0 * n)) / (1.0 + z * z / n)
+        half = (z / (1.0 + z * z / n)) * math.sqrt(
+            (s / n) * (1.0 - s / n) / n + z * z / (4.0 * n * n)
+        )
+        assert abs(r["wilson_lo_r6"] - (center - half)) < 1.5e-6
+        assert abs(r["wilson_hi_r6"] - (center + half)) < 1.5e-6
