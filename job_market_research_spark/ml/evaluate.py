@@ -889,3 +889,77 @@ def q_ml_eval_pass_at_k(spark, sf_dir: str) -> DataFrame:
         pass_col(5).alias("pass_at_5_r6"),
         pass_col(10).alias("pass_at_10_r6"),
     ).orderBy("user_id")
+
+
+#: Self-consistency: answer discretization width (answer id = ⌊value/50⌋).
+SC_ANSWER_BIN = 50
+
+
+@query(
+    "ml_eval_majority_vote",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(floor(value / {SC_ANSWER_BIN}) AS BIGINT) AS answer
+      FROM events WHERE value IS NOT NULL
+    ),
+    votes AS (
+      SELECT user_id, answer, COUNT(*) AS v
+      FROM s GROUP BY user_id, answer
+    ),
+    ranked AS (
+      SELECT user_id, answer, v,
+             SUM(v) OVER (PARTITION BY user_id) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY v DESC, answer ASC) AS rk
+      FROM votes
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_samples,
+           answer AS top_answer,
+           CAST(v AS BIGINT) AS top_votes,
+           round(CAST(v AS DOUBLE) / n, 6) AS agreement_r6,
+           v * 2 > n AS strict_majority
+    FROM ranked WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def q_ml_eval_majority_vote(spark, sf_dir: str) -> DataFrame:
+    """Self-consistency aggregation (Wang et al. 2023): sample n
+    answers per problem, return the MODE — the step that turns n
+    chain-of-thought samples into one prediction, plus the agreement
+    ratio (a calibration signal: low agreement flags problems to
+    route to a stronger model). Problems are user_id groups; answers
+    discretize value into SC_ANSWER_BIN-wide ids.
+
+    Spark-first shape: two map-side-combinable aggregations — votes
+    per (problem, answer), then a struct-extremum per problem
+    (max over (votes, −answer) gives the plurality winner WITH the
+    smallest-answer tie-break in one partial, same pattern as
+    sample_preference_pairs; the oracle replays it with a rank
+    window). No rank window on the corpus, no per-problem sort.
+
+    Scale: shuffle one count per (problem, answer) then one struct
+    per problem; a viral problem with millions of samples reduces
+    map-side."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") / SC_ANSWER_BIN).cast("long").alias("answer"),
+        )
+    )
+    votes = s.groupBy("user_id", "answer").agg(F.count("*").alias("v"))
+    top = votes.groupBy("user_id").agg(
+        F.sum("v").cast("long").alias("n_samples"),
+        F.max(F.struct(F.col("v"), (-F.col("answer")).alias("neg"))).alias("w"),
+    )
+    return top.select(
+        "user_id",
+        "n_samples",
+        (-F.col("w.neg")).cast("long").alias("top_answer"),
+        F.col("w.v").cast("long").alias("top_votes"),
+        F.round(F.col("w.v").cast("double") / F.col("n_samples"), 6).alias(
+            "agreement_r6"
+        ),
+        (F.col("w.v") * 2 > F.col("n_samples")).alias("strict_majority"),
+    ).orderBy("user_id")
