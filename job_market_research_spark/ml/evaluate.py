@@ -963,3 +963,118 @@ def q_ml_eval_majority_vote(spark, sf_dir: str) -> DataFrame:
         ),
         (F.col("w.v") * 2 > F.col("n_samples")).alias("strict_majority"),
     ).orderBy("user_id")
+
+
+@query(
+    "ml_eval_rouge2_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS pid, trim(text) AS ref,
+             trim(regexp_replace(trim(text), '^[^ ]+ ', '')) AS cand
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    rt AS (SELECT pid, string_split(ref, ' ') AS t FROM pairs),
+    ct AS (SELECT pid, string_split(cand, ' ') AS t FROM pairs),
+    rbg AS (SELECT pid, t[i] || ' ' || t[i + 1] AS bg
+            FROM rt, unnest(range(1, len(t))) AS r(i)),
+    cbg AS (SELECT pid, t[i] || ' ' || t[i + 1] AS bg
+            FROM ct, unnest(range(1, len(t))) AS r(i)),
+    rc AS (SELECT pid, bg, COUNT(*) AS c FROM rbg GROUP BY pid, bg),
+    cc AS (SELECT pid, bg, COUNT(*) AS c FROM cbg GROUP BY pid, bg),
+    ov AS (
+      SELECT rc.pid, SUM(LEAST(rc.c, cc.c)) AS overlap
+      FROM rc JOIN cc ON rc.pid = cc.pid AND rc.bg = cc.bg
+      GROUP BY rc.pid
+    ),
+    rtot AS (SELECT pid, SUM(c) AS nr FROM rc GROUP BY pid),
+    ctot AS (SELECT pid, SUM(c) AS nc FROM cc GROUP BY pid)
+    SELECT rtot.pid AS doc_id,
+           CAST(rtot.nr AS BIGINT) AS ref_bigrams,
+           CAST(ctot.nc AS BIGINT) AS cand_bigrams,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / rtot.nr, 6)
+             AS rouge2_recall_r6,
+           round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / ctot.nc, 6)
+             AS rouge2_precision_r6
+    FROM rtot
+    JOIN ctot ON rtot.pid = ctot.pid
+    LEFT JOIN ov ON rtot.pid = ov.pid
+    ORDER BY doc_id
+    """,
+)
+def q_ml_eval_rouge2_overlap(spark, sf_dir: str) -> DataFrame:
+    """ROUGE-2 with CLIPPED counts — the summarization/NLG overlap
+    metric done the way Lin (2004) defines it: per bigram the overlap
+    credit is min(count in candidate, count in reference), so a
+    candidate repeating one reference bigram 50 times scores it once
+    per reference occurrence, not 50 (the clipping naive set-overlap
+    implementations skip). Pairs are each 10th document (reference)
+    against its first-token-stripped variant (candidate — the same
+    mutation recipe the near-dup fixtures use).
+
+    Spark-first shape: bigram multisets via a guarded `transform`
+    over the token array (sequence is DESCENDING for single-token
+    docs, hence the size>1 guard), one (pid, bigram) count per side,
+    clipped overlap as SUM(LEAST) on the co-partitioned equi-join,
+    then pid-level totals — every shuffle is on (pid, bigram) or pid,
+    all map-side combinable, never an all-pairs comparison.
+
+    Scale: candidate/reference pairing arrives as a column pair, so
+    the metric is one pipeline regardless of corpus size; per-doc
+    bigram fan-out is len(doc), linear."""
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("pid"),
+            F.split(F.trim("text"), " ").alias("rt"),
+            F.split(
+                F.trim(F.regexp_replace(F.trim("text"), r"^[^ ]+ ", "")), " "
+            ).alias("ct"),
+        )
+    )
+
+    def bigrams(col: str):
+        return F.when(
+            F.size(col) > 1,
+            F.expr(
+                f"transform(sequence(1, size({col}) - 1),"
+                f" i -> concat({col}[i-1], ' ', {col}[i]))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rc = (
+        pairs.select("pid", F.explode(bigrams("rt")).alias("bg"))
+        .groupBy("pid", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    cc = (
+        pairs.select("pid", F.explode(bigrams("ct")).alias("bg"))
+        .groupBy("pid", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    ov = (
+        rc.alias("r")
+        .join(cc.alias("c"), ["pid", "bg"])
+        .groupBy("pid")
+        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("overlap"))
+    )
+    rtot = rc.groupBy("pid").agg(F.sum("c").alias("nr"))
+    ctot = cc.groupBy("pid").agg(F.sum("c").alias("nc"))
+    return (
+        rtot.join(ctot, "pid")
+        .join(ov, "pid", "left")
+        .select(
+            F.col("pid").alias("doc_id"),
+            F.col("nr").cast("long").alias("ref_bigrams"),
+            F.col("nc").cast("long").alias("cand_bigrams"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)).cast("double") / F.col("nr"), 6
+            ).alias("rouge2_recall_r6"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)).cast("double") / F.col("nc"), 6
+            ).alias("rouge2_precision_r6"),
+        )
+        .orderBy("doc_id")
+    )
