@@ -931,3 +931,54 @@ def q_window_changepoint_detect(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_local_day_buckets",
+    oracle="""
+    SELECT CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                AS DATE) AS ny_day,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Australia/Sydney'
+                AS DATE) AS sydney_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_agg_local_day_buckets(spark, sf_dir: str) -> DataFrame:
+    """LOCAL-timezone day bucketing — the dashboard/reporting cut that
+    naive UTC-date grouping silently gets wrong: a "day" in New York
+    starts at 05:00 UTC (EST) and in Sydney at 13:00 UTC the previous
+    calendar day (AEDT, daylight time ACTIVE in January — the +11
+    offset only exists because both engines apply the same tzdata DST
+    rules, so a fixed-offset shortcut fails the hash match). Grouping
+    by BOTH zones at once surfaces the boundary structure: each NY day
+    intersects two Sydney days, so the pair cardinality is ~2× days.
+
+    Direction matters: UTC→local is total and unambiguous (every
+    instant maps to exactly one wall time), so `from_utc_timestamp` /
+    double `AT TIME ZONE` are exact twins; the ambiguous local→UTC
+    direction (skipped/repeated DST hours) is deliberately never used.
+
+    Scale: one aggregation keyed by (day, day) — bounded by the
+    calendar, map-side combinable; the distinct-user count is the
+    standard two-phase expansion over day-bounded groups."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date(
+                F.from_utc_timestamp("ts", "America/New_York")
+            ).alias("ny_day"),
+            F.to_date(
+                F.from_utc_timestamp("ts", "Australia/Sydney")
+            ).alias("sydney_day"),
+            "user_id",
+        )
+        .groupBy("ny_day", "sydney_day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("ny_day", "sydney_day")
+    )
