@@ -1078,3 +1078,178 @@ def q_ml_eval_rouge2_overlap(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ml_eval_bleu2",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS pid, trim(text) AS ref,
+             trim(regexp_replace(trim(text), '^[^ ]+ ', '')) AS cand
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    rt AS (SELECT pid, string_split(ref, ' ') AS t FROM pairs),
+    ct AS (SELECT pid, string_split(cand, ' ') AS t FROM pairs),
+    rg AS (
+      SELECT pid, 1 AS n, u.g FROM rt, unnest(t) AS u(g)
+      UNION ALL
+      SELECT pid, 2 AS n, t[i] || ' ' || t[i + 1] AS g
+      FROM rt, unnest(range(1, len(t))) AS r(i)
+    ),
+    cg AS (
+      SELECT pid, 1 AS n, u.g FROM ct, unnest(t) AS u(g)
+      UNION ALL
+      SELECT pid, 2 AS n, t[i] || ' ' || t[i + 1] AS g
+      FROM ct, unnest(range(1, len(t))) AS r(i)
+    ),
+    rc AS (SELECT pid, n, g, COUNT(*) AS c FROM rg GROUP BY pid, n, g),
+    cc AS (SELECT pid, n, g, COUNT(*) AS c FROM cg GROUP BY pid, n, g),
+    ov AS (
+      SELECT rc.pid,
+             SUM(CASE WHEN rc.n = 1 THEN LEAST(rc.c, cc.c) ELSE 0 END) AS o1,
+             SUM(CASE WHEN rc.n = 2 THEN LEAST(rc.c, cc.c) ELSE 0 END) AS o2
+      FROM rc JOIN cc ON rc.pid = cc.pid AND rc.n = cc.n AND rc.g = cc.g
+      GROUP BY rc.pid
+    ),
+    ctot AS (
+      SELECT pid,
+             SUM(CASE WHEN n = 1 THEN c ELSE 0 END) AS n1,
+             SUM(CASE WHEN n = 2 THEN c ELSE 0 END) AS n2
+      FROM cc GROUP BY pid
+    ),
+    lens AS (
+      SELECT pid, len(string_split(ref, ' ')) AS rlen,
+             len(string_split(cand, ' ')) AS clen
+      FROM pairs
+    )
+    SELECT lens.pid AS doc_id,
+           CAST(lens.rlen AS BIGINT) AS ref_len,
+           CAST(lens.clen AS BIGINT) AS cand_len,
+           CAST(COALESCE(ov.o1, 0) AS BIGINT) AS overlap1,
+           CAST(COALESCE(ov.o2, 0) AS BIGINT) AS overlap2,
+           round(CAST(COALESCE(ov.o1, 0) AS DOUBLE) / ctot.n1, 6) AS p1_r6,
+           CASE WHEN ctot.n2 > 0
+                THEN round(CAST(COALESCE(ov.o2, 0) AS DOUBLE) / ctot.n2, 6)
+                ELSE 0.0 END AS p2_r6,
+           CASE WHEN ctot.n2 > 0
+                THEN round(sqrt((CAST(COALESCE(ov.o1, 0) AS DOUBLE) / ctot.n1)
+                              * (CAST(COALESCE(ov.o2, 0) AS DOUBLE) / ctot.n2)),
+                           6)
+                ELSE 0.0 END AS bleu2_core_r6,
+           round(CAST(lens.rlen AS DOUBLE) / lens.clen, 6) AS len_ratio_r6,
+           lens.clen < lens.rlen AS bp_applies
+    FROM lens
+    JOIN ctot ON lens.pid = ctot.pid
+    LEFT JOIN ov ON lens.pid = ov.pid
+    ORDER BY doc_id
+    """,
+)
+def q_ml_eval_bleu2(spark, sf_dir: str) -> DataFrame:
+    """BLEU-2 with CLIPPED n-gram precision (Papineni et al. 2002):
+    per n-gram the credit is min(count in candidate, count in
+    reference) — the modified-precision clipping that stops a
+    candidate from farming one reference n-gram — then the geometric
+    mean of unigram and bigram precision. Pairs are each 10th
+    document (reference) against its first-token-stripped variant
+    (candidate), the same pairing recipe as ml_eval_rouge2_overlap so
+    the two metrics are directly comparable per document.
+
+    Determinism: the geometric mean is sqrt(p1*p2) — division,
+    multiply and sqrt are all IEEE-754 correctly-rounded on both
+    engines, unlike exp/ln whose libm implementations may differ in
+    the last ulp. For the same reason the brevity penalty is emitted
+    as its exact rational argument (len_ratio_r6 = ref_len/cand_len,
+    with bp_applies = cand shorter): BP = exp(1 - len_ratio) is a
+    monotone transform the caller applies, and every compared column
+    stays bit-deterministic across engines.
+
+    Spark-first shape: unigrams and bigrams are built as ONE tagged
+    struct array per side (n=1|2) so each side is a single explode +
+    a single (pid, n, gram) count — two map-side-combinable shuffles
+    total, clipped overlap as SUM(LEAST) on the co-partitioned
+    equi-join, exactly the rouge2 plan generalized to two gram orders.
+
+    Scale: per-doc fan-out is 2·len(doc) rows, linear; every shuffle
+    keys on (pid, n, gram) or pid; never all-pairs."""
+
+    def gram_structs(c: str):
+        return F.expr(
+            f"concat("
+            f"  transform({c}, t -> struct(1 as n, t as g)),"
+            f"  transform("
+            f"    if(size({c}) > 1, sequence(1, size({c}) - 1),"
+            f"       cast(array() as array<int>)),"
+            f"    i -> struct(2 as n,"
+            f"                concat(element_at({c}, i), ' ',"
+            f"                       element_at({c}, i + 1)) as g)))"
+        )
+
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("pid"),
+            F.split(F.trim("text"), " ").alias("rt"),
+            F.split(
+                F.trim(F.regexp_replace(F.trim("text"), r"^[^ ]+ ", "")), " "
+            ).alias("ct"),
+        )
+    )
+    lens = pairs.select(
+        "pid", F.size("rt").alias("rlen"), F.size("ct").alias("clen")
+    )
+
+    def side_counts(col: str):
+        return (
+            pairs.select("pid", F.explode(gram_structs(col)).alias("s"))
+            .select("pid", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+            .groupBy("pid", "n", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    rc = side_counts("rt")
+    cc = side_counts("ct")
+    ov = (
+        rc.alias("r")
+        .join(cc.alias("c"), ["pid", "n", "g"])
+        .groupBy("pid")
+        .agg(
+            F.sum(
+                F.when(F.col("n") == 1, F.least(F.col("r.c"), F.col("c.c")))
+                .otherwise(F.lit(0))
+            ).alias("o1"),
+            F.sum(
+                F.when(F.col("n") == 2, F.least(F.col("r.c"), F.col("c.c")))
+                .otherwise(F.lit(0))
+            ).alias("o2"),
+        )
+    )
+    ctot = cc.groupBy("pid").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c")).otherwise(F.lit(0))).alias("n1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(F.lit(0))).alias("n2"),
+    )
+    o1 = F.coalesce("o1", F.lit(0)).cast("double")
+    o2 = F.coalesce("o2", F.lit(0)).cast("double")
+    p1 = o1 / F.col("n1")
+    p2 = o2 / F.col("n2")
+    return (
+        lens.join(ctot, "pid")
+        .join(ov, "pid", "left")
+        .select(
+            F.col("pid").alias("doc_id"),
+            F.col("rlen").cast("long").alias("ref_len"),
+            F.col("clen").cast("long").alias("cand_len"),
+            F.coalesce("o1", F.lit(0)).cast("long").alias("overlap1"),
+            F.coalesce("o2", F.lit(0)).cast("long").alias("overlap2"),
+            F.round(p1, 6).alias("p1_r6"),
+            F.when(F.col("n2") > 0, F.round(p2, 6)).otherwise(0.0).alias("p2_r6"),
+            F.when(F.col("n2") > 0, F.round(F.sqrt(p1 * p2), 6))
+            .otherwise(0.0)
+            .alias("bleu2_core_r6"),
+            F.round(F.col("rlen").cast("double") / F.col("clen"), 6).alias(
+                "len_ratio_r6"
+            ),
+            (F.col("clen") < F.col("rlen")).alias("bp_applies"),
+        )
+        .orderBy("doc_id")
+    )
