@@ -1026,3 +1026,113 @@ def q_pipeline_rag_index_e2e(spark, sf_dir: str) -> DataFrame:
     return probed.orderBy(F.desc("cosine"), "doc_id", "chunk_id").limit(
         RAG_TOP
     )
+
+
+#: Paragraph width (tokens) for corpus-wide paragraph-level dedup.
+PARA_W = 10
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, r.p AS p,
+             array_to_string(
+               list_slice(toks, r.p * {PARA_W} + 1, (r.p + 1) * {PARA_W}),
+               ' ') AS para
+      FROM t,
+           unnest(range(0, CAST(ceil(len(toks) / {PARA_W}.0) AS INT))) AS r(p)
+    ),
+    k AS (
+      SELECT doc_id, p, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, p) = 1
+               AS kept
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_ratio_r6,
+           COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY p),
+                    '') AS retained_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dedup_paragraph_exact(spark, sf_dir: str) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the sub-document
+    granularity CCNet/Dolma-style pipelines dedup at): every document
+    is split into fixed PARA_W-token paragraphs, each paragraph kept
+    only at its FIRST corpus occurrence (min (doc_id, position)), and
+    each document is re-assembled from its surviving paragraphs in
+    order. Duplicate boilerplate that exact doc-level dedup
+    (dedup_exact_hash) misses — headers/footers shared across
+    otherwise-distinct pages — is excised while unique prose remains.
+
+    Spark-first shape: paragraph construction is MAP-SIDE (a
+    transform+slice over the token array, one explode — no shuffle to
+    build paragraphs); the first-occurrence winner is a
+    map-side-combinable min(struct(doc_id, p)) per paragraph text, NOT
+    a corpus-wide rank window; reassembly is a bounded per-doc
+    collect_list (≤ len(doc)/PARA_W elements) sorted in-expression.
+    The oracle replays the winner rule with a rank window — same rows.
+
+    Scale: two shuffles (paragraph-text winner agg keyed on the
+    paragraph string, then per-doc regroup); the paragraph key is
+    ~PARA_W words, so a hot boilerplate paragraph reduces map-side
+    before it ships. At 100 TB swap the raw-string key for xxhash64
+    (kept as text here so the oracle is engine-neutral)."""
+    paras = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f"  sequence(0,"
+                    f"    cast(ceil(size(toks) / {PARA_W}.0) as int) - 1),"
+                    f"  p -> struct(p as p,"
+                    f"    array_join(slice(toks, p * {PARA_W} + 1, {PARA_W}),"
+                    f"               ' ') as para))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.p").alias("p"), F.col("s.para").alias("para"))
+    )
+    winners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "p")).alias("w")
+    )
+    kept = paras.join(winners, "para").select(
+        "doc_id",
+        "p",
+        "para",
+        (
+            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("p") == F.col("w.p"))
+        ).alias("kept"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("p", "para"))
+            ).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_paras"), 6
+            ).alias("kept_ratio_r6"),
+            F.array_join(
+                F.expr("transform(array_sort(ks), x -> x.para)"), " "
+            ).alias("retained_text"),
+        )
+        .orderBy("doc_id")
+    )
