@@ -982,3 +982,103 @@ def q_agg_local_day_buckets(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_day", "sydney_day")
     )
+
+
+#: Max lag (days) for the daily-revenue autocorrelation sweep.
+ACF_MAX_LAG = 7
+
+
+@query(
+    "agg_autocorr_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    ks AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k),
+    pairs AS (
+      SELECT ks.k, x.v AS xv, y.v AS yv
+      FROM ks
+      CROSS JOIN daily x
+      JOIN daily y ON y.d = x.d - CAST(ks.k AS INT)
+    ),
+    m AS (
+      SELECT k, COUNT(*) AS n,
+             CAST(SUM(CAST(xv AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yv AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xv * yv AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xv * xv AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yv * yv AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS acf_r6
+    FROM m ORDER BY lag
+    """,
+)
+def q_agg_autocorr_lags(spark, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..ACF_MAX_LAG — the first diagnostic an analyst runs before
+    fitting any seasonal/AR model (a weekly cycle shows as a spike at
+    lag 7). Pearson correlation of (day t, day t-k) value pairs,
+    pairs formed by DATE arithmetic so calendar gaps pair correctly
+    (a missing day yields no pair rather than a shifted one).
+
+    Exactness: day revenue is an exact DECIMAL sum; all five moment
+    sums (Sx, Sy, Sxy, Sxx, Syy) accumulate in DECIMAL(38,4) — decimal
+    products of decimal day values are exact, so the sums are
+    order-free — and only the final correlation ratio is computed in
+    double (same scalar expression both engines, round-6).
+
+    Spark-first shape: one aggregation to the daily series (map-side
+    combinable), the lag fan-out is a 7-way explode of the TINY daily
+    frame (≤ a few thousand rows per year of data regardless of SF),
+    then a single equi-join on the computed date key and one
+    per-lag moment aggregation — the corpus is touched exactly once.
+
+    Scale: everything after the first groupBy operates on the
+    day-level series, which grows with the calendar, not the data;
+    the day aggregation itself is the only corpus-sized shuffle."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    x = daily.select(
+        F.explode(F.expr(f"sequence(1, {ACF_MAX_LAG})")).alias("k"),
+        "d",
+        F.col("v").alias("xv"),
+    )
+    y = daily.select(F.col("d").alias("yd"), F.col("v").alias("yv"))
+    pairs = x.join(y, F.expr("yd = date_sub(d, k)"))
+    m = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xv").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(F.col("yv").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum((F.col("xv") * F.col("yv")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xv") * F.col("xv")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yv") * F.col("yv")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf_r6"),
+    ).orderBy("lag")
