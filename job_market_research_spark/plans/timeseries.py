@@ -1007,9 +1007,12 @@ ACF_MAX_LAG = 7
       SELECT k, COUNT(*) AS n,
              CAST(SUM(CAST(xv AS DECIMAL(38,4))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(yv AS DECIMAL(38,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(xv * yv AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(xv * xv AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(yv * yv AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(xv AS DECIMAL(19,2))
+                      * CAST(yv AS DECIMAL(19,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xv AS DECIMAL(19,2))
+                      * CAST(xv AS DECIMAL(19,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yv AS DECIMAL(19,2))
+                      * CAST(yv AS DECIMAL(19,2))) AS DOUBLE) AS syy
       FROM pairs GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS lag,
