@@ -324,6 +324,49 @@ def parse_png_header(payload: bytes) -> dict:
     }
 
 
+
+# ------------------------------------------------------------------- gif
+
+
+def encode_gif_headers(
+    width: int, height: int, gct_size_field: int = 0, version: bytes = b"89a"
+) -> bytes:
+    """Assemble a REAL GIF header (signature, logical screen
+    descriptor, global color table, trailer) — no image data blocks,
+    same header-only rationale as `encode_jpeg_headers`: exercises
+    the signature check, little-endian dimension fields, and the
+    packed-byte GCT arithmetic a metadata pass performs."""
+    packed = 0x80 | (0x7 << 4) | (gct_size_field & 0x7)  # GCT on, 8-bit res
+    out = bytearray(b"GIF" + version)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([packed, 0, 0])  # background index, aspect ratio
+    out += bytes(3 * (2 ** (gct_size_field + 1)))  # global color table
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def parse_gif_header(payload: bytes) -> dict:
+    """GIF logical-screen-descriptor parse: signature/version, REAL
+    little-endian u16 dimensions (a big-endian parser fails the
+    oracle on any dim > 255), and the packed byte decomposed into the
+    GCT-present flag and the 2^(N+1) color-table size."""
+    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
+        raise NotImplementedError("not a GIF payload (missing signature)")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    has_gct = bool(packed & 0x80)
+    gct_colors = 2 ** ((packed & 0x7) + 1) if has_gct else 0
+    return {
+        "kind": "gif",
+        "version": payload[3:6].decode("ascii"),
+        "width": width,
+        "height": height,
+        "has_gct": has_gct,
+        "gct_colors": gct_colors,
+    }
+
+
 # ------------------------------------------------------------------- wav
 
 
@@ -367,6 +410,8 @@ def sniff_kind(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:3] == b"GIF":
+        return "gif"
     return "unknown"
 
 
@@ -404,6 +449,10 @@ def decode_media(payload: bytes) -> dict:
         # Header-only metadata (IHDR + CRC check); pixel decode (IDAT
         # inflate + unfiltering) stays behind the boundary.
         return parse_png_header(payload)
+    if kind == "gif":
+        # Header-only metadata (logical screen descriptor); LZW frame
+        # decode stays behind the boundary.
+        return parse_gif_header(payload)
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )

@@ -898,3 +898,93 @@ def q_multimodal_exif_meta(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(_exif_meta, schema=EXIF_META_SCHEMA).orderBy("doc_id")
+
+
+#: Deterministic GIF recipe: w = d%511+1 (exercises the little-endian
+#: high byte), h = d%383+1, version alternates 87a/89a, GCT size field
+#: cycles 0..7 (table size 2..256 colors).
+_GIF_W = "doc_id % 511 + 1"
+_GIF_H = "doc_id % 383 + 1"
+_GIF_VER = "CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END"
+_GIF_COLORS = "CAST(power(2, doc_id % 8 + 1) AS BIGINT)"
+_GIF_MAX_DOC = 300
+GIF_META_SCHEMA = (
+    "doc_id long, kind string, version string, width long, height long,"
+    " has_gct boolean, gct_colors long"
+)
+
+
+def _gif_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import encode_gif_headers
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_gif_headers(
+                width=d % 511 + 1,
+                height=d % 383 + 1,
+                gct_size_field=d % 8,
+                version=b"87a" if d % 2 == 0 else b"89a",
+            )
+            meta = decode_media(payload)  # magic sniff -> screen descriptor
+            rows.append(
+                (
+                    d,
+                    meta["kind"],
+                    meta["version"],
+                    meta["width"],
+                    meta["height"],
+                    meta["has_gct"],
+                    meta["gct_colors"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "kind",
+                "version",
+                "width",
+                "height",
+                "has_gct",
+                "gct_colors",
+            ],
+        )
+
+
+@query(
+    "multimodal_gif_meta",
+    oracle=f"""
+    SELECT doc_id, 'gif' AS kind,
+           {_GIF_VER} AS version,
+           CAST({_GIF_W} AS BIGINT) AS width,
+           CAST({_GIF_H} AS BIGINT) AS height,
+           TRUE AS has_gct,
+           {_GIF_COLORS} AS gct_colors
+    FROM documents
+    WHERE doc_id < {_GIF_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_gif_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL GIF header metadata: assemble a genuine GIF87a/89a byte
+    stream (signature, LITTLE-endian logical screen descriptor,
+    packed GCT byte, global color table, trailer) per document and
+    parse it back. Widths range to 511 so the u16 high byte is
+    exercised — a big-endian parser (the natural bug after the
+    JPEG/PNG parsers, which are big-endian) reads 256·(w%256) and
+    fails the hash match; gct_colors proves the 2^(N+1) packed-field
+    arithmetic. LZW frame decode stays behind NotImplementedError —
+    this is the metadata pass (dimension/palette filters) a curation
+    pipeline runs without touching compressed frames.
+
+    Scale: payloads are built and parsed inside one Arrow batch; only
+    fixed-width header fields return to the JVM — identical plumbing
+    to multimodal_jpeg_meta / multimodal_png_meta."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _GIF_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_gif_meta, schema=GIF_META_SCHEMA).orderBy("doc_id")

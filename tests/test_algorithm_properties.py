@@ -235,3 +235,20 @@ def test_exif_roundtrip_property(orientation, big, w):
     assert exif["byte_order"] == ("big" if big else "little")
     # the frame walk must still find SOF0 past the spliced APP1
     assert _codecs.parse_jpeg_header(jpeg)["width"] == w
+
+
+@FAST
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    gct=st.integers(0, 7),
+    ver=st.sampled_from([b"87a", b"89a"]),
+)
+def test_gif_header_roundtrip_property(w, h, gct, ver):
+    meta = _codecs.parse_gif_header(
+        _codecs.encode_gif_headers(w, h, gct_size_field=gct, version=ver)
+    )
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["version"] == ver.decode()
+    assert meta["has_gct"] is True
+    assert meta["gct_colors"] == 2 ** (gct + 1)
