@@ -2256,3 +2256,151 @@ def q_agg_wilson_ci_winrate(spark, sf_dir: str) -> DataFrame:
             "wilson_hi_r6"
         ),
     ).orderBy("event_type")
+
+
+#: Benjamini-Hochberg target false-discovery rate.
+FDR_Q = 0.1
+
+#: Two-sided normal critical values -> discretized p upper bound.
+#: Literal constants on both engines: no inverse-CDF / erf calls, so
+#: no libm divergence — the established significance technique
+#: (AB_CRIT) extended to a p-value ladder.
+_P_LADDER = (
+    (3.290527, 0.001),
+    (2.575829, 0.01),
+    (1.959964, 0.05),
+    (1.644854, 0.1),
+    (1.281552, 0.2),
+    (0.674490, 0.5),
+)
+
+_P_DISC_SQL = (
+    "CAST(CASE "
+    + " ".join(f"WHEN abs(z) >= {t} THEN {p}" for t, p in _P_LADDER)
+    + " ELSE 1.0 END AS DOUBLE)"
+)
+
+
+@query(
+    "agg_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_type, COUNT(*) AS n,
+             SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS sd,
+             SUM(CAST(p_retailprice AS DECIMAL(28,10))
+                 * CAST(p_retailprice AS DECIMAL(28,10))) AS ssd
+      FROM part GROUP BY p_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             CAST(SUM(sd) AS DOUBLE) AS s0,
+             CAST(SUM(ssd) AS DOUBLE) AS ss0,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM g
+    ),
+    z AS (
+      SELECT p_type, n, m,
+             (CAST(sd AS DOUBLE) / n - s0 / nn)
+             / sqrt(((ss0 - s0 * s0 / nn) / (nn - 1)) / n) AS z
+      FROM g CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT p_type, n, m, z, {_P_DISC_SQL} AS p_disc,
+             ROW_NUMBER() OVER (ORDER BY {_P_DISC_SQL}, abs(z) DESC, p_type)
+               AS i
+      FROM z
+    ),
+    kk AS (
+      SELECT COALESCE(MAX(CASE WHEN p_disc <= {FDR_Q} * i / m
+                               THEN i END), 0) AS k
+      FROM ranked
+    )
+    SELECT p_type, CAST(n AS BIGINT) AS n, round(z, 6) AS z_r6,
+           p_disc, CAST(i AS BIGINT) AS bh_rank,
+           round({FDR_Q} * i / m, 6) AS bh_thresh_r6,
+           i <= k AS rejected
+    FROM ranked CROSS JOIN kk
+    ORDER BY bh_rank
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_bh_fdr(spark, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control across one hypothesis
+    per part type (~150 simultaneous "is this type priced off the
+    global mean?" z-tests) — the multiple-testing correction an
+    experimentation platform applies before reading a metrics
+    dashboard with hundreds of cells: rank p-values ascending, find
+    the largest i with p_(i) ≤ q·i/m, reject exactly the first i.
+
+    Determinism: p-values are DISCRETIZED through a literal
+    critical-value ladder (two-sided normal, the AB_CRIT technique
+    extended to 6 rungs) — a conservative upper bound on the exact p,
+    so the BH mechanics are exact while no erf/inverse-CDF ever runs;
+    z itself comes from exact-DECIMAL moments (group sums kept in
+    DECIMAL through the global roll-up, cast to double once) and every
+    comparison is against literal constants or exact double ratios.
+
+    Spark-first shape: one map-side-combinable moment pass per part
+    type; the global moments are the decimal SUM of the per-group
+    sums (order-free) plumbed back by a broadcast 1-row cross join;
+    the step-up cutoff k is a second 1-row broadcast — the rank
+    window is the only single-partition step and runs on the
+    |p_type| hypothesis table, never the corpus.
+
+    Scale: the corpus is scanned once; everything downstream operates
+    on ~150 rows regardless of SF."""
+    g = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(28,10)")).alias("sd"),
+            F.sum(
+                F.col("p_retailprice").cast("decimal(28,10)")
+                * F.col("p_retailprice").cast("decimal(28,10)")
+            ).alias("ssd"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("sd").cast("double").alias("s0"),
+        F.sum("ssd").cast("double").alias("ss0"),
+        F.count("*").cast("long").alias("m"),
+    )
+    z_expr = (F.col("sd").cast("double") / F.col("n") - F.col("s0") / F.col("nn")) / F.sqrt(
+        ((F.col("ss0") - F.col("s0") * F.col("s0") / F.col("nn")) / (F.col("nn") - 1))
+        / F.col("n")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "p_type", "n", "m", z_expr.alias("z")
+    )
+    p_disc = F.lit(1.0)
+    for t, p in reversed(_P_LADDER):
+        p_disc = F.when(F.abs("z") >= t, F.lit(p)).otherwise(p_disc)
+    ranked = z.select(
+        "p_type", "n", "m", "z", p_disc.alias("p_disc")
+    ).withColumn(
+        "i",
+        F.row_number().over(
+            Window.orderBy("p_disc", F.abs("z").desc(), "p_type")
+        ),
+    )
+    cond = F.col("p_disc") <= F.lit(FDR_Q) * F.col("i") / F.col("m")
+    kk = ranked.agg(
+        F.coalesce(F.max(F.when(cond, F.col("i"))), F.lit(0)).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kk))
+        .select(
+            "p_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("z", 6).alias("z_r6"),
+            "p_disc",
+            F.col("i").cast("long").alias("bh_rank"),
+            F.round(F.lit(FDR_Q) * F.col("i") / F.col("m"), 6).alias(
+                "bh_thresh_r6"
+            ),
+            (F.col("i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -80,6 +80,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # the cumulative runs over the merged histogram: HQ_BINS (=64)
     # rows regardless of stream length
     "stream_histogram_quantile": "HQ_BINS rows after bin merge",
+    # the BH rank window runs on the per-part-type hypothesis table
+    # (|p_type| ~ 150 rows after the moment aggregation)
+    "agg_bh_fdr": "|p_type| hypothesis rows after moment agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
