@@ -2404,3 +2404,99 @@ def q_agg_bh_fdr(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pr, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY pr),
+    ct AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY st),
+    tot AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT pr) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT st) AS BIGINT) AS nc
+      FROM cells
+    ),
+    terms AS (
+      SELECT CAST(round(
+               power(CAST(obs AS DOUBLE)
+                     - CAST(r AS DOUBLE) * c / n, 2)
+               / (CAST(r AS DOUBLE) * c / n), 6) AS DECIMAL(18,6)) AS term
+      FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot
+    ),
+    chi AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms)
+    SELECT n, nr AS n_priorities, nc AS n_statuses,
+           round(chi2, 6) AS chi2_r6,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6)
+             AS cramers_v_r6
+    FROM chi CROSS JOIN tot
+    """,
+    tags=("stats", "beyond"),
+)
+def q_agg_cramers_v(spark, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and order status
+    — the normalized-chi-square effect size ([0,1]) that answers "are
+    these two categorical columns related at all" before anyone fits a
+    model on them; the profiling primitive behind automatic
+    feature-redundancy screens.
+
+    Exactness: chi-square cell terms (obs − exp)²/exp are computed in
+    double from EXACT integer counts (deterministic scalar
+    expression), rounded to 6 decimals, then summed in DECIMAL — the
+    round-6-then-DECIMAL order-free-sum contract the MI and power-law
+    queries use — so the 15-term sum is identical regardless of
+    reduction order; V itself is one sqrt of exact ratios.
+
+    Spark-first shape: ONE corpus aggregation to the contingency
+    cells; row totals, column totals, and the grand total are
+    re-aggregations of the |priorities|×|statuses| cell table (≤15
+    rows), joined back broadcast. The corpus is never touched twice.
+
+    Scale: a billion-row orders table still reduces to 15 cells in
+    the map-side combine; everything downstream is constant-size."""
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rt = cells.groupBy("pr").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("st").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("pr").cast("long").alias("nr"),
+        F.countDistinct("st").cast("long").alias("nc"),
+    )
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.pow(F.col("obs").cast("double") - exp, 2) / exp, 6
+            )
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    chi = terms.agg(F.sum("term").cast("double").alias("chi2"))
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("nr").alias("n_priorities"),
+        F.col("nc").alias("n_statuses"),
+        F.round("chi2", 6).alias("chi2_r6"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v_r6"),
+    )
