@@ -1085,3 +1085,122 @@ def q_agg_autocorr_lags(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf_r6"),
     ).orderBy("lag")
+
+
+#: Holt linear-trend smoothing constants (exact decimal literals —
+#: the recursion runs in DECIMAL on both engines, so the coefficients
+#: and their complements are shared exactly by construction).
+HOLT_ALPHA, HOLT_CALPHA = "0.2", "0.8"
+HOLT_BETA, HOLT_CBETA = "0.1", "0.9"
+
+
+@query(
+    "window_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    idx AS (
+      SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily
+    ),
+    rec AS (
+      SELECT i.t, i.d, i.v, CAST(NULL AS DECIMAL(28,6)) AS fitted,
+             CAST(i.v AS DECIMAL(28,9)) AS l,
+             CAST(COALESCE((SELECT x.v FROM idx x WHERE x.t = 2), i.v)
+                  - i.v AS DECIMAL(28,9)) AS b
+      FROM idx i WHERE i.t = 1
+      UNION ALL
+      SELECT i.t, i.d, i.v,
+             CAST(round(r.l + r.b, 6) AS DECIMAL(28,6)) AS fitted,
+             CAST(round({HOLT_ALPHA} * i.v
+                        + {HOLT_CALPHA} * (r.l + r.b), 9)
+                  AS DECIMAL(28,9)) AS l,
+             CAST(round({HOLT_BETA}
+                        * (CAST(round({HOLT_ALPHA} * i.v
+                                      + {HOLT_CALPHA} * (r.l + r.b), 9)
+                                AS DECIMAL(28,9)) - r.l)
+                        + {HOLT_CBETA} * r.b, 9)
+                  AS DECIMAL(28,9)) AS b
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+    )
+    SELECT CAST(t AS BIGINT) AS t, d, v,
+           l AS level, b AS trend, fitted
+    FROM rec ORDER BY t
+    """,
+)
+def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
+    """Holt\'s linear-trend double exponential smoothing over the
+    daily revenue series — the level+trend forecaster one step up
+    from EWMA (grouped_pandas_ewma), giving a one-step-ahead fitted
+    value per day and the (level, trend) state a forecast extends.
+    The recursion l_t = αv_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b is
+    inherently sequential, so this is the canonical "custom stateful
+    operator Spark lacks" case: an Arrow-batched applyInPandas pass
+    over the PRE-AGGREGATED day series.
+
+    Determinism: the recursion runs in EXACT DECIMAL with HALF_UP
+    round-9 at every state update (the ml_adaboost_stumps contract) —
+    a pure-double replay diverges by 1 ulp a few hundred days in
+    (multiply-add contraction differs between engines) and the
+    divergence compounds; decimal state with a shared per-step
+    rounding point makes every level/trend value identical by
+    construction, emitted AS decimal so the hash compares exact
+    digits. DuckDB\'s decimal round is ties-away-from-zero, which is
+    exactly Python\'s ROUND_HALF_UP (pinned by the negative-trend
+    rounds this series hits).
+
+    Scale: the corpus-sized work is the one map-side-combinable daily
+    aggregation; the sequential pass runs on |days| rows (calendar-
+    bounded, a few thousand regardless of SF) in a single bounded
+    group — the same shape as any per-series state machine, and at
+    100 TB the group key becomes the series id with thousands of
+    series running in parallel."""
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9, q6 = Decimal("1e-9"), Decimal("1e-6")
+
+        def r9(x):
+            return x.quantize(q9, rounding=ROUND_HALF_UP)
+
+        a, ca = Decimal(HOLT_ALPHA), Decimal(HOLT_CALPHA)
+        be, cb = Decimal(HOLT_BETA), Decimal(HOLT_CBETA)
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        v = list(pdf["v"])
+        n = len(v)
+        lvl = r9(v[0])
+        b = r9(v[1] - v[0]) if n > 1 else r9(Decimal(0))
+        rows = [(1, pdf["d"][0], v[0], None, lvl, b)]
+        for t in range(1, n):
+            fitted = (lvl + b).quantize(q6, rounding=ROUND_HALF_UP)
+            new_l = r9(a * v[t] + ca * (lvl + b))
+            b = r9(be * (new_l - lvl) + cb * b)
+            lvl = new_l
+            rows.append((t + 1, pdf["d"][t], v[t], fitted, lvl, b))
+        return pd.DataFrame(
+            rows, columns=["t", "d", "v", "fitted", "l", "b"]
+        )
+
+    out = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _, pdf: holt(pdf),
+        schema=(
+            "t long, d date, v decimal(18,2), fitted decimal(28,6),"
+            " l decimal(28,9), b decimal(28,9)"
+        ),
+    )
+    return out.select(
+        "t", "d", "v",
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        "fitted",
+    ).orderBy("t")
