@@ -860,3 +860,76 @@ def q_sample_preference_pairs(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("margin") >= PREF_MARGIN)
         .orderBy("user_id", "prompt_kind")
     )
+
+
+@query(
+    "sample_ess_diagnostics",
+    oracle="""
+    WITH w AS (
+      SELECT lang, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS wt
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(wt) AS BIGINT) AS sum_w,
+             CAST(SUM(wt * wt) AS BIGINT) AS sum_w2,
+             CAST(MAX(wt) AS BIGINT) AS max_w
+      FROM w GROUP BY lang
+    )
+    SELECT lang, n_docs, sum_w,
+           round(CAST(sum_w AS DOUBLE) * sum_w / sum_w2, 6) AS ess_r6,
+           round(CAST(sum_w AS DOUBLE) * sum_w / sum_w2 / n_docs, 6)
+             AS ess_ratio_r6,
+           round(CAST(max_w AS DOUBLE) / sum_w, 6) AS max_w_share_r6,
+           round(CAST(n_docs AS DOUBLE) * sum_w2 / (CAST(sum_w AS DOUBLE)
+                 * sum_w) - 1, 6) AS cv2_r6
+    FROM m ORDER BY lang
+    """,
+    tags=("sampling", "beyond"),
+)
+def q_sample_ess_diagnostics(spark, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics (Kish ESS = (Σw)²/Σw²) for
+    length-proportional document sampling, per language stratum — the
+    health check run BEFORE committing to a weighted mixture: if ESS
+    collapses versus n_docs (ess_ratio → 0) or one document owns the
+    mass (max_w_share), the weighted sample behaves like a handful of
+    documents and the mixture needs tempering. CV² = n·Σw²/(Σw)² − 1
+    is the companion skewness reading (ESS = n/(1+CV²)).
+
+    Exactness: weights are integer token counts, so Σw and Σw² are
+    EXACT integer sums (order-free, map-side combinable) and every
+    emitted metric is one deterministic double ratio of integers —
+    no decimal scaffolding needed.
+
+    Scale: token counts come from size(split(...)) map-side (the
+    token stream is never exploded); one aggregation keyed on the
+    bounded lang dimension. Works unchanged at any corpus size."""
+    w = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("wt"),
+    )
+    m = w.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("wt").cast("long").alias("sum_w"),
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("sum_w2"),
+        F.max("wt").cast("long").alias("max_w"),
+    )
+    sw = F.col("sum_w").cast("double")
+    return m.select(
+        "lang",
+        "n_docs",
+        "sum_w",
+        F.round(sw * F.col("sum_w") / F.col("sum_w2"), 6).alias("ess_r6"),
+        F.round(
+            sw * F.col("sum_w") / F.col("sum_w2") / F.col("n_docs"), 6
+        ).alias("ess_ratio_r6"),
+        F.round(F.col("max_w").cast("double") / F.col("sum_w"), 6).alias(
+            "max_w_share_r6"
+        ),
+        F.round(
+            F.col("n_docs").cast("double") * F.col("sum_w2") / (sw * F.col("sum_w"))
+            - 1,
+            6,
+        ).alias("cv2_r6"),
+    ).orderBy("lang")
