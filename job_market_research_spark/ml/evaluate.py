@@ -1253,3 +1253,114 @@ def q_ml_eval_bleu2(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Length-difference bucket width (tokens) for the length-bias audit.
+LB_BUCKET_W = 5
+LB_MAX_BUCKET = 5
+
+
+@query(
+    "ml_eval_length_bias",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id // 2 AS BIGINT) AS pid,
+             doc_id % 2 AS side,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+             CAST(len(list_distinct(string_split(trim(text), ' ')))
+                  AS BIGINT) AS reward
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.pid, a.n AS len_a, b.n AS len_b,
+             a.reward AS rew_a, b.reward AS rew_b
+      FROM (SELECT * FROM d WHERE side = 0) a
+      JOIN (SELECT * FROM d WHERE side = 1) b USING (pid)
+      WHERE a.reward <> b.reward AND a.n <> b.n
+    ),
+    scored AS (
+      SELECT pid,
+             CAST(LEAST(abs(len_a - len_b) // {LB_BUCKET_W},
+                        {LB_MAX_BUCKET}) AS BIGINT) AS dlen_bucket,
+             CASE WHEN rew_a > rew_b THEN len_a > len_b
+                  ELSE len_b > len_a END AS longer_wins
+      FROM pairs
+    )
+    SELECT dlen_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN longer_wins THEN 1 ELSE 0 END) AS BIGINT)
+             AS longer_wins,
+           round(CAST(SUM(CASE WHEN longer_wins THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS longer_win_rate_r6
+    FROM scored GROUP BY dlen_bucket ORDER BY dlen_bucket
+    """,
+)
+def q_ml_eval_length_bias(spark, sf_dir: str) -> DataFrame:
+    """Length-bias audit for preference data — the reward-hacking
+    check run before training a reward model or DPO policy: across
+    (chosen, rejected) pairs, does the LONGER response win more often
+    than chance, and does the bias grow with the length gap? A
+    longer_win_rate near 1.0 in the big-gap buckets means the
+    "reward" is largely measuring verbosity (the classic RLHF length
+    exploit). Pairs are adjacent documents (2k, 2k+1) sharing pair id
+    k; the stand-in reward is vocabulary richness (distinct-token
+    count) — deterministic, and genuinely length-correlated, so the
+    audit has real signal to find. Reward ties and equal lengths are
+    excluded (no winner / no "longer" side).
+
+    Exactness: every emitted number is a ratio of exact integer
+    counts — token counts and distinct-token counts map-side via
+    size(split)/array_distinct, never an explode.
+
+    Scale: one equi-join on pair id (adjacent ids co-locate under the
+    same hash partitioning) and one bounded-key aggregation
+    (LB_MAX_BUCKET+1 rows). Linear, two shuffles, no skew exposure."""
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 2).cast("long").alias("pid"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n"),
+        F.size(F.array_distinct(F.split(F.trim("text"), " ")))
+        .cast("long")
+        .alias("reward"),
+    )
+    a = d.filter(F.col("side") == 0).select(
+        "pid", F.col("n").alias("len_a"), F.col("reward").alias("rew_a")
+    )
+    b = d.filter(F.col("side") == 1).select(
+        "pid", F.col("n").alias("len_b"), F.col("reward").alias("rew_b")
+    )
+    pairs = a.join(b, "pid").filter(
+        (F.col("rew_a") != F.col("rew_b")) & (F.col("len_a") != F.col("len_b"))
+    )
+    scored = pairs.select(
+        F.least(
+            F.floor(F.abs(F.col("len_a") - F.col("len_b")) / LB_BUCKET_W),
+            F.lit(LB_MAX_BUCKET),
+        )
+        .cast("long")
+        .alias("dlen_bucket"),
+        F.when(
+            F.col("rew_a") > F.col("rew_b"), F.col("len_a") > F.col("len_b")
+        )
+        .otherwise(F.col("len_b") > F.col("len_a"))
+        .alias("longer_wins"),
+    )
+    return (
+        scored.groupBy("dlen_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("longer_wins"), 1).otherwise(0))
+            .cast("long")
+            .alias("longer_wins"),
+        )
+        .select(
+            "dlen_bucket",
+            "n_pairs",
+            "longer_wins",
+            F.round(
+                F.col("longer_wins").cast("double") / F.col("n_pairs"), 6
+            ).alias("longer_win_rate_r6"),
+        )
+        .orderBy("dlen_bucket")
+    )
