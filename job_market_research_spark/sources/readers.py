@@ -526,3 +526,57 @@ def q_scan_schema_evolution(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "scan_parquet_bloom",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_custkey IN (7, 419, 1327)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_scan_parquet_bloom(spark, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER point-lookup path: stage orders sorted by
+    customer with a bloom filter on `o_custkey` (a high-cardinality
+    key where min/max row-group stats are useless once values
+    interleave — exactly where blooms earn their keep), then probe
+    with an IN filter. The sort gives each row group a narrow key
+    range, and the bloom lets the reader skip row groups whose filter
+    definitively excludes all three probe keys — at 100 TB this is
+    the difference between touching every row group of a multi-TB
+    fact table and touching the handful that can contain the keys.
+    The predicate still shows as PushedFilters (In(o_custkey, ...)),
+    so correctness never depends on the bloom — it only prunes IO.
+    (The writer-options path in this Spark build forwards only the
+    GLOBAL parquet.bloom.filter.* keys, not the #column-scoped
+    variants — pinned by the staged-file-size test; scope filters
+    per column via the Hadoop conf on a real deployment.)
+
+    Determinism: the staged file holds exactly the source rows; the
+    aggregate is the usual exact-DECIMAL sum."""
+    out = scratch_dir("scan_parquet_bloom")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .sort("o_custkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", "200000")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_custkey").isin(7, 419, 1327))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_custkey")
+    )

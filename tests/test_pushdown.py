@@ -84,3 +84,39 @@ def test_filtered_ann_label_predicate_reaches_scan(spark, sf_dir):
         for seg in plan.split("PushedFilters")[1:]
     ]
     assert any("label" in p for p in pushed), pushed
+
+
+def test_bloom_staged_file_carries_filter_and_probe_pushes_down(spark, sf_dir):
+    """scan_parquet_bloom's staged file must actually CONTAIN bloom
+    filters (compare bytes against an identical write without the
+    option — the bloom bitsets add size) and the IN probe must reach
+    the scan as a pushed filter."""
+    import os
+
+    from job_market_research_spark.sources.readers import (
+        q_scan_parquet_bloom,
+        scratch_dir,
+    )
+
+    df = q_scan_parquet_bloom(spark, sf_dir)
+    plan = _formatted_plan(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "o_custkey" in pushed, plan
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    with_bloom = scratch_dir("scan_parquet_bloom", fresh=False)
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).sort("o_custkey")
+    plain = scratch_dir("bloom_control")
+    base.write.mode("overwrite").parquet(plain)
+    assert _bytes(with_bloom) > _bytes(plain) + 10_000, (
+        _bytes(with_bloom),
+        _bytes(plain),
+    )
