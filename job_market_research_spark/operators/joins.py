@@ -283,3 +283,131 @@ def q_join_null_safe(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("seg_label")
     )
+
+
+#: Spatial grid-join constants: derived planar coords in [0, 100),
+#: search radius, and the grid cell edge (> radius, so the 3×3
+#: neighborhood provably covers every qualifying pair).
+GRID_RADIUS2 = 2.25  # radius 1.5, compared as squared distance
+GRID_CELL = 2.0
+GRID_TOPK = 20
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT k, x, y,
+             CAST(floor(x / {GRID_CELL}) AS BIGINT) AS cx,
+             CAST(floor(y / {GRID_CELL}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probes AS (
+      SELECT c.k, c.x, c.y, c.cx + dx.i AS jx, c.cy + dy.j AS jy
+      FROM cells c, (VALUES (-1), (0), (1)) dx(i),
+                    (VALUES (-1), (0), (1)) dy(j)
+    ),
+    pairs AS (
+      SELECT a.k AS a_custkey, b.k AS b_custkey,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM probes a
+      JOIN cells b ON b.cx = a.jx AND b.cy = a.jy AND a.k < b.k
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {GRID_RADIUS2}
+    )
+    SELECT a_custkey, b_custkey, round(sqrt(d2), 6) AS dist_r6
+    FROM pairs
+    ORDER BY d2, a_custkey, b_custkey
+    LIMIT {GRID_TOPK}
+    """,
+)
+def q_join_spatial_grid(spark, sf_dir: str) -> DataFrame:
+    """Grid-bucketed SPATIAL self-join — the closest-pairs query
+    ("which customers are within radius r of each other") done the
+    way a 100 TB geo pipeline must: never all-pairs. Each point lands
+    in one grid cell of edge > r; the probe side fans out to its 3×3
+    cell neighborhood (a bounded 9× map-side explode) and the join is
+    a plain EQUI-join on the cell id, so candidate pairs are only
+    points in adjacent cells — O(n · local density), with the
+    distance predicate applied per candidate and a < b dedup giving
+    each pair exactly once. Coordinates are derived deterministically
+    from the key (two co-prime multipliers mod 1000 — the synthetic
+    tables carry no geo columns; the recipe is shared with the
+    oracle, the JOIN GEOMETRY is the operator under test).
+
+    Determinism: coords are integer-derived doubles; squared
+    distances are the same IEEE expression on both engines; ordering
+    ties break on the key pair.
+
+    Scale: the cell key is the shuffle key — density skew (a hot
+    city) is the known hazard and is bounded here by cell size;
+    at extreme skew, sub-split hot cells (salt on a finer grid)
+    exactly like any hot-key join. Top-k is TakeOrdered, no global
+    sort."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("xr"),
+        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("yr"),
+    ).select(
+        "k",
+        (F.col("xr") / 10.0).alias("x"),
+        (F.col("yr") / 10.0).alias("y"),
+    )
+    cells = pts.select(
+        "k",
+        "x",
+        "y",
+        F.floor(F.col("x") / GRID_CELL).cast("long").alias("cx"),
+        F.floor(F.col("y") / GRID_CELL).cast("long").alias("cy"),
+    )
+    probes = cells.select(
+        "k",
+        "x",
+        "y",
+        "cx",
+        "cy",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), i ->"
+                " transform(sequence(-1, 1), j -> struct(i, j))))"
+            )
+        ).alias("o"),
+    ).select(
+        F.col("k").alias("ak"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("o.i")).alias("jx"),
+        (F.col("cy") + F.col("o.j")).alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    pairs = (
+        probes.join(
+            cells,
+            (F.col("cx") == F.col("jx"))
+            & (F.col("cy") == F.col("jy"))
+            & (F.col("ak") < F.col("k")),
+        )
+        .filter(d2 <= GRID_RADIUS2)
+        .select(
+            F.col("ak").alias("a_custkey"),
+            F.col("k").alias("b_custkey"),
+            d2.alias("d2"),
+        )
+    )
+    return (
+        pairs.orderBy("d2", "a_custkey", "b_custkey")
+        .limit(GRID_TOPK)
+        .select(
+            "a_custkey",
+            "b_custkey",
+            F.round(F.sqrt("d2"), 6).alias("dist_r6"),
+        )
+    )
