@@ -323,3 +323,127 @@ def q_join_asof_forward(spark, sf_dir: str) -> DataFrame:
         right_ts="pts",
         right_payload="pid",
     ).orderBy("event_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS odate,
+             MAX(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    ),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts, o.okey AS b_okey,
+             o.odate AS b_odate
+      FROM events e ASOF LEFT JOIN o1 o
+        ON e.user_id = o.o_custkey AND e.ts >= o.odate
+    ),
+    fwd AS (
+      SELECT e.event_id, o.okey AS f_okey, o.odate AS f_odate
+      FROM events e ASOF LEFT JOIN o1 o
+        ON e.user_id = o.o_custkey AND e.ts <= o.odate
+    ),
+    bf AS (
+      SELECT b.event_id, b.user_id, b.ts,
+             b.b_okey, b.b_odate, f.f_okey, f.f_odate,
+             epoch_us(b.ts) - epoch_us(b.b_odate) AS db,
+             epoch_us(f.f_odate) - epoch_us(b.ts) AS df
+      FROM back b JOIN fwd f USING (event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN b_okey ELSE f_okey END AS near_okey,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN b_odate ELSE f_odate END AS near_odate,
+           CASE WHEN db IS NULL AND df IS NULL THEN NULL
+                WHEN df IS NULL OR (db IS NOT NULL AND db <= df)
+                THEN 'past' ELSE 'future' END AS direction,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                THEN db ELSE df END AS delta_us
+    FROM bf ORDER BY event_id
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each event matched to the user's
+    order closest in time in EITHER direction (ties → the past match)
+    — the alignment semantics sensor-fusion and feature-backfill
+    pipelines need when "latest before" alone throws away a reading
+    that landed a second later. Completes the as-of family
+    (backward / forward / tolerance / nearest).
+
+    Spark-first shape: ONE union + ONE hash shuffle on the user key,
+    then BOTH directions from the same sorted partition — backward as
+    last(ignorenulls) over (-∞, 0], forward as first(ignorenulls)
+    over [0, +∞) — Spark computes the two frames from one sort, so
+    nearest costs the same as one as-of join. A right row at exactly
+    the event timestamp sorts before the left row (side order), so
+    the forward frame misses it — harmless by construction: the
+    backward frame catches it at delta 0, which wins every tie. The
+    oracle composes DuckDB's native ASOF twice and re-derives the
+    pick, an independent implementation agreeing row-for-row.
+
+    Scale: identical cost envelope to join_asof (no second shuffle,
+    no row explosion); a hot user key reduces to one sorted run."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").alias("odate"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    l_tagged = events.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("_rp"),
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    r_tagged = orders.select(
+        F.col("o_custkey").alias("_k"),
+        F.col("odate").cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("okey").alias("_rp"),
+        F.col("odate").cast("timestamp").alias("_rt"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    right_struct = F.when(F.col("_side") == 0, F.struct("_rt", "_rp"))
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "*",
+        F.last(right_struct, ignorenulls=True).over(wb).alias("_b"),
+        F.first(right_struct, ignorenulls=True).over(wf).alias("_f"),
+    ).filter(F.col("_side") == 1)
+    db = F.unix_micros("ts") - F.unix_micros("_b._rt")
+    df_ = F.unix_micros("_f._rt") - F.unix_micros("ts")
+    pick_back = db.isNotNull() & (df_.isNull() | (db <= df_))
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_back, F.col("_b._rp")).otherwise(F.col("_f._rp")).alias(
+            "near_okey"
+        ),
+        F.when(pick_back, F.col("_b._rt")).otherwise(F.col("_f._rt")).alias(
+            "near_odate"
+        ),
+        F.when(db.isNull() & df_.isNull(), F.lit(None).cast("string"))
+        .when(df_.isNull() | (db.isNotNull() & (db <= df_)), F.lit("past"))
+        .otherwise(F.lit("future"))
+        .alias("direction"),
+        F.when(pick_back, db).otherwise(df_).alias("delta_us"),
+    ).orderBy("event_id")
