@@ -1204,3 +1204,79 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
         F.col("b").alias("trend"),
         "fitted",
     ).orderBy("t")
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    cum AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, c,
+             CAST(MAX(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS peak
+      FROM cum
+    )
+    SELECT d AS trough_date, c AS cum_at_trough, peak AS peak_before,
+           CAST(peak - c AS DECIMAL(28,2)) AS max_drawdown
+    FROM dd
+    ORDER BY (peak - c) DESC, d ASC
+    LIMIT 1
+    """,
+)
+def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue curve — the
+    worst peak-to-trough slide, the stress metric that turns a
+    time series into one "how bad did it get" number (used the same
+    way on revenue, active-user counts, or any KPI curve). Emits the
+    trough day with the cumulative value there, the preceding peak,
+    and the drawdown.
+
+    Exactness: the entire computation stays in DECIMAL — day sums,
+    running sum, running max, and the difference are all exact, so
+    both engines agree to the cent with no float anywhere; the top-1
+    row is picked with a deterministic (drawdown, date) order.
+
+    Spark-first shape: one map-side-combinable day aggregation, then
+    two stacked bounded windows (running sum, running max) over the
+    |days| series and a TakeOrdered top-1 — the single-partition
+    window is calendar-bounded (plan-hygiene allowlisted), the same
+    two-level shape every day-series operator here uses.
+
+    Scale: corpus touched once; window input grows with the calendar,
+    not the data."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d", F.sum("v").over(w).cast("decimal(28,2)").alias("c")
+    )
+    dd = cum.select(
+        "d", "c", F.max("c").over(w).cast("decimal(28,2)").alias("peak")
+    )
+    return (
+        dd.select(
+            F.col("d").alias("trough_date"),
+            F.col("c").alias("cum_at_trough"),
+            F.col("peak").alias("peak_before"),
+            (F.col("peak") - F.col("c")).cast("decimal(28,2)").alias(
+                "max_drawdown"
+            ),
+        )
+        .orderBy(F.desc("max_drawdown"), F.asc("trough_date"))
+        .limit(1)
+    )

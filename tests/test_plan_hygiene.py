@@ -83,6 +83,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # the BH rank window runs on the per-part-type hypothesis table
     # (|p_type| ~ 150 rows after the moment aggregation)
     "agg_bh_fdr": "|p_type| hypothesis rows after moment agg",
+    # running sum/max over the per-day totals: |days| rows
+    "window_max_drawdown": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
