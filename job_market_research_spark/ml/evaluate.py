@@ -1364,3 +1364,104 @@ def q_ml_eval_length_bias(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("dlen_bucket")
     )
+
+
+@query(
+    "agg_cohens_kappa",
+    oracle=f"""
+    WITH c AS ({_MARKER_SQL}),
+    p AS ({_PRED_SQL}),
+    cm AS (
+      SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cm),
+    po AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN lang = pred THEN n END), 0)
+                  AS BIGINT) AS agree
+      FROM cm
+    ),
+    rows_ AS (SELECT lang AS c, SUM(n) AS rn FROM cm GROUP BY lang),
+    cols_ AS (SELECT pred AS c, SUM(n) AS cn FROM cm GROUP BY pred),
+    pe AS (
+      SELECT CAST(SUM(CAST(rows_.rn AS DECIMAL(38,0))
+                      * CAST(cols_.cn AS DECIMAL(38,0))) AS DOUBLE)
+               AS cross_mass
+      FROM rows_ JOIN cols_ USING (c)
+    )
+    SELECT nn AS n,
+           (SELECT CAST(COUNT(DISTINCT c) AS BIGINT)
+            FROM (SELECT lang AS c FROM cm
+                  UNION SELECT pred AS c FROM cm)) AS n_classes,
+           round(CAST(agree AS DOUBLE) / nn, 6) AS po_r6,
+           round(cross_mass / (CAST(nn AS DOUBLE) * nn), 6) AS pe_r6,
+           round((CAST(agree AS DOUBLE) / nn
+                  - cross_mass / (CAST(nn AS DOUBLE) * nn))
+                 / (1 - cross_mass / (CAST(nn AS DOUBLE) * nn)), 6)
+             AS kappa_r6
+    FROM tot CROSS JOIN po CROSS JOIN pe
+    """,
+)
+def q_agg_cohens_kappa(spark, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the in-engine lang-id classifier and the
+    gold label — chance-corrected agreement, the metric annotation
+    pipelines (RLHF rater QA, silver-label audits) report instead of
+    raw accuracy because a skewed label mix makes accuracy free: po is
+    observed agreement, pe the agreement two independent raters with
+    these marginals would reach by luck, κ = (po−pe)/(1−pe).
+
+    Exactness: the corpus reduces to the (lang, pred) confusion cells
+    in one map-side-combinable pass; po/pe come from exact integer
+    counts, with the marginal cross-products accumulated in
+    DECIMAL(38,0) (row·col products overflow int64 once row counts
+    pass ~3·10⁹ — real at 100 TB); ratios are then single
+    deterministic double expressions.
+
+    Scale: one corpus aggregation; everything downstream runs on ≤
+    |classes|² cells."""
+    cm = (
+        _lang_pred(spark, sf_dir)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cm.agg(F.sum("n").cast("long").alias("nn"))
+    po = cm.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("agree")
+    )
+    rows_ = cm.groupBy(F.col("lang").alias("c")).agg(F.sum("n").alias("rn"))
+    cols_ = cm.groupBy(F.col("pred").alias("c")).agg(F.sum("n").alias("cn"))
+    pe = (
+        rows_.join(cols_, "c")
+        .agg(
+            F.sum(
+                F.col("rn").cast("decimal(38,0)")
+                * F.col("cn").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("cross_mass")
+        )
+    )
+    classes = (
+        cm.select(F.col("lang").alias("c"))
+        .union(cm.select(F.col("pred").alias("c")))
+        .agg(F.countDistinct("c").cast("long").alias("n_classes"))
+    )
+    nn_d = F.col("nn").cast("double")
+    po_e = F.col("agree").cast("double") / F.col("nn")
+    pe_e = F.col("cross_mass") / (nn_d * F.col("nn"))
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(classes))
+        .select(
+            F.col("nn").alias("n"),
+            "n_classes",
+            F.round(po_e, 6).alias("po_r6"),
+            F.round(pe_e, 6).alias("pe_r6"),
+            F.round((po_e - pe_e) / (1 - pe_e), 6).alias("kappa_r6"),
+        )
+    )
