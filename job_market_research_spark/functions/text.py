@@ -862,3 +862,109 @@ def q_filter_term_blocklist(spark, sf_dir: str) -> DataFrame:
         F.coalesce(F.array_join(matched, ","), F.lit("")).alias("matched"),
         (F.size(matched) == 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+#: Vocabulary size for the tokenizer-coverage audit.
+VOCAB_TOP = 30
+
+
+@query(
+    "text_tokenizer_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, u.t AS tok
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    lt AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, SUM(c) AS tc FROM lt GROUP BY tok
+        ORDER BY tc DESC, tok LIMIT {VOCAB_TOP}
+      )
+    ),
+    j AS (
+      SELECT lt.lang, lt.tok, lt.c,
+             (vocab.tok IS NOT NULL) AS in_vocab
+      FROM lt LEFT JOIN vocab ON lt.tok = vocab.tok
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab THEN c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           round(CAST(SUM(CASE WHEN in_vocab THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS coverage_r6,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+             AS oov_types,
+           round(CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_type_rate_r6
+    FROM j GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_tokenizer_coverage(spark, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: fix the top-VOCAB_TOP tokens by
+    corpus frequency (deterministic (count, token) tie-break) as the
+    "tokenizer vocabulary", then report per language what fraction of
+    token OCCURRENCES the vocab covers and what fraction of TYPES
+    fall out-of-vocabulary — the first diagnostic before committing a
+    tokenizer to a multilingual mix (a language whose coverage
+    collapses will fragment into bytes/unk and eat the token budget;
+    cf. text_tokenizer_fertility, which measures the same risk as
+    subword fan-out).
+
+    Spark-first shape: ONE (lang, token) count pass feeds both the
+    global vocab cut (a re-aggregation of the per-lang counts — the
+    corpus is never re-tokenized) and the coverage join; the vocab is
+    VOCAB_TOP rows, so the join BROADCASTS and the per-lang roll-up
+    is map-side combinable. All metrics are exact integer ratios.
+
+    Scale: token fan-out is the only corpus-sized stage; everything
+    after keys on (lang, token) with map-side combine, and a hot
+    token reduces before it ships."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("tok"))
+    )
+    lt = tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    vocab = (
+        lt.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("tok"))
+        .limit(VOCAB_TOP)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    j = lt.join(F.broadcast(vocab), "tok", "left").select(
+        "lang", "c", F.coalesce("in_vocab", F.lit(False)).alias("in_vocab")
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
+            .cast("long")
+            .alias("oov_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("coverage_r6"),
+            "n_types",
+            "oov_types",
+            F.round(
+                F.col("oov_types").cast("double") / F.col("n_types"), 6
+            ).alias("oov_type_rate_r6"),
+        )
+        .orderBy("lang")
+    )
