@@ -99,3 +99,77 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total"),
         F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
     ).orderBy("event_type", "day")
+
+
+#: Join-view split: orders (fact) and customer (dim) each hold back a
+#: slice as the "arriving" delta. Both sides change, so the refresh
+#: must produce all three delta terms.
+MVJ_FACT_CUT = 8  # o_orderkey % 10 < 8 -> base snapshot
+MVJ_DIM_CUT = 18  # c_custkey % 20 < 18 -> base snapshot
+
+
+@query(
+    "mv_join_delta",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def q_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (classic
+    IVM algebra): with V = A ⋈ B stored, and append deltas ΔA (new
+    orders) and ΔB (new customers), the refreshed view is
+    V ∪ (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB) — three delta-sized joins
+    instead of re-joining all of history. The companion to
+    mv_incremental_refresh (aggregates): joins need the three-term
+    product rule, not a partial merge, and forgetting the ΔA ⋈ ΔB
+    term silently drops orders whose customer arrived in the same
+    batch (this split forces such rows to exist: both cuts hold back
+    overlapping slices).
+
+    The base join V₀ = A₀ ⋈ B₀ is PERSISTED to scratch parquet
+    (simulating the stored view) and read back; the three delta terms
+    are computed live; the union must hash-match a from-scratch full
+    join (the oracle). Output is the per-segment roll-up of the
+    refreshed view with the exact-DECIMAL revenue sum (scale 4 — the
+    money-double policy: rounding at 1e-10 sits inside double binary
+    noise where engines' conversion rounding can disagree).
+
+    Scale: every delta term is |Δ|-bounded on at least one side — the
+    dim deltas BROADCAST (a day's new customers), and ΔA ⋈ B₀ is the
+    one shuffle-sized term, pruned by the same custkey partitioning
+    the stored view uses. Refresh scans |V| + |Δ| instead of |A|+|B|
+    history — the same 1000× argument as the aggregate view."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a0 = orders.filter(F.col("o_orderkey") % 10 < MVJ_FACT_CUT)
+    da = orders.filter(F.col("o_orderkey") % 10 >= MVJ_FACT_CUT)
+    b0 = cust.filter(F.col("c_custkey") % 20 < MVJ_DIM_CUT)
+    db = cust.filter(F.col("c_custkey") % 20 >= MVJ_DIM_CUT)
+
+    out = scratch_dir("mv_join_delta")
+    a0.join(b0, a0.o_custkey == b0.c_custkey).write.mode("overwrite").parquet(
+        out
+    )
+    v0 = spark.read.parquet(out)
+
+    d1 = da.join(b0, da.o_custkey == b0.c_custkey)
+    d2 = a0.join(F.broadcast(db), a0.o_custkey == db.c_custkey)
+    d3 = da.join(F.broadcast(db), da.o_custkey == db.c_custkey)
+    refreshed = v0.unionByName(d1).unionByName(d2).unionByName(d3)
+    return (
+        refreshed.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
