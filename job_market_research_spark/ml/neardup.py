@@ -1640,3 +1640,144 @@ def q_dedup_soft_downweight(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks) WHERE sh IS NOT NULL AND sh <> ''
+    ),
+    sigs AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || sh), 1, 8))::BIGINT)
+               AS minh
+      FROM shingles, range(0, {MINHASH_K}) AS r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, i // {BAND_SIZE}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    idx AS ({_df_cap_sql('shingles', 'sh')}),
+    truth AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM idx x
+      JOIN idx y ON y.sh = x.sh AND x.doc_id < y.doc_id
+      JOIN sizes sa ON sa.doc_id = x.doc_id
+      JOIN sizes sb ON sb.doc_id = y.doc_id
+      GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n_hit
+      FROM truth t JOIN candidates c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM candidates) AS BIGINT)
+             AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall_r6,
+           round(CAST(n_hit AS DOUBLE)
+                 / (SELECT COUNT(*) FROM candidates), 6)
+             AS candidate_precision_r6
+    FROM hit
+    """,
+)
+def q_dedup_lsh_recall_audit(spark, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash-LSH candidate generator against
+    EXACT shingle-Jaccard ground truth — the measurement that turns
+    "we use LSH" into "our dedup misses X% of true near-dups": truth =
+    pairs with capped-index Jaccard ≥ {JACCARD_THRESHOLD} (the same
+    exact-verification machinery dedup_minhash_lsh applies AFTER
+    banding, here run as its own candidate generator), candidates =
+    pairs sharing ≥1 LSH band. Emits recall (share of true pairs the
+    bands surface) and candidate precision (share of banded pairs
+    that are true near-dups) — the two dials MINHASH_K/BAND_SIZE trade
+    against each other (S-curve: P[cand] = 1−(1−J^{BAND_SIZE})^{MINHASH_K // BAND_SIZE}).
+
+    Spark-first shape: both generators are the EXISTING bounded plans
+    (banded equi-join; df-capped inverted index) joined on the pair
+    key — nothing all-pairs is introduced by auditing; counts are
+    exact integers.
+
+    Scale: the audit costs one extra pair-key join over the two
+    bounded candidate sets; run it on a sampled partition in
+    production for a continuous dedup-quality monitor."""
+    corpus = augmented_corpus(spark, sf_dir)
+    sh = _shingle_rows(corpus, 3)
+    bands = minhash_band_rows(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    idx = df_capped(sh, "sh")
+    x, y = idx.alias("x"), idx.alias("y")
+    truth = (
+        x.join(
+            y,
+            (F.col("y.sh") == F.col("x.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = candidates.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = (
+        truth.join(candidates, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall_r6"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+            ).alias("candidate_precision_r6"),
+        )
+    )
