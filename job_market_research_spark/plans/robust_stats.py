@@ -2500,3 +2500,95 @@ def q_agg_cramers_v(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v_r6"),
     )
+
+
+@query(
+    "agg_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS sd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                  AS DECIMAL(19,4)) AS sd4,
+             SUM(CAST(o_totalprice AS DECIMAL(28,10))
+                 * CAST(o_totalprice AS DECIMAL(28,10))) AS ssd
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sd) AS DOUBLE) AS s0,
+             CAST(SUM(ssd) AS DOUBLE) AS ss0,
+             CAST(SUM(CAST(CAST(sd4 * sd4 AS DOUBLE) / n
+                           AS DECIMAL(28,2))) AS DOUBLE) AS sum_gsq
+      FROM g
+    )
+    SELECT nn AS n, k AS n_groups,
+           round(((sum_gsq - s0 * s0 / nn) / (k - 1))
+                 / ((ss0 - sum_gsq) / (nn - k)), 6) AS f_stat_r6,
+           round((sum_gsq - s0 * s0 / nn) / (ss0 - s0 * s0 / nn), 6)
+             AS eta_sq_r6,
+           ((sum_gsq - s0 * s0 / nn) / (k - 1))
+             / ((ss0 - sum_gsq) / (nn - k)) > 3.32 AS significant_1pct
+    FROM tot
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_anova_oneway(spark, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across order priorities on order value — the
+    k-group generalization of the two-arm Welch test: does ANY
+    priority class price differently? F = (SSB/(k−1)) / (SSW/(N−k)),
+    judged against the literal 1% critical value for (4, ∞) df
+    (the AB_CRIT technique — no F-distribution CDF, no libm); η² is
+    the companion effect size (SSB/SST, an O(1) ratio).
+
+    Exactness: everything reduces to per-group exact-DECIMAL moments
+    (n, Σx, Σx²) in ONE map-side-combinable pass. The group terms
+    (Σx_g)²/n_g are built WITHOUT large-value round(): the square is
+    exact decimal (sd quantized to scale 4 first so p₁+p₂ ≤ 38), the
+    division is one deterministic double op, and the k terms are
+    summed order-free via a DECIMAL(28,2) cast — round() at scale 6
+    on 1e13-magnitude doubles diverges between engines (the scaling
+    multiply exceeds double precision), which is why only O(1)-scale
+    quantities (F, η²) are emitted rounded.
+
+    Scale: one corpus aggregation; k = |priorities| rows downstream."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("sd"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("decimal(19,4)")
+            .alias("sd4"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(28,10)")
+                * F.col("o_totalprice").cast("decimal(28,10)")
+            ).alias("ssd"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("sd").cast("double").alias("s0"),
+        F.sum("ssd").cast("double").alias("ss0"),
+        F.sum(
+            (
+                (F.col("sd4") * F.col("sd4")).cast("double") / F.col("n")
+            ).cast("decimal(28,2)")
+        )
+        .cast("double")
+        .alias("sum_gsq"),
+    )
+    ssb = F.col("sum_gsq") - F.col("s0") * F.col("s0") / F.col("nn")
+    ssw = F.col("ss0") - F.col("sum_gsq")
+    sst = F.col("ss0") - F.col("s0") * F.col("s0") / F.col("nn")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.col("nn").alias("n"),
+        F.col("k").alias("n_groups"),
+        F.round(f_stat, 6).alias("f_stat_r6"),
+        F.round(ssb / sst, 6).alias("eta_sq_r6"),
+        (f_stat > 3.32).alias("significant_1pct"),
+    )
