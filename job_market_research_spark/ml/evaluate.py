@@ -18,7 +18,7 @@ double; counts and count-ratios are not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from job_market_research_spark.functions.text import _count_token, tokens
 from job_market_research_spark.io import load
@@ -1464,4 +1464,120 @@ def q_agg_cohens_kappa(spark, sf_dir: str) -> DataFrame:
             F.round(pe_e, 6).alias("pe_r6"),
             F.round((po_e - pe_e) / (1 - pe_e), 6).alias("kappa_r6"),
         )
+    )
+
+
+#: Lift-table score banding: value clamped into LIFT_BINS bands of
+#: width LIFT_BIN_W (band LIFT_BINS-1 catches the tail).
+LIFT_BINS = 10
+LIFT_BIN_W = 50
+
+
+@query(
+    "ml_lift_table",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(LEAST(floor(value / {LIFT_BIN_W}), {LIFT_BINS - 1})
+                  AS BIGINT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS np
+      FROM b
+    ),
+    cum AS (
+      SELECT band, n, pos,
+             SUM(n) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(pos) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      FROM b
+    )
+    SELECT band, n, pos,
+           round(CAST(pos AS DOUBLE) / n, 6) AS band_rate_r6,
+           CAST(cn AS BIGINT) AS cum_n,
+           CAST(cpos AS BIGINT) AS cum_pos,
+           round(CAST(cpos AS DOUBLE) / np, 6) AS capture_r6,
+           round((CAST(cpos AS DOUBLE) / np)
+                 / (CAST(cn AS DOUBLE) / nn), 6) AS lift_r6
+    FROM cum CROSS JOIN tot ORDER BY band DESC
+    """,
+)
+def q_ml_lift_table(spark, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — how a ranked targeting model is
+    actually read in production: sort the population by score band
+    (descending), and per cut-off report what share of all positives
+    the top slice captures (capture) versus its population share
+    (lift = capture/share; lift 1.0 = random targeting). Score = the
+    event value banded into LIFT_BINS fixed-width bands; label =
+    purchase events. Fixed VALUE bands, not ntile, keep the banding a
+    map-side expression — a corpus-wide ntile would funnel every row
+    through one sorting task (the global-window ban).
+
+    Exactness: every column is a ratio of exact integer counts; the
+    cumulative runs over the LIFT_BINS-row band table (bounded,
+    allowlisted), never the corpus.
+
+    Scale: one map-side-combinable aggregation to LIFT_BINS rows;
+    constant-size downstream."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.least(
+                F.floor(F.col("value") / LIFT_BIN_W), F.lit(LIFT_BINS - 1)
+            )
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    b = scored.groupBy("band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    w = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.select(
+        "band",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "band_rate_r6"
+            ),
+            "cum_n",
+            "cum_pos",
+            F.round(F.col("cum_pos").cast("double") / F.col("np"), 6).alias(
+                "capture_r6"
+            ),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("np"))
+                / (F.col("cum_n").cast("double") / F.col("nn")),
+                6,
+            ).alias("lift_r6"),
+        )
+        .orderBy(F.desc("band"))
     )

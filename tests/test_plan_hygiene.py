@@ -85,6 +85,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "agg_bh_fdr": "|p_type| hypothesis rows after moment agg",
     # running sum/max over the per-day totals: |days| rows
     "window_max_drawdown": "|days| rows after per-day agg",
+    # the cumulative-capture window runs on the LIFT_BINS band table
+    "ml_lift_table": "LIFT_BINS rows after band agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
