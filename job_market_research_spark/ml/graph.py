@@ -821,3 +821,97 @@ def q_graph_modularity_score(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(MOD_TOP)
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY v
+    ),
+    ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM und e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    m AS (
+      SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(dx + dy AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dy) * 2 AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0)) * dx
+                      + CAST(dy AS DECIMAL(38,0)) * dy) AS DOUBLE) AS sxx,
+             CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS nv
+      FROM ed
+    )
+    SELECT nv AS n_nodes,
+           CAST(n / 2 AS BIGINT) AS n_edges,
+           round(sx / n, 6) AS mean_endpoint_deg_r6,
+           round((CAST(n AS DOUBLE) * sxy - sx * sx)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+             AS assortativity_r6
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges — do hubs link to hubs (r > 0,
+    social-network shape) or to leaves (r < 0, web/crawl shape)? The
+    one-number structural fingerprint a crawl-curation pipeline uses
+    to sanity-check a link graph before trusting centrality ranks on
+    it (cf. profile_degree_powerlaw for the degree MARGINAL; this is
+    the degree JOINT).
+
+    Exactness: edges are symmetrized algebraically (each undirected
+    edge contributes (dx,dy) and (dy,dx), so Σx = Σy and Σx² = Σy²
+    by construction — no second pass); all five moments are EXACT
+    integer sums carried in DECIMAL(38,0) (degree products overflow
+    int64 on hub-heavy graphs at 100 TB); the correlation is one
+    deterministic double expression.
+
+    Scale: degree table = one count over edge endpoints; the
+    edge-degree join shuffles on the node key twice (standard
+    hub-skew exposure, same mitigation as every graph op here);
+    moments reduce map-side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    und = _undirected_edges(docs, n)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ed = (
+        und.join(deg.alias("da"), F.col("da.v") == F.col("a"))
+        .join(deg.alias("db"), F.col("db.v") == F.col("b"))
+        .select(F.col("da.d").alias("dx"), F.col("db.d").alias("dy"))
+    )
+    m = ed.agg(
+        (F.count("*") * 2).cast("long").alias("n"),
+        F.sum((F.col("dx") + F.col("dy")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sx"),
+        (F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")) * 2)
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.col("dx").cast("decimal(38,0)") * F.col("dx")
+            + F.col("dy").cast("decimal(38,0)") * F.col("dy")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    nv = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    nd = F.col("n").cast("double")
+    return m.crossJoin(F.broadcast(nv)).select(
+        "n_nodes",
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_endpoint_deg_r6"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("assortativity_r6"),
+    )
