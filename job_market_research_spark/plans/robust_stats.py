@@ -2592,3 +2592,116 @@ def q_agg_anova_oneway(spark, sf_dir: str) -> DataFrame:
         F.round(ssb / sst, 6).alias("eta_sq_r6"),
         (f_stat > 3.32).alias("significant_1pct"),
     )
+
+
+@query(
+    "agg_delta_method_ratio_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS DECIMAL(18,4)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,4))
+                      * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0))
+                      * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(19,4)) * y) AS DOUBLE) AS sxy
+      FROM per_user
+    )
+    SELECT n,
+           round(sx / sy, 6) AS ratio_r6,
+           round(sqrt((((sxx / n - (sx / n) * (sx / n))
+                  - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n))
+                  + (sx / sy) * (sx / sy)
+                    * (syy / n - (sy / n) * (sy / n))))
+                 / ((sy / n) * (sy / n) * n)), 6) AS se_r6,
+           round(sx / sy - 1.959964
+                 * sqrt((((sxx / n - (sx / n) * (sx / n))
+                    - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n))
+                    + (sx / sy) * (sx / sy)
+                      * (syy / n - (sy / n) * (sy / n))))
+                   / ((sy / n) * (sy / n) * n)), 6) AS ci_lo_r6,
+           round(sx / sy + 1.959964
+                 * sqrt((((sxx / n - (sx / n) * (sx / n))
+                    - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n))
+                    + (sx / sy) * (sx / sy)
+                      * (syy / n - (sy / n) * (sy / n))))
+                   / ((sy / n) * (sy / n) * n)), 6) AS ci_hi_r6
+    FROM m
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_delta_method_ratio_ci(spark, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per event, the "ratio of sums over the same randomization unit"
+    case from Deng et al.'s metric-analysis playbook): the naive
+    per-row variance is wrong because numerator and denominator are
+    correlated within a user, so the variance comes from the
+    user-level joint moments — Var(X̄/Ȳ) ≈ (σx² − 2Rσxy + R²σy²)
+    / (μy²·n) — and the CI uses the literal 1.959964 normal critical
+    value (no inverse CDF).
+
+    Exactness: ONE map-side-combinable pass to user-level (x, y) with
+    x an exact DECIMAL revenue sum, then one pass to the six joint
+    moments — every sum and cross-product accumulates in DECIMAL
+    (operand widths chosen so DuckDB's p₁+p₂ ≤ 38 multiply bound
+    holds); the CI algebra is a single deterministic double
+    expression replayed verbatim in the oracle.
+
+    Scale: two shuffles (user roll-up, then a 1-row moment combine);
+    user cardinality bounds stage two. Population (not n−1)
+    variances — the bias is O(1/n), far below the CI width."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("x"),
+            F.count("*").cast("long").alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,4)") * F.col("x").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,4)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    r = sx / sy
+    vx = F.col("sxx") / n - (sx / n) * (sx / n)
+    vy = F.col("syy") / n - (sy / n) * (sy / n)
+    cxy = F.col("sxy") / n - (sx / n) * (sy / n)
+    var_r = (vx - 2 * r * cxy + r * r * vy) / ((sy / n) * (sy / n) * n)
+    se = F.sqrt(var_r)
+    return m.select(
+        "n",
+        F.round(r, 6).alias("ratio_r6"),
+        F.round(se, 6).alias("se_r6"),
+        F.round(r - 1.959964 * se, 6).alias("ci_lo_r6"),
+        F.round(r + 1.959964 * se, 6).alias("ci_hi_r6"),
+    )
