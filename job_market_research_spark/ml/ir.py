@@ -1285,3 +1285,138 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_prf"), "doc_id")
         .limit(PRF_TOP_K)
     )
+
+
+#: Dirichlet smoothing pseudo-count for the query-likelihood scorer
+#: (small relative to the classic 2000: the synthetic docs are ~50
+#: tokens, and mu should sit near the average doc length).
+QL_MU = 100
+QL_TOP_K = 15
+
+
+@query(
+    "ir_query_likelihood",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.t AS token
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ctot FROM tok),
+    cf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM tok WHERE token IN ('spark', 'hash', 'stream')
+      GROUP BY token
+    ),
+    constq AS (
+      SELECT CAST(SUM(CAST(round(ln(CAST(cf AS DOUBLE) / ctot), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS cq
+      FROM cf CROSS JOIN c
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN ('spark', 'hash', 'stream')
+      GROUP BY doc_id, token
+    ),
+    hits AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             CAST(SUM(CAST(round(ln(1 + tf
+                        / ({QL_MU} * (CAST(cf.cf AS DOUBLE) / c.ctot))), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS hsum
+      FROM tf JOIN cf USING (token) CROSS JOIN c
+      GROUP BY tf.doc_id
+    )
+    SELECT dl.doc_id,
+           CAST(COALESCE(h.n_hit_terms, 0) AS BIGINT) AS n_hit_terms,
+           round(cq + 3 * ln({QL_MU} / (dl.dl + {QL_MU}))
+                 + COALESCE(h.hsum, 0.0), 6) AS ql_score_r6
+    FROM dl
+    LEFT JOIN hits h ON h.doc_id = dl.doc_id
+    CROSS JOIN constq
+    ORDER BY ql_score_r6 DESC, dl.doc_id LIMIT {QL_TOP_K}
+    """,
+)
+def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the language-model ranking that complements BM25:
+    score(q,d) = Σ_t ln((tf + μ·p(t|C)) / (dl + μ)). Computed via the
+    SPARSE decomposition that makes LM retrieval feasible at corpus
+    scale: score = Σ_t ln p(t|C) + |q|·ln(μ/(dl+μ)) + Σ_{{t:tf>0}}
+    ln(1 + tf/(μ·p(t|C))) — the first term is a per-corpus scalar,
+    the second needs only the map-side doc length, and only the THIRD
+    touches (doc, term) rows, which are term-filtered before the
+    shuffle exactly like text_bm25_topk. A doc with zero query terms
+    still ranks (smoothing's whole point), with no dense doc×term
+    join anywhere.
+
+    Float policy: per-term ln scores round-6 then DECIMAL-sum (the
+    BM25/MI contract — order-free across partial aggregation); the
+    final score is one fixed-shape double expression round-6.
+
+    Scale: one term-filtered (doc, term) shuffle + broadcast scalars;
+    top-k is TakeOrdered."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks_arr).alias("token"))
+    dl = docs.select("doc_id", F.size(toks_arr).cast("long").alias("dl"))
+    c = tok.agg(F.count("*").cast("double").alias("ctot"))
+    qf = tok.filter(F.col("token").isin("spark", "hash", "stream"))
+    cf = qf.groupBy("token").agg(F.count("*").cast("long").alias("cf"))
+    constq = (
+        cf.crossJoin(F.broadcast(c))
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("cf").cast("double") / F.col("ctot")), 6)
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("cq")
+        )
+    )
+    tf = qf.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    hits = (
+        tf.join(F.broadcast(cf), "token")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.sum(
+                F.round(
+                    F.log(
+                        1
+                        + F.col("tf")
+                        / (QL_MU * (F.col("cf").cast("double") / F.col("ctot")))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("hsum"),
+        )
+    )
+    return (
+        dl.join(hits, "doc_id", "left")
+        .crossJoin(F.broadcast(constq))
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_terms", F.lit(0)).cast("long").alias(
+                "n_hit_terms"
+            ),
+            F.round(
+                F.col("cq")
+                + 3 * F.log(QL_MU / (F.col("dl") + F.lit(QL_MU)).cast("double"))
+                + F.coalesce("hsum", F.lit(0.0)),
+                6,
+            ).alias("ql_score_r6"),
+        )
+        .orderBy(F.desc("ql_score_r6"), "doc_id")
+        .limit(QL_TOP_K)
+    )
