@@ -1581,3 +1581,110 @@ def q_ml_lift_table(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("band"))
     )
+
+
+#: AUC score banding: integer floor of the event value, clamped. The
+#: band table is ≤ AUC_MAX_BAND+1 rows no matter the corpus size, and
+#: ties (same band) get the exact mid-rank correction, so this is the
+#: EXACT tie-corrected AUC of the integer-banded score.
+AUC_MAX_BAND = 999
+
+
+@query(
+    "ml_eval_auc_roc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(LEAST(floor(value), {AUC_MAX_BAND}) AS BIGINT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT band,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY band
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM b
+    ),
+    s AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(CAST(pos AS DECIMAL(38,0))
+                      * CAST(2 * cneg + neg AS DECIMAL(38,0)))
+                  AS DOUBLE) AS num2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 num2 / (2.0 * (CAST(n_pos AS DOUBLE) * n_neg))
+                 ELSE 0.5 END, 6) AS auc_r6,
+           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 num2 / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0
+                 ELSE 0.0 END, 6) AS gini_r6
+    FROM s
+    """,
+)
+def q_ml_eval_auc_roc(spark, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of the event-value score against the
+    purchase label — the ranking metric every targeting/quality model
+    reports alongside the lift table. Uses the rank identity
+    AUC = P(score_pos > score_neg) + ½·P(tie): with per-band positive
+    and negative counts, numerator 2·Σ_b pos_b·(2·cneg_b + neg_b)
+    where cneg is the negatives strictly below band b — the pos·neg
+    pair count each band wins twice plus ties once, all exact integers
+    (DECIMAL products; no float until the single final division).
+
+    Scale shape: the corpus collapses to the ≤ AUC_MAX_BAND+1-row band
+    table in ONE map-side-combinable aggregation; the cumulative and
+    the closed-form division run on that bounded table (allowlisted
+    bounded window). No global per-row rank — a corpus-wide rank
+    window is exactly what a 100 TB AUC job must avoid."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.least(F.floor("value"), F.lit(AUC_MAX_BAND))
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    b = scored.groupBy("band").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cneg"),
+    )
+    s = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cneg") + F.col("neg")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("num2"),
+    )
+    pn = F.col("n_pos").cast("double") * F.col("n_neg")
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(both, F.col("num2") / (2.0 * pn)).otherwise(0.5), 6
+        ).alias("auc_r6"),
+        F.round(
+            F.when(both, F.col("num2") / pn - 1.0).otherwise(0.0), 6
+        ).alias("gini_r6"),
+    )

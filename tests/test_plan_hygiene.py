@@ -87,6 +87,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_max_drawdown": "|days| rows after per-day agg",
     # the cumulative-capture window runs on the LIFT_BINS band table
     "ml_lift_table": "LIFT_BINS rows after band agg",
+    # the AUC cumulative runs on the ≤ AUC_MAX_BAND+1 band table
+    "ml_eval_auc_roc": "AUC_MAX_BAND+1 rows after band agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
