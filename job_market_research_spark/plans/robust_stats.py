@@ -2705,3 +2705,94 @@ def q_agg_delta_method_ratio_ci(spark, sf_dir: str) -> DataFrame:
         F.round(r - 1.959964 * se, 6).alias("ci_lo_r6"),
         F.round(r + 1.959964 * se, 6).alias("ci_hi_r6"),
     )
+
+
+@query(
+    "agg_spearman_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    rx AS (
+      SELECT day,
+             CAST(2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2x,
+             CAST(2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+      FROM rx
+    )
+    SELECT n AS n_days,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS spearman_r6
+    FROM m
+    """,
+    tags=("stats", "nonparametric", "beyond"),
+)
+def q_agg_spearman_corr(spark, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two daily series — daily
+    event volume vs daily value mass — the monotone-association test
+    analysts reach for when the relationship is nonlinear or
+    heavy-tailed (Pearson on raw values is wrecked by one whale day).
+
+    Tie handling is exact: average ranks, carried as the INTEGER
+    2·rank_avg = 2·RANK() + ties − 1 (half-ranks end in .5), so every
+    moment (Σr, Σr², Σrxry) is exact integer arithmetic; Pearson on
+    2·ranks equals Pearson on ranks (scale/shift invariant), and the
+    only float work is one fixed-shape closed form, rounded 6.
+
+    Scale: the corpus collapses to the |days| table in one map-side
+    combinable aggregation; both rank windows run on that bounded
+    table only (allowlisted). A per-row corpus rank is exactly what
+    this shape avoids at 100 TB."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy((F.unix_micros("ts") / _DAY_US).cast("long").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("y"),
+        )
+    )
+    r2 = lambda c: (
+        2 * F.rank().over(Window.orderBy(c))
+        + F.count("*").over(Window.partitionBy(c))
+        - 1
+    ).cast("long")
+    rx = daily.select(r2("x").alias("r2x"), r2("y").alias("r2y"))
+    m = rx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - sx * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - sx * F.col("sx"))
+                * (n * F.col("syy") - sy * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_r6"),
+    )

@@ -89,6 +89,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_lift_table": "LIFT_BINS rows after band agg",
     # the AUC cumulative runs on the ≤ AUC_MAX_BAND+1 band table
     "ml_eval_auc_roc": "AUC_MAX_BAND+1 rows after band agg",
+    # both rank windows run on the per-day aggregate: |days| rows
+    "agg_spearman_corr": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
