@@ -2796,3 +2796,114 @@ def q_agg_spearman_corr(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_r6"),
     )
+
+
+#: Weighted-quantile probe points (percent) and the value-bucketing
+#: resolution of the distributed prefix sum (literal price-domain
+#: boundaries, no sampling).
+WQ_PCTS: tuple[int, ...] = (25, 50, 75, 90, 99)
+WQ_BUCKETS = 64
+WQ_DOMAIN_MAX = 110_000.0
+
+
+@query(
+    "agg_weighted_quantile",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_extendedprice AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw FROM vals),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM vals),
+    thr AS (
+      SELECT CAST(t.k AS BIGINT) AS pct, wt,
+             (t.k * wt + 99) // 100 AS thr
+      FROM (VALUES {", ".join(f"({k})" for k in WQ_PCTS)}) t(k), tot
+    )
+    SELECT pct, wt AS w_total, CAST(thr AS BIGINT) AS thr,
+           MIN(cum.v) AS wq
+    FROM thr JOIN cum ON cum.cw >= thr.thr
+    GROUP BY 1, 2, 3 ORDER BY pct
+    """,
+    tags=("stats", "quantile", "beyond"),
+)
+def q_agg_weighted_quantile(spark, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles — the statistic an importance-weighted
+    corpus mix actually needs (e.g. 'what quality-score cutoff keeps
+    75% of the token MASS', not 75% of the documents). Quantile q is
+    the smallest value whose cumulative weight reaches ceil(q·W) —
+    the lower weighted quantile, an exact integer comparison with no
+    interpolation, so both engines agree bit-for-bit.
+
+    Scale shape: the two-level distributed prefix sum
+    (stat_ks_two_sample's design) — distinct values get per-value
+    weight sums in one aggregation, within-bucket cumulative weights
+    use a bucket-PARTITIONED window, bucket offsets come from a
+    global window over exactly WQ_BUCKETS rows (bounded by config,
+    allowlisted), and the probe thresholds ride a 5-row broadcast
+    range join. No corpus-sized single-partition sort anywhere."""
+    vals = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+        .withColumn(
+            "bkt",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("v") / WQ_DOMAIN_MAX * WQ_BUCKETS).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(WQ_BUCKETS - 1),
+            ),
+        )
+    )
+    win_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = vals.select(
+        "bkt", "v", F.sum("w").over(win_in).alias("c")
+    )
+    win_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        vals.groupBy("bkt")
+        .agg(F.sum("w").alias("t"))
+        .select(
+            "bkt", F.coalesce(F.sum("t").over(win_b), F.lit(0)).alias("o")
+        )
+    )
+    cum = cums.join(F.broadcast(offs), "bkt").select(
+        "v", (F.col("o") + F.col("c")).cast("long").alias("cw")
+    )
+    thr = (
+        vals.agg(F.sum("w").cast("long").alias("wt"))
+        .select(
+            "wt",
+            F.explode(F.array(*[F.lit(k) for k in WQ_PCTS])).alias("k"),
+        )
+        .select(
+            F.col("k").cast("long").alias("pct"),
+            "wt",
+            # integer `div`, not `/`: the float path loses exactness
+            # past 2^53, which a 100 TB weight total can reach
+            F.expr("(CAST(k AS BIGINT) * wt + 99) div 100")
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(thr), F.col("cw") >= F.col("thr"))
+        .groupBy("pct", "wt", "thr")
+        .agg(F.min("v").alias("wq"))
+        .select(
+            "pct",
+            F.col("wt").alias("w_total"),
+            "thr",
+            "wq",
+        )
+        .orderBy("pct")
+    )

@@ -91,6 +91,10 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_eval_auc_roc": "AUC_MAX_BAND+1 rows after band agg",
     # both rank windows run on the per-day aggregate: |days| rows
     "agg_spearman_corr": "|days| rows after per-day agg",
+    # the bucket-offset window of the two-level prefix sum runs over
+    # exactly WQ_BUCKETS rows; the per-value cumulative is
+    # bucket-partitioned
+    "agg_weighted_quantile": "WQ_BUCKETS rows after per-bucket agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
