@@ -1688,3 +1688,128 @@ def q_ml_eval_auc_roc(spark, sf_dir: str) -> DataFrame:
             F.when(both, F.col("num2") / pn - 1.0).otherwise(0.0), 6
         ).alias("gini_r6"),
     )
+
+
+@query(
+    "ml_eval_brier_decomposition",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang,
+        len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,
+        len(list_filter(string_split(text,' '), x -> x <> ''))   AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST(least(floor(CAST(c_en AS DOUBLE) / n_tok
+                              * {CAL_DENSITY_SCALE}), {CAL_BINS - 1})
+                  AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM c WHERE n_tok > 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS np
+      FROM b
+    ),
+    terms AS (
+      SELECT
+        CAST(round(n * pow((2.0 * bin + 1) / {2 * CAL_DENSITY_SCALE}
+                           - CAST(pos AS DOUBLE) / n, 2), 6)
+             AS DECIMAL(28,6)) AS t_rel,
+        CAST(round(n * pow(CAST(pos AS DOUBLE) / n
+                           - CAST(np AS DOUBLE) / nn, 2), 6)
+             AS DECIMAL(28,6)) AS t_res
+      FROM b CROSS JOIN tot
+    ),
+    s AS (
+      SELECT CAST(SUM(t_rel) AS DOUBLE) AS srel,
+             CAST(SUM(t_res) AS DOUBLE) AS sres
+      FROM terms
+    )
+    SELECT nn AS n, np AS n_pos,
+           round(srel / nn, 6) AS reliability_r6,
+           round(sres / nn, 6) AS resolution_r6,
+           round((CAST(np AS DOUBLE) / nn) * (1.0 - CAST(np AS DOUBLE) / nn),
+                 6) AS uncertainty_r6,
+           round(srel / nn - sres / nn
+                 + (CAST(np AS DOUBLE) / nn)
+                   * (1.0 - CAST(np AS DOUBLE) / nn), 6) AS brier_r6
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_ml_eval_brier_decomposition(spark, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the binned
+    English-ness forecast: Brier = REL − RES + UNC, where reliability
+    (how far each bin's forecast midpoint sits from its observed rate)
+    is the part recalibration can remove, resolution (how much the
+    bins separate outcomes) is the model's real skill, and uncertainty
+    is the base-rate floor no model can beat. The companion number to
+    ml_calibration_bins: the diagram shows WHERE calibration breaks,
+    this scores HOW MUCH it costs.
+
+    The decomposition is exact (not approximate) because every doc in
+    a bin carries the same forecast — the bin midpoint — by
+    construction. Per-bin terms are fixed-shape double expressions
+    rounded 6 then DECIMAL-summed over the ≤ CAL_BINS rows (order-free
+    partial agg), with one final division each.
+
+    Scale: one corpus scan to the CAL_BINS-row table; everything else
+    is constant-size."""
+    toks = tokens("text")
+    c = load(spark, sf_dir, "documents").select(
+        "lang",
+        _count_token(toks, "the").alias("c_en"),
+        F.size(F.filter(toks, lambda x: x != "")).alias("n_tok"),
+    )
+    b = (
+        c.filter(F.col("n_tok") > 0)
+        .groupBy(
+            F.least(
+                F.floor(
+                    F.col("c_en").cast("double")
+                    / F.col("n_tok")
+                    * CAL_DENSITY_SCALE
+                ),
+                F.lit(CAL_BINS - 1).cast("long"),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    f_mid = (2.0 * F.col("bin") + 1) / (2 * CAL_DENSITY_SCALE)
+    o_bin = F.col("pos").cast("double") / F.col("n")
+    o_all = F.col("np").cast("double") / F.col("nn")
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("n") * F.pow(f_mid - o_bin, 2), 6)
+        .cast("decimal(28,6)")
+        .alias("t_rel"),
+        F.round(F.col("n") * F.pow(o_bin - o_all, 2), 6)
+        .cast("decimal(28,6)")
+        .alias("t_res"),
+    )
+    s = terms.agg(
+        F.sum("t_rel").cast("double").alias("srel"),
+        F.sum("t_res").cast("double").alias("sres"),
+    )
+    unc = o_all * (1.0 - o_all)
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").alias("n"),
+        F.col("np").alias("n_pos"),
+        F.round(F.col("srel") / F.col("nn"), 6).alias("reliability_r6"),
+        F.round(F.col("sres") / F.col("nn"), 6).alias("resolution_r6"),
+        F.round(unc, 6).alias("uncertainty_r6"),
+        F.round(
+            F.col("srel") / F.col("nn") - F.col("sres") / F.col("nn") + unc, 6
+        ).alias("brier_r6"),
+    )
