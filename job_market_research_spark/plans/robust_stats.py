@@ -2907,3 +2907,139 @@ def q_agg_weighted_quantile(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+@query(
+    "ml_iv_wald",
+    oracle="""
+    WITH cu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ct AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS sc, CAST(COUNT(*) AS BIGINT) AS nu
+      FROM cu
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(CASE WHEN cu.c * ct.nu > ct.sc THEN 1 ELSE 0 END
+                  AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(round(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(28,10))
+                                      ELSE 0 END) AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS y
+      FROM events
+      JOIN cu USING (user_id) CROSS JOIN ct
+      WHERE value IS NOT NULL GROUP BY user_id, cu.c, ct.nu, ct.sc
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS n1,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(SUM(CASE WHEN z = 1 THEN y END) AS DOUBLE) AS sy1
+      FROM u
+    )
+    SELECT n AS n_users, n1 AS n_encouraged,
+           round(CAST(sx1 AS DOUBLE) / n1
+                 - CAST(sx - sx1 AS DOUBLE) / (n - n1), 6) AS first_stage_r6,
+           round((sy1 / n1 - (sy - sy1) / (n - n1))
+                 / (CAST(sx1 AS DOUBLE) / n1
+                    - CAST(sx - sx1 AS DOUBLE) / (n - n1)), 6) AS beta_iv_r6,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS beta_ols_r6
+    FROM m
+    """,
+    tags=("stats", "causal", "beyond"),
+)
+def q_ml_iv_wald(spark, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald) estimate of spend-per-purchase with
+    ABOVE-AVERAGE click exposure as the encouragement instrument
+    (z = c_u·N > Σc, an exact integer comparison — no float mean) — the estimator an
+    experimentation platform reports when the treatment (purchase
+    intensity) is self-selected but an upstream nudge (the click) is
+    as-good-as-random: β_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀), the reduced form over
+    the first stage, next to the naive OLS slope whose selection bias
+    the IV exists to remove. First-stage strength is emitted so the
+    weak-instrument check is part of the report, not an afterthought.
+
+    Exactness: per-user outcomes are DECIMAL-summed then rounded 6 and
+    re-carried as DECIMAL(18,6), so every downstream moment (Σy, Σxy
+    with integer x) is exact decimal arithmetic; the estimators are
+    fixed-shape double closed forms with one round each.
+
+    Scale: corpus → |users| table in one combinable aggregation →
+    1-row moment table. No window, no join."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(28,10)"),
+                    ).otherwise(F.lit(0).cast("decimal(28,10)"))
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+    )
+    ct = per_user.agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.count("*").cast("long").alias("nu"),
+    )
+    u = per_user.crossJoin(F.broadcast(ct)).select(
+        (F.col("c") * F.col("nu") > F.col("sc"))
+        .cast("long")
+        .alias("z"),
+        "x",
+        "y",
+    )
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("n1"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.when(F.col("z") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(F.col("z") == 1, F.col("y"))).cast("double").alias("sy1"),
+    )
+    n, n1 = F.col("n").cast("double"), F.col("n1").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy")
+    first = F.col("sx1").cast("double") / F.col("n1") - (
+        F.col("sx") - F.col("sx1")
+    ).cast("double") / (F.col("n") - F.col("n1"))
+    reduced = F.col("sy1") / F.col("n1") - (F.col("sy") - F.col("sy1")) / (
+        F.col("n") - F.col("n1")
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("n1").alias("n_encouraged"),
+        F.round(first, 6).alias("first_stage_r6"),
+        F.round(reduced / first, 6).alias("beta_iv_r6"),
+        F.round(
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * F.col("sx")),
+            6,
+        ).alias("beta_ols_r6"),
+    )
