@@ -3043,3 +3043,129 @@ def q_ml_iv_wald(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("beta_ols_r6"),
     )
+
+
+#: Delete-one-bucket jackknife resolution (deterministic user buckets).
+JK_BUCKETS = 32
+
+
+@query(
+    "agg_jackknife_ratio_var",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS DECIMAL(18,4)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    bkt AS (
+      SELECT user_id % {JK_BUCKETS} AS b,
+             CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sxb,
+             CAST(SUM(y) AS BIGINT) AS syb,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM per_user GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(sxb) AS DECIMAL(38,4)) AS sx,
+             CAST(SUM(syb) AS BIGINT) AS sy,
+             CAST(SUM(nb) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nb_tot
+      FROM bkt
+    ),
+    loo AS (
+      SELECT CAST(round(CAST(sx - sxb AS DOUBLE) / (sy - syb), 6)
+                  AS DECIMAL(18,6)) AS r
+      FROM bkt CROSS JOIN tot
+    ),
+    s AS (
+      SELECT CAST(SUM(r) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(r AS DECIMAL(19,6))
+                      * CAST(r AS DECIMAL(19,6))) AS DOUBLE) AS srr,
+             CAST(COUNT(*) AS BIGINT) AS nb2
+      FROM loo
+    )
+    SELECT n AS n_users, nb_tot AS n_buckets,
+           round(CAST(sx AS DOUBLE) / sy, 6) AS ratio_r6,
+           round(sqrt((CAST(nb_tot AS DOUBLE) - 1) / nb_tot
+                      * (srr - sr * sr / nb_tot)), 6) AS jk_se_r6
+    FROM tot CROSS JOIN s
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_jackknife_ratio_var(spark, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of the
+    spend-per-event ratio — the resampling twin of
+    agg_delta_method_ratio_ci, and the estimator large experimentation
+    platforms actually run (bucketed jackknife needs only per-bucket
+    sums, no per-user joint moments, and catches nonlinearity the
+    delta expansion misses). Users land in JK_BUCKETS deterministic
+    buckets (user_id mod — retry-proof, no sampling state); each
+    leave-one-bucket-out ratio is a fixed-shape double rounded 6 and
+    re-carried as DECIMAL so Σr and Σr² over the bucket table are
+    exact; SE = sqrt((B−1)/B · (Σr² − (Σr)²/B)).
+
+    Scale: corpus → |users| → JK_BUCKETS rows in two combinable
+    aggregations; the LOO algebra is constant-size. No window."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("x"),
+            F.count("*").cast("long").alias("y"),
+        )
+    )
+    bkt = per_user.groupBy((F.col("user_id") % JK_BUCKETS).alias("b")).agg(
+        F.sum(F.col("x").cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("sxb"),
+        F.sum("y").cast("long").alias("syb"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    tot = bkt.agg(
+        F.sum("sxb").cast("decimal(38,4)").alias("sx"),
+        F.sum("syb").cast("long").alias("sy"),
+        F.sum("nb").cast("long").alias("n"),
+        F.count("*").cast("long").alias("nb_tot"),
+    )
+    loo = (
+        bkt.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("sx") - F.col("sxb")).cast("double")
+                / (F.col("sy") - F.col("syb")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r")
+        )
+    )
+    s = loo.agg(
+        F.sum("r").cast("double").alias("sr"),
+        F.sum(F.col("r").cast("decimal(19,6)") * F.col("r").cast("decimal(19,6)"))
+        .cast("double")
+        .alias("srr"),
+        F.count("*").cast("long").alias("nb2"),
+    )
+    nb = F.col("nb_tot").cast("double")
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_users"),
+        F.col("nb_tot").alias("n_buckets"),
+        F.round(F.col("sx").cast("double") / F.col("sy"), 6).alias("ratio_r6"),
+        F.round(
+            F.sqrt(
+                (nb - 1) / nb * (F.col("srr") - F.col("sr") * F.col("sr") / nb)
+            ),
+            6,
+        ).alias("jk_se_r6"),
+    )
