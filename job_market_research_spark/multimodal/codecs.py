@@ -367,6 +367,63 @@ def parse_gif_header(payload: bytes) -> dict:
     }
 
 
+
+# ------------------------------------------------------------------- bmp
+
+
+def encode_bmp_headers(width: int, height: int, bpp: int = 24,
+                       top_down: bool = False) -> bytes:
+    """Assemble a REAL BMP file header + BITMAPINFOHEADER (no pixel
+    array — same header-only rationale as the JPEG/GIF encoders).
+    Exercises the little-endian i32 dimension fields, the SIGNED
+    height convention (negative = top-down row order), and the 4-byte
+    row-stride padding arithmetic a metadata pass must replicate."""
+    stride = ((bpp * width + 31) // 32) * 4
+    h_signed = -height if top_down else height
+    size = 54 + stride * height
+    if size > 0xFFFFFFFF:
+        raise ValueError("BMP file size field is u32; image too large")
+    out = bytearray(b"BM")
+    out += size.to_bytes(4, "little")
+    out += b"\x00\x00\x00\x00"
+    out += (54).to_bytes(4, "little")          # pixel-data offset
+    out += (40).to_bytes(4, "little")          # BITMAPINFOHEADER size
+    out += width.to_bytes(4, "little", signed=True)
+    out += h_signed.to_bytes(4, "little", signed=True)
+    out += (1).to_bytes(2, "little")           # planes
+    out += bpp.to_bytes(2, "little")
+    out += (0).to_bytes(4, "little")           # BI_RGB, no compression
+    out += bytes(20)                           # image size, ppm, palette
+    return bytes(out)
+
+
+def parse_bmp_header(payload: bytes) -> dict:
+    """BMP header parse: magic, LITTLE-endian SIGNED i32 dimensions
+    (negative height = top-down), planes==1 sanity, bits-per-pixel,
+    and the derived 4-byte-aligned row stride ((bpp·w+31)//32)·4 —
+    the padding arithmetic that breaks naive w·bpp/8 readers."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload (missing magic)")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise NotImplementedError(f"unsupported DIB header size {dib}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    h_signed = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    if planes != 1:
+        raise NotImplementedError(f"BMP planes must be 1, got {planes}")
+    bpp = int.from_bytes(payload[28:30], "little")
+    return {
+        "kind": "bmp",
+        "width": width,
+        "height": abs(h_signed),
+        "top_down": h_signed < 0,
+        "bpp": bpp,
+        "row_stride": ((bpp * width + 31) // 32) * 4,
+        "data_offset": int.from_bytes(payload[10:14], "little"),
+    }
+
+
 # ------------------------------------------------------------------- wav
 
 
@@ -412,6 +469,8 @@ def sniff_kind(payload: bytes) -> str:
         return "png"
     if payload[:3] == b"GIF":
         return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
     return "unknown"
 
 
@@ -453,6 +512,11 @@ def decode_media(payload: bytes) -> dict:
         # Header-only metadata (logical screen descriptor); LZW frame
         # decode stays behind the boundary.
         return parse_gif_header(payload)
+    if kind == "bmp":
+        # Header-only metadata (file header + BITMAPINFOHEADER); the
+        # (trivial) pixel-array read stays behind the boundary with
+        # the other formats for symmetry.
+        return parse_bmp_header(payload)
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )

@@ -988,3 +988,97 @@ def q_multimodal_gif_meta(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(_gif_meta, schema=GIF_META_SCHEMA).orderBy("doc_id")
+
+
+#: Deterministic BMP recipe: w = d%601+1 (LE high byte exercised),
+#: h = d%421+1, top-down rows for every third doc (SIGNED height),
+#: bpp cycles the real palette/true-color ladder.
+_BMP_MAX_DOC = 300
+_BMP_BPPS = (1, 4, 8, 16, 24, 32)
+BMP_META_SCHEMA = (
+    "doc_id long, kind string, width long, height long,"
+    " top_down boolean, bpp long, row_stride long, data_offset long"
+)
+
+
+def _bmp_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import encode_bmp_headers
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_bmp_headers(
+                width=d % 601 + 1,
+                height=d % 421 + 1,
+                bpp=_BMP_BPPS[d % len(_BMP_BPPS)],
+                top_down=d % 3 == 0,
+            )
+            meta = decode_media(payload)  # magic sniff -> DIB header
+            rows.append(
+                (
+                    d,
+                    meta["kind"],
+                    meta["width"],
+                    meta["height"],
+                    meta["top_down"],
+                    meta["bpp"],
+                    meta["row_stride"],
+                    meta["data_offset"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "kind",
+                "width",
+                "height",
+                "top_down",
+                "bpp",
+                "row_stride",
+                "data_offset",
+            ],
+        )
+
+
+@query(
+    "multimodal_bmp_meta",
+    oracle=f"""
+    SELECT doc_id, 'bmp' AS kind,
+           CAST(doc_id % 601 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 421 + 1 AS BIGINT) AS height,
+           doc_id % 3 = 0 AS top_down,
+           CAST(CASE doc_id % {len(_BMP_BPPS)}
+                {" ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_BMP_BPPS))}
+                END AS BIGINT) AS bpp,
+           CAST(((CASE doc_id % {len(_BMP_BPPS)}
+                  {" ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_BMP_BPPS))}
+                  END) * (doc_id % 601 + 1) + 31) // 32 * 4 AS BIGINT)
+             AS row_stride,
+           CAST(54 AS BIGINT) AS data_offset
+    FROM documents
+    WHERE doc_id < {_BMP_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_bmp_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL BMP header metadata: assemble a genuine BM file header +
+    BITMAPINFOHEADER per document and parse it back. The fields that
+    make this a real parser test: dimensions are SIGNED little-endian
+    i32 (a negative height means top-down row order — every third doc
+    here, so a parser that reads u32 emits 4-billion heights and
+    fails the hash), and row_stride replays the 4-byte alignment
+    arithmetic ((bpp·w+31)//32·4) across the 1/4/8/16/24/32-bpp
+    ladder — the padding rule that breaks naive w·bpp/8 readers on
+    five of the six bpp values.
+
+    Scale: payloads built and parsed inside one Arrow batch; only
+    fixed-width header fields cross to the JVM — identical plumbing
+    to the JPEG/PNG/GIF header passes."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BMP_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_bmp_meta, schema=BMP_META_SCHEMA).orderBy("doc_id")

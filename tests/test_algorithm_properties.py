@@ -252,3 +252,25 @@ def test_gif_header_roundtrip_property(w, h, gct, ver):
     assert meta["version"] == ver.decode()
     assert meta["has_gct"] is True
     assert meta["gct_colors"] == 2 ** (gct + 1)
+
+
+@FAST
+@given(
+    w=st.integers(1, 30_000),
+    h=st.integers(1, 30_000),
+    bpp=st.sampled_from([1, 4, 8, 16, 24, 32]),
+    td=st.booleans(),
+)
+def test_bmp_header_roundtrip_property(w, h, bpp, td):
+    meta = _codecs.parse_bmp_header(
+        _codecs.encode_bmp_headers(w, h, bpp=bpp, top_down=td)
+    )
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["top_down"] is td
+    assert meta["bpp"] == bpp
+    # 4-byte alignment: stride is the smallest multiple of 4 holding
+    # bpp*w bits
+    assert meta["row_stride"] % 4 == 0
+    assert meta["row_stride"] * 8 >= bpp * w
+    assert (meta["row_stride"] - 4) * 8 < bpp * w
+    assert _codecs.sniff_kind(b"BM\x00") == "bmp"
