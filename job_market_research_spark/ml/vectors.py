@@ -125,3 +125,113 @@ def q_embed_mean_pool(spark, sf_dir: str) -> DataFrame:
         )
     )
     return pooled.orderBy("group_id", "dim_idx")
+
+
+@query(
+    "embed_anisotropy",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS dim,
+             CAST(round(v[i + 1] / nrm, 6) AS DECIMAL(18,6)) AS val
+      FROM e, unnest(range(0, len(v))) AS t(i)
+    ),
+    sd AS (
+      SELECT dim,
+             CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM flat GROUP BY dim
+    ),
+    agg1 AS (
+      SELECT CAST(SUM(CAST(s AS DECIMAL(19,6))
+                      * CAST(s AS DECIMAL(19,6))) AS DOUBLE) AS ssq,
+             CAST(MAX(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS dims
+      FROM sd
+    ),
+    agg2 AS (
+      SELECT CAST(SUM(CAST(val AS DECIMAL(19,6))
+                      * CAST(val AS DECIMAL(19,6))) AS DOUBLE) AS sq
+      FROM flat
+    )
+    SELECT n AS n_vecs, dims,
+           round((ssq - sq) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS mean_cos_r6,
+           round(sqrt(ssq) / n, 6) AS mean_norm_r6
+    FROM agg1 CROSS JOIN agg2
+    """,
+    tags=("embeddings", "diagnostics", "beyond"),
+)
+def q_embed_anisotropy(spark, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: the mean pairwise cosine
+    between DISTINCT unit-normalized vectors — the one-number check
+    (Ethayarajh 2019) run before trusting cosine thresholds for
+    semantic dedup or retrieval, since an anisotropic space (mean
+    cosine ≫ 0, all vectors in a narrow cone) makes every cosine look
+    high and a fixed dedup threshold meaningless. Also emits the mean
+    vector's norm (the cone's center offset — the quantity mean-
+    centering would remove).
+
+    The scale trick: NO pair join. With unit vectors, Σ_{i≠j} v̂_i·v̂_j
+    = ‖Σv̂‖² − Σ‖v̂‖², so the all-pairs mean collapses to per-dimension
+    sums — one scan, one |dims|-key aggregation, O(n·d) not O(n²·d).
+    Normalized coordinates are rounded 6 and carried as DECIMAL, so
+    both Σval and Σval² are order-free exact; the two closing
+    divisions are fixed-shape doubles.
+
+    Requires a fixed embedding width (n = per-dim count; MAX over
+    dims is that count for rectangular data)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                "v", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    flat = e.select(
+        F.posexplode(
+            F.transform(
+                "v",
+                lambda x: F.round(x / F.col("nrm"), 6).cast("decimal(18,6)"),
+            )
+        ).alias("dim", "val")
+    ).select(F.col("dim").cast("long").alias("dim"), "val")
+    sd = flat.groupBy("dim").agg(
+        F.sum(F.col("val").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    agg1 = sd.agg(
+        F.sum(F.col("s").cast("decimal(19,6)") * F.col("s").cast("decimal(19,6)"))
+        .cast("double")
+        .alias("ssq"),
+        F.max("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("dims"),
+    )
+    agg2 = flat.agg(
+        F.sum(
+            F.col("val").cast("decimal(19,6)") * F.col("val").cast("decimal(19,6)")
+        )
+        .cast("double")
+        .alias("sq")
+    )
+    n = F.col("n").cast("double")
+    return agg1.crossJoin(F.broadcast(agg2)).select(
+        F.col("n").alias("n_vecs"),
+        "dims",
+        F.round((F.col("ssq") - F.col("sq")) / (n * (n - 1)), 6).alias(
+            "mean_cos_r6"
+        ),
+        F.round(F.sqrt("ssq") / n, 6).alias("mean_norm_r6"),
+    )
