@@ -3169,3 +3169,94 @@ def q_agg_jackknife_ratio_var(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_se_r6"),
     )
+
+
+@query(
+    "agg_xi_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT day, x,
+             CAST(RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS rmax
+      FROM daily
+    ),
+    d AS (
+      SELECT CAST(abs(rmax - LAG(rmax) OVER (ORDER BY x, day)) AS BIGINT)
+               AS step
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(SUM(step) AS BIGINT) AS sd,
+             CAST(COUNT(*) + 1 AS BIGINT) AS n
+      FROM d WHERE step IS NOT NULL
+    )
+    SELECT n AS n_days,
+           round(1.0 - 3.0 * sd / (CAST(n AS DOUBLE) * n - 1), 6) AS xi_r6
+    FROM m
+    """,
+    tags=("stats", "nonparametric", "beyond"),
+)
+def q_agg_xi_correlation(spark, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ coefficient (JASA 2021) between daily event
+    volume and daily value mass — the modern dependence measure that
+    detects NON-monotone relationships (a U-shape scores ξ > 0 but
+    Spearman ≈ 0): sort days by x, rank the y's, and measure how
+    wildly consecutive y-ranks jump; ξ = 1 − 3·Σ|r_{{i+1}}−r_i| /
+    (n²−1). Ties in y use the max-rank convention from Chatterjee's
+    definition (r_i = #{{j: y_j ≤ y_i}} = RANK + ties − 1, an exact
+    integer); ties in x are broken by day for a deterministic
+    permutation on both engines.
+
+    Everything is integer arithmetic — ranks, |Δrank| steps, their
+    sum — with one fixed-shape closing division, so the value
+    hash-matches with no float policy needed beyond the round-6 day
+    metric it consumes.
+
+    Scale: corpus → |days| table in one combinable aggregation; the
+    rank and lag windows run on that bounded table only
+    (allowlisted)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy((F.unix_micros("ts") / _DAY_US).cast("long").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("y"),
+        )
+    )
+    r = daily.select(
+        "day",
+        "x",
+        (
+            F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("rmax"),
+    )
+    d = r.select(
+        F.abs(
+            F.col("rmax") - F.lag("rmax").over(Window.orderBy("x", "day"))
+        )
+        .cast("long")
+        .alias("step")
+    ).filter(F.col("step").isNotNull())
+    m = d.agg(
+        F.sum("step").cast("long").alias("sd"),
+        (F.count("*") + 1).cast("long").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(1.0 - 3.0 * F.col("sd") / (n * n - 1), 6).alias("xi_r6"),
+    )

@@ -95,6 +95,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # exactly WQ_BUCKETS rows; the per-value cumulative is
     # bucket-partitioned
     "agg_weighted_quantile": "WQ_BUCKETS rows after per-bucket agg",
+    # rank + lag windows run on the per-day aggregate: |days| rows
+    "agg_xi_correlation": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
