@@ -1813,3 +1813,112 @@ def q_ml_eval_brier_decomposition(spark, sf_dir: str) -> DataFrame:
             F.col("srel") / F.col("nn") - F.col("sres") / F.col("nn") + unc, 6
         ).alias("brier_r6"),
     )
+
+
+@query(
+    "ml_eval_pr_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(LEAST(floor(value), {AUC_MAX_BAND}) AS BIGINT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT band,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY band
+    ),
+    cum AS (
+      SELECT pos,
+             SUM(pos) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             SUM(pos + neg) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM b
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(pos + neg) AS BIGINT) AS nn
+      FROM b
+    ),
+    terms AS (
+      SELECT CAST(round(CAST(pos AS DOUBLE) / tot.p
+                        * (CAST(ctp AS DOUBLE) / cn), 9)
+                  AS DECIMAL(28,9)) AS t
+      FROM cum CROSS JOIN tot WHERE pos > 0
+    )
+    SELECT tot.p AS n_pos, tot.nn AS n,
+           round(CAST(tot.p AS DOUBLE) / tot.nn, 6) AS base_rate_r6,
+           round(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 6) AS ap_r6
+    FROM tot
+    """,
+)
+def q_ml_eval_pr_auc(spark, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of the banded event-value score against the
+    purchase label — the ranking metric that stays honest when
+    positives are rare, where ROC AUC flatters (its false-positive
+    axis barely moves). AP = Σ_k ΔR_k·P_k over score bands descending:
+    each band contributes its recall mass times the precision AT that
+    cut. Reported next to the base rate — the AP a random ranker
+    earns, which is the number AP must beat.
+
+    Exactness: per-band terms are fixed-shape double products of two
+    exact-integer ratios, rounded 9 then DECIMAL-summed (order-free
+    over the partial aggregation), one closing round-6.
+
+    Scale: same bounded shape as ml_eval_auc_roc — one map-side
+    combinable aggregation to ≤ AUC_MAX_BAND+1 rows, cumulative and
+    closing algebra on that table only (allowlisted)."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.least(F.floor("value"), F.lit(AUC_MAX_BAND))
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    b = scored.groupBy("band").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = b.select(
+        "pos",
+        F.sum("pos").over(w).alias("ctp"),
+        F.sum(F.col("pos") + F.col("neg")).over(w).alias("cn"),
+    )
+    tot = b.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("nn"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("pos") > 0)
+        .select(
+            F.round(
+                F.col("pos").cast("double")
+                / F.col("p")
+                * (F.col("ctp").cast("double") / F.col("cn")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+    )
+    ap = terms.agg(F.sum("t").cast("double").alias("sap"))
+    return tot.crossJoin(F.broadcast(ap)).select(
+        F.col("p").alias("n_pos"),
+        F.col("nn").alias("n"),
+        F.round(F.col("p").cast("double") / F.col("nn"), 6).alias(
+            "base_rate_r6"
+        ),
+        F.round(F.col("sap"), 6).alias("ap_r6"),
+    )

@@ -97,6 +97,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "agg_weighted_quantile": "WQ_BUCKETS rows after per-bucket agg",
     # rank + lag windows run on the per-day aggregate: |days| rows
     "agg_xi_correlation": "|days| rows after per-day agg",
+    # the PR cumulative runs on the ≤ AUC_MAX_BAND+1 band table
+    "ml_eval_pr_auc": "AUC_MAX_BAND+1 rows after band agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
