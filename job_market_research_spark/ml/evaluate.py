@@ -1922,3 +1922,132 @@ def q_ml_eval_pr_auc(spark, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("sap"), 6).alias("ap_r6"),
     )
+
+
+@query(
+    "ml_eval_krippendorff_alpha",
+    oracle=f"""
+    WITH c AS ({_MARKER_SQL}),
+    p AS ({_PRED_SQL}),
+    srcmaj AS (
+      SELECT source, lab AS src_pred FROM (
+        SELECT d.source, d.lang AS lab,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY COUNT(*) DESC, d.lang) AS rk
+        FROM documents d GROUP BY d.source, d.lang
+      ) WHERE rk = 1
+    ),
+    units AS (
+      SELECT d.lang AS a, p.pred AS b, s.src_pred AS c3
+      FROM documents d
+      JOIN p USING (doc_id)
+      JOIN srcmaj s ON s.source = d.source
+    ),
+    dis AS (
+      SELECT CAST(SUM(2 * ((CASE WHEN a <> b THEN 1 ELSE 0 END)
+                         + (CASE WHEN a <> c3 THEN 1 ELSE 0 END)
+                         + (CASE WHEN b <> c3 THEN 1 ELSE 0 END)))
+                  AS BIGINT) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM units
+    ),
+    vals AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS nc FROM (
+        SELECT a AS v FROM units
+        UNION ALL SELECT b AS v FROM units
+        UNION ALL SELECT c3 AS v FROM units
+      ) GROUP BY v
+    ),
+    e AS (
+      SELECT CAST(SUM(CAST(nc AS DECIMAL(38,0))
+                      * CAST(nc - 1 AS DECIMAL(38,0))) AS DOUBLE) AS snc2,
+             CAST(SUM(nc) AS BIGINT) AS nn
+      FROM vals
+    )
+    SELECT dis.n AS n_units, CAST(3 AS BIGINT) AS n_raters,
+           round(CAST(sd AS DOUBLE) / (6.0 * dis.n), 6) AS d_o_r6,
+           round((CAST(nn AS DOUBLE) * (nn - 1) - snc2)
+                 / (CAST(nn AS DOUBLE) * (nn - 1)), 6) AS d_e_r6,
+           round(1.0 - (CAST(sd AS DOUBLE) / (6.0 * dis.n))
+                 / ((CAST(nn AS DOUBLE) * (nn - 1) - snc2)
+                    / (CAST(nn AS DOUBLE) * (nn - 1))), 6) AS alpha_r6
+    FROM dis CROSS JOIN e
+    """,
+)
+def q_ml_eval_krippendorff_alpha(spark, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) across THREE raters of each
+    document's language — the gold label, the content-based marker
+    heuristic, and a metadata rater (the majority language of the
+    doc's source) — the reliability coefficient annotation pipelines
+    report when more than two labelers disagree, where pairwise kappa
+    stops working. alpha = 1 − D_o/D_e with observed disagreement
+    from per-unit label pairs and expected disagreement from the
+    pooled label marginals.
+
+    All-integer core: with 3 complete ratings per unit, the unit's
+    disagreeing ordered pairs are 2·(1[a≠b]+1[a≠c]+1[b≠c]) (0, 4, or
+    6), and D_e's numerator is N(N−1) − Σ_c n_c(n_c−1) (DECIMAL
+    products, the kappa overflow contract); one fixed-shape double
+    closing form.
+
+    Scale: the marker rater is map-side; the metadata rater is one
+    |sources|×|langs| aggregate with a source-partitioned rank
+    window; pooled marginals are one combinable aggregation. No
+    corpus pair join — the pair algebra happens inside each row."""
+    docs = load(spark, sf_dir, "documents")
+    pred = _lang_pred(spark, sf_dir).select("doc_id", "pred")
+    srcmaj = (
+        docs.groupBy("source", F.col("lang").alias("lab"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("cnt"), F.col("lab")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lab").alias("src_pred"))
+    )
+    units = (
+        docs.select("doc_id", "lang", "source")
+        .join(pred, "doc_id")
+        .join(F.broadcast(srcmaj), "source")
+        .select(
+            F.col("lang").alias("a"),
+            F.col("pred").alias("b"),
+            F.col("src_pred").alias("c3"),
+        )
+    )
+    neq = lambda x, y: F.when(F.col(x) != F.col(y), 1).otherwise(0)
+    dis = units.agg(
+        F.sum(2 * (neq("a", "b") + neq("a", "c3") + neq("b", "c3")))
+        .cast("long")
+        .alias("sd"),
+        F.count("*").cast("long").alias("n"),
+    )
+    vals = (
+        units.select(F.explode(F.array("a", "b", "c3")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("nc"))
+    )
+    e = vals.agg(
+        F.sum(
+            F.col("nc").cast("decimal(38,0)")
+            * (F.col("nc") - 1).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("snc2"),
+        F.sum("nc").cast("long").alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    d_o = F.col("sd").cast("double") / (6.0 * F.col("n"))
+    d_e = (nn * (F.col("nn") - 1) - F.col("snc2")) / (nn * (F.col("nn") - 1))
+    return dis.crossJoin(F.broadcast(e)).select(
+        F.col("n").alias("n_units"),
+        F.lit(3).cast("long").alias("n_raters"),
+        F.round(d_o, 6).alias("d_o_r6"),
+        F.round(d_e, 6).alias("d_e_r6"),
+        F.round(1.0 - d_o / d_e, 6).alias("alpha_r6"),
+    )
