@@ -1420,3 +1420,126 @@ def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_score_r6"), "doc_id")
         .limit(QL_TOP_K)
     )
+
+
+#: Vocabulary-drift monitor: top-V term budget and the OOV bucket tag.
+JSD_VOCAB = 200
+_JSD_OOV = "<oov>"
+
+
+@query(
+    "text_vocab_jsd",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS g, u.t AS token
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    topv AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT {JSD_VOCAB}
+    ),
+    mapped AS (
+      SELECT g,
+             CASE WHEN token IN (SELECT token FROM topv)
+                  THEN token ELSE '{_JSD_OOV}' END AS term
+      FROM tok
+    ),
+    c AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM mapped GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1
+      FROM c
+    ),
+    terms AS (
+      SELECT CAST(round(
+               0.5 * (CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / t0)
+                 * ln((CAST(c0 AS DOUBLE) / t0)
+                      / ((CAST(c0 AS DOUBLE) / t0
+                          + CAST(c1 AS DOUBLE) / t1) / 2)) ELSE 0 END)
+             + 0.5 * (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / t1)
+                 * ln((CAST(c1 AS DOUBLE) / t1)
+                      / ((CAST(c0 AS DOUBLE) / t0
+                          + CAST(c1 AS DOUBLE) / t1) / 2)) ELSE 0 END),
+               9) AS DECIMAL(28,9)) AS t
+      FROM c CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_terms,
+           tot.t0 AS tokens_even, tot.t1 AS tokens_odd,
+           round(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 6) AS jsd_nats_r6
+    FROM tot
+    """,
+    tags=("text", "drift", "beyond"),
+)
+def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the term distributions of the
+    two hash-split corpus halves — the vocabulary-drift monitor a
+    training pipeline runs between crawl snapshots (JSD is symmetric
+    and bounded by ln 2, so a fixed alert threshold is meaningful,
+    unlike KL which blows up on any new term). The distribution is
+    the global top-{JSD_VOCAB} terms plus one OOV bucket, so the
+    statistic's support — and the final reduce — is bounded by
+    config, not by vocabulary size.
+
+    Per-term contributions ½p·ln(p/m) + ½q·ln(q/m) (m the mixture)
+    are fixed-shape doubles over exact integer count ratios, rounded
+    9 then DECIMAL-summed over the ≤ V+1 bounded term table; a term
+    absent from one half contributes only its present side (the 0·ln0
+    limit), handled by an explicit guard on both engines.
+
+    Scale: one (token) aggregation for the top-V cut
+    (TakeOrdered, broadcast back), one (term, half) combinable count,
+    constant-size algebra after."""
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("g"),
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    topv = (
+        docs.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(JSD_VOCAB)
+        .select("token", F.lit(1).alias("in_v"))
+    )
+    mapped = docs.join(F.broadcast(topv), "token", "left").select(
+        "g",
+        F.when(F.col("in_v").isNotNull(), F.col("token"))
+        .otherwise(F.lit(_JSD_OOV))
+        .alias("term"),
+    )
+    c = mapped.groupBy("term").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    tot = c.agg(
+        F.sum("c0").cast("long").alias("t0"),
+        F.sum("c1").cast("long").alias("t1"),
+    )
+    p = F.col("c0").cast("double") / F.col("t0")
+    q = F.col("c1").cast("double") / F.col("t1")
+    m = (p + q) / 2
+    contrib = 0.5 * F.when(F.col("c0") > 0, p * F.log(p / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(F.col("c1") > 0, q * F.log(q / m)).otherwise(0.0)
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        F.round(contrib, 9).cast("decimal(28,9)").alias("t")
+    )
+    s = terms.agg(F.sum("t").cast("double").alias("sj"))
+    nt = c.agg(F.count("*").cast("long").alias("n_terms"))
+    return (
+        nt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_terms",
+            F.col("t0").alias("tokens_even"),
+            F.col("t1").alias("tokens_odd"),
+            F.round(F.col("sj"), 6).alias("jsd_nats_r6"),
+        )
+    )
