@@ -1280,3 +1280,109 @@ def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_drawdown"), F.asc("trough_date"))
         .limit(1)
     )
+
+
+#: Variance-ratio horizon (k-day aggregated returns vs daily).
+VR_K = 5
+
+
+@query(
+    "window_variance_ratio",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d,
+             CAST(v - LAG(v) OVER (ORDER BY d) AS DECIMAL(19,2)) AS x
+      FROM daily
+    ),
+    ksum AS (
+      SELECT CAST(SUM(x) OVER (ORDER BY d
+               ROWS BETWEEN {VR_K - 1} PRECEDING AND CURRENT ROW)
+               AS DECIMAL(24,2)) AS c,
+             COUNT(x) OVER (ORDER BY d
+               ROWS BETWEEN {VR_K - 1} PRECEDING AND CURRENT ROW) AS nf
+      FROM diffs WHERE x IS NOT NULL
+    ),
+    m1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(x) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                  AS DOUBLE) AS q1
+      FROM diffs WHERE x IS NOT NULL
+    ),
+    mk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(c) AS DOUBLE) AS sk,
+             CAST(SUM(CAST(c AS DECIMAL(19,2)) * CAST(c AS DECIMAL(19,2)))
+                  AS DOUBLE) AS qk
+      FROM ksum WHERE nf = {VR_K}
+    )
+    SELECT n1 AS n_diffs, nk AS n_ksums, CAST({VR_K} AS BIGINT) AS k,
+           round(((qk - sk * sk / nk) / nk)
+                 / ({VR_K} * ((q1 - s1 * s1 / n1) / n1)), 6) AS vr_r6
+    FROM m1 CROSS JOIN mk
+    """,
+)
+def q_window_variance_ratio(spark, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio statistic on the daily revenue
+    curve: VR(k) = Var(k-day overlapping changes) / (k·Var(1-day
+    changes)). A random walk gives VR ≈ 1; VR < 1 flags mean
+    reversion, VR > 1 momentum — the standard pre-test before anyone
+    fits a trend model to a metric series (the forecast and
+    changepoint operators downstream of this assume the answer).
+
+    Exactness needs NO rounding anywhere: daily revenue is a
+    DECIMAL(18,2) sum, so 1-day diffs, overlapping k-sums, and both
+    squared-moment tables are exact decimal arithmetic end-to-end;
+    the variance ratio is one fixed-shape double closing form
+    (population variances, stated, not n−1). Only the O(1)-magnitude
+    RATIO is emitted: round-6 of the raw ~1e12 variance is ulp-unsafe
+    across engines (the large-value-round hazard agg_anova_oneway
+    documents), while the ratio's exponent cancels.
+
+    Scale: corpus → |days| table in one combinable aggregation; lag
+    and rolling-k windows run on that bounded table (allowlisted),
+    then two 1-row moment tables."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    diffs = daily.select(
+        "d",
+        (F.col("v") - F.lag("v").over(Window.orderBy("d")))
+        .cast("decimal(19,2)")
+        .alias("x"),
+    ).filter(F.col("x").isNotNull())
+    wk = Window.orderBy("d").rowsBetween(-(VR_K - 1), 0)
+    ksum = diffs.select(
+        F.sum("x").over(wk).cast("decimal(24,2)").alias("c"),
+        F.count("x").over(wk).alias("nf"),
+    ).filter(F.col("nf") == VR_K)
+    m1 = diffs.agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x").cast("decimal(19,2)"))
+        .cast("double")
+        .alias("q1"),
+    )
+    mk = ksum.agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("c").cast("double").alias("sk"),
+        F.sum(F.col("c").cast("decimal(19,2)") * F.col("c").cast("decimal(19,2)"))
+        .cast("double")
+        .alias("qk"),
+    )
+    n1, nk = F.col("n1").cast("double"), F.col("nk").cast("double")
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / n1
+    vark = (F.col("qk") - F.col("sk") * F.col("sk") / nk) / nk
+    return m1.crossJoin(F.broadcast(mk)).select(
+        F.col("n1").alias("n_diffs"),
+        F.col("nk").alias("n_ksums"),
+        F.lit(VR_K).cast("long").alias("k"),
+        F.round(vark / (VR_K * var1), 6).alias("vr_r6"),
+    )

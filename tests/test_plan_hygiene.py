@@ -99,6 +99,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "agg_xi_correlation": "|days| rows after per-day agg",
     # the PR cumulative runs on the ≤ AUC_MAX_BAND+1 band table
     "ml_eval_pr_auc": "AUC_MAX_BAND+1 rows after band agg",
+    # lag + rolling-k windows run on the per-day revenue table
+    "window_variance_ratio": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
