@@ -3260,3 +3260,85 @@ def q_agg_xi_correlation(spark, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(1.0 - 3.0 * F.col("sd") / (n * n - 1), 6).alias("xi_r6"),
     )
+
+
+@query(
+    "agg_hodges_lehmann_shift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+      GROUP BY 1, 2
+    ),
+    a AS (SELECT m FROM daily WHERE event_type = '{AB_ARM_A}'),
+    b AS (SELECT m FROM daily WHERE event_type = '{AB_ARM_B}'),
+    diffs AS (
+      SELECT round(b.m - a.m, 6) AS d FROM a CROSS JOIN b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(d, 0.5), 6) AS hl_shift_r6
+    FROM diffs
+    """,
+    tags=("stats", "abtest", "nonparametric", "beyond"),
+)
+def q_agg_hodges_lehmann_shift(spark, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann shift estimate between the two arms' daily mean
+    values — the EFFECT SIZE that pairs with agg_mann_whitney_u's
+    significance verdict (the median of all between-arm differences:
+    robust to the same outliers that make the raw mean difference
+    untrustworthy, and the estimator whose confidence interval
+    inverts the rank-sum test). Reported with the pair count so the
+    reader sees the estimate's support.
+
+    The all-pairs step runs on the two BOUNDED per-(arm, day) mean
+    tables (|days|² pairs, the theil_sen contract — never corpus²);
+    pair differences are round-6 of round-6 inputs, and
+    `F.percentile` ↔ `quantile_cont` interpolate identically on
+    identical doubles (agg_percentiles convention).
+
+    Scale: one corpus-sized combinable aggregation, then
+    constant-size pair algebra. The broadcast pair join is |days|
+    rows a side."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+        )
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    a = daily.filter(F.col("event_type") == AB_ARM_A).select(
+        F.col("m").alias("ma")
+    )
+    b = daily.filter(F.col("event_type") == AB_ARM_B).select(
+        F.col("m").alias("mb")
+    )
+    diffs = a.crossJoin(F.broadcast(b)).select(
+        F.round(F.col("mb") - F.col("ma"), 6).alias("d")
+    )
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    return (
+        diffs.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.percentile("d", F.lit(0.5)), 6).alias("hl_shift_r6"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select("n_a", "n_b", "n_pairs", "hl_shift_r6")
+    )
