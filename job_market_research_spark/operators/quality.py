@@ -928,3 +928,113 @@ def q_monitor_rate_shift(spark, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_r6"),
         (F.abs(z) > RATE_Z_ALERT).alias("alert"),
     ).orderBy("event_type")
+
+
+#: Clipping bound for the DP mean release (sensitivity of the sum).
+DP_CLIP = 100.0
+
+
+@query(
+    "privacy_dp_mean_release",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(least(greatest(value, 0.0), {DP_CLIP})
+                           AS DECIMAL(28,10))) AS DOUBLE) AS csum
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, n, csum,
+             (CAST(('0x' || substr(md5('{DP_SALT}s#' || event_type), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS us,
+             (CAST(('0x' || substr(md5('{DP_SALT}c#' || event_type), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS uc
+      FROM g
+    ),
+    noised AS (
+      SELECT event_type, n,  csum,
+             round(-({DP_CLIP} / {DP_EPSILON}) * sign(us)
+                   * ln(1.0 - 2.0 * abs(us)), 6) AS noise_sum_r6,
+             round(-(1.0 / {DP_EPSILON}) * sign(uc)
+                   * ln(1.0 - 2.0 * abs(uc)), 6) AS noise_cnt_r6
+      FROM seeded
+    )
+    SELECT event_type, n, noise_sum_r6, noise_cnt_r6,
+           round((csum + noise_sum_r6) / (n + noise_cnt_r6), 6)
+             AS released_mean_r6
+    FROM noised ORDER BY event_type
+    """,
+    tags=("privacy", "beyond"),
+)
+def q_privacy_dp_mean_release(spark, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism MEAN release harness (clipped-sum over noisy
+    count — the standard composition): values are clipped to
+    [0, {DP_CLIP}] so the sum's sensitivity is the clip bound, the
+    sum gets Laplace({DP_CLIP}/ε) noise, the count gets Laplace(1/ε),
+    and the released mean is their ratio. Same HONESTY NOTE as
+    privacy_dp_count_release: the seeded inverse-CDF draw makes the
+    harness replayable cross-engine; production swaps in a CSPRNG and
+    keeps the sensitivity/clip/ratio algebra.
+
+    Exactness: the clipped sum is an exact DECIMAL aggregate (clip is
+    a pure least/greatest), both noise draws are round-6 before any
+    composition, and ONLY O(1)-magnitude columns are emitted — the
+    released mean's ratio cancels the corpus-scale exponent that
+    makes round-6 of a raw sum ulp-unsafe (the large-value-round
+    hazard).
+
+    Scale: one map-side-combinable aggregation to |event_type| rows;
+    noise is a per-row expression."""
+    from job_market_research_spark.ml.neardup import portable_hash
+
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(DP_CLIP))
+                .cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("csum"),
+        )
+    )
+    def _u(tag):
+        return (
+            (
+                portable_hash(
+                    F.concat(F.lit(DP_SALT + tag + "#"), F.col("event_type"))
+                )
+                + 0.5
+            )
+            / 4294967296.0
+            - 0.5
+        )
+
+    def _lap(u, scale):
+        return F.round(
+            -(scale / DP_EPSILON) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u)),
+            6,
+        )
+
+    noised = g.select(
+        "event_type",
+        "n",
+        "csum",
+        _lap(_u("s"), DP_CLIP).alias("noise_sum_r6"),
+        _lap(_u("c"), 1.0).alias("noise_cnt_r6"),
+    )
+    return noised.select(
+        "event_type",
+        "n",
+        "noise_sum_r6",
+        "noise_cnt_r6",
+        F.round(
+            (F.col("csum") + F.col("noise_sum_r6"))
+            / (F.col("n") + F.col("noise_cnt_r6")),
+            6,
+        ).alias("released_mean_r6"),
+    ).orderBy("event_type")
