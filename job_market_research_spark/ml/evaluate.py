@@ -2051,3 +2051,116 @@ def q_ml_eval_krippendorff_alpha(spark, sf_dir: str) -> DataFrame:
         F.round(d_e, 6).alias("d_e_r6"),
         F.round(1.0 - d_o / d_e, 6).alias("alpha_r6"),
     )
+
+
+#: Upper 5% critical value of chi-square(1) — literal, like MWU_CRIT.
+MCNEMAR_CRIT = 3.841459
+
+
+@query(
+    "ml_eval_mcnemar",
+    oracle=f"""
+    WITH c AS ({_MARKER_SQL}),
+    p AS ({_PRED_SQL}),
+    srcmaj AS (
+      SELECT source, lab AS src_pred FROM (
+        SELECT d.source, d.lang AS lab,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY COUNT(*) DESC, d.lang) AS rk
+        FROM documents d GROUP BY d.source, d.lang
+      ) WHERE rk = 1
+    ),
+    u AS (
+      SELECT CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END AS ok1,
+             CASE WHEN s.src_pred = d.lang THEN 1 ELSE 0 END AS ok2
+      FROM documents d
+      JOIN p USING (doc_id)
+      JOIN srcmaj s ON s.source = d.source
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN ok1 = 0 AND ok2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM u
+    )
+    SELECT n, b AS only_marker_right, c2 AS only_metadata_right,
+           round(CASE WHEN b + c2 > 0 THEN
+                 (CAST(abs(b - c2) AS DOUBLE) - 1)
+                 * (CAST(abs(b - c2) AS DOUBLE) - 1) / (b + c2)
+                 ELSE 0 END, 6) AS chi2_r6,
+           CASE WHEN b + c2 > 0 AND
+                (CAST(abs(b - c2) AS DOUBLE) - 1)
+                * (CAST(abs(b - c2) AS DOUBLE) - 1) / (b + c2)
+                > {MCNEMAR_CRIT} THEN 1 ELSE 0 END AS significant_5pct
+    FROM m
+    """,
+)
+def q_ml_eval_mcnemar(spark, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) between the two in-engine
+    language raters — the content-based marker heuristic vs the
+    metadata rater (per-source majority label) — on the SAME
+    documents against the gold label. This is THE test for 'is
+    classifier A actually better than B', because paired discordant
+    counts throw away the documents both get right or both get wrong
+    (which dominate and would drown an unpaired comparison):
+    χ² = (|b−c|−1)²/(b+c) on the two discordant cells only.
+
+    All counts are exact integers from one corpus aggregation; the
+    statistic is a fixed-shape double against a literal critical
+    value (the MWU contract — no stats library on either engine).
+
+    Scale: marker rater map-side, metadata rater one bounded
+    aggregate broadcast back, then a single combinable count."""
+    docs = load(spark, sf_dir, "documents")
+    pred = _lang_pred(spark, sf_dir).select("doc_id", "pred")
+    srcmaj = (
+        docs.groupBy("source", F.col("lang").alias("lab"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("cnt"), F.col("lab")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lab").alias("src_pred"))
+    )
+    u = (
+        docs.select("doc_id", "lang", "source")
+        .join(pred, "doc_id")
+        .join(F.broadcast(srcmaj), "source")
+        .select(
+            F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok1"),
+            F.when(F.col("src_pred") == F.col("lang"), 1)
+            .otherwise(0)
+            .alias("ok2"),
+        )
+    )
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("ok1") == 1) & (F.col("ok2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("ok1") == 0) & (F.col("ok2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    bc = F.col("b") + F.col("c2")
+    chi2 = (
+        (F.abs(F.col("b") - F.col("c2")).cast("double") - 1)
+        * (F.abs(F.col("b") - F.col("c2")).cast("double") - 1)
+        / bc
+    )
+    return m.select(
+        "n",
+        F.col("b").alias("only_marker_right"),
+        F.col("c2").alias("only_metadata_right"),
+        F.round(F.when(bc > 0, chi2).otherwise(0.0), 6).alias("chi2_r6"),
+        F.when((bc > 0) & (chi2 > MCNEMAR_CRIT), 1)
+        .otherwise(0)
+        .alias("significant_5pct"),
+    )
