@@ -3342,3 +3342,168 @@ def q_agg_hodges_lehmann_shift(spark, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nb))
         .select("n_a", "n_b", "n_pairs", "hl_shift_r6")
     )
+
+
+@query(
+    "window_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT event_type, day, y,
+             CASE WHEN COUNT(*) OVER w = 2 * {STL_HALF_W} + 1
+                  THEN SUM(y) OVER w END AS t7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {STL_HALF_W} PRECEDING
+                            AND {STL_HALF_W} FOLLOWING)
+    ),
+    season AS (
+      SELECT event_type, day % 7 AS dow,
+             7 * SUM(y) - SUM(t7) AS num,
+             7 * COUNT(*) AS den
+      FROM trend WHERE t7 IS NOT NULL
+      GROUP BY event_type, day % 7
+    ),
+    comp AS (
+      SELECT t.event_type,
+             CAST(round((s.den * t.y - (s.den // 7) * t.t7 - s.num)
+                        / CAST(s.den AS DOUBLE), 6) AS DECIMAL(18,6)) AS r,
+             CAST(round((7 * t.y - t.t7) / 7.0, 6) AS DECIMAL(18,6)) AS sr,
+             CAST(round((s.den * t.y - s.num) / CAST(s.den AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS tr
+      FROM trend t JOIN season s
+        ON s.event_type = t.event_type AND s.dow = t.day % 7
+      WHERE t.t7 IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS DOUBLE) AS s_r,
+             CAST(SUM(CAST(r AS DECIMAL(19,6)) * CAST(r AS DECIMAL(19,6)))
+                  AS DOUBLE) AS q_r,
+             CAST(SUM(sr) AS DOUBLE) AS s_sr,
+             CAST(SUM(CAST(sr AS DECIMAL(19,6)) * CAST(sr AS DECIMAL(19,6)))
+                  AS DOUBLE) AS q_sr,
+             CAST(SUM(tr) AS DOUBLE) AS s_tr,
+             CAST(SUM(CAST(tr AS DECIMAL(19,6)) * CAST(tr AS DECIMAL(19,6)))
+                  AS DOUBLE) AS q_tr
+      FROM comp GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(greatest(0.0, 1.0 - ((q_r - s_r * s_r / n) / n)
+                 / ((q_sr - s_sr * s_sr / n) / n)), 6)
+             AS seasonal_strength_r6,
+           round(greatest(0.0, 1.0 - ((q_r - s_r * s_r / n) / n)
+                 / ((q_tr - s_tr * s_tr / n) / n)), 6)
+             AS trend_strength_r6
+    FROM m ORDER BY event_type
+    """,
+    tags=("timeseries", "decompose", "beyond"),
+)
+def q_window_seasonality_strength(spark, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonality/trend strength (the `feasts` FS/FT
+    features) per event type: F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    F_t = max(0, 1 − Var(R)/Var(T+R)) over the same moving-average
+    decomposition window_seasonal_decompose emits. This is the
+    one-number-per-series summary a monitoring fleet stores instead
+    of the full decomposition — 'is this metric seasonal enough that
+    the anomaly detector must deseasonalize first'.
+
+    Components are exact rationals rounded 6 and carried as DECIMAL,
+    so every moment is order-free; the strengths are fixed-shape
+    double closing forms (population variances) with a greatest(0,·)
+    floor, rounded 6.
+
+    Scale: corpus → per-(type, day) table; centered window and dow
+    aggregation on that bounded table (the decompose contract), then
+    |event_type| moment rows."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-STL_HALF_W, STL_HALF_W)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.when(
+            F.count("*").over(w) == 2 * STL_HALF_W + 1, F.sum("y").over(w)
+        ).alias("t7"),
+    ).filter(F.col("t7").isNotNull())
+    season = trend.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(
+        (7 * F.sum("y") - F.sum("t7")).alias("num"),
+        (7 * F.count("*")).alias("den"),
+    )
+    t_a = trend.alias("t")
+    s_a = season.withColumnRenamed("event_type", "et_s").alias("s")
+    joined = t_a.join(
+        F.broadcast(s_a),
+        (F.col("t.event_type") == F.col("s.et_s"))
+        & (F.col("s.dow") == F.col("t.day") % 7),
+    ).select(
+        F.col("t.event_type").alias("et"),
+        F.round(
+            (
+                F.col("den") * F.col("y")
+                - (F.col("den") / 7).cast("long") * F.col("t7")
+                - F.col("num")
+            )
+            / F.col("den").cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("r"),
+        F.round((7 * F.col("y") - F.col("t7")) / 7.0, 6)
+        .cast("decimal(18,6)")
+        .alias("sr"),
+        F.round(
+            (F.col("den") * F.col("y") - F.col("num"))
+            / F.col("den").cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("tr"),
+    )
+    def _mom(c):
+        return [
+            F.sum(c).cast("double").alias(f"s_{c}"),
+            F.sum(
+                F.col(c).cast("decimal(19,6)") * F.col(c).cast("decimal(19,6)")
+            )
+            .cast("double")
+            .alias(f"q_{c}"),
+        ]
+
+    m = joined.groupBy(F.col("et").alias("event_type")).agg(
+        F.count("*").cast("long").alias("n"),
+        *_mom("r"),
+        *_mom("sr"),
+        *_mom("tr"),
+    )
+    n = F.col("n").cast("double")
+    var = lambda s, q: (F.col(q) - F.col(s) * F.col(s) / n) / n
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("s_r", "q_r") / var("s_sr", "q_sr")),
+            6,
+        ).alias("seasonal_strength_r6"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - var("s_r", "q_r") / var("s_tr", "q_tr")),
+            6,
+        ).alias("trend_strength_r6"),
+    ).orderBy("event_type")
