@@ -3507,3 +3507,124 @@ def q_window_seasonality_strength(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("trend_strength_r6"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_eb_shrunk_rates",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n, x,
+             CAST(round(CAST(x AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS p
+      FROM g
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             CAST(SUM(p) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(p AS DECIMAL(19,6)) * CAST(p AS DECIMAL(19,6)))
+                  AS DOUBLE) AS qp,
+             CAST(SUM(CAST(1000000 AS BIGINT) / n) AS BIGINT) AS shm
+      FROM r
+    ),
+    prior AS (
+      SELECT k, sx, sn,
+             CAST(sx AS DOUBLE) / sn AS mu,
+             greatest(1.0,
+               (CAST(sx AS DOUBLE) / sn) * (1 - CAST(sx AS DOUBLE) / sn)
+               / greatest(1e-12,
+                   (qp - sp * sp / k) / k
+                   - (CAST(sx AS DOUBLE) / sn)
+                     * (1 - CAST(sx AS DOUBLE) / sn)
+                     * (CAST(shm AS DOUBLE) / 1000000.0 / k))
+               - 1.0) AS m
+      FROM mom
+    )
+    SELECT r.user_id, r.n, r.x,
+           round(CAST(r.p AS DOUBLE), 6) AS raw_rate_r6,
+           round((r.x + prior.m * prior.mu) / (r.n + prior.m), 6)
+             AS shrunk_rate_r6
+    FROM r CROSS JOIN prior
+    ORDER BY r.user_id LIMIT 40
+    """,
+    tags=("stats", "bayes", "beyond"),
+)
+def q_agg_eb_shrunk_rates(spark, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates toward the
+    pooled rate (beta-binomial, method-of-moments prior) — the
+    estimator every leaderboard/segment report needs so a 1-for-2
+    user doesn't outrank a 400-for-1000 one: shrunk = (x + m·μ) /
+    (n + m), with the pseudo-count m = μ(1−μ)/τ² − 1 estimated from
+    the between-user variance τ² (observed rate variance minus the
+    binomial sampling share, floored at 1e-12; m floored at 1).
+
+    Exactness: raw rates are round-6 decimals, their moments are
+    exact decimal sums; the harmonic term Σ1/n is carried as the
+    exact integer Σ(10⁶ div n) microparts on both engines (integer
+    division — no float sum of reciprocals); the prior and the
+    shrunk rates are fixed-shape double closed forms.
+
+    Scale: corpus → |users| table in one combinable aggregation →
+    1-row prior broadcast back; report capped at 40 rows."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    r = g.select(
+        "user_id",
+        "n",
+        "x",
+        F.round(F.col("x").cast("double") / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .alias("p"),
+    )
+    mom = r.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum("p").cast("double").alias("sp"),
+        F.sum(F.col("p").cast("decimal(19,6)") * F.col("p").cast("decimal(19,6)"))
+        .cast("double")
+        .alias("qp"),
+        F.sum(F.expr("CAST(1000000 AS BIGINT) div n")).cast("long").alias("shm"),
+    )
+    k = F.col("k").cast("double")
+    mu = F.col("sx").cast("double") / F.col("sn")
+    tau2 = F.greatest(
+        F.lit(1e-12),
+        (F.col("qp") - F.col("sp") * F.col("sp") / k) / k
+        - mu * (1 - mu) * (F.col("shm").cast("double") / 1000000.0 / k),
+    )
+    prior = mom.select(
+        mu.alias("mu"),
+        F.greatest(F.lit(1.0), mu * (1 - mu) / tau2 - 1.0).alias("m"),
+    )
+    return (
+        r.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n",
+            "x",
+            F.round(F.col("p").cast("double"), 6).alias("raw_rate_r6"),
+            F.round(
+                (F.col("x") + F.col("m") * F.col("mu"))
+                / (F.col("n") + F.col("m")),
+                6,
+            ).alias("shrunk_rate_r6"),
+        )
+        .orderBy("user_id")
+        .limit(40)
+    )
