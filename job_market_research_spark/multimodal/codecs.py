@@ -520,3 +520,25 @@ def decode_media(payload: bytes) -> dict:
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )
+
+
+def walk_riff_chunks(payload: bytes) -> list[dict]:
+    """Walk a RIFF container's top-level chunk list (the real parse a
+    media pipeline does before deciding which decoder to hand a file
+    to): verify the 'RIFF' magic, read the little-endian u32
+    container size and form type, then iterate (id, size, offset)
+    entries honoring the word-alignment rule — odd-sized chunks are
+    padded by one byte that is NOT counted in the stored size."""
+    if payload[:4] != b"RIFF" or len(payload) < 12:
+        raise NotImplementedError("not a RIFF container (missing magic)")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    form = payload[8:12].decode("ascii")
+    chunks = []
+    pos = 12
+    end = min(len(payload), 8 + riff_size)
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4].decode("ascii")
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        chunks.append({"chunk_id": cid, "size": size, "offset": pos})
+        pos += 8 + size + (size & 1)  # word alignment: odd sizes pad
+    return [{"form": form, "riff_size": riff_size, **c} for c in chunks]

@@ -1082,3 +1082,87 @@ def q_multimodal_bmp_meta(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(_bmp_meta, schema=BMP_META_SCHEMA).orderBy("doc_id")
+
+
+#: Deterministic WAV recipe for the RIFF walk: n samples varies so the
+#: data-chunk size and the container size both move with doc_id.
+_RIFF_MAX_DOC = 300
+RIFF_SCHEMA = (
+    "doc_id long, form string, riff_size long, chunk_id string,"
+    " chunk_size long, chunk_offset long"
+)
+
+
+def _riff_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_wav_pcm16,
+        walk_riff_chunks,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = d % 1000 + 1
+            samples = (np.arange(n, dtype=np.int64) * (d + 7) % 20011).astype(
+                "<i2"
+            )
+            payload = encode_wav_pcm16(samples, 8000 + (d % 3) * 4000)
+            for c in walk_riff_chunks(payload):
+                rows.append(
+                    (d, c["form"], c["riff_size"], c["chunk_id"], c["size"],
+                     c["offset"])
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "form",
+                "riff_size",
+                "chunk_id",
+                "chunk_size",
+                "chunk_offset",
+            ],
+        )
+
+
+@query(
+    "multimodal_riff_chunks",
+    oracle=f"""
+    SELECT doc_id, 'WAVE' AS form,
+           CAST(4 + 8 + 16 + 8 + 2 * (doc_id % 1000 + 1) AS BIGINT)
+             AS riff_size,
+           c.chunk_id,
+           CAST(CASE c.chunk_id WHEN 'fmt ' THEN 16
+                ELSE 2 * (doc_id % 1000 + 1) END AS BIGINT) AS chunk_size,
+           CAST(CASE c.chunk_id WHEN 'fmt ' THEN 12 ELSE 36 END AS BIGINT)
+             AS chunk_offset
+    FROM documents,
+         (VALUES ('fmt '), ('data')) AS c(chunk_id)
+    WHERE doc_id < {_RIFF_MAX_DOC}
+    ORDER BY doc_id, chunk_offset
+    """,
+)
+def q_multimodal_riff_chunks(spark, sf_dir: str) -> DataFrame:
+    """REAL RIFF container walk: build a genuine PCM16 WAV per
+    document (stdlib `wave` — real fmt/data chunks, little-endian u32
+    sizes) and enumerate its top-level chunks by walking (id, size)
+    headers with the word-alignment pad rule — the triage pass a
+    media pipeline runs to route containers (WAVE/AVI/WebP are all
+    RIFF) before any codec is chosen. The oracle derives every
+    field — container size 4+8+16+8+2n, fmt at offset 12, data at 36,
+    data size 2n — from the recipe arithmetic, so a walker that
+    misreads the size field or forgets the 8-byte chunk header breaks
+    the hash on the first variable-length document.
+
+    Scale: payloads built and walked inside one Arrow batch; only the
+    chunk inventory (fixed-width fields) crosses to the JVM."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _RIFF_MAX_DOC)
+        .select("doc_id")
+    )
+    return (
+        docs.mapInPandas(_riff_chunks, schema=RIFF_SCHEMA)
+        .orderBy("doc_id", "chunk_offset")
+    )

@@ -274,3 +274,18 @@ def test_bmp_header_roundtrip_property(w, h, bpp, td):
     assert meta["row_stride"] * 8 >= bpp * w
     assert (meta["row_stride"] - 4) * 8 < bpp * w
     assert _codecs.sniff_kind(b"BM\x00") == "bmp"
+
+
+@FAST
+@given(n=st.integers(1, 4000), rate=st.sampled_from([8000, 16000, 44100]))
+def test_riff_walk_property(n, rate):
+    import numpy as np
+
+    wav = _codecs.encode_wav_pcm16(np.zeros(n, dtype="<i2"), rate)
+    chunks = _codecs.walk_riff_chunks(wav)
+    ids = [c["chunk_id"] for c in chunks]
+    assert ids == ["fmt ", "data"]
+    assert chunks[0]["size"] == 16 and chunks[0]["offset"] == 12
+    assert chunks[1]["size"] == 2 * n and chunks[1]["offset"] == 36
+    # container size covers everything after the 8-byte RIFF header
+    assert chunks[0]["riff_size"] == len(wav) - 8
