@@ -1543,3 +1543,102 @@ def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
             F.round(F.col("sj"), 6).alias("jsd_nats_r6"),
         )
     )
+
+
+@query(
+    "text_bigram_entropy_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang, u.g[1] AS w1, u.g[2] AS w2
+      FROM toks,
+           unnest(list_transform(range(1, greatest(len(t), 1)),
+                                 i -> [t[i], t[i + 1]])) AS u(g)
+      WHERE len(t) >= 2 AND u.g[1] <> '' AND u.g[2] <> ''
+    ),
+    pair AS (
+      SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    ctx AS (
+      SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS cw
+      FROM pair GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+      FROM pair GROUP BY 1
+    ),
+    terms AS (
+      SELECT p.lang,
+             CAST(round(-(CAST(p.c AS DOUBLE) / t.n)
+                        * ln(CAST(p.c AS DOUBLE) / x.cw), 9)
+                  AS DECIMAL(28,9)) AS h
+      FROM pair p
+      JOIN ctx x ON x.lang = p.lang AND x.w1 = p.w1
+      JOIN tot t ON t.lang = p.lang
+    )
+    SELECT terms.lang,
+           (SELECT n FROM tot WHERE tot.lang = terms.lang) AS n_bigrams,
+           round(CAST(SUM(h) AS DOUBLE), 6) AS cond_entropy_nats_r6
+    FROM terms GROUP BY terms.lang ORDER BY lang
+    """,
+    tags=("text", "infotheory", "beyond"),
+)
+def q_text_bigram_entropy_rate(spark, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next | prev) per language — the
+    information-rate signal that separates natural prose (≈ 5–9 nats)
+    from boilerplate and keyword-stuffed spam (≪ 1: the next token is
+    nearly determined by the previous one). The number quality
+    filters reach for when repetition RATIOS (text_repetition_signals)
+    are fooled by long-period templates: H = −Σ_{w1,w2} p(w1,w2) ·
+    ln p(w2|w1), estimated from corpus bigram counts.
+
+    Exactness: every probability is a ratio of exact integer counts;
+    per-bigram terms are fixed-shape doubles rounded 9 then
+    DECIMAL-summed per language (order-free across the partial
+    aggregation), one closing round-6.
+
+    Scale: bigrams enumerate map-side from each doc's token array
+    (no pre-explode self-join); ONE corpus-sized shuffle on
+    (lang, w1, w2) with map-side combine; the context and total
+    tables derive from that aggregate, not the corpus. The final
+    reduce is |langs| rows."""
+    toks_arr = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", toks_arr.alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, t[i] as w2))")
+        ).alias("g"),
+    ).select("lang", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    pair = bg.groupBy("lang", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ctx = pair.groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("cw"))
+    tot = pair.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        pair.join(ctx, ["lang", "w1"])
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "n",
+            F.round(
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("c").cast("double") / F.col("cw")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("h"),
+        )
+    )
+    return (
+        terms.groupBy("lang", "n")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("cond_entropy_nats_r6"))
+        .select("lang", F.col("n").alias("n_bigrams"), "cond_entropy_nats_r6")
+        .orderBy("lang")
+    )
