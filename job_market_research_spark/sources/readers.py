@@ -580,3 +580,58 @@ def q_scan_parquet_bloom(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "scan_struct_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def q_scan_struct_pruning(spark, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: stage orders with the payload folded
+    into a STRUCT column (meta.priority / meta.status / meta.total —
+    the shape event logs and API dumps actually arrive in), then
+    aggregate over just two of the three nested fields. Spark's
+    nested-schema pruning (`spark.sql.optimizer.nestedSchemaPruning`,
+    on by default) rewrites the scan to read ONLY the referenced
+    struct leaves — tests/test_pushdown.py pins that the plan's
+    ReadSchema contains priority and total but NOT status. At 100 TB
+    a wide metadata struct whose unused leaves still ship through the
+    scan is a silent multi-x I/O tax; this query + its plan test are
+    the guard.
+
+    The filter on meta.total also reaches the scan as a pushed
+    predicate on the nested leaf (parquet column indexes work on
+    struct leaves too)."""
+    out = scratch_dir("scan_struct_pruning")
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("meta.total") > 150000)
+        .groupBy(F.col("meta.priority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("meta.total").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
+    )

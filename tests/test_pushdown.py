@@ -120,3 +120,17 @@ def test_bloom_staged_file_carries_filter_and_probe_pushes_down(spark, sf_dir):
         _bytes(with_bloom),
         _bytes(plain),
     )
+
+
+def test_nested_struct_leaves_pruned_from_scan(spark, sf_dir):
+    """scan_struct_pruning's claim: only the referenced struct leaves
+    (meta.priority, meta.total) survive in ReadSchema — the unused
+    meta.status leaf must NOT ship through the scan."""
+    from job_market_research_spark.sources.readers import (
+        q_scan_struct_pruning,
+    )
+
+    plan = _formatted_plan(q_scan_struct_pruning(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "priority" in read_schema and "total" in read_schema, read_schema
+    assert "status" not in read_schema, read_schema
