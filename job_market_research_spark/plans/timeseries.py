@@ -1386,3 +1386,80 @@ def q_window_variance_ratio(spark, sf_dir: str) -> DataFrame:
         F.lit(VR_K).cast("long").alias("k"),
         F.round(vark / (VR_K * var1), 6).alias("vr_r6"),
     )
+
+
+#: Seasonal-naive horizon for the forecast-skill ratio.
+SKILL_SEASON = 7
+
+
+@query(
+    "window_forecast_skill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    err AS (
+      SELECT d,
+             CAST(abs(v - LAG(v, {SKILL_SEASON}) OVER (ORDER BY d))
+                  AS DECIMAL(19,2)) AS e7,
+             CAST(abs(v - LAG(v, 1) OVER (ORDER BY d))
+                  AS DECIMAL(19,2)) AS e1
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(e7) AS DOUBLE) AS s7,
+             CAST(SUM(e1) AS DOUBLE) AS s1
+      FROM err WHERE e7 IS NOT NULL AND e1 IS NOT NULL
+    )
+    SELECT n AS n_evals, CAST({SKILL_SEASON} AS BIGINT) AS season,
+           round(s7 / s1, 6) AS mase_vs_naive_r6,
+           CASE WHEN s7 < s1 THEN 1 ELSE 0 END AS seasonal_wins
+    FROM m
+    """,
+)
+def q_window_forecast_skill(spark, sf_dir: str) -> DataFrame:
+    """Forecast-skill ratio on the daily revenue curve: MAE of the
+    seasonal-naive predictor (ŷ_t = y_{{t−7}}) over MAE of the plain
+    naive one (ŷ_t = y_{{t−1}}), evaluated on the same days — the
+    MASE-style number that answers 'is there exploitable weekly
+    seasonality' BEFORE anyone ships a forecasting model (ratio < 1:
+    yes; ≥ 1: the fancy model must first beat last-value carry).
+
+    Exactness: daily revenue is an exact DECIMAL(18,2) sum, both
+    absolute-error series and their sums stay exact decimal, and
+    ONLY the O(1)-magnitude ratio is emitted (the raw MAEs are
+    corpus-scale and round-6-unsafe — the large-value-round hazard).
+
+    Scale: corpus → |days| table in one combinable aggregation; lag
+    windows on that bounded table only (allowlisted); 1-row closing
+    form."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d")
+    err = daily.select(
+        F.abs(F.col("v") - F.lag("v", SKILL_SEASON).over(w))
+        .cast("decimal(19,2)")
+        .alias("e7"),
+        F.abs(F.col("v") - F.lag("v", 1).over(w))
+        .cast("decimal(19,2)")
+        .alias("e1"),
+    ).filter(F.col("e7").isNotNull() & F.col("e1").isNotNull())
+    m = err.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("e7").cast("double").alias("s7"),
+        F.sum("e1").cast("double").alias("s1"),
+    )
+    return m.select(
+        F.col("n").alias("n_evals"),
+        F.lit(SKILL_SEASON).cast("long").alias("season"),
+        F.round(F.col("s7") / F.col("s1"), 6).alias("mase_vs_naive_r6"),
+        F.when(F.col("s7") < F.col("s1"), 1).otherwise(0).alias(
+            "seasonal_wins"
+        ),
+    )

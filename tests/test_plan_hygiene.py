@@ -101,6 +101,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_eval_pr_auc": "AUC_MAX_BAND+1 rows after band agg",
     # lag + rolling-k windows run on the per-day revenue table
     "window_variance_ratio": "|days| rows after per-day agg",
+    # both lag windows run on the per-day revenue table
+    "window_forecast_skill": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
