@@ -3628,3 +3628,112 @@ def q_agg_eb_shrunk_rates(spark, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(40)
     )
+
+
+#: QTE probe quantiles (percent).
+QTE_PCTS: tuple[int, ...] = (25, 50, 75)
+
+
+@query(
+    "agg_quantile_treatment_effect",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT round(quantile_cont(m, 0.25) FILTER (WHERE event_type = '{AB_ARM_A}'), 6) AS qa_25,
+             round(quantile_cont(m, 0.25) FILTER (WHERE event_type = '{AB_ARM_B}'), 6) AS qb_25,
+             round(quantile_cont(m, 0.5) FILTER (WHERE event_type = '{AB_ARM_A}'), 6) AS qa_50,
+             round(quantile_cont(m, 0.5) FILTER (WHERE event_type = '{AB_ARM_B}'), 6) AS qb_50,
+             round(quantile_cont(m, 0.75) FILTER (WHERE event_type = '{AB_ARM_A}'), 6) AS qa_75,
+             round(quantile_cont(m, 0.75) FILTER (WHERE event_type = '{AB_ARM_B}'), 6) AS qb_75
+      FROM daily
+    )
+    SELECT * FROM (
+      SELECT CAST(25 AS BIGINT) AS pct, qa_25 AS q_a_r6, qb_25 AS q_b_r6,
+             round(qb_25 - qa_25, 6) AS qte_r6 FROM q
+      UNION ALL SELECT CAST(50 AS BIGINT) AS pct, qa_50 AS q_a_r6, qb_50 AS q_b_r6,
+             round(qb_50 - qa_50, 6) AS qte_r6 FROM q
+      UNION ALL SELECT CAST(75 AS BIGINT) AS pct, qa_75 AS q_a_r6, qb_75 AS q_b_r6,
+             round(qb_75 - qa_75, 6) AS qte_r6 FROM q
+    ) ORDER BY pct
+    """,
+    tags=("stats", "abtest", "nonparametric", "beyond"),
+)
+def q_agg_quantile_treatment_effect(spark, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects between the two arms' daily mean
+    values — the DISTRIBUTIONAL readout that completes the A/B family
+    (welch/MWU say WHETHER the arms differ, Hodges–Lehmann gives one
+    shift number; QTE says WHERE in the distribution the effect
+    lives: a lift concentrated in the upper quartile with a flat
+    median is a whale effect, not a typical-user one).
+
+    Quantiles interpolate identically on identical round-6 doubles
+    (`F.percentile` ↔ `quantile_cont`, the agg_percentiles
+    convention); the probe grid is a literal, and each QTE is one
+    fixed-shape subtraction rounded 6.
+
+    Scale: corpus → bounded per-(arm, day) table; the quantile
+    aggregation runs on those ≤ 2·|days| rows fanned across the
+    3-point literal grid."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+        )
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    # Spark's percentile fraction must be FOLDABLE — the probe grid
+    # is therefore unrolled as literal columns in ONE aggregation and
+    # stacked back to rows (3 fixed quantiles, not a data fan-out).
+    agg_cols = []
+    for k in QTE_PCTS:
+        agg_cols.append(
+            F.round(
+                F.percentile(
+                    F.when(F.col("event_type") == AB_ARM_A, F.col("m")),
+                    F.lit(k / 100.0),
+                ),
+                6,
+            ).alias(f"qa_{k}")
+        )
+        agg_cols.append(
+            F.round(
+                F.percentile(
+                    F.when(F.col("event_type") == AB_ARM_B, F.col("m")),
+                    F.lit(k / 100.0),
+                ),
+                6,
+            ).alias(f"qb_{k}")
+        )
+    wide = daily.agg(*agg_cols)
+    stack_expr = ", ".join(
+        f"CAST({k} AS BIGINT), qa_{k}, qb_{k}" for k in QTE_PCTS
+    )
+    q = wide.select(
+        F.expr(
+            f"stack({len(QTE_PCTS)}, {stack_expr}) AS (pct, q_a_r6, q_b_r6)"
+        )
+    )
+    return q.select(
+        "pct",
+        "q_a_r6",
+        "q_b_r6",
+        F.round(F.col("q_b_r6") - F.col("q_a_r6"), 6).alias("qte_r6"),
+    ).orderBy("pct")
