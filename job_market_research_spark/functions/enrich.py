@@ -443,3 +443,123 @@ def q_window_ewma_bounded(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+#: Periodicity probe grid (lags, in days) and the shared day width.
+PGRAM_LAGS: tuple[int, ...] = tuple(range(2, 11))
+_PGRAM_DAY_US = 86_400_000_000
+PGRAM_SCHEMA = (
+    "event_type string, n_days long, best_lag long, best_acf_r6 double"
+)
+
+
+def _periodogram_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact-integer ACF sweep for one event type. All moments use
+    PYTHON ints (arbitrary precision — n·y products overflow int64 at
+    100 TB daily volumes), mirroring the oracle's DECIMAL algebra
+    bit-for-bit; only the final num/den division is float."""
+    pdf = pdf.sort_values("day")
+    y = [int(v) for v in pdf["y"]]
+    n, s = len(y), sum(int(v) for v in y)
+    z = [n * v - s for v in y]
+    den = sum(v * v for v in z)
+    best_lag, best_acf = None, None
+    for lag in PGRAM_LAGS:
+        if lag >= n or den == 0:
+            continue
+        num = sum(z[t] * z[t + lag] for t in range(n - lag))
+        acf = round(float(num) / float(den), 6)
+        if best_acf is None or acf > best_acf:
+            best_lag, best_acf = lag, acf
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "best_lag": [best_lag],
+            "best_acf_r6": [best_acf],
+        }
+    )
+
+
+@query(
+    "grouped_pandas_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_PGRAM_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             CAST(st.n * d.y - st.s AS DECIMAL(19,0)) AS z, st.n
+      FROM daily d JOIN stats st USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(z * z) AS DOUBLE) AS den,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM z GROUP BY 1
+    ),
+    num AS (
+      {" UNION ALL ".join(
+          f'''SELECT event_type, CAST({L} AS BIGINT) AS lag,
+             CAST(SUM(zz) AS DOUBLE) AS num
+      FROM (SELECT event_type,
+                   z * LEAD(z, {L}) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS zz
+            FROM z) GROUP BY 1'''
+          for L in range(2, 11)
+      )}
+    ),
+    acf AS (
+      SELECT n2.event_type, n2.lag,
+             round(n2.num / d2.den, 6) AS acf_r6,
+             ROW_NUMBER() OVER (PARTITION BY n2.event_type
+                                ORDER BY round(n2.num / d2.den, 6) DESC,
+                                         n2.lag) AS rk
+      FROM num n2 JOIN den d2 USING (event_type)
+      WHERE n2.lag < d2.n AND d2.den <> 0
+    )
+    SELECT a.event_type, d3.n AS n_days, a.lag AS best_lag,
+           a.acf_r6 AS best_acf_r6
+    FROM acf a JOIN den d3 USING (event_type)
+    WHERE a.rk = 1 ORDER BY a.event_type
+    """,
+    tags=("timeseries", "pandas", "beyond"),
+)
+def q_grouped_pandas_periodogram(spark, sf_dir: str) -> DataFrame:
+    """Per-series dominant-period detection: for each event type, the
+    lag in 2..10 days whose autocorrelation of the daily-count series
+    is highest — the auto-period pass a monitoring platform runs
+    before configuring seasonal baselines (window_seasonal_decompose
+    hard-codes 7; this measures whether 7 is even right, per series).
+
+    Demonstrates the applyInPandas EXACTNESS contract at the Arrow
+    boundary: the group lands in pandas, but every moment is computed
+    in arbitrary-precision PYTHON ints (n·y − S products overflow
+    int64 at 100 TB daily volumes) mirroring the oracle's DECIMAL
+    algebra exactly; only the final num/den division is float, then
+    round-6, and the argmax tie-breaks toward the smaller lag on both
+    engines.
+
+    Scale: corpus → |types|×|days| bounded table in one combinable
+    aggregation; each group ships ~|days| rows through Arrow. The
+    group key here is demo-cardinality; at 100 TB you'd key by entity
+    (same caveat as grouped_pandas_ewma)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _PGRAM_DAY_US).cast("long").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(_periodogram_group, schema=PGRAM_SCHEMA)
+        .orderBy("event_type")
+    )
