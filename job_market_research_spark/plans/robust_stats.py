@@ -3737,3 +3737,76 @@ def q_agg_quantile_treatment_effect(spark, sf_dir: str) -> DataFrame:
         "q_b_r6",
         F.round(F.col("q_b_r6") - F.col("q_a_r6"), 6).alias("qte_r6"),
     ).orderBy("pct")
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+    WITH half AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS in_a,
+             CAST(MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS in_b
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+             CAST(SUM(in_b) AS BIGINT) AS n2,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS m12,
+             CAST(COUNT(*) AS BIGINT) AS seen
+      FROM half
+    )
+    SELECT n1, n2, m12 AS overlap, seen AS distinct_seen,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m12 + 1) - 1, 6)
+             AS chapman_estimate_r6,
+           round(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m12 + 1) - 1)
+                 / seen, 6) AS coverage_ratio_r6
+    FROM m
+    """,
+    tags=("stats", "species", "beyond"),
+)
+def q_agg_capture_recapture(spark, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Chapman) estimate of the TOTAL distinct-user
+    population from two overlapping observation channels — the
+    estimator for 'how many entities exist that we have not seen',
+    which a crawl/dedup pipeline uses to decide whether another crawl
+    round is worth it. Channels are the even/odd event-id halves;
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 (Chapman's bias-corrected form, which
+    also never divides by zero). coverage_ratio = N̂ / distinct_seen
+    ≈ 1 means the two channels already saw everyone.
+
+    All counts are exact integers from ONE per-user aggregation; the
+    estimate is a fixed-shape double closed form.
+
+    Scale: one combinable groupBy(user) — the membership flags are
+    MAX of indicator, no distinct needed — then a 1-row reduce."""
+    half = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("in_a"),
+            F.max(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("in_b"),
+        )
+    )
+    m = half.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m12"),
+        F.count("*").cast("long").alias("seen"),
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (
+        F.col("m12") + 1
+    ) - 1
+    return m.select(
+        "n1",
+        "n2",
+        F.col("m12").alias("overlap"),
+        F.col("seen").alias("distinct_seen"),
+        F.round(est, 6).alias("chapman_estimate_r6"),
+        F.round(est / F.col("seen"), 6).alias("coverage_ratio_r6"),
+    )
