@@ -1642,3 +1642,87 @@ def q_text_bigram_entropy_rate(spark, sf_dir: str) -> DataFrame:
         .select("lang", F.col("n").alias("n_bigrams"), "cond_entropy_nats_r6")
         .orderBy("lang")
     )
+
+
+@query(
+    "agg_good_turing_unseen",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, u.t AS token
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    tc AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons
+      FROM tc GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types, n_singletons,
+           round(CAST(n_singletons AS DOUBLE) / n_tokens, 6)
+             AS p_unseen_gt_r6,
+           round(CASE WHEN n_doubletons > 0 THEN
+                 n_types + (CAST(n_singletons AS DOUBLE) * n_singletons)
+                           / (2.0 * n_doubletons)
+                 ELSE n_types + CAST(n_singletons AS DOUBLE)
+                                * (n_singletons - 1) / 2.0 END, 6)
+             AS chao1_richness_r6
+    FROM m ORDER BY lang
+    """,
+    tags=("text", "species", "beyond"),
+)
+def q_agg_good_turing_unseen(spark, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass and Chao1 vocabulary richness per
+    language — the two species-estimation numbers a tokenizer/corpus
+    plan needs: P(next token is a NEW type) ≈ N₁/N (the Good–Turing
+    leave-one-out identity, singletons over tokens), and the Chao1
+    lower bound on TOTAL vocabulary size S ≈ S_obs + N₁²/(2N₂)
+    (bias-corrected form when doubletons vanish). Together they answer
+    'how much more vocabulary is out there if we crawl more of this
+    language' — the text twin of agg_capture_recapture.
+
+    Exact integer counts from a single (lang, token) aggregation;
+    both estimates are fixed-shape double closed forms rounded 6.
+
+    Scale: ONE corpus-sized shuffle on (lang, token) with map-side
+    combine, then |langs| moment rows. No top-k cut — the frequency-
+    of-frequency reduction is already bounded."""
+    tok = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tc = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("c"))
+    m = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_doubletons"),
+    )
+    n1 = F.col("n_singletons").cast("double")
+    chao1 = F.when(
+        F.col("n_doubletons") > 0,
+        F.col("n_types") + n1 * n1 / (2.0 * F.col("n_doubletons")),
+    ).otherwise(F.col("n_types") + n1 * (F.col("n_singletons") - 1) / 2.0)
+    return m.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_singletons",
+        F.round(n1 / F.col("n_tokens"), 6).alias("p_unseen_gt_r6"),
+        F.round(chao1, 6).alias("chao1_richness_r6"),
+    ).orderBy("lang")
