@@ -542,3 +542,42 @@ def walk_riff_chunks(payload: bytes) -> list[dict]:
         chunks.append({"chunk_id": cid, "size": size, "offset": pos})
         pos += 8 + size + (size & 1)  # word alignment: odd sizes pad
     return [{"form": form, "riff_size": riff_size, **c} for c in chunks]
+
+
+def encode_id3v2_header(tag_size: int, version: int = 4,
+                        unsync: bool = False) -> bytes:
+    """Assemble a REAL ID3v2 tag header (the 10 bytes at the front of
+    most MP3 files): magic, version pair, flag byte, and the tag size
+    as a SYNCSAFE integer — 4 bytes of 7 bits each, high bit always
+    clear so the size can never alias an MPEG frame sync. Padding
+    bytes follow to make the payload self-consistent."""
+    if not 0 <= tag_size < (1 << 28):
+        raise ValueError("ID3v2 tag size is a 28-bit syncsafe integer")
+    sync = bytes(
+        [(tag_size >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    flags = 0x80 if unsync else 0x00
+    return b"ID3" + bytes([version, 0, flags]) + sync + bytes(tag_size)
+
+
+def parse_id3v2_header(payload: bytes) -> dict:
+    """ID3v2 header parse: magic, version, flag bits, and the SYNCSAFE
+    size decode (7 bits per byte — a reader that treats it as a plain
+    big-endian u32 reports 2x-16x sizes for any tag over 127 bytes
+    and walks into the audio frames)."""
+    if payload[:3] != b"ID3":
+        raise NotImplementedError("not an ID3v2 payload (missing magic)")
+    ver, rev, flags = payload[3], payload[4], payload[5]
+    if any(b & 0x80 for b in payload[6:10]):
+        raise NotImplementedError("ID3v2 size bytes must be syncsafe (<0x80)")
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    return {
+        "kind": "id3",
+        "version": ver,
+        "revision": rev,
+        "unsync": bool(flags & 0x80),
+        "has_extended_header": bool(flags & 0x40),
+        "tag_size": size,
+    }

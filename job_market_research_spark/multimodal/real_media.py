@@ -1166,3 +1166,71 @@ def q_multimodal_riff_chunks(spark, sf_dir: str) -> DataFrame:
         docs.mapInPandas(_riff_chunks, schema=RIFF_SCHEMA)
         .orderBy("doc_id", "chunk_offset")
     )
+
+
+#: Deterministic ID3 recipe: sizes cross the 7-bit carry boundaries
+#: (127→128, 16383→16384) where a non-syncsafe reader breaks.
+_ID3_MAX_DOC = 300
+ID3_META_SCHEMA = (
+    "doc_id long, kind string, version long, unsync boolean,"
+    " tag_size long"
+)
+
+
+def _id3_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_id3v2_header,
+        parse_id3v2_header,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            size = (d * 131) % 20000  # crosses 127/128 and 16383/16384
+            payload = encode_id3v2_header(
+                size, version=3 + d % 2, unsync=d % 3 == 0
+            )
+            meta = parse_id3v2_header(payload)
+            rows.append(
+                (d, meta["kind"], meta["version"], meta["unsync"],
+                 meta["tag_size"])
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "kind", "version", "unsync", "tag_size"]
+        )
+
+
+@query(
+    "multimodal_id3_meta",
+    oracle=f"""
+    SELECT doc_id, 'id3' AS kind,
+           CAST(3 + doc_id % 2 AS BIGINT) AS version,
+           doc_id % 3 = 0 AS unsync,
+           CAST((doc_id * 131) % 20000 AS BIGINT) AS tag_size
+    FROM documents
+    WHERE doc_id < {_ID3_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_id3_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL ID3v2 (MP3 tag) header metadata: assemble a genuine 10-byte
+    ID3 header + padding per document and parse it back. The field
+    that makes this a real parser test is the SYNCSAFE tag size —
+    7 bits per byte so no byte can alias an MPEG frame-sync pattern;
+    the recipe's sizes sweep across the 127→128 and 16383→16384
+    carry boundaries where a plain big-endian u32 reader inflates the
+    size (128 reads as 256, 16384 as 65536) and the hash breaks.
+    Audio-curation pipelines run exactly this pass to skip tag blocks
+    before touching MPEG frames.
+
+    Scale: payloads built and parsed inside one Arrow batch — same
+    plumbing as the other header passes."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ID3_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_id3_meta, schema=ID3_META_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -289,3 +289,17 @@ def test_riff_walk_property(n, rate):
     assert chunks[1]["size"] == 2 * n and chunks[1]["offset"] == 36
     # container size covers everything after the 8-byte RIFF header
     assert chunks[0]["riff_size"] == len(wav) - 8
+
+
+@FAST
+@given(size=st.integers(0, (1 << 28) - 1), ver=st.sampled_from([3, 4]),
+       unsync=st.booleans())
+def test_id3_syncsafe_roundtrip_property(size, ver, unsync):
+    meta = _codecs.parse_id3v2_header(
+        _codecs.encode_id3v2_header(size, version=ver, unsync=unsync)
+    )
+    assert meta["tag_size"] == size
+    assert meta["version"] == ver and meta["unsync"] is unsync
+    # syncsafe invariant: no stored size byte may have the high bit
+    raw = _codecs.encode_id3v2_header(size)
+    assert all(b < 0x80 for b in raw[6:10])
