@@ -3810,3 +3810,119 @@ def q_agg_capture_recapture(spark, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("chapman_estimate_r6"),
         F.round(est / F.col("seen"), 6).alias("coverage_ratio_r6"),
     )
+
+
+#: Simpson detector: the binary "treatment" split on order priority.
+_SIMPSON_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "agg_simpson_paradox_detector",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderstatus AS seg,
+             CASE WHEN o_orderpriority IN
+               {str(tuple(_SIMPSON_URGENT))} THEN 1 ELSE 0 END AS t,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    seg AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,2))
+                           ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,2))
+                           ELSE 0 END) AS DOUBLE) AS s0
+      FROM lab GROUP BY seg
+    ),
+    segd AS (
+      SELECT seg, n1, n0,
+             round(s1 / n1 - s0 / n0, 6) AS seg_diff
+      FROM seg WHERE n1 > 0 AND n0 > 0
+    ),
+    pooled AS (
+      SELECT round(CAST(SUM(s1) AS DOUBLE) / SUM(n1)
+                   - CAST(SUM(s0) AS DOUBLE) / SUM(n0), 6) AS pooled_diff
+      FROM seg
+    )
+    SELECT (SELECT pooled_diff FROM pooled) AS pooled_diff_r6,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN sign(seg_diff)
+                         <> sign((SELECT pooled_diff FROM pooled))
+                         AND seg_diff <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sign_flips,
+           CASE WHEN SUM(CASE WHEN sign(seg_diff)
+                         <> sign((SELECT pooled_diff FROM pooled))
+                         AND seg_diff <> 0 THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS simpson_flag
+    FROM segd
+    """,
+    tags=("stats", "guardrail", "beyond"),
+)
+def q_agg_simpson_paradox_detector(spark, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guardrail: does the pooled effect of urgent
+    priority on order value keep its SIGN inside every order-status
+    stratum? The check every self-serve analytics layer should run
+    before letting a pooled 'X lifts Y' readout ship — a flip means
+    the pooled number is a mix-composition artifact, not an effect
+    (the UC-Berkeley admissions shape). Emits the pooled difference,
+    the stratum count, how many strata reverse the sign, and the
+    boolean flag.
+
+    Exactness: all means are exact DECIMAL sums over exact integer
+    counts; differences are round-6 fixed-shape doubles; the sign
+    comparison happens on those round-6 values identically on both
+    engines (exact zero differences are excluded from flips).
+
+    Scale: ONE combinable aggregation to |status| rows; everything
+    downstream is constant-size."""
+    lab = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("seg"),
+        F.when(F.col("o_orderpriority").isin(*_SIMPSON_URGENT), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    seg = lab.groupBy("seg").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(
+            F.when(F.col("t") == 1, F.col("y").cast("decimal(38,2)")).otherwise(
+                F.lit(0).cast("decimal(38,2)")
+            )
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("t") == 0, F.col("y").cast("decimal(38,2)")).otherwise(
+                F.lit(0).cast("decimal(38,2)")
+            )
+        )
+        .cast("double")
+        .alias("s0"),
+    )
+    pooled = seg.agg(
+        F.round(
+            F.sum("s1") / F.sum("n1") - F.sum("s0") / F.sum("n0"), 6
+        ).alias("pooled_diff")
+    )
+    segd = (
+        seg.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            F.round(
+                F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"), 6
+            ).alias("seg_diff")
+        )
+        .crossJoin(F.broadcast(pooled))
+    )
+    flip = (
+        (F.signum("seg_diff") != F.signum("pooled_diff"))
+        & (F.col("seg_diff") != 0)
+    )
+    return segd.agg(
+        F.max("pooled_diff").alias("pooled_diff_r6"),
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(flip, 1).otherwise(0)).cast("long").alias("n_sign_flips"),
+        F.max(F.when(flip, 1).otherwise(0)).alias("simpson_flag"),
+    )
