@@ -1463,3 +1463,136 @@ def q_window_forecast_skill(spark, sf_dir: str) -> DataFrame:
             "seasonal_wins"
         ),
     )
+
+
+#: Ljung-Box lag depth and the 5% chi-square(7) critical value.
+LB_LAGS = 7
+LB_CRIT = 14.067140
+
+
+@query(
+    "window_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d,
+             CAST(round((v - LAG(v) OVER (ORDER BY d)) * 100)
+                  AS BIGINT) AS c
+      FROM daily
+    ),
+    base AS (SELECT d, c FROM diffs WHERE c IS NOT NULL),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM base
+    ),
+    z AS (
+      SELECT b.d, CAST(st.n * b.c - st.s AS DECIMAL(19,0)) AS z, st.n
+      FROM base b CROSS JOIN st
+    ),
+    den AS (
+      SELECT CAST(SUM(z * z) AS DOUBLE) AS den, CAST(MAX(n) AS BIGINT) AS n
+      FROM z
+    ),
+    nums AS (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({k} AS BIGINT) AS lag,
+             CAST(SUM(zz) AS DOUBLE) AS num
+      FROM (SELECT z * LEAD(z, {k}) OVER (ORDER BY d) AS zz FROM z)'''
+          for k in range(1, 8)
+      )}
+    ),
+    terms AS (
+      SELECT CAST(round((nums.num / den.den) * (nums.num / den.den)
+                        / (den.n - nums.lag), 12) AS DECIMAL(28,12)) AS t
+      FROM nums CROSS JOIN den
+    )
+    SELECT den.n AS n_diffs, CAST({LB_LAGS} AS BIGINT) AS lags,
+           round(den.n * (den.n + 2.0)
+                 * CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 6)
+             AS lb_stat_r6,
+           CASE WHEN den.n * (den.n + 2.0)
+                     * CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                     > {LB_CRIT} THEN 1 ELSE 0 END AS reject_whiteness_5pct
+    FROM den
+    """,
+)
+def q_window_ljung_box(spark, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on the daily revenue CHANGES — 'is
+    anything left to model': LB = n(n+2)·Σ_k r_k²/(n−k) over lags
+    1..{LB_LAGS} against a literal χ² critical value. The whiteness
+    gate that decides whether the forecasting/changepoint machinery
+    downstream has signal to work with, and the residual-diagnostic
+    every fitted model should re-run.
+
+    Exactness (the periodogram contract): diffs become exact integer
+    CENTS, deviations are the n-scaled integers n·c − S (DECIMAL
+    products — no float covariance anywhere), each lag's
+    r_k²/(n−k) is a fixed-shape double rounded 12 and DECIMAL-summed
+    over the {LB_LAGS}-row term table, one closing round-6.
+
+    Scale: corpus → |days| table; lag/lead windows on that bounded
+    table (allowlisted); the lag fan-out is a literal 7-way union of
+    1-row aggregates."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d")
+    base = daily.select(
+        "d",
+        F.round((F.col("v") - F.lag("v").over(w)) * 100)
+        .cast("long")
+        .alias("c"),
+    ).filter(F.col("c").isNotNull())
+    st = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    z = base.crossJoin(F.broadcast(st)).select(
+        "d",
+        (F.col("n") * F.col("c") - F.col("s"))
+        .cast("decimal(19,0)")
+        .alias("z"),
+        "n",
+    )
+    den = z.agg(
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("den"),
+        F.max("n").cast("long").alias("n"),
+    )
+    num_frames = []
+    for k in range(1, LB_LAGS + 1):
+        zz = z.select(
+            (F.col("z") * F.lead("z", k).over(Window.orderBy("d"))).alias("zz")
+        )
+        num_frames.append(
+            zz.agg(F.sum("zz").cast("double").alias("num")).select(
+                F.lit(k).cast("long").alias("lag"), "num"
+            )
+        )
+    nums = num_frames[0]
+    for f_ in num_frames[1:]:
+        nums = nums.unionByName(f_)
+    terms = nums.crossJoin(F.broadcast(den)).select(
+        F.round(
+            (F.col("num") / F.col("den"))
+            * (F.col("num") / F.col("den"))
+            / (F.col("n") - F.col("lag")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("t")
+    )
+    s = terms.agg(F.sum("t").cast("double").alias("st"))
+    n = F.col("n").cast("double")
+    lb = n * (n + 2.0) * F.col("st")
+    return den.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_diffs"),
+        F.lit(LB_LAGS).cast("long").alias("lags"),
+        F.round(lb, 6).alias("lb_stat_r6"),
+        F.when(lb > LB_CRIT, 1).otherwise(0).alias("reject_whiteness_5pct"),
+    )

@@ -103,6 +103,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_variance_ratio": "|days| rows after per-day agg",
     # both lag windows run on the per-day revenue table
     "window_forecast_skill": "|days| rows after per-day agg",
+    # lag/lead windows run on the per-day revenue table
+    "window_ljung_box": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
