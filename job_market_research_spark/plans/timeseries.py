@@ -1596,3 +1596,114 @@ def q_window_ljung_box(spark, sf_dir: str) -> DataFrame:
         F.round(lb, 6).alias("lb_stat_r6"),
         F.when(lb > LB_CRIT, 1).otherwise(0).alias("reject_whiteness_5pct"),
     )
+
+
+#: Two-sided 5% normal critical value (shared convention).
+RUNS_CRIT = 1.959964
+
+
+@query(
+    "stat_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    mv AS (
+      SELECT d,
+             CASE WHEN v > LAG(v) OVER (ORDER BY d) THEN 1
+                  WHEN v < LAG(v) OVER (ORDER BY d) THEN 0 END AS up
+      FROM daily
+    ),
+    seq AS (
+      SELECT d, up, LAG(up) OVER (ORDER BY d) AS prev
+      FROM mv WHERE up IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN up = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND up <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq
+    )
+    SELECT n1 AS n_up, n0 AS n_down, runs,
+           round(1.0 + 2.0 * n1 * n0 / (n1 + n0), 6) AS expected_runs_r6,
+           round((runs - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))), 6)
+             AS z_r6,
+           CASE WHEN abs((runs - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))))
+                > {RUNS_CRIT} THEN 1 ELSE 0 END AS reject_random_5pct
+    FROM m
+    """,
+    tags=("stats", "timeseries", "beyond"),
+)
+def q_stat_runs_test(spark, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue direction
+    sequence (up/down vs the previous day; flat days drop) — the
+    distribution-free randomness check that catches STREAKINESS the
+    Ljung–Box lag sweep can miss (and vice versa: together they are
+    the standard pre-model whiteness panel). A run is a maximal
+    streak of same-direction days; too few runs = momentum, too many
+    = oscillation; z uses the exact mean/variance of the runs count
+    under exchangeability and a literal normal critical value.
+
+    Exactness: direction flags, streak boundaries, and all three
+    counts are exact integers off the DECIMAL daily table; z is one
+    fixed-shape double closed form.
+
+    Scale: corpus → |days| table; two lag windows on that bounded
+    table (allowlisted); 1-row closing algebra."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d")
+    mv = daily.select(
+        "d",
+        F.when(F.col("v") > F.lag("v").over(w), 1)
+        .when(F.col("v") < F.lag("v").over(w), 0)
+        .alias("up"),
+    ).filter(F.col("up").isNotNull())
+    seq = mv.select("d", "up", F.lag("up").over(Window.orderBy("d")).alias("prev"))
+    m = seq.agg(
+        F.sum(F.when(F.col("up") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("up") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("up") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    exp_r = 1.0 + 2.0 * n1 * n0 / (n1 + n0)
+    var_r = (
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))
+    )
+    zc = (F.col("runs") - exp_r) / F.sqrt(var_r)
+    return m.select(
+        F.col("n1").alias("n_up"),
+        F.col("n0").alias("n_down"),
+        "runs",
+        F.round(exp_r, 6).alias("expected_runs_r6"),
+        F.round(zc, 6).alias("z_r6"),
+        F.when(F.abs(zc) > RUNS_CRIT, 1).otherwise(0).alias(
+            "reject_random_5pct"
+        ),
+    )

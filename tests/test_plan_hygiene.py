@@ -105,6 +105,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_forecast_skill": "|days| rows after per-day agg",
     # lag/lead windows run on the per-day revenue table
     "window_ljung_box": "|days| rows after per-day agg",
+    # both lag windows run on the per-day revenue table
+    "stat_runs_test": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
