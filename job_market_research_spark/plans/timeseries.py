@@ -1707,3 +1707,151 @@ def q_stat_runs_test(spark, sf_dir: str) -> DataFrame:
             "reject_random_5pct"
         ),
     )
+
+
+@query(
+    "ml_chow_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    x0 AS (SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    xy AS (
+      SELECT CAST(datediff('day', x0.d0, daily.d) AS BIGINT) AS x, y,
+             CASE WHEN 2 * datediff('day', x0.d0, daily.d)
+                       < (SELECT MAX(x2) FROM (
+                            SELECT datediff('day', x0b.d0, db.d) AS x2
+                            FROM daily db CROSS JOIN x0 x0b))
+                  THEN 1 ELSE 2 END AS seg
+      FROM daily CROSS JOIN x0
+    ),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS syy
+      FROM xy GROUP BY seg
+    ),
+    rss AS (
+      SELECT seg, n,
+             (syy - sy * sy / n)
+             - (sxy - CAST(sx AS DOUBLE) * sy / n)
+               * (sxy - CAST(sx AS DOUBLE) * sy / n)
+               / (sxx - CAST(sx AS DOUBLE) * sx / n) AS r
+      FROM m
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sx) AS DOUBLE) AS sx, SUM(sy) AS sy,
+             CAST(SUM(sxx) AS DOUBLE) AS sxx, SUM(sxy) AS sxy,
+             SUM(syy) AS syy
+      FROM m
+    ),
+    prss AS (
+      SELECT n,
+             (syy - sy * sy / n)
+             - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / (sxx - sx * sx / n) AS r
+      FROM pooled
+    )
+    SELECT prss.n AS n_days,
+           CAST(2 AS BIGINT) AS df1,
+           CAST(prss.n - 4 AS BIGINT) AS df2,
+           round(((prss.r - (SELECT SUM(r) FROM rss)) / 2)
+                 / ((SELECT SUM(r) FROM rss) / (prss.n - 4)), 6)
+             AS chow_f_r6
+    FROM prss
+    """,
+    tags=("stats", "timeseries", "beyond"),
+)
+def q_ml_chow_test(spark, sf_dir: str) -> DataFrame:
+    """Chow structural-break F test on the daily revenue trend: fit
+    the linear trend on the first half, the second half, and pooled,
+    and test whether the two halves share one regression —
+    F = ((RSS_p − RSS₁ − RSS₂)/k) / ((RSS₁+RSS₂)/(n−2k)), k = 2. The
+    parametric complement to window_changepoint_detect/cusum: those
+    LOCATE a shift, this one scores whether the regime split at the
+    midpoint is statistically real.
+
+    Exactness: y is exact integer CENTS, x an integer day offset;
+    every moment is an exact integer/DECIMAL sum; the RSS algebra and
+    F are fixed-shape double closing forms (identical expression
+    shape on both engines → identical doubles), one round-6. Only the
+    O(1)-magnitude F is emitted (RSS is cents²-scale and
+    round-unsafe — the large-value hazard).
+
+    Scale: one corpus aggregation to |days|, one 2-row moment
+    aggregation; no window at all."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("y"))
+    )
+    x0 = daily.agg(
+        F.min("d").alias("d0"), F.count("*").cast("long").alias("nn")
+    )
+    withx = daily.crossJoin(F.broadcast(x0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "y"
+    )
+    xmax = withx.agg(F.max("x").alias("xm"))
+    xy = withx.crossJoin(F.broadcast(xmax)).select(
+        "x",
+        "y",
+        F.when(2 * F.col("x") < F.col("xm"), 1).otherwise(2).alias("seg"),
+    )
+    m = xy.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    def _rss(n, sx, sy, sxx, sxy, syy):
+        nd = n.cast("double")
+        sxd = sx.cast("double")
+        return (syy - sy * sy / nd) - (sxy - sxd * sy / nd) * (
+            sxy - sxd * sy / nd
+        ) / (sxx.cast("double") - sxd * sx / nd)
+
+    rss = m.select(
+        _rss(
+            F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"),
+            F.col("sxy"), F.col("syy"),
+        ).alias("r")
+    ).agg(F.sum("r").alias("r12"))
+    pooled = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    prss = pooled.select(
+        "n",
+        _rss(
+            F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"),
+            F.col("sxy"), F.col("syy"),
+        ).alias("rp"),
+    )
+    return prss.crossJoin(F.broadcast(rss)).select(
+        F.col("n").alias("n_days"),
+        F.lit(2).cast("long").alias("df1"),
+        (F.col("n") - 4).cast("long").alias("df2"),
+        F.round(
+            ((F.col("rp") - F.col("r12")) / 2)
+            / (F.col("r12") / (F.col("n") - 4)),
+            6,
+        ).alias("chow_f_r6"),
+    )
