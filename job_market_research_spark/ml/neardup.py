@@ -1760,15 +1760,30 @@ def q_dedup_lsh_recall_audit(spark, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_cand = candidates.agg(F.count("*").cast("long").alias("n_candidates"))
-    n_hit = (
-        truth.join(candidates, ["doc_a", "doc_b"])
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    # Single-pass counting: a full-outer join on the pair key scores
+    # truth size, candidate size, and the intersection in ONE
+    # aggregation, so each generator subtree executes exactly once
+    # (three separate count jobs would re-run the expensive
+    # shingle-pair and band joins).
+    j = truth.withColumn("t", F.lit(1)).join(
+        candidates.withColumn("c", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    counts = j.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
     )
     return (
-        n_hit.crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(n_cand))
+        counts
         .select(
             "n_truth",
             "n_candidates",
