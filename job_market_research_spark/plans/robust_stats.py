@@ -3926,3 +3926,111 @@ def q_agg_simpson_paradox_detector(spark, sf_dir: str) -> DataFrame:
         F.sum(F.when(flip, 1).otherwise(0)).cast("long").alias("n_sign_flips"),
         F.max(F.when(flip, 1).otherwise(0)).alias("simpson_flag"),
     )
+
+
+@query(
+    "agg_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    m AS (
+      SELECT CAST(SUM(con) AS BIGINT) AS nc,
+             CAST(SUM(dis) AS BIGINT) AS nd,
+             CAST(SUM(tx) AS BIGINT) AS ntx,
+             CAST(SUM(ty) AS BIGINT) AS nty,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           nc AS concordant, nd AS discordant,
+           round((CAST(nc AS DOUBLE) - nd)
+                 / sqrt((CAST(np AS DOUBLE) - ntx)
+                        * (CAST(np AS DOUBLE) - nty)), 6) AS tau_b_r6
+    FROM m
+    """,
+    tags=("stats", "nonparametric", "beyond"),
+)
+def q_agg_kendall_tau_daily(spark, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily event volume and daily value mass —
+    the third member of the rank-dependence panel (Spearman measures
+    monotone rank agreement, ξ catches non-monotone dependence, τ
+    counts concordant vs discordant PAIRS, the most interpretable and
+    the one with the cleanest confidence theory). τ-b's denominator
+    corrects for ties on either axis: (C−D)/√((N−Tx)(N−Ty)).
+
+    The pairwise step is all exact integer flags over the BOUNDED
+    per-day table (|days|² pairs — the theil_sen contract, never
+    corpus²); one fixed-shape double closing form.
+
+    Scale: one corpus-sized combinable aggregation, then bounded pair
+    algebra (broadcast join)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy((F.unix_micros("ts") / _DAY_US).cast("long").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("con"),
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("dis"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("ya") == F.col("yb"), 1).otherwise(0).alias("ty"),
+    )
+    m = pairs.agg(
+        F.sum("con").cast("long").alias("nc"),
+        F.sum("dis").cast("long").alias("nd"),
+        F.sum("tx").cast("long").alias("ntx"),
+        F.sum("ty").cast("long").alias("nty"),
+        F.count("*").cast("long").alias("np"),
+    )
+    nd_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return m.crossJoin(F.broadcast(nd_days)).select(
+        "n_days",
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round(
+            (F.col("nc").cast("double") - F.col("nd"))
+            / F.sqrt(
+                (F.col("np").cast("double") - F.col("ntx"))
+                * (F.col("np").cast("double") - F.col("nty"))
+            ),
+            6,
+        ).alias("tau_b_r6"),
+    )
