@@ -665,3 +665,91 @@ def q_text_chat_format_validate(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Code-likeness thresholds (fractions ×1e6 compared as integers).
+CODE_SYM_MICRO = 30_000     # ≥3% of chars are {}();=<> brackets etc.
+CODE_KEYWORD_MIN = 2        # ≥2 distinct code keywords present
+
+
+@query(
+    "text_code_prose_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{{}}()\\[\\];=<>|&]', '', 'g'))
+                  AS BIGINT) AS n_sym,
+             CAST((CASE WHEN text LIKE '%def %' THEN 1 ELSE 0 END)
+                + (CASE WHEN text LIKE '%return %' THEN 1 ELSE 0 END)
+                + (CASE WHEN text LIKE '%import %' THEN 1 ELSE 0 END)
+                + (CASE WHEN text LIKE '%void %' THEN 1 ELSE 0 END)
+                + (CASE WHEN text LIKE '%class %' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kw
+      FROM documents WHERE length(text) > 0
+    ),
+    lab AS (
+      SELECT source,
+             CASE WHEN n_sym * 1000000 >= {CODE_SYM_MICRO} * n_chars
+                       AND n_kw >= {CODE_KEYWORD_MIN}
+                  THEN 1 ELSE 0 END AS is_code
+      FROM feats
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           round(CAST(SUM(is_code) AS DOUBLE) / COUNT(*), 6)
+             AS code_fraction_r6
+    FROM lab GROUP BY source ORDER BY source
+    """,
+    tags=("text", "curation", "beyond"),
+)
+def q_text_code_prose_classifier(spark, sf_dir: str) -> DataFrame:
+    """Code-vs-prose separation per source — the routing signal an
+    LLM data mix needs before anything else (code and prose get
+    different dedup thresholds, quality filters, and mixture
+    weights): a doc is 'code' when its structural-symbol density
+    ({{}}()[];=<>|&) clears 3% AND it contains ≥2 distinct code
+    keywords (def/return/import/void/class). Both features are pure
+    map-side expressions; the density compare is INTEGER
+    (n_sym·10⁶ ≥ θ·n_chars — no float ratio, the Gopher-filter
+    contract), so classification is bit-identical across engines.
+
+    Scale: one scan → |sources| combinable aggregation. At 100 TB
+    this is the cheapest possible router: no tokenization, no joins,
+    regex once per doc."""
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+    n_sym = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"[{}()\[\];=<>|&]", ""))
+    ).cast("long")
+    n_kw = sum(
+        (
+            F.when(text.contains(kw), 1).otherwise(0)
+            for kw in ("def ", "return ", "import ", "void ", "class ")
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    feats = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "source",
+            ((n_sym * 1_000_000 >= CODE_SYM_MICRO * n_chars)
+             & (n_kw >= CODE_KEYWORD_MIN))
+            .cast("int")
+            .alias("is_code"),
+        )
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.round(
+                F.sum("is_code").cast("double") / F.count("*"), 6
+            ).alias("code_fraction_r6"),
+        )
+        .orderBy("source")
+    )
