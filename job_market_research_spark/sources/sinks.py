@@ -332,3 +332,85 @@ def q_sink_mongo(spark, sf_dir: str) -> DataFrame:
         .select("d.*")
         .orderBy("_id")
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH batch1 AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    ),
+    batch2 AS (
+      -- the re-ingest: months >= '1995-07' arrive corrected (price
+      -- doubled) and REPLACE those partitions; earlier months keep
+      -- batch-1 contents untouched
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month
+      FROM orders
+      WHERE o_orderkey % 4 IN (0, 2)
+        AND strftime(o_orderdate, '%Y-%m') >= '1995-07'
+    ),
+    final AS (
+      SELECT * FROM batch1
+      WHERE month NOT IN (SELECT DISTINCT month FROM batch2)
+      UNION ALL SELECT * FROM batch2
+    )
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS total
+    FROM final GROUP BY month ORDER BY month
+    """,
+)
+def q_sink_dynamic_partition_overwrite(spark, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse re-ingest contract:
+    batch 1 writes a month-partitioned table; batch 2 (a corrected
+    backfill covering only months ≥ 1995-07, different row subset,
+    doubled prices) is written with mode=overwrite under
+    `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    partitions batch 2 touches and leaves earlier months' files
+    untouched. The oracle replays the semantics relationally
+    (batch-1 rows survive exactly where batch 2 has no partition).
+    With STATIC overwrite — the default — batch 2 would wipe the
+    whole table; at 100 TB this setting is the difference between
+    rewriting a day and rewriting a decade, and getting it wrong is
+    silent data loss either way.
+
+    The per-write option (`.option("partitionOverwriteMode",
+    "dynamic")`) is used rather than the session conf, so the
+    behavior is pinned to this sink and cannot leak."""
+    out = scratch_dir("sink_dynamic_partition_overwrite")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    (
+        src.filter(F.col("o_orderkey") % 4 < 2)
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out)
+    )
+    (
+        src.filter(
+            (F.col("o_orderkey") % 4).isin(0, 2)
+            & (F.col("month") >= "1995-07")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("month")
+    )
