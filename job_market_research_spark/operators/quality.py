@@ -1038,3 +1038,104 @@ def q_privacy_dp_mean_release(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("released_mean_r6"),
     ).orderBy("event_type")
+
+
+@query(
+    "monitor_psi_stability",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS snap,
+             least(greatest(CAST(floor((c_acctbal + 1000.0) / 11000.0
+                                       * {DRIFT_BINS}) AS BIGINT), 0),
+                   {DRIFT_BINS - 1}) AS bin
+      FROM customer
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS np_bin,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nq_bin
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(np_bin) AS np, SUM(nq_bin) AS nq FROM counts),
+    terms AS (
+      -- 0.5-count smoothing on empty bins (the standard PSI fix) so
+      -- ln never sees zero; fixed shape on both engines
+      SELECT CAST(round(
+               ((nq_bin + 0.5) / (nq + 0.5 * {DRIFT_BINS})
+                - (np_bin + 0.5) / (np + 0.5 * {DRIFT_BINS}))
+               * ln(((nq_bin + 0.5) / (nq + 0.5 * {DRIFT_BINS}))
+                    / ((np_bin + 0.5) / (np + 0.5 * {DRIFT_BINS}))), 9)
+             AS DECIMAL(28,9)) AS t
+      FROM counts CROSS JOIN tot
+    ),
+    s AS (SELECT CAST(SUM(t) AS DOUBLE) AS psi FROM terms)
+    SELECT (SELECT CAST(np AS BIGINT) FROM tot) AS n_baseline,
+           (SELECT CAST(nq AS BIGINT) FROM tot) AS n_current,
+           CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_bins,
+           round(psi, 6) AS psi_r6,
+           CASE WHEN psi >= 0.25 THEN 'major'
+                WHEN psi >= 0.1 THEN 'moderate'
+                ELSE 'stable' END AS verdict
+    FROM s
+    """,
+    tags=("monitoring", "drift", "beyond"),
+)
+def q_monitor_psi_stability(spark, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the baseline/current
+    snapshot halves of the account-balance distribution — the
+    industry-standard one-number drift gate (credit-risk lineage)
+    with its canonical thresholds baked in: PSI < 0.1 stable,
+    0.1–0.25 moderate shift, ≥ 0.25 major shift (retrain/investigate).
+    Complements monitor_feature_drift, which reports per-bin χ² terms
+    — PSI is the summary number on-call dashboards alert on:
+    Σ (q_b − p_b)·ln(q_b/p_b) over fixed literal bins, with 0.5-count
+    smoothing on empty bins so the log is total.
+
+    Per-bin terms are fixed-shape doubles over exact integer counts,
+    rounded 9 and DECIMAL-summed over the DRIFT_BINS-row table; the
+    verdict compares the same double to literal thresholds on both
+    engines.
+
+    Scale: one combinable aggregation to DRIFT_BINS rows."""
+    binned = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 2).alias("snap"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000.0) / 11000.0 * DRIFT_BINS)
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(DRIFT_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("np_bin"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nq_bin"),
+    )
+    tot = counts.agg(
+        F.sum("np_bin").cast("long").alias("np"),
+        F.sum("nq_bin").cast("long").alias("nq"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    p = (F.col("np_bin") + 0.5) / (F.col("np") + 0.5 * DRIFT_BINS)
+    q = (F.col("nq_bin") + 0.5) / (F.col("nq") + 0.5 * DRIFT_BINS)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.round((q - p) * F.log(q / p), 9).cast("decimal(28,9)").alias("t")
+    )
+    s = terms.agg(F.sum("t").cast("double").alias("psi"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_baseline"),
+        F.col("nq").alias("n_current"),
+        "n_bins",
+        F.round(F.col("psi"), 6).alias("psi_r6"),
+        F.when(F.col("psi") >= 0.25, "major")
+        .when(F.col("psi") >= 0.1, "moderate")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
