@@ -4034,3 +4034,108 @@ def q_agg_kendall_tau_daily(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b_r6"),
     )
+
+
+#: Two-sided 5% critical value for the paired t (normal approx, the
+#: MWU/Welch literal-critical-value convention).
+PAIRED_T_CRIT = 1.959964
+
+
+@query(
+    "agg_paired_ttest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.day,
+             CAST(round(b.m - a.m, 6) AS DECIMAL(18,6)) AS d
+      FROM daily a JOIN daily b ON a.day = b.day
+      WHERE a.event_type = '{AB_ARM_A}' AND b.event_type = '{AB_ARM_B}'
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)))
+                  AS DOUBLE) AS qd
+      FROM paired
+    )
+    SELECT n AS n_pairs,
+           round(sd / n, 6) AS mean_diff_r6,
+           round((sd / n) / sqrt((qd - sd * sd / n) / (n - 1.0) / n), 6)
+             AS t_r6,
+           CASE WHEN abs((sd / n)
+                / sqrt((qd - sd * sd / n) / (n - 1.0) / n))
+                > {PAIRED_T_CRIT} THEN 1 ELSE 0 END AS significant_5pct
+    FROM m
+    """,
+    tags=("stats", "abtest", "beyond"),
+)
+def q_agg_paired_ttest(spark, sf_dir: str) -> DataFrame:
+    """Paired t test between the two arms' daily means, paired BY DAY
+    — the blocked design that removes day-level variance (weekday
+    cycles, launch spikes) the unpaired agg_welch_ttest must absorb
+    into its error term: with both arms observed on the same days,
+    only the per-day DIFFERENCE's variance matters, typically a much
+    tighter test on the same data. Completes the A/B panel:
+    welch (unpaired mean), MWU (rank), paired-t (blocked mean),
+    Hodges–Lehmann (shift), QTE (distributional).
+
+    Per-day differences are round-6 decimals; their moments (Σd,
+    Σd²) are exact DECIMAL sums; t and the verdict are one
+    fixed-shape double closed form against a literal critical value.
+
+    Scale: corpus → bounded per-(arm, day) table → day-key self-join
+    (|days| rows) → 1-row moments."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+        )
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    a = daily.filter(F.col("event_type") == AB_ARM_A).select(
+        "day", F.col("m").alias("ma")
+    )
+    b = daily.filter(F.col("event_type") == AB_ARM_B).select(
+        "day", F.col("m").alias("mb")
+    )
+    paired = a.join(b, "day").select(
+        F.round(F.col("mb") - F.col("ma"), 6).cast("decimal(18,6)").alias("d")
+    )
+    m = paired.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("d").cast("decimal(19,6)") * F.col("d").cast("decimal(19,6)"))
+        .cast("double")
+        .alias("qd"),
+    )
+    n = F.col("n").cast("double")
+    mean_d = F.col("sd") / n
+    t = mean_d / F.sqrt(
+        (F.col("qd") - F.col("sd") * F.col("sd") / n) / (n - 1.0) / n
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(mean_d, 6).alias("mean_diff_r6"),
+        F.round(t, 6).alias("t_r6"),
+        F.when(F.abs(t) > PAIRED_T_CRIT, 1).otherwise(0).alias(
+            "significant_5pct"
+        ),
+    )
