@@ -1011,3 +1011,120 @@ def q_graph_clustering_coeff(spark, sf_dir: str) -> DataFrame:
             ).alias("transitivity_r6"),
         )
     )
+
+
+#: PPR seed selection (deterministic ~1% of docs) and teleport mass.
+PPR_SEED_MOD = 97
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + k) % (SELECT n FROM n) AS dst,
+             {PR_FANOUT} AS out_deg
+      FROM docs, unnest(generate_series(1, {PR_FANOUT})) AS t(k)
+    ),
+    seeds AS (
+      SELECT doc_id AS node FROM docs WHERE doc_id % {PPR_SEED_MOD} = 0
+    ),
+    ns AS (SELECT COUNT(*) AS ns FROM seeds),
+    r0 AS (SELECT node, 1.0 / (SELECT ns FROM ns) AS rank FROM seeds),
+    c1 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.rank AS DECIMAL(28,14)) / e.out_deg)
+                  AS DOUBLE) AS m
+      FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT COALESCE(s.node, c1.node) AS node,
+             (CASE WHEN s.node IS NOT NULL
+                   THEN (1 - {PR_DAMPING}) / (SELECT ns FROM ns)
+                   ELSE 0 END)
+             + {PR_DAMPING} * COALESCE(c1.m, 0) AS rank
+      FROM seeds s FULL JOIN c1 ON c1.node = s.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.rank AS DECIMAL(28,14)) / e.out_deg)
+                  AS DOUBLE) AS m
+      FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT COALESCE(s.node, c2.node) AS node,
+             (CASE WHEN s.node IS NOT NULL
+                   THEN (1 - {PR_DAMPING}) / (SELECT ns FROM ns)
+                   ELSE 0 END)
+             + {PR_DAMPING} * COALESCE(c2.m, 0) AS rank
+      FROM seeds s FULL JOIN c2 ON c2.node = s.node
+    )
+    SELECT node, round(rank, 9) AS rank,
+           CASE WHEN node % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed
+    FROM r2 ORDER BY rank DESC, node LIMIT 50
+    """,
+    tags=("graph", "beyond"),
+)
+def q_graph_personalized_pagerank(spark, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set (~1% of
+    docs): identical iteration to graph_pagerank_lite but the
+    teleport mass restarts at the SEEDS instead of uniformly — the
+    crawl-frontier/recommendation primitive ('what is close to the
+    pages I already trust'), and the locality-aware domain weight
+    curation recipes use where global PageRank over-rewards hubs.
+    Two unrolled rounds; rank mass stays concentrated near seeds
+    (nodes unreachable in 2 hops simply don't appear — the sparsity
+    that makes PPR cheap at 100 TB: state is O(touched), not O(N)).
+
+    Same exactness contract as PageRank: contribution sums in
+    DECIMAL (order-free), one double multiply+add per round, round-9
+    display. The per-round shape is a full outer join of the seed
+    teleport table (bounded) with the contribution aggregate —
+    co-partitioned on the node key.
+
+    Top-50 by rank with node tie-break keeps the output bounded."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = _edges(docs, n).withColumn("out_deg", F.lit(PR_FANOUT))
+    seeds = docs.filter(F.col("doc_id") % PPR_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    ns = seeds.count()
+    ranks = seeds.select("node", F.lit(1.0 / ns).alias("rank"))
+    teleport = seeds.select(
+        "node", F.lit((1.0 - PR_DAMPING) / ns).alias("tp")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank").cast("decimal(28,14)") / F.col("out_deg"))
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = (
+            teleport.join(contrib, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tp"), F.lit(0.0))
+                    + PR_DAMPING * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select(
+            "node",
+            F.round("rank", 9).alias("rank"),
+            F.when(F.col("node") % PPR_SEED_MOD == 0, 1)
+            .otherwise(0)
+            .alias("is_seed"),
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )
