@@ -581,3 +581,54 @@ def parse_id3v2_header(payload: bytes) -> dict:
         "has_extended_header": bool(flags & 0x40),
         "tag_size": size,
     }
+
+
+def encode_flac_streaminfo(sample_rate: int, channels: int,
+                           bits_per_sample: int, total_samples: int) -> bytes:
+    """Assemble a REAL FLAC header: 'fLaC' magic + the mandatory
+    STREAMINFO metadata block (34 bytes) with its BIT-PACKED core —
+    sample rate (20 bits), channels−1 (3 bits), bits-per-sample−1
+    (5 bits), total samples (36 bits) packed into one 64-bit span.
+    Block sizes/frame sizes/MD5 are zeroed (header-only contract)."""
+    if not (1 <= channels <= 8 and 4 <= bits_per_sample <= 32):
+        raise ValueError("FLAC channels 1-8, bps 4-32")
+    if sample_rate >= (1 << 20) or total_samples >= (1 << 36):
+        raise ValueError("FLAC sample_rate is 20-bit, total_samples 36-bit")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    block = (
+        (0).to_bytes(2, "big") * 2          # min/max block size (zeroed)
+        + bytes(6)                          # min/max frame size (24-bit x2)
+        + packed.to_bytes(8, "big")
+        + bytes(16)                         # MD5 of unencoded audio
+    )
+    # metadata block header: last-block flag set, type 0, 24-bit length
+    return b"fLaC" + bytes([0x80]) + len(block).to_bytes(3, "big") + block
+
+
+def parse_flac_streaminfo(payload: bytes) -> dict:
+    """FLAC STREAMINFO parse: magic, the 24-bit big-endian block
+    length, then the bit-packed 64-bit span unpacked with shifts and
+    masks — a byte-aligned reader gets every field wrong because
+    none of the four core fields sits on a byte boundary."""
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC payload (missing magic)")
+    header = payload[4]
+    if header & 0x7F != 0:
+        raise NotImplementedError("first FLAC block must be STREAMINFO")
+    length = int.from_bytes(payload[5:8], "big")
+    body = payload[8 : 8 + length]
+    packed = int.from_bytes(body[10:18], "big")
+    return {
+        "kind": "flac",
+        "is_last_block": bool(header & 0x80),
+        "block_len": length,
+        "sample_rate": packed >> 44,
+        "channels": ((packed >> 41) & 0x7) + 1,
+        "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+        "total_samples": packed & ((1 << 36) - 1),
+    }

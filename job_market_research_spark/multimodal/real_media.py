@@ -1234,3 +1234,82 @@ def q_multimodal_id3_meta(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_id3_meta, schema=ID3_META_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+#: Deterministic FLAC recipe: rates cycle real studio/web values,
+#: channel/bps ladders sweep the bit-packed fields off byte edges.
+_FLAC_MAX_DOC = 300
+_FLAC_RATES = (8000, 16000, 22050, 44100, 48000, 96000)
+FLAC_META_SCHEMA = (
+    "doc_id long, kind string, sample_rate long, channels long,"
+    " bits_per_sample long, total_samples long"
+)
+
+
+def _flac_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_flac_streaminfo,
+        parse_flac_streaminfo,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            payload = encode_flac_streaminfo(
+                sample_rate=_FLAC_RATES[d % len(_FLAC_RATES)],
+                channels=d % 8 + 1,
+                bits_per_sample=4 + (d * 7) % 29,
+                total_samples=(d * 1_000_003) % (1 << 36),
+            )
+            meta = parse_flac_streaminfo(payload)
+            rows.append(
+                (d, meta["kind"], meta["sample_rate"], meta["channels"],
+                 meta["bits_per_sample"], meta["total_samples"])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "kind", "sample_rate", "channels",
+                "bits_per_sample", "total_samples",
+            ],
+        )
+
+
+@query(
+    "multimodal_flac_meta",
+    oracle=f"""
+    SELECT doc_id, 'flac' AS kind,
+           CAST(CASE doc_id % {len(_FLAC_RATES)}
+                {" ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(_FLAC_RATES))}
+                END AS BIGINT) AS sample_rate,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS channels,
+           CAST(4 + (doc_id * 7) % 29 AS BIGINT) AS bits_per_sample,
+           CAST((doc_id * 1000003) % {1 << 36} AS BIGINT) AS total_samples
+    FROM documents
+    WHERE doc_id < {_FLAC_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_flac_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL FLAC STREAMINFO metadata: assemble a genuine fLaC header
+    per document and parse it back. The parse class this adds over
+    the other codecs is BIT-PACKED fields — sample rate (20 bits),
+    channels−1 (3), bits-per-sample−1 (5), and a 36-bit total-sample
+    count share one 64-bit big-endian span, so NONE of them sits on a
+    byte boundary; the recipe sweeps channel and bps ladders so every
+    shift/mask is load-bearing (a byte-aligned reader gets all four
+    fields wrong on every row). Audio-curation pipelines read exactly
+    this block to compute duration = total_samples / sample_rate
+    without decoding frames.
+
+    Scale: payloads built and parsed inside one Arrow batch — the
+    standard header-pass plumbing."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FLAC_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_flac_meta, schema=FLAC_META_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -303,3 +303,19 @@ def test_id3_syncsafe_roundtrip_property(size, ver, unsync):
     # syncsafe invariant: no stored size byte may have the high bit
     raw = _codecs.encode_id3v2_header(size)
     assert all(b < 0x80 for b in raw[6:10])
+
+
+@FAST
+@given(
+    rate=st.integers(1, (1 << 20) - 1),
+    ch=st.integers(1, 8),
+    bps=st.integers(4, 32),
+    total=st.integers(0, (1 << 36) - 1),
+)
+def test_flac_streaminfo_bitpack_roundtrip(rate, ch, bps, total):
+    m = _codecs.parse_flac_streaminfo(
+        _codecs.encode_flac_streaminfo(rate, ch, bps, total)
+    )
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
+            m["total_samples"]) == (rate, ch, bps, total)
+    assert m["is_last_block"] and m["block_len"] == 34
