@@ -1139,3 +1139,110 @@ def q_monitor_psi_stability(spark, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("verdict"),
     )
+
+
+#: Adversarial-validation banding of the balance domain.
+ADV_BANDS = 256
+
+
+@query(
+    "monitor_adversarial_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(greatest(CAST(floor((c_acctbal + 1000.0) / 11000.0
+                                        * {ADV_BANDS}) AS BIGINT), 0),
+                   {ADV_BANDS - 1}) AS band,
+             CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    b AS (
+      SELECT band,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY band
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM b
+    ),
+    s AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_cur,
+             CAST(SUM(neg) AS BIGINT) AS n_base,
+             CAST(SUM(CAST(pos AS DECIMAL(38,0))
+                      * CAST(2 * cneg + neg AS DECIMAL(38,0)))
+                  AS DOUBLE) AS num2
+      FROM cum
+    )
+    SELECT n_base AS n_baseline, n_cur AS n_current,
+           round(num2 / (2.0 * (CAST(n_cur AS DOUBLE) * n_base)), 6)
+             AS adv_auc_r6,
+           round(abs(num2 / (2.0 * (CAST(n_cur AS DOUBLE) * n_base))
+                     - 0.5) * 2, 6) AS separability_r6
+    FROM s
+    """,
+    tags=("monitoring", "drift", "beyond"),
+)
+def q_monitor_adversarial_auc(spark, sf_dir: str) -> DataFrame:
+    """Adversarial-validation drift check: the tie-corrected AUC of
+    the feature itself at separating the baseline snapshot from the
+    current one (custkey-parity halves of the balance distribution).
+    AUC ≈ 0.5 means no classifier could tell the snapshots apart —
+    the strongest practical 'no drift' certificate, and the method
+    competition/industry pipelines use when per-bin tests disagree;
+    separability = 2·|AUC−0.5| rescales it to a 0..1 drift score
+    comparable across features. Completes the drift panel:
+    per-bin χ² terms (monitor_feature_drift), summary index
+    (monitor_psi_stability), exact-distribution D (stat_ks_two_sample),
+    and now model-style separability.
+
+    Same bounded integer machinery as ml_eval_auc_roc — per-band
+    pos/neg counts, DECIMAL pair numerator, one closing division —
+    over ADV_BANDS fixed literal bands of the feature domain.
+
+    Scale: one combinable aggregation to ADV_BANDS rows; the
+    cumulative runs on that bounded table (allowlisted)."""
+    scored = load(spark, sf_dir, "customer").select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000.0) / 11000.0 * ADV_BANDS)
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(ADV_BANDS - 1),
+        ).alias("band"),
+        (F.col("c_custkey") % 2).cast("int").alias("y"),
+    )
+    b = scored.groupBy("band").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    cum = b.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cneg"),
+    )
+    s = cum.agg(
+        F.sum("pos").cast("long").alias("n_cur"),
+        F.sum("neg").cast("long").alias("n_base"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cneg") + F.col("neg")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("num2"),
+    )
+    auc = F.col("num2") / (
+        2.0 * (F.col("n_cur").cast("double") * F.col("n_base"))
+    )
+    return s.select(
+        F.col("n_base").alias("n_baseline"),
+        F.col("n_cur").alias("n_current"),
+        F.round(auc, 6).alias("adv_auc_r6"),
+        F.round(F.abs(auc - 0.5) * 2, 6).alias("separability_r6"),
+    )

@@ -107,6 +107,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_ljung_box": "|days| rows after per-day agg",
     # both lag windows run on the per-day revenue table
     "stat_runs_test": "|days| rows after per-day agg",
+    # the AUC cumulative runs on the ADV_BANDS band table
+    "monitor_adversarial_auc": "ADV_BANDS rows after band agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
