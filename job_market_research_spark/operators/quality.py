@@ -1246,3 +1246,86 @@ def q_monitor_adversarial_auc(spark, sf_dir: str) -> DataFrame:
         F.round(auc, 6).alias("adv_auc_r6"),
         F.round(F.abs(auc - 0.5) * 2, 6).alias("separability_r6"),
     )
+
+
+#: The warehouse's FK edges: (child table, fk col, parent table, pk).
+_RI_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "profile_ref_integrity",
+    oracle=f"""
+    WITH edges AS (
+      {" UNION ALL ".join(
+          f'''SELECT '{c}.{fk}->{p}.{pk}' AS edge,
+             CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_child,
+             CAST((SELECT COUNT(*) FROM {c}
+                   WHERE {fk} IS NOT NULL
+                     AND {fk} NOT IN (SELECT {pk} FROM {p})) AS BIGINT)
+               AS n_orphans,
+             CAST((SELECT COUNT(*) FROM {c} WHERE {fk} IS NULL) AS BIGINT)
+               AS n_null_fk'''
+          for c, fk, p, pk in _RI_EDGES
+      )}
+    )
+    SELECT edge, n_child, n_orphans, n_null_fk,
+           CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS intact
+    FROM edges ORDER BY edge
+    """,
+    tags=("profiling", "quality", "beyond"),
+)
+def q_profile_ref_integrity(spark, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over EVERY foreign-key edge of the
+    warehouse in one report: per edge, the child row count, the
+    orphan count (non-null FK with no parent), the null-FK count
+    (tracked separately — a null FK is a modeling choice, an orphan
+    is corruption), and an intact flag. The first report any
+    warehouse QA suite runs after a load, and the one that catches
+    partial-load/late-dimension races at 100 TB.
+
+    Each edge is a LEFT ANTI join (Spark's fastest existence check —
+    broadcast when the parent's key projection fits, shuffle-hash
+    otherwise under AQE; never a full distinct-materialize), counts
+    are exact integers, and the per-edge results union into one
+    bounded report.
+
+    Scale: one anti-join per edge, each shuffling only the key
+    columns (column pruning pinned repo-wide); report size = |edges|."""
+    frames = []
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        orphans = (
+            c.filter(F.col("fk").isNotNull())
+            .join(p, F.col("fk") == F.col("pk"), "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        frames.append(
+            stats.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_child",
+                "n_orphans",
+                "n_null_fk",
+                F.when(F.col("n_orphans") == 0, 1).otherwise(0).alias(
+                    "intact"
+                ),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("edge")
