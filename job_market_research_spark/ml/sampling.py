@@ -933,3 +933,99 @@ def q_sample_ess_diagnostics(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv2_r6"),
     ).orderBy("lang")
+
+
+#: OOF target-encoding folds and the smoothing pseudo-count.
+TE_FOLDS = 5
+TE_SMOOTH = 20
+
+
+@query(
+    "ml_target_encoding_oof",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type AS cat,
+             user_id % {TE_FOLDS} AS fold,
+             CASE WHEN value IS NOT NULL AND value > 75 THEN 1 ELSE 0 END
+               AS y
+      FROM events
+    ),
+    cf AS (
+      SELECT cat, fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    ct AS (
+      SELECT cat, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+      FROM cf GROUP BY cat
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(s) AS BIGINT) AS sg
+      FROM cf
+    )
+    SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, cf.n AS n_rows,
+           round((CAST(ct.st - cf.s AS DOUBLE)
+                  + {TE_SMOOTH} * (CAST(g.sg AS DOUBLE) / g.ng))
+                 / (ct.nt - cf.n + {TE_SMOOTH}), 6) AS te_oof_r6
+    FROM cf JOIN ct USING (cat) CROSS JOIN g
+    ORDER BY cf.cat, fold
+    """,
+    tags=("ml", "features", "beyond"),
+)
+def q_ml_target_encoding_oof(spark, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of the event-type category against
+    a binary high-value target — the feature-engineering workhorse
+    done the leakage-SAFE way: each (category, fold) cell is encoded
+    with the target rate computed from the OTHER folds only
+    ((S_cat − S_fold)/(N_cat − N_fold)), plus pseudo-count smoothing
+    toward the global rate so rare categories don't memorize their
+    own labels. The naive same-fold encoding is the single most
+    common target-leakage bug in tabular ML; this op IS the fix,
+    expressed as pure relational algebra (complements
+    sample_train_test_split and the CV folds: folds are a
+    deterministic hash of the unit key, retry-proof).
+
+    All cells are exact integer counts; each encoding is one
+    fixed-shape double closed form, rounded 6. Output is the bounded
+    (|categories| × folds) encoding table a scorer broadcasts.
+
+    Scale: ONE combinable corpus aggregation to |cat|×folds cells;
+    everything else is algebra on that bounded table."""
+    base = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cat"),
+        (F.col("user_id") % TE_FOLDS).alias("fold"),
+        F.when(F.col("value").isNotNull() & (F.col("value") > 75), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    ct = cf.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    g = cf.agg(
+        F.sum("n").cast("long").alias("ng"),
+        F.sum("s").cast("long").alias("sg"),
+    )
+    return (
+        cf.join(F.broadcast(ct), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").alias("n_rows"),
+            F.round(
+                (
+                    (F.col("st") - F.col("s")).cast("double")
+                    + TE_SMOOTH * (F.col("sg").cast("double") / F.col("ng"))
+                )
+                / (F.col("nt") - F.col("n") + TE_SMOOTH),
+                6,
+            ).alias("te_oof_r6"),
+        )
+        .orderBy("cat", "fold")
+    )
