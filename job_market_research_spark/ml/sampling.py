@@ -1029,3 +1029,110 @@ def q_ml_target_encoding_oof(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat", "fold")
     )
+
+
+#: |r| above this flags a feature as suspiciously predictive.
+LEAK_R_FLAG = 0.5
+
+
+@query(
+    "ml_leakage_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(round(CAST(value AS DECIMAL(18,4)), 4)
+                  AS DECIMAL(18,4)) AS f_value,
+             CAST(EXTRACT(hour FROM ts) AS DECIMAL(18,4)) AS f_hour,
+             CAST(user_id % 100 AS DECIMAL(18,4)) AS f_userbucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    long AS (
+      SELECT 'f_value' AS feature, f_value AS x, y FROM base
+      UNION ALL SELECT 'f_hour', f_hour, y FROM base
+      UNION ALL SELECT 'f_userbucket', f_userbucket, y FROM base
+    ),
+    m AS (
+      SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CASE WHEN y = 1 THEN CAST(x AS DECIMAL(38,4))
+                           ELSE 0 END) AS DOUBLE) AS sxy
+      FROM long GROUP BY feature
+    )
+    SELECT feature, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * sy
+                           * (CAST(n AS DOUBLE) - sy))), 6) AS r_pb_r6,
+           CASE WHEN abs((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * sy
+                           * (CAST(n AS DOUBLE) - sy))))
+                >= {LEAK_R_FLAG} THEN 1 ELSE 0 END AS leakage_flag
+    FROM m ORDER BY feature
+    """,
+    tags=("ml", "features", "guardrail", "beyond"),
+)
+def q_ml_leakage_audit(spark, sf_dir: str) -> DataFrame:
+    """Target-leakage screen: point-biserial correlation of every
+    candidate feature against the binary label in ONE pass — the
+    pre-training audit that catches 'this feature is the label in
+    disguise' before a model memorizes it (|r| ≥ 0.5 flags review).
+    r_pb is Pearson r with a binary y, whose moments collapse to
+    integer counts: Σy = n₁, Σy² = n₁, Σxy = Σx over positives —
+    so the whole audit is exact DECIMAL x-moments plus conditional
+    sums, one fixed-shape closed form per feature.
+
+    Features fan out via a 3-way projection union (each branch reads
+    the same scan — Spark reuses the exchange), keeping the audit a
+    single corpus pass to a |features|-row report.
+
+    Scale: ONE combinable aggregation per feature branch; no joins,
+    no windows."""
+    base = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    feats = {
+        "f_value": F.round(F.col("value").cast("decimal(18,4)"), 4),
+        "f_hour": F.hour("ts").cast("decimal(18,4)"),
+        "f_userbucket": (F.col("user_id") % 100).cast("decimal(18,4)"),
+    }
+    frames = [
+        base.select(
+            F.lit(name).alias("feature"),
+            expr.cast("decimal(18,4)").alias("x"),
+            y.alias("y"),
+        )
+        for name, expr in feats.items()
+    ]
+    long = frames[0]
+    for f_ in frames[1:]:
+        long = long.unionByName(f_)
+    m = long.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,4)") * F.col("x").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("x").cast("decimal(38,4)")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * sy) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (n * sy * (n - sy))
+    )
+    return m.select(
+        "feature",
+        "n",
+        F.round(r, 6).alias("r_pb_r6"),
+        F.when(F.abs(r) >= LEAK_R_FLAG, 1).otherwise(0).alias("leakage_flag"),
+    ).orderBy("feature")
