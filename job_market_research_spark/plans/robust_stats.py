@@ -4139,3 +4139,132 @@ def q_agg_paired_ttest(spark, sf_dir: str) -> DataFrame:
             "significant_5pct"
         ),
     )
+
+
+#: Two-sided 5% normal critical value (shared literal convention).
+MK_CRIT = 1.959964
+
+
+@query(
+    "agg_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+               AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS mk_s
+      FROM pairs GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM daily GROUP BY event_type, y
+      ) GROUP BY event_type
+    ),
+    n_ AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    )
+    SELECT s.event_type, n_.n AS n_days, s.mk_s,
+           round((CASE WHEN s.mk_s > 0 THEN s.mk_s - 1
+                       WHEN s.mk_s < 0 THEN s.mk_s + 1 ELSE 0 END)
+                 / sqrt((CAST(n_.n AS DOUBLE) * (n_.n - 1) * (2 * n_.n + 5)
+                         - ties.tie_term) / 18.0), 6) AS z_r6,
+           CASE WHEN abs((CASE WHEN s.mk_s > 0 THEN s.mk_s - 1
+                       WHEN s.mk_s < 0 THEN s.mk_s + 1 ELSE 0 END)
+                 / sqrt((CAST(n_.n AS DOUBLE) * (n_.n - 1) * (2 * n_.n + 5)
+                         - ties.tie_term) / 18.0)) > {MK_CRIT}
+                THEN 1 ELSE 0 END AS trend_5pct
+    FROM s JOIN ties USING (event_type) JOIN n_ USING (event_type)
+    ORDER BY s.event_type
+    """,
+    tags=("stats", "timeseries", "nonparametric", "beyond"),
+)
+def q_agg_mann_kendall_trend(spark, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type — the significance
+    verdict that pairs with agg_theil_sen_trend's slope estimate (the
+    two are THE standard nonparametric monotone-trend kit:
+    Theil–Sen says how steep, Mann–Kendall says whether it's real):
+    S = Σ_{{i<j}} sign(y_j − y_i), continuity-corrected z with the
+    exact tie-corrected variance (n(n−1)(2n+5) − Σ c(c−1)(2c+5))/18.
+
+    Everything before the closing form is exact integers — pair
+    signs, S, the tie term — over the BOUNDED per-day table (the
+    theil_sen |days|² contract); z compares to the literal critical
+    value identically on both engines.
+
+    Scale: one corpus-sized combinable aggregation, then bounded
+    pair algebra per type."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db")),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("long").alias("mk_s"))
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_ = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    j = s.join(ties, "event_type").join(n_, "event_type")
+    nn = F.col("n").cast("double")
+    s_cc = (
+        F.when(F.col("mk_s") > 0, F.col("mk_s") - 1)
+        .when(F.col("mk_s") < 0, F.col("mk_s") + 1)
+        .otherwise(0)
+    )
+    z = s_cc / F.sqrt(
+        (nn * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+        / 18.0
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "mk_s",
+        F.round(z, 6).alias("z_r6"),
+        F.when(F.abs(z) > MK_CRIT, 1).otherwise(0).alias("trend_5pct"),
+    ).orderBy("event_type")
