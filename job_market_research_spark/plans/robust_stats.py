@@ -4268,3 +4268,102 @@ def q_agg_mann_kendall_trend(spark, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_r6"),
         F.when(F.abs(z) > MK_CRIT, 1).otherwise(0).alias("trend_5pct"),
     ).orderBy("event_type")
+
+
+#: Positivity floor: each stratum needs ≥ this share in BOTH arms.
+POSITIVITY_EPS_MICRO = 50_000  # 5% in parts-per-million
+
+
+@query(
+    "ml_positivity_check",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS treated,
+             CAST(SUM(CASE WHEN epoch_us(ts) // {_DAY_US}
+                            - (SELECT MIN(epoch_us(ts) // {_DAY_US})
+                               FROM events) < {CUPED_SPLIT_DAY}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pre_n
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    banded AS (
+      SELECT CASE WHEN pre_n < {STRATA_EDGES[0]} THEN 0
+                  WHEN pre_n < {STRATA_EDGES[1]} THEN 1
+                  WHEN pre_n < {STRATA_EDGES[2]} THEN 2
+                  ELSE 3 END AS stratum,
+             treated
+      FROM per_user
+    ),
+    cells AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(treated) AS BIGINT) AS n_t
+      FROM banded GROUP BY stratum
+    )
+    SELECT stratum, n_h, n_t, CAST(n_h - n_t AS BIGINT) AS n_c,
+           round(CAST(n_t AS DOUBLE) / n_h, 6) AS treated_share_r6,
+           CASE WHEN n_t * 1000000 >= {POSITIVITY_EPS_MICRO} * n_h
+                 AND (n_h - n_t) * 1000000 >= {POSITIVITY_EPS_MICRO} * n_h
+                THEN 1 ELSE 0 END AS positivity_ok
+    FROM cells ORDER BY stratum
+    """,
+    tags=("stats", "causal", "guardrail", "beyond"),
+)
+def q_ml_positivity_check(spark, sf_dir: str) -> DataFrame:
+    """Positivity / overlap diagnostic for the post-stratified ATE:
+    per stratum (the SAME pre-period-activity bands
+    ml_ate_poststratified weights by), the treated share and a flag
+    that BOTH arms hold at least 5% of the stratum. Stratification
+    and IPW estimators silently blow up when a stratum is (nearly)
+    all-treated or all-control — the assumption everyone forgets to
+    check; this is the check, run BEFORE trusting the ATE.
+
+    The share compare is INTEGER (n·10⁶ ≥ ε·n_h — no float
+    threshold), all counts exact from one per-user aggregation.
+
+    Scale: corpus → |users| → |strata| rows, all combinable
+    aggregations."""
+    day = (F.unix_micros("ts") / _DAY_US).cast("long")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day0 = ev.agg(F.min(day).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(day0))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("user_id") % 2).cast("int")).alias("treated"),
+            F.sum(
+                F.when(day - F.col("d0") < CUPED_SPLIT_DAY, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pre_n"),
+        )
+    )
+    banded = per_user.select(
+        F.when(F.col("pre_n") < STRATA_EDGES[0], 0)
+        .when(F.col("pre_n") < STRATA_EDGES[1], 1)
+        .when(F.col("pre_n") < STRATA_EDGES[2], 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("stratum"),
+        "treated",
+    )
+    cells = banded.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("treated").cast("long").alias("n_t"),
+    )
+    ok = (
+        (F.col("n_t") * 1_000_000 >= POSITIVITY_EPS_MICRO * F.col("n_h"))
+        & (
+            (F.col("n_h") - F.col("n_t")) * 1_000_000
+            >= POSITIVITY_EPS_MICRO * F.col("n_h")
+        )
+    )
+    return cells.select(
+        "stratum",
+        "n_h",
+        "n_t",
+        (F.col("n_h") - F.col("n_t")).cast("long").alias("n_c"),
+        F.round(F.col("n_t").cast("double") / F.col("n_h"), 6).alias(
+            "treated_share_r6"
+        ),
+        F.when(ok, 1).otherwise(0).alias("positivity_ok"),
+    ).orderBy("stratum")
