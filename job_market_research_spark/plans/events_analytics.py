@@ -1718,3 +1718,75 @@ def q_agg_markov_stationary(spark, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("st").alias("event_type"), F.round("pi", 9).alias("pi_r9")
     ).orderBy("event_type")
+
+
+#: MAU trailing window (days) for the stickiness ratio.
+MAU_DAYS = 28
+
+
+@query(
+    "window_dau_mau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    mau AS (
+      SELECT w.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days w
+      JOIN ud u ON u.day BETWEEN w.day - {MAU_DAYS - 1} AND w.day
+      GROUP BY w.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness_r6
+    FROM dau JOIN mau USING (day)
+    ORDER BY day
+    """,
+)
+def q_window_dau_mau_stickiness(spark, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-analytics engagement
+    KPI (what share of the trailing-{MAU_DAYS}-day actives showed up
+    today; ~50% is a daily habit, ~3% is a monthly chore). DAU is a
+    per-day distinct; MAU uses the membership-inversion shape from
+    agg_sliding_distinct_users (each distinct (user, day) explodes
+    into the ≤{MAU_DAYS} window-days it supports — COUNT(DISTINCT)
+    doesn't decompose over sliding windows, re-scanning per window
+    does not scale, the inversion is linear with bounded fan-out).
+
+    Counts are exact integers; stickiness is one division rounded 6.
+
+    Scale: shuffle volume {MAU_DAYS}×|user-days|; at 100 TB swap the
+    exact distinct for the HLL sketch per window-day, same plan."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    days = ud.select(F.col("day").alias("wday")).distinct()
+    exploded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), MAU_DAYS - 1))
+        ).alias("wday"),
+    )
+    mau = (
+        exploded.join(days, "wday")
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness_r6"
+            ),
+        )
+        .orderBy("day")
+    )
