@@ -1790,3 +1790,129 @@ def q_window_dau_mau_stickiness(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first_ AS (
+      SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+    ),
+    lagged AS (
+      SELECT u.user_id, u.day, f.first_day,
+             LAG(u.day) OVER (PARTITION BY u.user_id ORDER BY u.day)
+               AS prev_day
+      FROM ud u JOIN first_ f USING (user_id)
+    ),
+    classified AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 'new'
+                  WHEN prev_day = day - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM lagged
+    ),
+    active AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM classified GROUP BY day
+    ),
+    churn AS (
+      SELECT a.day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM ud a
+      LEFT JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+      WHERE b.user_id IS NULL
+      GROUP BY a.day + 1
+    )
+    SELECT active.day, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned,
+           round(CASE WHEN COALESCE(churn.n_churned, 0) > 0
+                 THEN CAST(n_new + n_resurrected AS DOUBLE)
+                      / churn.n_churned END, 6) AS quick_ratio_r6
+    FROM active LEFT JOIN churn USING (day)
+    ORDER BY active.day
+    """,
+)
+def q_agg_growth_accounting(spark, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — every active user classified as NEW
+    (first day ever), RETAINED (also active yesterday), or
+    RESURRECTED (returning after a gap), plus yesterday's actives who
+    did NOT return counted as CHURNED into today; quick ratio =
+    (new + resurrected) / churned, the one-number 'is this product
+    filling the bucket faster than it leaks' readout (NULL when
+    nothing churned). The standard growth-team decomposition that
+    cohort retention matrices (agg_retention_cohort) are too coarse
+    for.
+
+    All classes are exact integer counts off the distinct (user, day)
+    grid: the new/retained/resurrected split uses a USER-partitioned
+    lag (no global window), churn is an anti-join against tomorrow.
+
+    Scale: one distinct on (user, day), one user-keyed window, one
+    self-anti-join on (user, day+1) — all hash-partitioned on user or
+    (user, day); report is |days| rows."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    first_ = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    lagged = ud.join(first_, "user_id").select(
+        "day",
+        "first_day",
+        F.lag("day")
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .alias("prev_day"),
+    )
+    classified = lagged.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    active = classified.groupBy("day").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    tomorrow = ud.select(
+        "user_id", F.date_sub("day", 1).alias("day")
+    )
+    churn = (
+        ud.join(tomorrow, ["user_id", "day"], "left_anti")
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "day", "left")
+        .select(
+            "day",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+            F.round(
+                F.when(
+                    F.coalesce("n_churned", F.lit(0)) > 0,
+                    (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                    / F.col("n_churned"),
+                ),
+                6,
+            ).alias("quick_ratio_r6"),
+        )
+        .orderBy("day")
+    )
