@@ -400,3 +400,94 @@ def q_fn_payload_prepare(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_luhn_check",
+    oracle="""
+    WITH nums AS (
+      SELECT user_id,
+             lpad(CAST(user_id * 48271 % 100000000 AS VARCHAR), 8, '0')
+               || lpad(CAST(user_id * 69621 % 100000000 AS VARCHAR), 8, '0')
+               AS pan
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    digits AS (
+      SELECT user_id, pan,
+             CAST(substr(reverse(pan), i, 1) AS BIGINT) AS d,
+             i
+      FROM nums, unnest(generate_series(1, 16)) AS t(i)
+    ),
+    summed AS (
+      SELECT user_id, pan,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+                 ELSE d END) AS BIGINT) AS s
+      FROM digits GROUP BY user_id, pan
+    )
+    SELECT user_id, pan, s AS luhn_sum,
+           CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid
+    FROM summed ORDER BY user_id LIMIT 40
+    """,
+    tags=("functions", "pii", "beyond"),
+)
+def q_fn_luhn_check(spark, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation as a pure relational expression — the
+    checksum that separates ACTUAL card numbers from random 16-digit
+    strings, i.e. the precision filter a PII scanner (text_pii_redact)
+    runs on its card-shaped regex hits so dashboards aren't flooded
+    with false positives (only ~10% of random digit strings pass
+    Luhn). Synthesized deterministic PANs per user; digits explode
+    from the REVERSED string (Luhn doubles every second digit from
+    the RIGHT — doubling from the left is the classic bug, caught
+    here by any odd-position PAN), double-and-subtract-9 per even
+    position, integer sum mod 10.
+
+    All integer arithmetic end-to-end; capped 40-row report.
+
+    Scale: map-side digit explode (16× fan-out inside the row's
+    projection), one combinable aggregation keyed by user."""
+    nums = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lpad((F.col("user_id") * 48271 % 100000000).cast("string"), 8, "0"),
+                F.lpad((F.col("user_id") * 69621 % 100000000).cast("string"), 8, "0"),
+            ).alias("pan"),
+        )
+    )
+    digits = nums.select(
+        "user_id",
+        "pan",
+        F.posexplode(F.split(F.reverse("pan"), "(?!$)")).alias("pos", "ch"),
+    ).select(
+        "user_id",
+        "pan",
+        (F.col("pos") + 1).alias("i"),
+        F.col("ch").cast("long").alias("d"),
+    )
+    summed = digits.groupBy("user_id", "pan").agg(
+        F.sum(
+            F.when(
+                F.col("i") % 2 == 0,
+                F.when(2 * F.col("d") > 9, 2 * F.col("d") - 9).otherwise(
+                    2 * F.col("d")
+                ),
+            ).otherwise(F.col("d"))
+        )
+        .cast("long")
+        .alias("s")
+    )
+    return (
+        summed.select(
+            "user_id",
+            "pan",
+            F.col("s").alias("luhn_sum"),
+            F.when(F.col("s") % 10 == 0, 1).otherwise(0).alias("luhn_valid"),
+        )
+        .orderBy("user_id")
+        .limit(40)
+    )
