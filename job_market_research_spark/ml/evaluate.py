@@ -2164,3 +2164,129 @@ def q_ml_eval_mcnemar(spark, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("significant_5pct"),
     )
+
+
+#: Asymmetric decision costs: a missed positive is 5x a false alarm.
+COST_FP = 1
+COST_FN = 5
+
+
+@query(
+    "ml_threshold_cost_min",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(-0.25
+               + 1.8 * (CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in')))
+                       AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')))
+               + 0.05 * (CAST(len(text) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')))
+               + 0.001 * len(list_filter(string_split(text, ' '),
+                             x -> x <> '')), 6) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    grid AS (
+      SELECT k, lo + k * (hi - lo) / {F1_GRID + 1} AS theta
+      FROM bounds, unnest(generate_series(1, {F1_GRID})) AS t(k)
+    ),
+    sweep AS (
+      SELECT g.k, g.theta,
+             CAST(SUM(CASE WHEN s.s >= g.theta AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.s >= g.theta AND s.y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s.s < g.theta AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s CROSS JOIN grid g
+      GROUP BY g.k, g.theta
+    ),
+    costed AS (
+      SELECT k, theta, tp, fp, fn,
+             CAST({COST_FP} * fp + {COST_FN} * fn AS BIGINT) AS cost,
+             ROW_NUMBER() OVER (ORDER BY {COST_FP} * fp + {COST_FN} * fn,
+                                theta) AS rk
+      FROM sweep
+    )
+    SELECT CAST(k AS INT) AS k, round(theta, 6) AS theta_r6,
+           tp, fp, fn, cost
+    FROM costed WHERE rk = 1
+    """,
+    tags=("evaluation", "beyond"),
+)
+def q_ml_threshold_cost_min(spark, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold selection on the same quality-score
+    sweep as ml_threshold_tune_f1, but minimizing EXPECTED COST with
+    asymmetric literal costs (a missed positive = {COST_FN}× a false
+    alarm) — the decision rule production filters actually ship,
+    because F1's implicit 1:1 cost trade is almost never the business
+    trade (letting spam into a 100 TB corpus costs retraining;
+    over-filtering costs tokens). Returns the argmin grid row
+    (cost ties break toward the lower threshold — favor recall).
+
+    Counts are exact integers, the cost is integer arithmetic, and
+    the argmin rank runs over the {F1_GRID}-row sweep (bounded,
+    allowlisted).
+
+    Scale: one conditional-agg pass over scored docs × the broadcast
+    grid, then constant-size selection."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("long")
+    s = F.round(
+        F.lit(-0.25)
+        + F.lit(1.8) * (n_stop.cast("double") / n_tokens)
+        + F.lit(0.05)
+        * (F.length("text").cast("long").cast("double") / n_tokens)
+        + F.lit(0.001) * n_tokens,
+        6,
+    )
+    scored = docs.select(
+        s.alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(F1_GRID))).alias("k"),
+        "lo",
+        "hi",
+    ).select(
+        "k",
+        (F.col("lo") + F.col("k") * (F.col("hi") - F.col("lo")) / (F1_GRID + 1))
+        .alias("theta"),
+    )
+    sweep = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("k", "theta")
+        .agg(
+            F.sum(F.when((F.col("s") >= F.col("theta")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when((F.col("s") >= F.col("theta")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((F.col("s") < F.col("theta")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    costed = sweep.withColumn(
+        "cost", (COST_FP * F.col("fp") + COST_FN * F.col("fn")).cast("long")
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("cost", "theta")),
+    )
+    return costed.filter(F.col("rk") == 1).select(
+        F.col("k").cast("int").alias("k"),
+        F.round("theta", 6).alias("theta_r6"),
+        "tp",
+        "fp",
+        "fn",
+        "cost",
+    )

@@ -109,6 +109,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "stat_runs_test": "|days| rows after per-day agg",
     # the AUC cumulative runs on the ADV_BANDS band table
     "monitor_adversarial_auc": "ADV_BANDS rows after band agg",
+    # the argmin rank runs over the F1_GRID-row threshold sweep
+    "ml_threshold_cost_min": "F1_GRID rows after sweep agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
