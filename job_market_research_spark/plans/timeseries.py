@@ -1855,3 +1855,67 @@ def q_ml_chow_test(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("chow_f_r6"),
     )
+
+
+@query(
+    "window_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(o_totalprice) AS DECIMAL(28,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.y AS year, cur.m AS month,
+           CAST(cur.rev AS DOUBLE) / 1 AS revenue,
+           round(CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) - 1, 6)
+             AS yoy_growth_r6
+    FROM monthly cur
+    JOIN monthly prev ON prev.y = cur.y - 1 AND prev.m = cur.m
+    ORDER BY year, month
+    """,
+)
+def q_window_yoy_growth(spark, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth at month grain — the seasonality-
+    immune growth convention (each month compares against the SAME
+    month last year, so the December spike never reads as growth),
+    complementing agg_monthly_growth's MoM view. Expressed as an
+    equi-join of the monthly aggregate with itself shifted one year —
+    no window at all, and the join runs on the bounded |months| table.
+
+    Revenue is an exact DECIMAL sum; surfacing it as DOUBLE and the
+    growth ratio as one fixed-shape division keeps both engines
+    bit-identical (ratios are O(1); the raw revenue column is emitted
+    unrounded — the decimal→double conversion is exact-value
+    deterministic, unlike a round-6 at 1e12 magnitude).
+
+    Scale: one combinable corpus aggregation; constant-size join."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(F.sum("o_totalprice").cast("decimal(28,2)").alias("rev"))
+    )
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    return (
+        cur.join(
+            F.broadcast(prev),
+            (F.col("prev.y") == F.col("cur.y") - 1)
+            & (F.col("prev.m") == F.col("cur.m")),
+        )
+        .select(
+            F.col("cur.y").alias("year"),
+            F.col("cur.m").alias("month"),
+            (F.col("cur.rev").cast("double") / 1).alias("revenue"),
+            F.round(
+                F.col("cur.rev").cast("double")
+                / F.col("prev.rev").cast("double")
+                - 1,
+                6,
+            ).alias("yoy_growth_r6"),
+        )
+        .orderBy("year", "month")
+    )
