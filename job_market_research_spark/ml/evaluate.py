@@ -2290,3 +2290,82 @@ def q_ml_threshold_cost_min(spark, sf_dir: str) -> DataFrame:
         "fn",
         "cost",
     )
+
+
+@query(
+    "ml_bandit_ucb1",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM arms)
+    SELECT arm, n, wins,
+           round(CAST(wins AS DOUBLE) / n, 6) AS mean_r6,
+           round(CAST(wins AS DOUBLE) / n
+                 + sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / n), 6) AS ucb1_r6,
+           CASE WHEN ROW_NUMBER() OVER (
+                  ORDER BY round(CAST(wins AS DOUBLE) / n
+                    + sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / n), 6) DESC,
+                  arm) = 1
+                THEN 1 ELSE 0 END AS chosen
+    FROM arms CROSS JOIN tot ORDER BY arm
+    """,
+    tags=("ml", "bandit", "beyond"),
+)
+def q_ml_bandit_ucb1(spark, sf_dir: str) -> DataFrame:
+    """UCB1 bandit state from logged exposures: per arm (event type)
+    the empirical high-value rate plus the exploration bonus
+    √(2·ln N / n), and the deterministic argmax choice — the batch
+    'which variant does the policy pull next' computation an
+    experimentation platform materializes between serving windows
+    (Thompson needs a random draw; UCB1 is the deterministic member
+    of the family, which is also what makes it cross-engine
+    replayable). Arms with few pulls win through the bonus even at
+    lower means — the whole point.
+
+    Counts are exact integers; mean and bonus are fixed-shape doubles
+    rounded 6 BEFORE the argmax rank, so tie-breaks (bonus ties on
+    the rounded value) resolve identically by arm name.
+
+    Scale: one combinable corpus aggregation to |arms| rows; the
+    rank runs on that bounded table (allowlisted)."""
+    arms = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("value") > 75, 1).otherwise(0))
+            .cast("long")
+            .alias("wins"),
+        )
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("nt"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        "wins",
+        F.round(F.col("wins").cast("double") / F.col("n"), 6).alias("mean_r6"),
+        F.round(
+            F.col("wins").cast("double") / F.col("n")
+            + F.sqrt(2.0 * F.log(F.col("nt").cast("double")) / F.col("n")),
+            6,
+        ).alias("ucb1_r6"),
+    )
+    return scored.select(
+        "arm",
+        "n",
+        "wins",
+        "mean_r6",
+        "ucb1_r6",
+        F.when(
+            F.row_number().over(Window.orderBy(F.desc("ucb1_r6"), "arm")) == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("chosen"),
+    ).orderBy("arm")

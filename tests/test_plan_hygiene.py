@@ -111,6 +111,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "monitor_adversarial_auc": "ADV_BANDS rows after band agg",
     # the argmin rank runs over the F1_GRID-row threshold sweep
     "ml_threshold_cost_min": "F1_GRID rows after sweep agg",
+    # the argmax rank runs over the |arms| table
+    "ml_bandit_ucb1": "|arms| rows after per-arm agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
