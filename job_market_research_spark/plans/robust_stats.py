@@ -4367,3 +4367,133 @@ def q_ml_positivity_check(spark, sf_dir: str) -> DataFrame:
         ),
         F.when(ok, 1).otherwise(0).alias("positivity_ok"),
     ).orderBy("stratum")
+
+
+@query(
+    "agg_mix_shift_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS period,
+             c_mktsegment AS seg,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT period, seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT period, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY 1
+    ),
+    wide AS (
+      SELECT c.seg,
+             MAX(CASE WHEN c.period = 0 THEN CAST(c.n AS DOUBLE) / t.nt END)
+               AS w0,
+             MAX(CASE WHEN c.period = 1 THEN CAST(c.n AS DOUBLE) / t.nt END)
+               AS w1,
+             MAX(CASE WHEN c.period = 0 THEN CAST(c.s AS DOUBLE) / c.n END)
+               AS r0,
+             MAX(CASE WHEN c.period = 1 THEN CAST(c.s AS DOUBLE) / c.n END)
+               AS r1
+      FROM cells c JOIN tot t USING (period)
+      GROUP BY c.seg
+    ),
+    terms AS (
+      SELECT seg,
+             CAST(round(COALESCE(w0, 0)
+                        * (COALESCE(r1, 0) - COALESCE(r0, 0)), 9)
+                  AS DECIMAL(28,9)) AS within_t,
+             CAST(round((COALESCE(w1, 0) - COALESCE(w0, 0))
+                        * COALESCE(r1, 0), 9)
+                  AS DECIMAL(28,9)) AS mix_t
+      FROM wide
+    )
+    SELECT CAST((SELECT COUNT(*) FROM wide) AS BIGINT) AS n_segments,
+           round(CAST(SUM(within_t) AS DOUBLE), 6) AS within_effect_r6,
+           round(CAST(SUM(mix_t) AS DOUBLE), 6) AS mix_effect_r6,
+           round(CAST(SUM(within_t) AS DOUBLE)
+                 + CAST(SUM(mix_t) AS DOUBLE), 6) AS total_delta_r6
+    FROM terms
+    """,
+    tags=("stats", "guardrail", "beyond"),
+)
+def q_agg_mix_shift_decomposition(spark, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of a rate change between two snapshots
+    (custkey-parity halves; rate = share of high-balance customers,
+    segments = market segment): Δrate = Σ w₀·Δr (the WITHIN effect —
+    segments actually changed) + Σ Δw·r₁ (the MIX effect — the
+    population re-weighted toward different segments). The follow-up
+    question to agg_simpson_paradox_detector: once you know the
+    pooled number is compositional, this says HOW MUCH of the move is
+    mix. The identity Δ = within + mix is exact under this (Laspeyres
+    weights / current rates) convention, stated in the docstring
+    because the other convention splits differently.
+
+    All shares and rates are exact count ratios; per-segment terms
+    are fixed-shape doubles rounded 9 then DECIMAL-summed over the
+    |segments| table, with one closing round-6 each.
+
+    Scale: one combinable aggregation to |period|×|segments| cells;
+    constant-size algebra after."""
+    base = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 2).alias("period"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("y"),
+    )
+    cells = base.groupBy("period", "seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    tot = cells.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    wide = (
+        cells.join(tot, "period")
+        .groupBy("seg")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == 0,
+                    F.col("n").cast("double") / F.col("nt"),
+                )
+            ).alias("w0"),
+            F.max(
+                F.when(
+                    F.col("period") == 1,
+                    F.col("n").cast("double") / F.col("nt"),
+                )
+            ).alias("w1"),
+            F.max(
+                F.when(
+                    F.col("period") == 0,
+                    F.col("s").cast("double") / F.col("n"),
+                )
+            ).alias("r0"),
+            F.max(
+                F.when(
+                    F.col("period") == 1,
+                    F.col("s").cast("double") / F.col("n"),
+                )
+            ).alias("r1"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))
+    terms = wide.select(
+        F.round(z("w0") * (z("r1") - z("r0")), 9)
+        .cast("decimal(28,9)")
+        .alias("within_t"),
+        F.round((z("w1") - z("w0")) * z("r1"), 9)
+        .cast("decimal(28,9)")
+        .alias("mix_t"),
+    )
+    nseg = wide.agg(F.count("*").cast("long").alias("n_segments"))
+    s = terms.agg(
+        F.sum("within_t").cast("double").alias("w"),
+        F.sum("mix_t").cast("double").alias("m"),
+    )
+    return nseg.crossJoin(F.broadcast(s)).select(
+        "n_segments",
+        F.round(F.col("w"), 6).alias("within_effect_r6"),
+        F.round(F.col("m"), 6).alias("mix_effect_r6"),
+        F.round(F.col("w") + F.col("m"), 6).alias("total_delta_r6"),
+    )
