@@ -1919,3 +1919,152 @@ def q_window_yoy_growth(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+#: KPSS Bartlett bandwidth and the 5% level-stationarity critical
+#: value (Kwiatkowski et al. 1992, Table 1).
+KPSS_Q = 7
+KPSS_CRIT = 0.463
+
+
+@query(
+    "window_kpss_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM daily
+    ),
+    e AS (
+      SELECT d.d, CAST(st.n * d.y - st.s AS DECIMAL(19,0)) AS e, st.n
+      FROM daily d CROSS JOIN st
+    ),
+    cum AS (
+      SELECT d, e, n,
+             CAST(SUM(e) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,0)) AS sp
+      FROM e
+    ),
+    num AS (
+      SELECT CAST(SUM(CAST(sp AS DECIMAL(19,0)) * CAST(sp AS DECIMAL(19,0)))
+                  AS DOUBLE) AS ssq
+      FROM cum
+    ),
+    gam AS (
+      SELECT 0 AS l, CAST(SUM(e * e) AS DOUBLE) AS g FROM e
+      {" ".join(
+          f'''UNION ALL SELECT {l},
+          CAST(SUM(zz) AS DOUBLE) FROM (
+            SELECT e * LAG(e, {l}) OVER (ORDER BY d) AS zz FROM e)
+          WHERE zz IS NOT NULL'''
+          for l in range(1, 8)
+      )}
+    ),
+    den AS (
+      SELECT CAST(SUM(CASE WHEN l = 0 THEN ({KPSS_Q} + 1) * g
+                           ELSE 2 * ({KPSS_Q} + 1 - l) * g END) AS DOUBLE)
+               AS d2
+      FROM gam
+    )
+    SELECT (SELECT n FROM st) AS n_days,
+           CAST({KPSS_Q} AS BIGINT) AS bandwidth,
+           round(({KPSS_Q} + 1) * num.ssq
+                 / (CAST((SELECT n FROM st) AS DOUBLE) * den.d2), 6)
+             AS kpss_stat_r6,
+           CASE WHEN ({KPSS_Q} + 1) * num.ssq
+                 / (CAST((SELECT n FROM st) AS DOUBLE) * den.d2)
+                > {KPSS_CRIT} THEN 1 ELSE 0 END AS reject_stationary_5pct
+    FROM num CROSS JOIN den
+    """,
+)
+def q_window_kpss_test(spark, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily revenue — the
+    null-reversed partner of the whiteness panel (Ljung–Box, runs,
+    variance-ratio test DEPARTURES from noise; KPSS tests whether the
+    LEVEL itself is stable, which is what decides if the forecasting
+    stack needs differencing): η = (1/n²)Σ S_t² over the long-run
+    variance with Bartlett weights, against the published 5% critical
+    value 0.463.
+
+    The all-integer trick extends the Ljung–Box contract: with
+    e'_t = n·y_t − S (exact integer cents deviations), every partial
+    sum S'_t, its square sum, and every lag autocovariance γ'_l are
+    exact DECIMAL sums, and the Bartlett combination multiplies
+    through by (q+1) — (q+1)γ'₀ + 2Σ(q+1−l)γ'_l — so the WEIGHTS are
+    integers too. One fixed-shape double division at the end; the
+    n-powers cancel to a single factor of n.
+
+    Scale: corpus → |days| table; cumulative and lag windows on that
+    bounded table (allowlisted); the lag fan-out is a literal 7-way
+    union of 1-row aggregates."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("y"))
+    )
+    st = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        (F.col("n") * F.col("y") - F.col("s"))
+        .cast("decimal(19,0)")
+        .alias("e"),
+        "n",
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = e.select(F.sum("e").over(w).cast("decimal(28,0)").alias("sp"))
+    num = cum.agg(
+        F.sum(F.col("sp").cast("decimal(19,0)") * F.col("sp").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("ssq")
+    )
+    gam_frames = [
+        e.agg(F.sum(F.col("e") * F.col("e")).cast("double").alias("g")).select(
+            F.lit(0).alias("l"), "g"
+        )
+    ]
+    for l in range(1, KPSS_Q + 1):
+        zz = e.select(
+            (F.col("e") * F.lag("e", l).over(Window.orderBy("d"))).alias("zz")
+        ).filter(F.col("zz").isNotNull())
+        gam_frames.append(
+            zz.agg(F.sum("zz").cast("double").alias("g")).select(
+                F.lit(l).alias("l"), "g"
+            )
+        )
+    gam = gam_frames[0]
+    for f_ in gam_frames[1:]:
+        gam = gam.unionByName(f_)
+    den = gam.agg(
+        F.sum(
+            F.when(F.col("l") == 0, (KPSS_Q + 1) * F.col("g")).otherwise(
+                2 * (KPSS_Q + 1 - F.col("l")) * F.col("g")
+            )
+        )
+        .cast("double")
+        .alias("d2")
+    )
+    stat = (
+        (KPSS_Q + 1)
+        * F.col("ssq")
+        / (F.col("n").cast("double") * F.col("d2"))
+    )
+    return (
+        st.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(KPSS_Q).cast("long").alias("bandwidth"),
+            F.round(stat, 6).alias("kpss_stat_r6"),
+            F.when(stat > KPSS_CRIT, 1)
+            .otherwise(0)
+            .alias("reject_stationary_5pct"),
+        )
+    )

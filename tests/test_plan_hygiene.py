@@ -113,6 +113,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_threshold_cost_min": "F1_GRID rows after sweep agg",
     # the argmax rank runs over the |arms| table
     "ml_bandit_ucb1": "|arms| rows after per-arm agg",
+    # cumulative + lag windows run on the per-day revenue table
+    "window_kpss_test": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
