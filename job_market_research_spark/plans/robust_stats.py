@@ -4497,3 +4497,119 @@ def q_agg_mix_shift_decomposition(spark, sf_dir: str) -> DataFrame:
         F.round(F.col("m"), 6).alias("mix_effect_r6"),
         F.round(F.col("w") + F.col("m"), 6).alias("total_delta_r6"),
     )
+
+
+#: RDD cutoff on the running variable (account balance) + bandwidth.
+RDD_CUTOFF = 5000.0
+RDD_BW = 3000.0
+
+
+@query(
+    "ml_rdd_sharp",
+    oracle=f"""
+    WITH oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    pop AS (
+      SELECT CAST(c.c_acctbal - {RDD_CUTOFF} AS DECIMAL(18,2)) AS u,
+             CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS y,
+             CASE WHEN c.c_acctbal >= {RDD_CUTOFF} THEN 1 ELSE 0 END AS side
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+      WHERE abs(c.c_acctbal - {RDD_CUTOFF}) <= {RDD_BW}
+    ),
+    m AS (
+      SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(u AS DECIMAL(38,2))) AS DOUBLE) AS su,
+             CAST(SUM(CAST(u AS DECIMAL(19,2)) * CAST(u AS DECIMAL(19,2)))
+                  AS DOUBLE) AS suu,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(u AS DECIMAL(19,2)) * y) AS DOUBLE) AS suy
+      FROM pop GROUP BY side
+    ),
+    fits AS (
+      SELECT side, n,
+             (sy * suu - su * suy)
+             / (CAST(n AS DOUBLE) * suu - su * su) AS a,
+             (CAST(n AS DOUBLE) * suy - su * sy)
+             / (CAST(n AS DOUBLE) * suu - su * su) AS b
+      FROM m
+    )
+    SELECT (SELECT n FROM fits WHERE side = 0) AS n_left,
+           (SELECT n FROM fits WHERE side = 1) AS n_right,
+           round((SELECT a FROM fits WHERE side = 0), 6)
+             AS intercept_left_r6,
+           round((SELECT a FROM fits WHERE side = 1), 6)
+             AS intercept_right_r6,
+           round((SELECT a FROM fits WHERE side = 1)
+                 - (SELECT a FROM fits WHERE side = 0), 6) AS rdd_jump_r6
+    """,
+    tags=("stats", "causal", "beyond"),
+)
+def q_ml_rdd_sharp(spark, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate: does crossing the
+    {RDD_CUTOFF} account-balance threshold shift order volume? Local
+    LINEAR fits on each side of the cutoff within a ±{RDD_BW}
+    bandwidth (uniform kernel, stated), both extrapolated TO the
+    cutoff; the causal jump is the difference of intercepts. The
+    design experimentation teams reach for when treatment is assigned
+    by a threshold rule and randomization is impossible — completing
+    the causal kit (diff-in-diff, CUPED, post-stratified ATE, IV,
+    positivity) with the discontinuity member.
+
+    Each side's fit is the closed-form OLS from exact DECIMAL moments
+    (centered running variable u = x − c, integer outcome), so both
+    intercepts and the jump are fixed-shape double expressions,
+    round-6.
+
+    Scale: one broadcast-ready per-customer order count join, one
+    bandwidth filter pushed to the scan, one 2-row moment
+    aggregation. No window."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    pop = (
+        load(spark, sf_dir, "customer")
+        .filter(F.abs(F.col("c_acctbal") - RDD_CUTOFF) <= RDD_BW)
+        .join(oc, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            (F.col("c_acctbal") - RDD_CUTOFF)
+            .cast("decimal(18,2)")
+            .alias("u"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("y"),
+            F.when(F.col("c_acctbal") >= RDD_CUTOFF, 1)
+            .otherwise(0)
+            .alias("side"),
+        )
+    )
+    m = pop.groupBy("side").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,2)")).cast("double").alias("su"),
+        F.sum(F.col("u").cast("decimal(19,2)") * F.col("u").cast("decimal(19,2)"))
+        .cast("double")
+        .alias("suu"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("u").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("suy"),
+    )
+    n = F.col("n").cast("double")
+    a = (F.col("sy") * F.col("suu") - F.col("su") * F.col("suy")) / (
+        n * F.col("suu") - F.col("su") * F.col("su")
+    )
+    fits = m.select("side", "n", a.alias("a"))
+    left = fits.filter(F.col("side") == 0).select(
+        F.col("n").alias("n_left"), F.col("a").alias("a_l")
+    )
+    right = fits.filter(F.col("side") == 1).select(
+        F.col("n").alias("n_right"), F.col("a").alias("a_r")
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        F.round(F.col("a_l"), 6).alias("intercept_left_r6"),
+        F.round(F.col("a_r"), 6).alias("intercept_right_r6"),
+        F.round(F.col("a_r") - F.col("a_l"), 6).alias("rdd_jump_r6"),
+    )
