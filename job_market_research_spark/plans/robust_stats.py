@@ -4613,3 +4613,126 @@ def q_ml_rdd_sharp(spark, sf_dir: str) -> DataFrame:
         F.round(F.col("a_r"), 6).alias("intercept_right_r6"),
         F.round(F.col("a_r") - F.col("a_l"), 6).alias("rdd_jump_r6"),
     )
+
+
+@query(
+    "agg_price_index_fisher",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey AS pk,
+             CASE WHEN EXTRACT(year FROM o.o_orderdate) < 1995
+                  THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4)))
+                  AS DECIMAL(28,4)) AS spend
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.pk,
+             CAST(a.spend AS DOUBLE) / a.q AS p0,
+             CAST(b.spend AS DOUBLE) / b.q AS p1,
+             a.q AS q0, b.q AS q1
+      FROM li a JOIN li b ON a.pk = b.pk
+      WHERE a.period = 0 AND b.period = 1
+    ),
+    terms AS (
+      SELECT CAST(round(p1 * q0, 6) AS DECIMAL(28,6)) AS l_num,
+             CAST(round(p0 * q0, 6) AS DECIMAL(28,6)) AS l_den,
+             CAST(round(p1 * q1, 6) AS DECIMAL(28,6)) AS p_num,
+             CAST(round(p0 * q1, 6) AS DECIMAL(28,6)) AS p_den
+      FROM paired
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM paired) AS BIGINT) AS n_parts,
+             CAST(SUM(l_num) AS DOUBLE) AS ln_, CAST(SUM(l_den) AS DOUBLE)
+               AS ld_,
+             CAST(SUM(p_num) AS DOUBLE) AS pn_, CAST(SUM(p_den) AS DOUBLE)
+               AS pd_
+      FROM terms
+    )
+    SELECT n_parts,
+           round(ln_ / ld_, 6) AS laspeyres_r6,
+           round(pn_ / pd_, 6) AS paasche_r6,
+           round(sqrt((ln_ / ld_) * (pn_ / pd_)), 6) AS fisher_r6
+    FROM s
+    """,
+    tags=("stats", "econ", "beyond"),
+)
+def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
+    """Price-index panel between the pre-1995 and 1995+ order halves
+    over parts sold in BOTH periods: Laspeyres (base-period basket —
+    overstates inflation when buyers substitute), Paasche (current
+    basket — understates it), and Fisher's ideal index (their
+    geometric mean, the one national statistics agencies publish).
+    The composition-honest way to answer 'did prices move or did the
+    mix move' for a catalog — the price-side complement to
+    agg_mix_shift_decomposition's rate-side split.
+
+    Per-part unit prices are spend/quantity ratios of exact DECIMAL
+    and integer sums; each basket term p·q is a fixed-shape double
+    rounded 6 then DECIMAL-summed across parts (order-free); three
+    closing divisions and one sqrt.
+
+    Scale: one fact-to-orders join (both corpus-sized, equi-join on
+    the order key), one (part, period) combinable aggregation, then a
+    part-keyed self-pair join — all hash-partitioned, no windows."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(F.year("o_orderdate") < 1995, 0).otherwise(1).alias(
+                "period"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+            .cast("decimal(28,4)")
+            .alias("spend"),
+        )
+    )
+    a = li.filter(F.col("period") == 0).select(
+        "pk",
+        (F.col("spend").cast("double") / F.col("q")).alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    b = li.filter(F.col("period") == 1).select(
+        F.col("pk").alias("pk_b"),
+        (F.col("spend").cast("double") / F.col("q")).alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    paired = a.join(b, F.col("pk") == F.col("pk_b"))
+    terms = paired.select(
+        F.round(F.col("p1") * F.col("q0"), 6)
+        .cast("decimal(28,6)")
+        .alias("l_num"),
+        F.round(F.col("p0") * F.col("q0"), 6)
+        .cast("decimal(28,6)")
+        .alias("l_den"),
+        F.round(F.col("p1") * F.col("q1"), 6)
+        .cast("decimal(28,6)")
+        .alias("p_num"),
+        F.round(F.col("p0") * F.col("q1"), 6)
+        .cast("decimal(28,6)")
+        .alias("p_den"),
+    )
+    npar = paired.agg(F.count("*").cast("long").alias("n_parts"))
+    s = terms.agg(
+        F.sum("l_num").cast("double").alias("ln_"),
+        F.sum("l_den").cast("double").alias("ld_"),
+        F.sum("p_num").cast("double").alias("pn_"),
+        F.sum("p_den").cast("double").alias("pd_"),
+    )
+    lasp = F.col("ln_") / F.col("ld_")
+    paas = F.col("pn_") / F.col("pd_")
+    return npar.crossJoin(F.broadcast(s)).select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres_r6"),
+        F.round(paas, 6).alias("paasche_r6"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher_r6"),
+    )
