@@ -115,6 +115,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_bandit_ucb1": "|arms| rows after per-arm agg",
     # cumulative + lag windows run on the per-day revenue table
     "window_kpss_test": "|days| rows after per-day agg",
+    # the CDF cumulative runs on the EMD_BINS bin table
+    "monitor_emd_wasserstein": "EMD_BINS rows after bin agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
