@@ -4736,3 +4736,88 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche_r6"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher_r6"),
     )
+
+
+#: Two-sided 5% normal critical value (shared literal convention).
+CA_CRIT = 1.959964
+
+
+@query(
+    "agg_cochran_armitage_trend",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(x) AS BIGINT) AS xt,
+             CAST(SUM(s * n) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n) AS BIGINT) AS ssn,
+             CAST(SUM(s * x) AS BIGINT) AS sx
+      FROM g
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_levels,
+           nt AS n, xt AS n_pos,
+           round((sx - CAST(sn AS DOUBLE) * xt / nt)
+                 / sqrt((CAST(xt AS DOUBLE) / nt)
+                        * (1 - CAST(xt AS DOUBLE) / nt)
+                        * (ssn - CAST(sn AS DOUBLE) * sn / nt)), 6) AS z_r6,
+           CASE WHEN abs((sx - CAST(sn AS DOUBLE) * xt / nt)
+                 / sqrt((CAST(xt AS DOUBLE) / nt)
+                        * (1 - CAST(xt AS DOUBLE) / nt)
+                        * (ssn - CAST(sn AS DOUBLE) * sn / nt)))
+                > {CA_CRIT} THEN 1 ELSE 0 END AS trend_5pct
+    FROM m
+    """,
+    tags=("stats", "trend", "beyond"),
+)
+def q_agg_cochran_armitage_trend(spark, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for trend in proportions across ORDERED
+    categories — is the high-value-order rate monotonically related
+    to the priority level (scores 1..5 from the priority prefix)?
+    The right test when the x-axis is ordinal: a plain chi-square
+    (agg_cramers_v) ignores the ordering and wastes its power across
+    all departures; CA spends it all on the monotone alternative:
+    T = Σ s·x − x̄·Σ s·n, Var = p̄(1−p̄)(Σ s²n − (Σ sn)²/N).
+
+    Every moment is an exact integer from ONE combinable corpus
+    aggregation over ≤5 category rows; z is a fixed-shape double
+    against the literal critical value.
+
+    Scale: one aggregation to |levels| rows; constant-size algebra."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n_levels"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("x").cast("long").alias("xt"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("ssn"),
+        F.sum(F.col("s") * F.col("x")).cast("long").alias("sx"),
+    )
+    nt = F.col("nt").cast("double")
+    p = F.col("xt").cast("double") / nt
+    t = F.col("sx") - F.col("sn").cast("double") * F.col("xt") / nt
+    var = p * (1 - p) * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / nt)
+    z = t / F.sqrt(var)
+    return m.select(
+        "n_levels",
+        F.col("nt").alias("n"),
+        F.col("xt").alias("n_pos"),
+        F.round(z, 6).alias("z_r6"),
+        F.when(F.abs(z) > CA_CRIT, 1).otherwise(0).alias("trend_5pct"),
+    )
