@@ -2068,3 +2068,118 @@ def q_window_kpss_test(spark, sf_dir: str) -> DataFrame:
             .alias("reject_stationary_5pct"),
         )
     )
+
+
+#: X̄-R control-chart constants for subgroup size 5 (standard SPC
+#: tables): A2 (mean-chart width), D3/D4 (range-chart limits).
+SPC_SUBGROUP = 5
+SPC_A2 = 0.577
+SPC_D3 = 0.0
+SPC_D4 = 2.114
+
+
+@query(
+    "window_control_chart",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM daily_src GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, v,
+             (ROW_NUMBER() OVER (ORDER BY d) - 1) // {SPC_SUBGROUP} AS grp
+      FROM daily
+    ),
+    sub AS (
+      SELECT grp,
+             round(CAST(SUM(v) AS DOUBLE) / {SPC_SUBGROUP}, 6) AS xbar,
+             round(CAST(MAX(v) - MIN(v) AS DOUBLE), 6) AS r
+      FROM idx
+      GROUP BY grp HAVING COUNT(*) = {SPC_SUBGROUP}
+    ),
+    lims AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+             CAST(SUM(CAST(xbar AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS grand,
+             CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS rbar
+      FROM sub
+    )
+    SELECT s.grp AS subgroup, s.xbar, s.r,
+           round(l.grand, 6) AS center_r6,
+           round(l.grand + {SPC_A2} * l.rbar, 6) AS ucl_r6,
+           round(l.grand - {SPC_A2} * l.rbar, 6) AS lcl_r6,
+           CASE WHEN s.xbar > l.grand + {SPC_A2} * l.rbar
+                  OR s.xbar < l.grand - {SPC_A2} * l.rbar
+                  OR s.r > {SPC_D4} * l.rbar
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM sub s CROSS JOIN lims l
+    ORDER BY subgroup
+    """.replace("daily_src", "orders"),
+)
+def q_window_control_chart(spark, sf_dir: str) -> DataFrame:
+    """Shewhart X̄-R control chart on daily revenue in subgroups of
+    {SPC_SUBGROUP} consecutive days — the SPC discipline behind every
+    'is this metric in control' dashboard, with the CLASSIC tabled
+    constants (A2={SPC_A2}, D4={SPC_D4} for n={SPC_SUBGROUP}) instead
+    of a fitted sigma: limits come from the average within-subgroup
+    RANGE, which is what makes the chart robust to slow drift the
+    z-score detectors absorb into their own baseline. Incomplete
+    trailing subgroups are excluded (stated).
+
+    Subgroup means/ranges are exact DECIMAL aggregates rounded 6;
+    the grand mean and R̄ are DECIMAL sums over the bounded subgroup
+    table; flags compare round-6 doubles to fixed-shape limits.
+
+    Scale: corpus → |days| table; the subgroup index is one bounded
+    row_number window (allowlisted); everything after is
+    |days|/{SPC_SUBGROUP} rows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "v",
+        F.expr(f"(row_number() OVER (ORDER BY d) - 1) div {SPC_SUBGROUP}")
+        .alias("grp"),
+    )
+    sub = (
+        idx.groupBy("grp")
+        .agg(
+            F.count("*").alias("gn"),
+            F.round(F.sum("v").cast("double") / SPC_SUBGROUP, 6).alias("xbar"),
+            F.round((F.max("v") - F.min("v")).cast("double"), 6).alias("r"),
+        )
+        .filter(F.col("gn") == SPC_SUBGROUP)
+        .drop("gn")
+    )
+    lims = sub.agg(
+        F.count("*").cast("long").alias("n_subgroups"),
+        (F.sum(F.col("xbar").cast("decimal(28,6)")).cast("double") / F.count("*"))
+        .alias("grand"),
+        (F.sum(F.col("r").cast("decimal(28,6)")).cast("double") / F.count("*"))
+        .alias("rbar"),
+    )
+    ucl = F.col("grand") + SPC_A2 * F.col("rbar")
+    lcl = F.col("grand") - SPC_A2 * F.col("rbar")
+    ooc = (
+        (F.col("xbar") > ucl)
+        | (F.col("xbar") < lcl)
+        | (F.col("r") > SPC_D4 * F.col("rbar"))
+    )
+    return (
+        sub.crossJoin(F.broadcast(lims))
+        .select(
+            F.col("grp").alias("subgroup"),
+            "xbar",
+            "r",
+            F.round(F.col("grand"), 6).alias("center_r6"),
+            F.round(ucl, 6).alias("ucl_r6"),
+            F.round(lcl, 6).alias("lcl_r6"),
+            F.when(ooc, 1).otherwise(0).alias("out_of_control"),
+        )
+        .orderBy("subgroup")
+    )

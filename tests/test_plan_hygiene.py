@@ -117,6 +117,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_kpss_test": "|days| rows after per-day agg",
     # the CDF cumulative runs on the EMD_BINS bin table
     "monitor_emd_wasserstein": "EMD_BINS rows after bin agg",
+    # the subgroup row_number runs on the per-day revenue table
+    "window_control_chart": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
