@@ -2183,3 +2183,118 @@ def q_window_control_chart(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("subgroup")
     )
+
+
+@query(
+    "window_forecast_combination",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, v,
+             LAG(v, 1) OVER (ORDER BY d) AS l1,
+             LAG(v, {SKILL_SEASON}) OVER (ORDER BY d) AS l7
+      FROM daily
+    ),
+    evald AS (SELECT * FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL),
+    mae AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(abs(v - l1) AS DECIMAL(19,2))) AS DOUBLE) AS e1,
+             CAST(SUM(CAST(abs(v - l7) AS DECIMAL(19,2))) AS DOUBLE) AS e7
+      FROM evald
+    ),
+    wts AS (
+      SELECT n, e1, e7,
+             round(e7 / (e1 + e7), 9) AS w1,
+             round(e1 / (e1 + e7), 9) AS w7
+      FROM mae
+    ),
+    comb AS (
+      SELECT w.n, w.w1, w.w7, w.e1, w.e7,
+             CAST(SUM(CAST(round(abs(CAST(ev.v AS DOUBLE)
+                       - (w.w1 * ev.l1 + w.w7 * ev.l7)), 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS ec
+      FROM evald ev CROSS JOIN wts w
+      GROUP BY w.n, w.w1, w.w7, w.e1, w.e7
+    )
+    SELECT n AS n_evals, round(w1, 6) AS w_naive_r6,
+           round(w7, 6) AS w_seasonal_r6,
+           round(ec / least(e1, e7), 6) AS combo_vs_best_r6,
+           CASE WHEN ec < least(e1, e7) THEN 1 ELSE 0 END AS combo_wins
+    FROM comb
+    """,
+)
+def q_window_forecast_combination(spark, sf_dir: str) -> DataFrame:
+    """Forecast combination on the daily revenue curve: blend the
+    naive (lag-1) and seasonal-naive (lag-{SKILL_SEASON}) predictors
+    with inverse-MAE weights and score the blend against the better
+    single model — the 'forecast combinations beat their components'
+    result (Bates–Granger 1969) that every production forecasting
+    stack exploits before reaching for a bigger model. Emits the
+    weights, the combo-to-best MAE ratio (< 1 = the blend wins), and
+    the verdict flag.
+
+    Exactness: component errors are exact DECIMAL sums; weights are
+    round-9 fixed-shape ratios; per-day combined errors are
+    fixed-shape doubles of those rounded weights, rounded 6 and
+    DECIMAL-summed (order-free); only O(1) ratios are emitted (the
+    raw MAEs are corpus-scale, the round-unsafe class).
+
+    Scale: corpus → |days| table; lag windows on that bounded table
+    (allowlisted); the weight scalars ride a broadcast crossJoin back
+    over the same bounded table."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+    )
+    w = Window.orderBy("d")
+    evald = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", SKILL_SEASON).over(w).alias("l7"),
+    ).filter(F.col("l1").isNotNull() & F.col("l7").isNotNull())
+    mae = evald.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("v") - F.col("l1")).cast("decimal(19,2)"))
+        .cast("double")
+        .alias("e1"),
+        F.sum(F.abs(F.col("v") - F.col("l7")).cast("decimal(19,2)"))
+        .cast("double")
+        .alias("e7"),
+    )
+    wts = mae.select(
+        "n",
+        "e1",
+        "e7",
+        F.round(F.col("e7") / (F.col("e1") + F.col("e7")), 9).alias("w1"),
+        F.round(F.col("e1") / (F.col("e1") + F.col("e7")), 9).alias("w7"),
+    )
+    comb = (
+        evald.crossJoin(F.broadcast(wts))
+        .groupBy("n", "w1", "w7", "e1", "e7")
+        .agg(
+            F.sum(
+                F.round(
+                    F.abs(
+                        F.col("v").cast("double")
+                        - (F.col("w1") * F.col("l1") + F.col("w7") * F.col("l7"))
+                    ),
+                    6,
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("ec")
+        )
+    )
+    best = F.least("e1", "e7")
+    return comb.select(
+        F.col("n").alias("n_evals"),
+        F.round(F.col("w1"), 6).alias("w_naive_r6"),
+        F.round(F.col("w7"), 6).alias("w_seasonal_r6"),
+        F.round(F.col("ec") / best, 6).alias("combo_vs_best_r6"),
+        F.when(F.col("ec") < best, 1).otherwise(0).alias("combo_wins"),
+    )

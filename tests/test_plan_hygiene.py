@@ -119,6 +119,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "monitor_emd_wasserstein": "EMD_BINS rows after bin agg",
     # the subgroup row_number runs on the per-day revenue table
     "window_control_chart": "|days| rows after per-day agg",
+    # lag windows run on the per-day revenue table
+    "window_forecast_combination": "|days| rows after per-day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
