@@ -2369,3 +2369,89 @@ def q_ml_bandit_ucb1(spark, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("chosen"),
     ).orderBy("arm")
+
+
+@query(
+    "ml_eval_slice_accuracy",
+    oracle=f"""
+    WITH c AS ({_MARKER_SQL}),
+    p AS ({_PRED_SQL}),
+    lab AS (
+      SELECT d.source,
+             CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END AS ok
+      FROM documents d JOIN p USING (doc_id)
+    ),
+    sl AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS n_ok
+      FROM lab GROUP BY source
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(n_ok) AS BIGINT) AS sg
+      FROM sl
+    )
+    SELECT sl.source, sl.n, sl.n_ok,
+           round(CAST(sl.n_ok AS DOUBLE) / sl.n, 6) AS acc_r6,
+           round(CAST(sl.n_ok AS DOUBLE) / sl.n
+                 - CAST(g.sg AS DOUBLE) / g.ng, 6) AS gap_vs_overall_r6,
+           CASE WHEN ROW_NUMBER() OVER (
+                  ORDER BY round(CAST(sl.n_ok AS DOUBLE) / sl.n, 6),
+                           sl.source) = 1
+                THEN 1 ELSE 0 END AS worst_slice
+    FROM sl CROSS JOIN g ORDER BY source
+    """,
+)
+def q_ml_eval_slice_accuracy(spark, sf_dir: str) -> DataFrame:
+    """Slice-based evaluation of the lang-id heuristic: accuracy per
+    SOURCE slice with each slice's gap against the pooled accuracy
+    and a deterministic worst-slice marker — the MLOps discipline
+    that catches 'the model is 95% overall and 60% on the slice that
+    matters' before deployment (aggregate metrics hide exactly the
+    failure modes slicing reveals; worst-group accuracy is also the
+    quantity group-DRO training targets).
+
+    Counts are exact integers from one corpus aggregation; accuracies
+    and gaps are fixed-shape count ratios rounded 6, and the
+    worst-slice rank runs on the bounded |sources| table with a
+    round-6-then-name tie-break identical on both engines.
+
+    Scale: map-side rater, one combinable (source) aggregation,
+    constant-size algebra."""
+    docs = load(spark, sf_dir, "documents")
+    pred = _lang_pred(spark, sf_dir).select("doc_id", "pred")
+    lab = docs.select("doc_id", "lang", "source").join(pred, "doc_id").select(
+        "source",
+        F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+    )
+    sl = lab.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("n_ok"),
+    )
+    g = sl.agg(
+        F.sum("n").cast("long").alias("ng"),
+        F.sum("n_ok").cast("long").alias("sg"),
+    )
+    acc = F.round(F.col("n_ok").cast("double") / F.col("n"), 6)
+    scored = sl.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        "n_ok",
+        acc.alias("acc_r6"),
+        F.round(
+            F.col("n_ok").cast("double") / F.col("n")
+            - F.col("sg").cast("double") / F.col("ng"),
+            6,
+        ).alias("gap_vs_overall_r6"),
+    )
+    return scored.select(
+        "source",
+        "n",
+        "n_ok",
+        "acc_r6",
+        "gap_vs_overall_r6",
+        F.when(
+            F.row_number().over(Window.orderBy("acc_r6", "source")) == 1, 1
+        )
+        .otherwise(0)
+        .alias("worst_slice"),
+    ).orderBy("source")

@@ -121,6 +121,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_control_chart": "|days| rows after per-day agg",
     # lag windows run on the per-day revenue table
     "window_forecast_combination": "|days| rows after per-day agg",
+    # the worst-slice rank runs on the |sources| table
+    "ml_eval_slice_accuracy": "|sources| rows after slice agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
