@@ -1726,3 +1726,134 @@ def q_agg_good_turing_unseen(spark, sf_dir: str) -> DataFrame:
         F.round(n1 / F.col("n_tokens"), 6).alias("p_unseen_gt_r6"),
         F.round(chao1, 6).alias("chao1_richness_r6"),
     ).orderBy("lang")
+
+
+#: BM25F-lite: first TITLE_LEN tokens form the "title" field, which
+#: counts W_TITLE times in the weighted term frequency.
+BM25F_TITLE_LEN = 5
+BM25F_W_TITLE = 3
+BM25F_TOP_K = 15
+
+
+@query(
+    "ir_bm25f_fielded",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, t[g.i] AS token,
+             CASE WHEN g.i <= {BM25F_TITLE_LEN} THEN {BM25F_W_TITLE}
+                  ELSE 1 END AS w
+      FROM arr, unnest(generate_series(1, len(t))) AS g(i)
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(SUM(w) AS BIGINT) AS tf
+      FROM tok WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl)) AS term_score
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(term_score AS DECIMAL(28,14))) AS DOUBLE),
+                 6) AS bm25f
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25f DESC, doc_id LIMIT {BM25F_TOP_K}
+    """,
+    tags=("ir", "beyond"),
+)
+def q_ir_bm25f_fielded(spark, sf_dir: str) -> DataFrame:
+    """BM25F-lite field-boosted ranking: the first {BM25F_TITLE_LEN}
+    tokens act as the TITLE field and count {BM25F_W_TITLE}× in the
+    weighted term frequency (and in the weighted document length —
+    the BM25F convention that keeps the saturation curve shared), so
+    a query term in the headline outranks the same term buried in the
+    body — the field weighting every real search deployment applies
+    that flat BM25 (text_bm25_topk) cannot express.
+
+    Same exactness contract as BM25: per-term scores are plain
+    deterministic double math, per-doc sums are DECIMAL (order-free),
+    round-6; positions come from ONE posexplode (no second
+    tokenization to find the title).
+
+    Scale: identical plan shape to text_bm25_topk — term-filtered
+    weighted-TF shuffle, broadcast DF and corpus scalars, TakeOrdered
+    top-k."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("pos", "token"),
+    ).select(
+        "doc_id",
+        "token",
+        F.when(F.col("pos") < BM25F_TITLE_LEN, BM25F_W_TITLE)
+        .otherwise(1)
+        .alias("w"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.sum("w").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term_score").cast("decimal(28,14)")).cast("double"),
+                6,
+            ).alias("bm25f")
+        )
+        .orderBy(F.desc("bm25f"), "doc_id")
+        .limit(BM25F_TOP_K)
+    )
