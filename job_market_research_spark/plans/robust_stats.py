@@ -4821,3 +4821,66 @@ def q_agg_cochran_armitage_trend(spark, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_r6"),
         F.when(F.abs(z) > CA_CRIT, 1).otherwise(0).alias("trend_5pct"),
     )
+
+
+#: chi-square(1) critical value at 0.01 — the Bonferroni-adjusted
+#: per-segment level for a 5-segment family at ~0.05 overall.
+SRM_SEG_CRIT = 6.634897
+
+
+@query(
+    "agg_srm_by_segment",
+    oracle=f"""
+    WITH seg AS (
+      SELECT event_type AS segment,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM events GROUP BY event_type
+    )
+    SELECT segment, n0, n1,
+           round(CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1), 6)
+             AS chi2_r6,
+           CASE WHEN CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1)
+                > {SRM_SEG_CRIT} THEN 1 ELSE 0 END AS srm_alert
+    FROM seg ORDER BY segment
+    """,
+    tags=("stats", "abtest", "guardrail", "beyond"),
+)
+def q_agg_srm_by_segment(spark, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch localized BY SEGMENT: the 50/50 arm
+    balance (user-parity arms) checked per event type with a
+    Bonferroni-adjusted literal critical value — because a global SRM
+    check (agg_srm_check) passing does NOT mean assignment is clean:
+    a logging bug that drops one arm's events on one surface shows up
+    only in that segment's ratio, and segment-level SRM is how
+    experimentation platforms actually localize it. χ² for a 50/50
+    split reduces to (n₀−n₁)²/(n₀+n₁), exact integers until one
+    division.
+
+    Scale: one combinable corpus aggregation to |segments| rows."""
+    seg = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("segment"))
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return seg.select(
+        "segment",
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2_r6"),
+        F.when(chi2 > SRM_SEG_CRIT, 1).otherwise(0).alias("srm_alert"),
+    ).orderBy("segment")
