@@ -1444,3 +1444,89 @@ def q_monitor_emd_wasserstein(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("emd_norm_r6"),
     )
+
+
+#: Declared primary keys of the warehouse tables.
+_PK_DECLS: tuple[tuple[str, str], ...] = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+@query(
+    "profile_pk_uniqueness",
+    oracle=f"""
+    WITH checks AS (
+      {" UNION ALL ".join(
+          f'''SELECT '{t}.{k}' AS pk,
+             CAST((SELECT COUNT(*) FROM {t}) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(DISTINCT {k}) FROM {t}) AS BIGINT)
+               AS n_distinct,
+             CAST((SELECT COUNT(*) FROM {t} WHERE {k} IS NULL) AS BIGINT)
+               AS n_null'''
+          for t, k in _PK_DECLS
+      )}
+    )
+    SELECT pk, n_rows, n_distinct, n_null,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
+           CASE WHEN n_rows = n_distinct AND n_null = 0 THEN 1 ELSE 0 END
+             AS unique_ok
+    FROM checks ORDER BY pk
+    """,
+    tags=("profiling", "quality", "beyond"),
+)
+def q_profile_pk_uniqueness(spark, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit over every declared key in the
+    warehouse: rows vs distinct key values plus the null-key count,
+    one report row per table — the partner check to
+    profile_ref_integrity (orphans corrupt joins; duplicate or null
+    PRIMARY keys corrupt every aggregate silently, usually from a
+    double-applied ingest batch). unique_ok = exact row/distinct
+    equality with zero nulls.
+
+    Scale: per table one combinable count + one two-phase distinct
+    (the same shape the dedup family shuffles on); the report is
+    |tables| rows. At 100 TB swap the exact distinct for HLL and
+    alert on estimate < rows·(1−ε) — the plan is otherwise
+    identical."""
+    frames = []
+    for t, k in _PK_DECLS:
+        df = load(spark, sf_dir, t).select(F.col(k).alias("k"))
+        frames.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.count_distinct("k").cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+            ).select(
+                F.lit(f"{t}.{k}").alias("pk"),
+                "n_rows",
+                "n_distinct",
+                "n_null",
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "pk",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias(
+            "n_dup_rows"
+        ),
+        F.when(
+            (F.col("n_rows") == F.col("n_distinct")) & (F.col("n_null") == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("unique_ok"),
+    ).orderBy("pk")
