@@ -1916,3 +1916,97 @@ def q_agg_growth_accounting(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_attribution_position",
+    oracle=f"""
+    WITH conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = '{ATTR_CONVERSION}'
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv USING (user_id)
+      WHERE e.event_type <> '{ATTR_CONVERSION}'
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(round(CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN rn = 1 OR rn = n THEN 0.4
+               ELSE 0.2 / (n - 2) END, 9) AS DECIMAL(28,9)) AS credit
+      FROM touches
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM conv)
+    SELECT c.channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(c.credit) AS DOUBLE) / t.n_conv, 6)
+             AS credit_share_r6
+    FROM credited c CROSS JOIN tot t
+    GROUP BY c.channel, t.n_conv ORDER BY channel
+    """,
+    tags=("attribution", "beyond"),
+)
+def q_agg_attribution_position(spark, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution: each
+    converting user's non-conversion touches are ordered by time,
+    first and last touch earn 40% of the conversion credit each, the
+    middle touches split the remaining 20% — the marketing-standard
+    compromise between first-touch and last-touch that the Shapley
+    operator (agg_shapley_attribution) generalizes but that teams
+    actually configure in practice. Reported as each channel's share
+    of total conversions.
+
+    Per-touch credits are exact-literal rationals (1, ½, 0.4) except
+    the middle split, which is round-9 then DECIMAL-summed (order-free
+    on both engines); the closing division normalizes by the exact
+    converter count.
+
+    Scale: one user-keyed window over the converting users' touch
+    lists (hash-partitioned by user — no global window), one
+    combinable channel aggregation."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == ATTR_CONVERSION)
+        .select("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(F.col("event_type") != ATTR_CONVERSION)
+        .select(
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    credited = touches.select(
+        "channel",
+        F.round(credit, 9).cast("decimal(28,9)").alias("credit"),
+    )
+    tot = conv.agg(F.count("*").cast("long").alias("n_conv"))
+    return (
+        credited.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "n_conv")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(
+                F.sum("credit").cast("double") / F.first("n_conv"), 6
+            ).alias("credit_share_r6"),
+        )
+        .select("channel", "n_touches", "credit_share_r6")
+        .orderBy("channel")
+    )
