@@ -4884,3 +4884,126 @@ def q_agg_srm_by_segment(spark, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_r6"),
         F.when(chi2 > SRM_SEG_CRIT, 1).otherwise(0).alias("srm_alert"),
     ).orderBy("segment")
+
+
+@query(
+    "agg_anova_twoway",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS q
+      FROM base GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+           FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+           FROM cells GROUP BY b),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s, SUM(q) AS q
+          FROM cells),
+    ss AS (
+      SELECT
+        (SELECT q - s * s / n FROM g) AS ss_total,
+        (SELECT SUM(s * s / n) FROM ma) - (SELECT s * s / n FROM g) AS ss_a,
+        (SELECT SUM(s * s / n) FROM mb) - (SELECT s * s / n FROM g) AS ss_b,
+        (SELECT SUM(s * s / n) FROM cells) - (SELECT s * s / n FROM g)
+          AS ss_cells,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS ka,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS kb,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS kc,
+        (SELECT n FROM g) AS n
+    )
+    SELECT n, ka AS levels_a, kb AS levels_b,
+           round((ss_a / (ka - 1))
+                 / ((ss_total - ss_cells) / (n - kc)), 6) AS f_a_r6,
+           round((ss_b / (kb - 1))
+                 / ((ss_total - ss_cells) / (n - kc)), 6) AS f_b_r6,
+           round(((ss_cells - ss_a - ss_b) / ((ka - 1) * (kb - 1)))
+                 / ((ss_total - ss_cells) / (n - kc)), 6)
+             AS f_interaction_r6,
+           round(ss_cells / ss_total, 6) AS eta2_cells_r6
+    FROM ss
+    """,
+    tags=("stats", "anova", "beyond"),
+)
+def q_agg_anova_twoway(spark, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of order value by priority × status, WITH the
+    interaction term — the question one-way ANOVA
+    (agg_anova_oneway) can't ask: does the priority effect DEPEND on
+    the order's status? F for each main effect and the interaction
+    (the unbalanced-design caveat — these are Type-I-style sums on
+    the cell decomposition — is stated), plus the cells' η² effect
+    size.
+
+    All sums of squares derive from exact integer-cents cell moments
+    (Σy, Σy² in DECIMAL) via the s²/n identity — no per-row float
+    deviations — and only O(1) F-ratios and η² are emitted (raw SS is
+    cents²-scale, the round-unsafe class).
+
+    Scale: ONE combinable corpus aggregation to |A|×|B| cells;
+    everything else is algebra on that bounded table."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("q"),
+    )
+    def _margin(key):
+        return cells.groupBy(key).agg(
+            F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")
+        )
+
+    ma, mb = _margin("a"), _margin("b")
+    g = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("q").alias("q"),
+    )
+    part = lambda df: df.agg(
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("p"),
+        F.count("*").cast("long").alias("k"),
+    )
+    pa = part(ma).select(F.col("p").alias("pa"), F.col("k").alias("ka"))
+    pb = part(mb).select(F.col("p").alias("pb"), F.col("k").alias("kb"))
+    pc = part(cells).select(F.col("p").alias("pc"), F.col("k").alias("kc"))
+    j = (
+        g.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(pc))
+    )
+    grand = F.col("s") * F.col("s") / F.col("n")
+    ss_total = F.col("q") - grand
+    ss_a = F.col("pa") - grand
+    ss_b = F.col("pb") - grand
+    ss_cells = F.col("pc") - grand
+    ss_err = ss_total - ss_cells
+    df_err = F.col("n") - F.col("kc")
+    return j.select(
+        "n",
+        F.col("ka").alias("levels_a"),
+        F.col("kb").alias("levels_b"),
+        F.round((ss_a / (F.col("ka") - 1)) / (ss_err / df_err), 6).alias(
+            "f_a_r6"
+        ),
+        F.round((ss_b / (F.col("kb") - 1)) / (ss_err / df_err), 6).alias(
+            "f_b_r6"
+        ),
+        F.round(
+            ((ss_cells - ss_a - ss_b) / ((F.col("ka") - 1) * (F.col("kb") - 1)))
+            / (ss_err / df_err),
+            6,
+        ).alias("f_interaction_r6"),
+        F.round(ss_cells / ss_total, 6).alias("eta2_cells_r6"),
+    )
