@@ -2455,3 +2455,165 @@ def q_ml_eval_slice_accuracy(spark, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("worst_slice"),
     ).orderBy("source")
+
+
+#: Two-sided 5% normal critical value (shared literal convention).
+AUC_CI_CRIT = 1.959964
+
+
+@query(
+    "ml_eval_auc_delong_ci",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(LEAST(floor(value), {AUC_MAX_BAND}) AS BIGINT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT band,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS q
+      FROM b
+    ),
+    cum AS (
+      SELECT band, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg,
+             COALESCE(SUM(pos) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cpos_above
+      FROM b
+    ),
+    placed AS (
+      SELECT pos, neg,
+             CAST(round((cneg + neg / 2.0) / t.q, 9) AS DECIMAL(18,9))
+               AS v10,
+             CAST(round((cpos_above + pos / 2.0) / t.p, 9) AS DECIMAL(18,9))
+               AS v01
+      FROM cum CROSS JOIN tot t
+    ),
+    m AS (
+      SELECT CAST(SUM(pos * CAST(v10 AS DECIMAL(19,9))) AS DOUBLE) AS s10,
+             CAST(SUM(pos * (CAST(v10 AS DECIMAL(19,9))
+                             * CAST(v10 AS DECIMAL(19,9)))) AS DOUBLE)
+               AS q10,
+             CAST(SUM(neg * CAST(v01 AS DECIMAL(19,9))) AS DOUBLE) AS s01,
+             CAST(SUM(neg * (CAST(v01 AS DECIMAL(19,9))
+                             * CAST(v01 AS DECIMAL(19,9)))) AS DOUBLE)
+               AS q01
+      FROM placed
+    )
+    SELECT t.p AS n_pos, t.q AS n_neg,
+           round(m.s10 / t.p, 6) AS auc_r6,
+           round(sqrt(
+             ((m.q10 - m.s10 * m.s10 / t.p) / (t.p - 1)) / t.p
+             + ((m.q01 - m.s01 * m.s01 / t.q) / (t.q - 1)) / t.q), 6)
+             AS se_r6,
+           round(m.s10 / t.p - {AUC_CI_CRIT} * sqrt(
+             ((m.q10 - m.s10 * m.s10 / t.p) / (t.p - 1)) / t.p
+             + ((m.q01 - m.s01 * m.s01 / t.q) / (t.q - 1)) / t.q), 6)
+             AS ci_lo_r6,
+           round(m.s10 / t.p + {AUC_CI_CRIT} * sqrt(
+             ((m.q10 - m.s10 * m.s10 / t.p) / (t.p - 1)) / t.p
+             + ((m.q01 - m.s01 * m.s01 / t.q) / (t.q - 1)) / t.q), 6)
+             AS ci_hi_r6
+    FROM m CROSS JOIN tot t
+    """,
+)
+def q_ml_eval_auc_delong_ci(spark, sf_dir: str) -> DataFrame:
+    """DeLong confidence interval for the banded ROC AUC — the error
+    bar ml_eval_auc_roc's point estimate needs before anyone compares
+    two models' AUCs: each positive's PLACEMENT (share of negatives
+    below it, ties half) and each negative's dual placement are
+    constant within a score band, so the DeLong structural variances
+    collapse to band-weighted moments of two bounded columns —
+    SE² = Var(V₁₀)/P + Var(V₀₁)/N, normal CI at the literal 1.96.
+
+    Placements are round-9 decimals; their weighted moments are exact
+    DECIMAL sums over the ≤ AUC_MAX_BAND+1 band table; SE and CI are
+    fixed-shape double closed forms. (AUC here equals mean placement
+    — the same tie-corrected value the point-estimate query reports.)
+
+    Scale: identical bounded shape to ml_eval_auc_roc — one
+    combinable band aggregation, two cumulative passes on the bounded
+    table (allowlisted), 1-row closing algebra."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.least(F.floor("value"), F.lit(AUC_MAX_BAND))
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    b = scored.groupBy("band").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = b.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("neg").cast("long").alias("q"),
+    )
+    w_up = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    w_dn = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = b.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_up), F.lit(0)).alias("cneg"),
+        F.coalesce(F.sum("pos").over(w_dn), F.lit(0)).alias("cpos_above"),
+    )
+    placed = cum.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        F.round((F.col("cneg") + F.col("neg") / 2.0) / F.col("q"), 9)
+        .cast("decimal(18,9)")
+        .alias("v10"),
+        F.round((F.col("cpos_above") + F.col("pos") / 2.0) / F.col("p"), 9)
+        .cast("decimal(18,9)")
+        .alias("v01"),
+    )
+    m = placed.agg(
+        F.sum(F.col("pos") * F.col("v10").cast("decimal(19,9)"))
+        .cast("double")
+        .alias("s10"),
+        F.sum(
+            F.col("pos")
+            * (F.col("v10").cast("decimal(19,9)") * F.col("v10").cast("decimal(19,9)"))
+        )
+        .cast("double")
+        .alias("q10"),
+        F.sum(F.col("neg") * F.col("v01").cast("decimal(19,9)"))
+        .cast("double")
+        .alias("s01"),
+        F.sum(
+            F.col("neg")
+            * (F.col("v01").cast("decimal(19,9)") * F.col("v01").cast("decimal(19,9)"))
+        )
+        .cast("double")
+        .alias("q01"),
+    )
+    p = F.col("p").cast("double")
+    q = F.col("q").cast("double")
+    auc = F.col("s10") / p
+    se = F.sqrt(
+        ((F.col("q10") - F.col("s10") * F.col("s10") / p) / (p - 1)) / p
+        + ((F.col("q01") - F.col("s01") * F.col("s01") / q) / (q - 1)) / q
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        F.round(auc, 6).alias("auc_r6"),
+        F.round(se, 6).alias("se_r6"),
+        F.round(auc - AUC_CI_CRIT * se, 6).alias("ci_lo_r6"),
+        F.round(auc + AUC_CI_CRIT * se, 6).alias("ci_hi_r6"),
+    )

@@ -123,6 +123,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_forecast_combination": "|days| rows after per-day agg",
     # the worst-slice rank runs on the |sources| table
     "ml_eval_slice_accuracy": "|sources| rows after slice agg",
+    # both placement cumulatives run on the ≤ AUC_MAX_BAND+1 band table
+    "ml_eval_auc_delong_ci": "AUC_MAX_BAND+1 rows after band agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
