@@ -2010,3 +2010,157 @@ def q_agg_attribution_position(spark, sf_dir: str) -> DataFrame:
         .select("channel", "n_touches", "credit_share_r6")
         .orderBy("channel")
     )
+
+
+#: chi-square(1) critical value at 5% (literal, the shared convention).
+LOGRANK_CRIT = 3.841459
+
+
+@query(
+    "agg_logrank_test",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id, user_id % 2 AS g,
+             min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT s.g,
+             CASE WHEN s.conv_ts IS NOT NULL
+                  THEN date_diff('day', s.first_ts, s.conv_ts)
+                  ELSE date_diff('day', s.first_ts, o.end_ts) END AS t,
+             CASE WHEN s.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM span s CROSS JOIN obs o
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(COUNT(*) AS BIGINT) AS enter_all,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS enter_g1,
+             CAST(SUM(died) AS BIGINT) AS d_all,
+             CAST(SUM(CASE WHEN g = 1 THEN died ELSE 0 END) AS BIGINT)
+               AS d_g1
+      FROM durs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_all, d_g1,
+             SUM(enter_all) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_all,
+             SUM(enter_g1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_g1
+      FROM per_t
+    ),
+    terms AS (
+      SELECT d_g1,
+             CAST(round(d_all * (CAST(n_g1 AS DOUBLE) / n_all), 9)
+                  AS DECIMAL(28,9)) AS e,
+             CAST(round(CASE WHEN n_all > 1 THEN
+               d_all * (CAST(n_g1 AS DOUBLE) / n_all)
+               * (1 - CAST(n_g1 AS DOUBLE) / n_all)
+               * (n_all - d_all) / (n_all - 1.0) ELSE 0 END, 9)
+                  AS DECIMAL(28,9)) AS v
+      FROM risk WHERE d_all > 0
+    ),
+    s AS (
+      SELECT CAST(SUM(d_g1) AS BIGINT) AS o,
+             CAST(SUM(e) AS DOUBLE) AS e,
+             CAST(SUM(v) AS DOUBLE) AS v
+      FROM terms
+    )
+    SELECT o AS observed_g1,
+           round(e, 6) AS expected_g1_r6,
+           round((o - e) * (o - e) / v, 6) AS chi2_r6,
+           CASE WHEN (o - e) * (o - e) / v > {LOGRANK_CRIT}
+                THEN 1 ELSE 0 END AS curves_differ_5pct
+    FROM s
+    """,
+    tags=("stats", "survival", "beyond"),
+)
+def q_agg_logrank_test(spark, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two user cohorts' time-to-purchase
+    survival curves — the significance verdict that pairs with
+    agg_kaplan_meier's curves (KM shows the separation, log-rank says
+    whether it's real): at each death day, observed group-1
+    conversions vs the at-risk-proportional expectation, χ² = (O−E)²/V
+    with the hypergeometric variance, against the literal χ²(1)
+    critical value.
+
+    At-risk counts come from a DESCENDING cumulative over the bounded
+    per-day entry table — no correlated per-death re-scan of the
+    cohort — and per-day E/V terms are fixed-shape doubles rounded 9
+    then DECIMAL-summed (order-free); O is an exact integer.
+
+    Scale: corpus → |users| span table → |days| per-day table;
+    cumulative windows on that bounded table (allowlisted)."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("g"),
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+    ).select(
+        (F.col("user_id") % 2).alias("g"), "first_ts", "conv_ts"
+    )
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = span.crossJoin(F.broadcast(obs)).select(
+        "g",
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff("conv_ts", "first_ts"),
+        )
+        .otherwise(F.datediff("end_ts", "first_ts"))
+        .alias("t"),
+        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("died"),
+    )
+    per_t = durs.groupBy("t").agg(
+        F.count("*").cast("long").alias("enter_all"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("enter_g1"),
+        F.sum("died").cast("long").alias("d_all"),
+        F.sum(F.when(F.col("g") == 1, F.col("died")).otherwise(0))
+        .cast("long")
+        .alias("d_g1"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "d_all",
+        "d_g1",
+        F.sum("enter_all").over(w).alias("n_all"),
+        F.sum("enter_g1").over(w).alias("n_g1"),
+    ).filter(F.col("d_all") > 0)
+    share = F.col("n_g1").cast("double") / F.col("n_all")
+    terms = risk.select(
+        "d_g1",
+        F.round(F.col("d_all") * share, 9).cast("decimal(28,9)").alias("e"),
+        F.round(
+            F.when(
+                F.col("n_all") > 1,
+                F.col("d_all")
+                * share
+                * (1 - share)
+                * (F.col("n_all") - F.col("d_all"))
+                / (F.col("n_all") - 1.0),
+            ).otherwise(0.0),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("v"),
+    )
+    s = terms.agg(
+        F.sum("d_g1").cast("long").alias("o"),
+        F.sum("e").cast("double").alias("e"),
+        F.sum("v").cast("double").alias("v"),
+    )
+    chi2 = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("v")
+    return s.select(
+        F.col("o").alias("observed_g1"),
+        F.round(F.col("e"), 6).alias("expected_g1_r6"),
+        F.round(chi2, 6).alias("chi2_r6"),
+        F.when(chi2 > LOGRANK_CRIT, 1).otherwise(0).alias(
+            "curves_differ_5pct"
+        ),
+    )

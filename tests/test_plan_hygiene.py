@@ -125,6 +125,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ml_eval_slice_accuracy": "|sources| rows after slice agg",
     # both placement cumulatives run on the ≤ AUC_MAX_BAND+1 band table
     "ml_eval_auc_delong_ci": "AUC_MAX_BAND+1 rows after band agg",
+    # the at-risk cumulative runs on the |days| per-day entry table
+    "agg_logrank_test": "|distinct duration days| rows after day agg",
 }
 
 #: A Window whose shuffle input collapsed to a single partition —
