@@ -67,6 +67,24 @@ def run_once(sf_dir: str, sf: float) -> dict:
     # JVM + first-plan warmup so timings measure the queries, not startup.
     specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Machine-load canary: a CONSTANT-size generated workload (no file
+    # I/O, no plan that ever changes round-to-round). Its wall clock
+    # moves only with ambient machine load + JVM health, so cross-round
+    # headline comparisons can be normalized (headline/canary) instead
+    # of burning a round adjudicating drift (this happened in r6 AND
+    # r8). Timed min-of-2 after its own codegen warmup.
+    from pyspark.sql import functions as F
+
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s", "count(*) AS n"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _canary_once()  # codegen warmup
+    canary = round(min(_canary_once() for _ in range(2)), 4)
+
     reps = 1 if os.environ.get("BENCH_ALL") else int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in names:
@@ -84,6 +102,7 @@ def run_once(sf_dir: str, sf: float) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "canary": canary,
         "sf": sf,
     }
 
@@ -112,7 +131,19 @@ def main() -> None:
             text=True,
             check=True,
         )
-        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        # The child's stdout can carry stray lines AFTER the JSON (Ivy
+        # resolution / JVM shutdown messages occasionally reach stdout)
+        # — scan in reverse for the first line that parses.
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                runs.append(json.loads(line))
+                break
+            except json.JSONDecodeError:
+                continue
+        else:
+            raise RuntimeError(
+                f"no JSON line in child stdout:\n{out.stdout[-2000:]}"
+            )
 
     merged: dict[str, float] = {}
     for name in runs[0]["queries"]:
@@ -125,9 +156,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": merged,
+                "canary": min(r.get("canary", float("inf")) for r in runs),
                 "sf": sf,
                 "jvm_reps": jvm_reps,
                 "runs": [r["value"] for r in runs],
+                "canaries": [r.get("canary") for r in runs],
             }
         )
     )

@@ -150,7 +150,9 @@ def parse_jpeg_header(payload: bytes) -> dict:
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1  # fill bytes before a marker are legal
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
+        if marker in (0xD9, 0xDA):  # EOI, or SOS: entropy-coded scan
+            # data follows the SOS header with no marker framing —
+            # walking past it would misread scan bytes as segments.
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
             pos += 2
@@ -254,7 +256,10 @@ def parse_jpeg_exif(payload: bytes) -> dict:
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
         marker = payload[pos + 1]
-        if marker == 0xD9:
+        if marker in (0xD9, 0xDA):
+            # SOS terminates the parseable marker walk: scan data is
+            # entropy-coded, so a real camera JPEG without EXIF must
+            # report "no EXIF APP1", not a corrupt-stream error.
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2

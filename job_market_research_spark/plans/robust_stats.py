@@ -4941,10 +4941,12 @@ def q_agg_anova_twoway(spark, sf_dir: str) -> DataFrame:
     the cell decomposition — is stated), plus the cells' η² effect
     size.
 
-    All sums of squares derive from exact integer-cents cell moments
-    (Σy, Σy² in DECIMAL) via the s²/n identity — no per-row float
-    deviations — and only O(1) F-ratios and η² are emitted (raw SS is
-    cents²-scale, the round-unsafe class).
+    Cell moments (Σy, Σy² over integer cents) are SUMMED in DECIMAL —
+    order-independent, so Spark's partial aggregation matches DuckDB
+    bit-for-bit — then carried as DOUBLE through the s²/n algebra
+    (both engines identically; beyond ~2^53 cents² the moments are
+    double-precision, not exact). Only O(1) F-ratios and η² are
+    emitted (raw SS is cents²-scale, the round-unsafe class).
 
     Scale: ONE combinable corpus aggregation to |A|×|B| cells;
     everything else is algebra on that bounded table."""

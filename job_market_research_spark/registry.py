@@ -137,6 +137,91 @@ FORCE_REPROVE: frozenset[str] = frozenset()
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # ---- round-9 head (names may repeat below; FIRST position wins).
+    # The r8 verdict: freeze new-operator additions and spend the r9
+    # driver window on EXACTLY the 50 highest-priority names from the
+    # 72 never-driver-stamped pool (all judge-verified green at sf0.01
+    # in the r8 session). This is the registration-order window the r8
+    # judge reviewed, pinned explicitly so the one permitted r9
+    # addition (multimodal_mp4_meta, verdict item 6 — listed at the
+    # END of this head) cannot jump the queue; the remaining 22 names
+    # follow and fill the r10 window, after which tier 0 is empty and
+    # the rotation starts the §2 freshness backfill (verdict item 4).
+    "dedup_soft_downweight",
+    "dedup_lsh_recall_audit",
+    "project_unpivot_metrics",
+    "agg_local_day_buckets",
+    "agg_autocorr_lags",
+    "window_holt_linear",
+    "window_max_drawdown",
+    "window_variance_ratio",
+    "window_forecast_skill",
+    "window_ljung_box",
+    "stat_runs_test",
+    "ml_chow_test",
+    "window_yoy_growth",
+    "window_kpss_test",
+    "window_control_chart",
+    "window_forecast_combination",
+    "scan_parquet_bloom",
+    "scan_struct_pruning",
+    "window_concurrency_sweep",
+    "join_spatial_grid",
+    "maintenance_compaction_plan",
+    "mv_join_delta",
+    "privacy_dp_mean_release",
+    "monitor_psi_stability",
+    "monitor_adversarial_auc",
+    "profile_ref_integrity",
+    "monitor_emd_wasserstein",
+    "profile_pk_uniqueness",
+    "join_asof_nearest",
+    "text_tokenizer_coverage",
+    "grouped_pandas_periodogram",
+    "text_code_prose_classifier",
+    "fn_luhn_check",
+    "sink_dynamic_partition_overwrite",
+    "dedup_paragraph_exact",
+    "ml_eval_pass_at_k",
+    "ml_eval_majority_vote",
+    "ml_eval_rouge2_overlap",
+    "ml_eval_bleu2",
+    "ml_eval_length_bias",
+    "agg_cohens_kappa",
+    "ml_lift_table",
+    "ml_eval_auc_roc",
+    "ml_eval_brier_decomposition",
+    "ml_eval_pr_auc",
+    "ml_eval_krippendorff_alpha",
+    "ml_eval_mcnemar",
+    "ml_threshold_cost_min",
+    "ml_bandit_ucb1",
+    "ml_eval_slice_accuracy",
+    # ---- end of the 50-slot r9 window; the 22 below fill r10 ----
+    "ml_eval_auc_delong_ci",
+    "graph_assortativity",
+    "graph_clustering_coeff",
+    "graph_personalized_pagerank",
+    "ir_query_likelihood",
+    "text_vocab_jsd",
+    "text_bigram_entropy_rate",
+    "agg_good_turing_unseen",
+    "ir_bm25f_fielded",
+    "sample_preference_pairs",
+    "sample_ess_diagnostics",
+    "ml_target_encoding_oof",
+    "ml_leakage_audit",
+    "embed_anisotropy",
+    "multimodal_jpeg_meta",
+    "multimodal_png_meta",
+    "multimodal_exif_meta",
+    "multimodal_gif_meta",
+    "multimodal_bmp_meta",
+    "multimodal_riff_chunks",
+    "multimodal_id3_meta",
+    "multimodal_flac_meta",
+    "multimodal_mp4_meta",
+    # ---- end round-9 head ----
     # ---- round-7 window head (names may repeat below; FIRST position
     # wins). The r6 verdict's tasks 2+7: the judge-weighted stragglers
     # first (the only ANN query with no driver row, the last unproven

@@ -167,3 +167,36 @@ def test_exif_missing_raises():
         codecs.parse_jpeg_exif(codecs.encode_jpeg_headers(1, 1, 1))
     with pytest.raises(NotImplementedError):
         codecs.parse_exif_orientation(b"JFIF\x00\x00whatever")
+
+
+def test_jpeg_sos_terminates_marker_walk():
+    """A real camera JPEG has an SOS header followed by entropy-coded
+    scan data with NO marker framing. Walking past SOS would misread
+    scan bytes as segments and raise 'corrupt marker stream'; the walk
+    must stop at SOS and report the intended diagnostic instead."""
+    hdr = codecs.encode_jpeg_headers(100, 50, 3)
+    assert hdr[-2:] == b"\xff\xd9"
+    sos = b"\x01\x01\x00\x00\x3f\x00"  # 1-component scan header body
+    # Scan bytes chosen to look like garbage segments (no 0xFF at the
+    # walk position, and a bogus huge "length" if one were read).
+    scan = b"\x12\x34\x56\x78\x9a\xbc" * 8
+    real = (
+        hdr[:-2]
+        + b"\xff\xda"
+        + (len(sos) + 2).to_bytes(2, "big")
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+    # Header parse: SOF sits before SOS, still found.
+    meta = codecs.parse_jpeg_header(real)
+    assert (meta["width"], meta["height"]) == (100, 50)
+    # EXIF parse on a no-EXIF file: the intended diagnostic, not a
+    # corrupt-stream error from inside the scan data.
+    with pytest.raises(NotImplementedError, match="no EXIF APP1"):
+        codecs.parse_jpeg_exif(real)
+    # With EXIF spliced in, it still parses (EXIF precedes SOS).
+    spliced = codecs.splice_jpeg_app1(
+        real, codecs.encode_exif_app1(orientation=3)
+    )
+    assert codecs.parse_jpeg_exif(spliced)["orientation"] == 3
