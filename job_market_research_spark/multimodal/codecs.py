@@ -637,3 +637,128 @@ def parse_flac_streaminfo(payload: bytes) -> dict:
         "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
         "total_samples": packed & ((1 << 36) - 1),
     }
+
+
+# ------------------------------------------------------------- mp4/iso-bmff
+
+
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    """Wrap a box body in an ISO-BMFF box header. `largesize=True`
+    emits the 64-bit form (size field = 1, 8-byte largesize follows
+    the type) even when the 32-bit field would fit — real muxers do
+    this for boxes that MIGHT grow past 4 GiB, so a parser must
+    handle it on boxes of any actual size."""
+    if largesize:
+        return (1).to_bytes(4, "big") + btype + (len(body) + 16).to_bytes(8, "big") + body
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def encode_mp4_boxes(
+    brand: bytes,
+    timescale: int,
+    duration: int,
+    track_count: int,
+    mvhd_version: int = 0,
+    moov_largesize: bool = False,
+) -> bytes:
+    """Assemble a REAL ISO-BMFF (MP4) box stream: `ftyp` (major brand,
+    minor version, one compatible brand) + `moov` containing a
+    spec-layout `mvhd` (version 0 = 32-bit times, version 1 = 64-bit)
+    and `track_count` minimal `trak` container boxes. Media data
+    (mdat) is absent — same header-only contract as the other
+    codecs: this exercises the nested box walk, the 64-bit largesize
+    form, and the version-dependent mvhd field widths, not sample
+    decode."""
+    if mvhd_version not in (0, 1):
+        raise ValueError("mvhd version is 0 or 1")
+    if mvhd_version == 0 and duration >= (1 << 32):
+        raise ValueError("mvhd v0 duration is 32-bit; use version 1")
+    ftyp = _mp4_box(b"ftyp", brand + (0).to_bytes(4, "big") + b"isom")
+    w = 8 if mvhd_version else 4
+    mvhd_body = (
+        bytes([mvhd_version, 0, 0, 0])          # version + flags
+        + (0).to_bytes(w, "big") * 2            # creation/modification time
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(w, "big")
+        + (0x00010000).to_bytes(4, "big")       # rate 1.0 (16.16 fixed)
+        + (0x0100).to_bytes(2, "big")           # volume 1.0 (8.8 fixed)
+        + bytes(10)                             # reserved
+        + bytes(36)                             # matrix (zeroed)
+        + bytes(24)                             # pre_defined
+        + (track_count + 1).to_bytes(4, "big")  # next_track_ID
+    )
+    moov_body = _mp4_box(b"mvhd", mvhd_body)
+    for _ in range(track_count):
+        moov_body += _mp4_box(b"trak", b"")
+    return ftyp + _mp4_box(b"moov", moov_body, largesize=moov_largesize)
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF metadata parse: walk top-level boxes by size (handling
+    the size==1 64-bit largesize form), require `ftyp` first (spec
+    requirement for file-level brands), then descend into `moov` —
+    a CONTAINER box whose body is itself a box stream — to read
+    `mvhd` (dispatching 32- vs 64-bit time fields on its version
+    byte) and count `trak` children. Returns brand, mvhd version,
+    timescale, duration (in timescale units), and track count. No
+    sample tables, no codec payloads — the boundary every curation
+    metadata pass stops at."""
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > len(buf):
+                    raise NotImplementedError("truncated largesize box header")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing stream
+                size = len(buf) - pos
+            if size < hdr or pos + size > len(buf):
+                raise NotImplementedError(
+                    f"corrupt box size {size} at offset {pos}"
+                )
+            yield btype, buf[pos + hdr : pos + size]
+            pos += size
+
+    boxes = walk(payload)
+    try:
+        btype, body = next(boxes)
+    except StopIteration:
+        raise NotImplementedError("not an ISO-BMFF payload (empty)") from None
+    if btype != b"ftyp":
+        raise NotImplementedError("first box must be ftyp")
+    brand = body[:4].decode("latin-1")
+    meta = {
+        "kind": "mp4",
+        "brand": brand,
+        "mvhd_version": -1,
+        "timescale": 0,
+        "duration": 0,
+        "track_count": 0,
+    }
+    saw_moov = False
+    for btype, body in boxes:
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for ctype, cbody in walk(body):
+            if ctype == b"mvhd":
+                version = cbody[0]
+                w = 8 if version else 4
+                off = 4 + 2 * w  # version+flags, creation, modification
+                meta["mvhd_version"] = version
+                meta["timescale"] = int.from_bytes(
+                    cbody[off : off + 4], "big"
+                )
+                meta["duration"] = int.from_bytes(
+                    cbody[off + 4 : off + 4 + w], "big"
+                )
+            elif ctype == b"trak":
+                meta["track_count"] += 1
+    if not saw_moov:
+        raise NotImplementedError("no moov box (metadata-less stream)")
+    return meta

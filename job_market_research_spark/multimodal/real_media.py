@@ -1313,3 +1313,112 @@ def q_multimodal_flac_meta(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_flac_meta, schema=FLAC_META_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------------------ mp4/iso-bmff
+
+#: Ladders sweep every parse path: both mvhd versions (32- vs 64-bit
+#: durations — the v1 rows carry durations past 2^32 so the wide read
+#: is load-bearing), all four brands, five timescales, 0-4 trak boxes,
+#: and every third moov uses the 64-bit largesize header form.
+_MP4_MAX_DOC = 300
+_MP4_BRANDS = ("isom", "mp42", "avc1", "3gp4")
+_MP4_TIMESCALES = (600, 1000, 90000, 44100, 48000)
+MP4_META_SCHEMA = (
+    "doc_id long, kind string, brand string, mvhd_version long,"
+    " timescale long, duration_units long, duration_ms long,"
+    " track_count long"
+)
+
+
+def _mp4_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_mp4_boxes,
+        parse_mp4_meta,
+    )
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            version = d % 2
+            duration = version * (1 << 32) + (d * 7919) % (1 << 32)
+            payload = encode_mp4_boxes(
+                brand=_MP4_BRANDS[d % len(_MP4_BRANDS)].encode(),
+                timescale=_MP4_TIMESCALES[d % len(_MP4_TIMESCALES)],
+                duration=duration,
+                track_count=d % 5,
+                mvhd_version=version,
+                moov_largesize=(d % 3 == 0),
+            )
+            meta = parse_mp4_meta(payload)
+            rows.append(
+                (
+                    d,
+                    meta["kind"],
+                    meta["brand"],
+                    meta["mvhd_version"],
+                    meta["timescale"],
+                    meta["duration"],
+                    int(meta["duration"] * 1000 // meta["timescale"]),
+                    meta["track_count"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "kind", "brand", "mvhd_version", "timescale",
+                "duration_units", "duration_ms", "track_count",
+            ],
+        )
+
+
+@query(
+    "multimodal_mp4_meta",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id % 2 AS BIGINT) AS mvhd_version,
+             CAST(CASE doc_id % {len(_MP4_TIMESCALES)}
+                  {" ".join(f"WHEN {i} THEN {t}" for i, t in enumerate(_MP4_TIMESCALES))}
+                  END AS BIGINT) AS timescale,
+             CAST(doc_id % 2 AS BIGINT) * 4294967296
+               + (doc_id * 7919) % 4294967296 AS duration_units
+      FROM documents WHERE doc_id < {_MP4_MAX_DOC}
+    )
+    SELECT doc_id, 'mp4' AS kind,
+           CASE doc_id % {len(_MP4_BRANDS)}
+             {" ".join(f"WHEN {i} THEN '{b}'" for i, b in enumerate(_MP4_BRANDS))}
+           END AS brand,
+           mvhd_version, timescale, duration_units,
+           CAST(duration_units * 1000 // timescale AS BIGINT) AS duration_ms,
+           CAST(doc_id % 5 AS BIGINT) AS track_count
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_multimodal_mp4_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) metadata: assemble a genuine ftyp+moov box
+    stream per document and parse it back — brand, mvhd version,
+    timescale, duration, track count. The parse classes this adds
+    over the other codecs are NESTED CONTAINER boxes (moov's body is
+    itself a box stream the walker must descend into), the size==1
+    64-bit largesize header form (swept on every third doc), and
+    VERSION-DEPENDENT field widths (mvhd v1 rows carry durations past
+    2^32, so a 32-bit-only reader fails on half the corpus).
+    duration_ms = duration*1000 // timescale is the integer-exact
+    derived feature a video-curation pass filters on (both engines
+    compute it from the same exact integers). Mirrors the reference's
+    metadata-only media handling (/root/reference has no video path;
+    this is the beyond-reference training-data-pipeline surface).
+
+    Scale: payloads built and parsed inside one Arrow batch — the
+    standard header-pass plumbing; only fixed-width features return
+    to the JVM."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MP4_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_mp4_meta, schema=MP4_META_SCHEMA).orderBy(
+        "doc_id"
+    )

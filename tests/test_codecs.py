@@ -200,3 +200,44 @@ def test_jpeg_sos_terminates_marker_walk():
         real, codecs.encode_exif_app1(orientation=3)
     )
     assert codecs.parse_jpeg_exif(spliced)["orientation"] == 3
+
+
+def test_mp4_box_roundtrip_all_parse_classes():
+    """Both mvhd versions (the v1 duration exceeds 2^32, so the 64-bit
+    read is load-bearing), both box-header forms, nested trak count."""
+    for version, dur in ((0, 12345), (1, (1 << 32) + 999)):
+        for large in (False, True):
+            p = codecs.encode_mp4_boxes(
+                b"mp42", 90000, dur, 3,
+                mvhd_version=version, moov_largesize=large,
+            )
+            assert codecs.parse_mp4_meta(p) == {
+                "kind": "mp4", "brand": "mp42", "mvhd_version": version,
+                "timescale": 90000, "duration": dur, "track_count": 3,
+            }
+
+
+def test_mp4_error_boundaries():
+    with pytest.raises(NotImplementedError):
+        codecs.parse_mp4_meta(b"")  # empty
+    with pytest.raises(NotImplementedError):
+        codecs.parse_mp4_meta(b"\x00\x00\x00\x08mdat")  # no ftyp first
+    whole = codecs.encode_mp4_boxes(b"isom", 600, 1, 0)
+    with pytest.raises(NotImplementedError):
+        codecs.parse_mp4_meta(whole[:10])  # truncated box
+    ftyp_len = int.from_bytes(whole[:4], "big")
+    with pytest.raises(NotImplementedError, match="no moov"):
+        codecs.parse_mp4_meta(whole[:ftyp_len])  # ftyp only
+    with pytest.raises(ValueError):
+        codecs.encode_mp4_boxes(b"isom", 600, 1 << 32, 0, mvhd_version=0)
+
+
+def test_mp4_size_zero_box_extends_to_end():
+    """size==0 means 'to end of enclosing stream' — spec-legal for the
+    last top-level box; the walker must not reject it."""
+    whole = codecs.encode_mp4_boxes(b"isom", 1000, 777, 2)
+    ftyp_len = int.from_bytes(whole[:4], "big")
+    moov = bytearray(whole[ftyp_len:])
+    moov[:4] = (0).to_bytes(4, "big")
+    meta = codecs.parse_mp4_meta(whole[:ftyp_len] + bytes(moov))
+    assert meta["duration"] == 777 and meta["track_count"] == 2
