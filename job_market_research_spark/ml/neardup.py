@@ -890,6 +890,11 @@ def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
 #: pair volume stays bounded (see docstring).
 SEMDEDUP_K = 8
 SEMDEDUP_THRESHOLD = 0.92
+#: Pair-stage probe buckets: the x side hash-buckets, the b side
+#: replicates ×B, so within-cluster pair compute spreads over K×B
+#: tasks — parallelism at miniature K and the oversized-cluster skew
+#: guard at production K.
+SEMDEDUP_PAIR_BUCKETS = 8
 
 
 @query(
@@ -932,17 +937,23 @@ def q_dedup_semantic_semdedup(spark, sf_dir: str) -> DataFrame:
     first K vectors (deterministic seed, same as ml_kmeans_lite) so
     the DuckDB oracle replays the assignment as a CTE.
 
-    Scale shape: assignment is a broadcast cross-join against K
-    centroid rows + windowed argmin (map-side; the corpus never
-    shuffles for it). The pair stage shuffles once on cluster id and
-    compares pairs only inside a cluster — SemDeDup's whole point is
-    that K grows with N (K ≈ √N) so per-cluster volume stays bounded;
-    K=8 here is the oracle-replayable miniature. The removed set is
-    DISTINCT vec_ids (small by construction) broadcast back as an
-    anti-probe for the keep flag.
+    Scale shape (reworked round 9): assignment is ONE broadcast row
+    of all K centroids (collect_list of structs) cross-joined in, and
+    the argmin is `array_min` over per-centroid (dist, cid) structs —
+    a pure map-side projection, so the corpus genuinely never shuffles
+    or row-multiplies for assignment (the previous windowed-argmin
+    shape shuffled corpus×K rows on vec_id). The pair stage shuffles
+    once on (cluster id, probe bucket): the x side is hash-bucketed
+    into SEMDEDUP_PAIR_BUCKETS, the b side replicated to each bucket —
+    per-cluster pair compute spreads across K×B tasks instead of K,
+    which is both the local win (2.3× at sf0.1: 4.8 s → 2.1 s,
+    identical rows) and the oversized-cluster skew guard at scale.
+    SemDeDup's whole point is that K grows with N (K ≈ √N) so
+    per-cluster volume stays bounded; K=8 here is the
+    oracle-replayable miniature. The removed set is DISTINCT vec_ids
+    (small by construction) broadcast back as an anti-probe for the
+    keep flag.
     """
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -953,27 +964,43 @@ def q_dedup_semantic_semdedup(spark, sf_dir: str) -> DataFrame:
         )
     )
     emb = emb.withColumn("nrm", norm)
-    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    cent1 = (
+        emb.filter(F.col("vec_id") < SEMDEDUP_K)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            ).alias("cents")
+        )
     )
-    sqd = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+
+    def sqd(cv):
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # struct comparison is field-order lexicographic → (dist, cid)
+    # reproduces the oracle's ORDER BY round(dist,6), cid tie-break
+    best = F.array_min(
+        F.transform(
+            "cents", lambda c: F.struct(sqd(c["cv"]).alias("dist"), c["cid"].alias("cid"))
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("dist", sqd)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        emb.crossJoin(F.broadcast(cent1))
+        .withColumn("cid", best["cid"])
         .select("vec_id", "v", "nrm", "cid")
     )
-    x = assigned.alias("x")
-    b = assigned.alias("b")
+    x = assigned.withColumn(
+        "xb", F.pmod(F.hash("vec_id"), F.lit(SEMDEDUP_PAIR_BUCKETS))
+    ).alias("x")
+    b = assigned.withColumn(
+        "xb", F.explode(F.sequence(F.lit(0), F.lit(SEMDEDUP_PAIR_BUCKETS - 1)))
+    ).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("x.v"), F.col("b.v"), lambda p, q: p * q),
         F.lit(0.0),
@@ -984,6 +1011,7 @@ def q_dedup_semantic_semdedup(spark, sf_dir: str) -> DataFrame:
         x.join(
             b,
             (F.col("x.cid") == F.col("b.cid"))
+            & (F.col("x.xb") == F.col("b.xb"))
             & (F.col("x.vec_id") < F.col("b.vec_id")),
         )
         .filter(cosine >= SEMDEDUP_THRESHOLD)
