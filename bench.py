@@ -73,8 +73,6 @@ def run_once(sf_dir: str, sf: float) -> dict:
     # headline comparisons can be normalized (headline/canary) instead
     # of burning a round adjudicating drift (this happened in r6 AND
     # r8). Timed min-of-2 after its own codegen warmup.
-    from pyspark.sql import functions as F
-
     def _canary_once() -> float:
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).selectExpr(
@@ -136,10 +134,14 @@ def main() -> None:
         # — scan in reverse for the first line that parses.
         for line in reversed(out.stdout.strip().splitlines()):
             try:
-                runs.append(json.loads(line))
-                break
+                parsed = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # a stray numeric/log line can parse as valid JSON — only
+            # accept the child's actual result object
+            if isinstance(parsed, dict) and "queries" in parsed:
+                runs.append(parsed)
+                break
         else:
             raise RuntimeError(
                 f"no JSON line in child stdout:\n{out.stdout[-2000:]}"
