@@ -319,3 +319,39 @@ def test_flac_streaminfo_bitpack_roundtrip(rate, ch, bps, total):
     assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
             m["total_samples"]) == (rate, ch, bps, total)
     assert m["is_last_block"] and m["block_len"] == 34
+
+
+@given(
+    brand=st.sampled_from([b"isom", b"mp42", b"avc1", b"3gp4", b"qt  "]),
+    timescale=st.integers(min_value=1, max_value=2**32 - 1),
+    version=st.integers(min_value=0, max_value=1),
+    duration_small=st.integers(min_value=0, max_value=2**32 - 1),
+    duration_big=st.integers(min_value=2**32, max_value=2**40),
+    tracks=st.integers(min_value=0, max_value=12),
+    largesize=st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp4_roundtrip_property(
+    brand, timescale, version, duration_small, duration_big, tracks, largesize
+):
+    """Any encodable (brand, timescale, duration, tracks, version,
+    largesize) combination parses back exactly — including v1-only
+    durations past 2^32 and the 64-bit box-header form."""
+    duration = duration_big if version == 1 else duration_small
+    payload = _codecs.encode_mp4_boxes(
+        brand=brand,
+        timescale=timescale,
+        duration=duration,
+        track_count=tracks,
+        mvhd_version=version,
+        moov_largesize=largesize,
+    )
+    meta = _codecs.parse_mp4_meta(payload)
+    assert meta == {
+        "kind": "mp4",
+        "brand": brand.decode("latin-1"),
+        "mvhd_version": version,
+        "timescale": timescale,
+        "duration": duration,
+        "track_count": tracks,
+    }

@@ -126,3 +126,20 @@ def test_best_of_cluster_prefers_clean_copy(spark, sf_dir):
     assert any(r.n_members == 3 for r in rows)
     assert all(r.n_dropped == r.n_members - 1 for r in rows)
     assert len(reps) == len(rows)
+
+
+def test_semdedup_plan_is_shuffle_lean(spark, sf_dir):
+    """Round-9 rework pin: centroid assignment must be a pure map-side
+    projection — NO Window anywhere (the old windowed argmin shuffled
+    corpus×K rows on vec_id) — and the pair stage must join on
+    (cluster, probe-bucket) so per-cluster compute can spread beyond
+    one task per cluster."""
+    from job_market_research_spark.registry import load_all
+
+    df = load_all()["dedup_semantic_semdedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "assignment regressed to a windowed argmin"
+    # the map-side argmin shows up as array_min over the centroid structs
+    assert "array_min" in plan
+    # pair join carries the bucket equality alongside the cluster key
+    assert "xb" in plan
