@@ -34,6 +34,12 @@ ALLOWED_GLOBAL_WINDOW = {
     # dimension-sized distinct feeds the surrogate window (the query
     # exists to demonstrate the reference's sequential get_or_create)
     "join_lookup_upsert": "distinct segment values (dimension-sized)",
+    # same build_dimension helper (distinct priority values, ≤5 rows);
+    # found by the round-9 RUNTIME warning audit
+    # (scripts/audit_global_windows.py) — the window executes inside
+    # the fn body ahead of the JDBC write, so the returned-plan regex
+    # below cannot see it
+    "sink_jdbc_star": "distinct priority values (dimension-sized)",
     # global_row_number's cumulative-offset frame is |partitions| rows
     "join_positional_zip": "offsets frame bounded by partition count",
     # pre-aggregated to one row per month / priority before the window
