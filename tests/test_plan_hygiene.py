@@ -268,3 +268,72 @@ def test_aqe_skew_join_rewrite_fires_on_skewed_star_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+#: Every driver-side .collect() in the package, with its bound. A
+#: collect is legal ONLY on provably bounded-metadata frames — anything
+#: iterating corpus rows on the driver is not a distributed operator.
+#: (file, funcname) → bound.
+ALLOWED_COLLECT_SITES = {
+    ("operators/manifest.py", "stage_range_clustered"): (
+        "per-file manifest stats (|files| rows)"
+    ),
+    ("sources/binary_source.py", "stage_raw_files"): (
+        "BINFILE_N-capped doc staging (test-fixture landing zone)"
+    ),
+    ("ml/geometry.py", "power_iteration_plan"): (
+        "DIM-row (64) weight vector per power iteration"
+    ),
+    ("ml/clustering.py", "q_ml_adaboost_stumps"): (
+        "<=34-row (bin,y) moment table"
+    ),
+    ("ml/clustering.py", "q_ml_gbdt_stumps_regression"): (
+        "24-row hour-moment table"
+    ),
+}
+
+
+def test_collect_sites_are_exactly_the_allowlisted_bounded_ones():
+    """AST-walk every package module for DataFrame .collect() calls and
+    require each to sit inside an allowlisted (file, function) with a
+    stated bound — a new driver-side collect must prove its bound here
+    or be rewritten. (collect_list/collect_set are aggregates, not
+    driver pulls, and don't match.)"""
+    import ast
+    import pathlib
+
+    import job_market_research_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    found = set()
+    for path in root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        # innermost enclosing function name per collect call
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if isinstance(f, ast.Attribute) and f.attr == "collect":
+                    found.add(
+                        (
+                            str(path.relative_to(root)),
+                            self.stack[-1] if self.stack else "<module>",
+                        )
+                    )
+                self.generic_visit(node)
+
+        V().visit(tree)
+    assert found == set(ALLOWED_COLLECT_SITES), (
+        f"collect() sites changed.\n  new/unlisted: "
+        f"{sorted(found - set(ALLOWED_COLLECT_SITES))}\n  stale allowlist: "
+        f"{sorted(set(ALLOWED_COLLECT_SITES) - found)}"
+    )
