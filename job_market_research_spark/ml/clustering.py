@@ -50,18 +50,36 @@ def sq_dist(a: Column, b: Column) -> Column:
 def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, v) × (cid, cv) → nearest cid per vector.
 
-    Broadcast cross-join against K centroid rows + windowed argmin
-    with (distance, cid) ordering — K is small by definition, so the
-    assignment is map-side over however many corpus partitions exist.
+    All K centroids collapse into ONE broadcast row of (cid, cv)
+    structs; the argmin is `array_min` over per-centroid (dist, cid)
+    structs — struct comparison is field-order lexicographic, so the
+    (distance, cid) tie-break is identical to the oracle's windowed
+    ROW_NUMBER. A pure map-side projection: the corpus never shuffles
+    or row-multiplies for an assignment pass (the pre-round-9 shape
+    cross-joined to corpus×K rows and shuffled them on vec_id for a
+    partitioned window — one corpus×K exchange per Lloyd round).
     """
-    d = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", sq_dist(F.col("v"), F.col("cv"))
+    cents = centroids.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                sq_dist(F.col("v"), c["cv"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid", "dist")
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
     )
 
 
