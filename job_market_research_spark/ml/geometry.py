@@ -417,10 +417,14 @@ def q_ml_knn_classify(spark, sf_dir: str) -> DataFrame:
             / (F.col("nrm") * F.col("qnrm"))
         ).alias("cos"),
     )
-    rn = F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), "cid"))
+    from job_market_research_spark.ml.similarity import topk_per_group
+
+    # two-level rank (topk_per_group): a single-level window over the
+    # low-cardinality qid would funnel each query's full scored set
+    # through one task at scale; the vote-rank window below already
+    # runs on the bounded (qid, label) table
     votes = (
-        scored.withColumn("rn", rn)
-        .filter(F.col("rn") <= K_NN)
+        topk_per_group(scored, "qid", [F.desc("cos"), "cid"], K_NN, "cid")
         .groupBy("qid", "label")
         .agg(F.count("*").cast("long").alias("votes"))
     )

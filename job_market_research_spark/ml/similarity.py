@@ -39,6 +39,50 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.round(dot / (norm_a * norm_b), 6)
 
 
+#: Probe buckets for the two-level per-group top-k. At 100 TB a
+#: single-level window over a LOW-cardinality group key funnels each
+#: group's entire scored set through one task; the bucket level bounds
+#: the final per-group sort at buckets×k rows.
+TOPK_BUCKETS = 32
+
+
+def topk_per_group(
+    scored: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    unique_col: str,
+    rk_col: str = "rk",
+) -> DataFrame:
+    """EXACT per-group top-k as a two-level rank — the scale-safe
+    replacement for `row_number().over(Window.partitionBy(group))`
+    when the group key has LOW cardinality (a query batch, an anchor
+    set): that single-level window shuffles every group's full scored
+    set into ONE task. Level 1 ranks within (group, hash-bucket of the
+    unique tie-break column) and keeps each bucket's top k — any
+    global top-k row is in some bucket, and within its bucket nothing
+    outranks it that wouldn't globally, so the union of bucket top-ks
+    is a superset of the global top-k. Level 2 re-ranks the surviving
+    ≤ TOPK_BUCKETS×k rows per group and cuts at k. `order_cols` must
+    be a TOTAL order (include the unique column as the last
+    tie-break), which both levels share — output is byte-identical to
+    the single-level window."""
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy(group_col, "__tb").orderBy(*order_cols)
+    w_final = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        scored.withColumn(
+            "__tb", F.pmod(F.hash(unique_col), F.lit(TOPK_BUCKETS))
+        )
+        .withColumn("__rk_l", F.row_number().over(w_local))
+        .filter(F.col("__rk_l") <= k)
+        .withColumn(rk_col, F.row_number().over(w_final))
+        .filter(F.col(rk_col) <= k)
+        .drop("__tb", "__rk_l")
+    )
+
+
 def _query_vector(spark, sf_dir: str):
     """The probe vector: embedding of QUERY_VEC_ID, as a one-row frame
     (kept in the plan → broadcast; never collected to a literal)."""
@@ -292,11 +336,14 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
     """Batch kNN — the realistic similarity-search workload: a SET of
     query vectors against the corpus in one plan. The query set
     broadcasts (tiny), scoring is corpus-partition-parallel, and the
-    per-query top-k is a window over the query id — no global sort, no
-    per-query jobs. Ranking is on the ROUNDED score (+vec_id
-    tie-break) so both engines select the identical k. At 100 TB the
-    same plan holds: |corpus| × |batch| scored rows, partitioned by
-    corpus shard."""
+    per-query top-k is the TWO-LEVEL rank (`topk_per_group`, round 9):
+    a per-(query, hash-bucket) partial top-k prunes the corpus-sized
+    candidate set to buckets×k rows per query BEFORE the final
+    per-query rank — a single-level window over the low-cardinality
+    qid would funnel each query's |corpus| scored rows through ONE
+    task at 100 TB. Ranking is on the ROUNDED score (+vec_id
+    tie-break, a total order both levels share) so both engines — and
+    both levels — select the identical k."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
@@ -318,12 +365,8 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+    return topk_per_group(
+        scored, "qid", [F.desc("cosine"), "vec_id"], TOP_K, "vec_id"
     )
 
 
@@ -988,12 +1031,18 @@ def q_sample_hard_negatives(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
+    # two-level rank (see topk_per_group): a single-level window over
+    # the low-cardinality anchor_id would funnel each anchor's full
+    # scored set through one task at scale
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= HARDNEG_K)
+        topk_per_group(
+            scored,
+            "anchor_id",
+            [F.desc("cosine"), "neg_id"],
+            HARDNEG_K,
+            "neg_id",
+        )
+        .withColumn("rk", F.col("rk").cast("int"))
         .select(
             "anchor_id", "anchor_label", "rk", "neg_id", "neg_label", "cosine"
         )
@@ -1093,18 +1142,22 @@ def q_ann_dim_truncation_recall(spark, sf_dir: str) -> DataFrame:
             ).alias("cos_trunc"),
         )
     )
-    w_full = Window.partitionBy("qid").orderBy(F.desc("cos_full"), "vec_id")
-    w_trunc = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), "vec_id")
-    rk = scored.select(
-        "qid",
-        F.row_number().over(w_full).alias("rk_full"),
-        F.row_number().over(w_trunc).alias("rk_trunc"),
-    )
-    hit = F.when(
-        (F.col("rk_full") <= TOP_K) & (F.col("rk_trunc") <= TOP_K), 1
-    ).otherwise(0)
+    # Two-level rank per metric (see topk_per_group) instead of two
+    # single-level windows over the low-cardinality qid (which would
+    # funnel each query's full scored set through one task at scale),
+    # then overlap = LEFT join of the two K-row-per-qid sets — the
+    # full-rank side always has exactly K rows per qid, so every qid
+    # survives to the output even at zero overlap.
+    tf = topk_per_group(
+        scored, "qid", [F.desc("cos_full"), "vec_id"], TOP_K, "vec_id"
+    ).select("qid", "vec_id")
+    tt = topk_per_group(
+        scored, "qid", [F.desc("cos_trunc"), "vec_id"], TOP_K, "vec_id"
+    ).select("qid", "vec_id", F.lit(1).alias("in_trunc"))
+    hit = F.when(F.col("in_trunc").isNotNull(), 1).otherwise(0)
     return (
-        rk.groupBy("qid")
+        tf.join(tt, ["qid", "vec_id"], "left")
+        .groupBy("qid")
         .agg(
             F.sum(hit).cast("long").alias("n_overlap"),
             F.round(F.sum(hit) / float(TOP_K), 6).alias("recall_r6"),
