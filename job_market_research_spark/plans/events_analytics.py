@@ -690,6 +690,10 @@ def q_agg_audience_overlap(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: Two-level rank buckets for the exact Gini (see q_agg_gini_concentration).
+GINI_RANK_BUCKETS = 64
+
+
 @query(
     "agg_gini_concentration",
     oracle="""
@@ -718,19 +722,56 @@ def q_agg_gini_concentration(spark, sf_dir: str) -> DataFrame:
     spot sources where a few items dominate the mass (G = 2·Σi·yᵢ /
     (n·Σy) − (n+1)/n over values ranked ascending).
 
-    One type-partitioned rank window (ties on value ordered by
-    event_id — the Σi·yᵢ term is invariant under permutations of
-    equal values, so the tie-break affects nothing but determinism of
-    the plan itself), then a |types|-row moment aggregation with
-    DECIMAL sums. At 100 TB the rank can be replaced by the
-    equi-depth-histogram approximation of the Lorenz curve; this
-    exact form is the oracle twin."""
+    The ascending rank is a TWO-LEVEL prefix count (round 9, the
+    weighted-quantile design): rows bucket by value range — the
+    bucket function is monotone in value, so bucket order IS value
+    order and equal values share a bucket — rank within
+    (type, bucket), then add the bucket's cumulative row-count offset
+    from the bounded (types × GINI_RANK_BUCKETS) table. Bit-identical
+    to a single type-partitioned window (which would run each type's
+    entire value set through one task at 100 TB); ties on value
+    ordered by event_id — the Σi·yᵢ term is invariant under
+    permutations of equal values, so the tie-break affects nothing
+    but determinism of the plan itself. Then a |types|-row moment
+    aggregation with DECIMAL sums."""
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(GINI_RANK_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                * GINI_RANK_BUCKETS
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+    )
+    bucketed = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "b", bucket.cast("int")
+    )
+    wb = Window.partitionBy("event_type", "b").orderBy("value", "event_id")
+    within = bucketed.withColumn("ri", F.row_number().over(wb))
+    woff = Window.partitionBy("event_type").orderBy("b")
+    offs = (
+        bucketed.groupBy("event_type", "b")
+        .agg(F.count("*").alias("nb"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("nb").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("event_type", "b", "off")
+    )
+    ranked = within.join(F.broadcast(offs), ["event_type", "b"]).select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("i"),
+        (F.col("off") + F.col("ri")).alias("i"),
     )
     s = ranked.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),

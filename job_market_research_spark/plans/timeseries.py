@@ -506,8 +506,12 @@ def q_window_cusum_change(spark, sf_dir: str) -> DataFrame:
     fire the flag no matter how long the series.
 
     Plan: one bounded (|types|-row) moment aggregation broadcast back,
-    two running windows on one (event_type, ts) exchange, and a
-    |types|-row peak join. The walk is EXACT integer micro-units
+    then a TWO-LEVEL prefix walk (round 9): running sum/min within
+    (event_type, day) — corpus-parallel keys — stitched by each day's
+    cumulative offset and carried-in minimum from the bounded per-day
+    table (broadcast back), and a |types|-row peak join. A window
+    partitioned by event_type alone would run each type's entire
+    history through one task. The walk is EXACT integer micro-units
     (µ and σ floor-quantized from decimal moments): running sums of
     doubles would diverge between Spark's sequential accumulation and
     DuckDB's segment-tree evaluation, but integer sums are
@@ -551,18 +555,57 @@ def cusum_report(events: DataFrame) -> DataFrame:
         ((F.col("v_dec") * 1000000).cast("long") - F.col("mu6")).alias("d6"),
         "sd6",
     )
-    w = (
-        Window.partitionBy("event_type")
+    # Two-level prefix walk (round 9): a single window partitioned by
+    # event_type alone runs each type's ENTIRE history through one
+    # task. Level 1 computes within-(type, day) running sum/min —
+    # (type × day)-cardinality keys, corpus-parallel; level 2 derives
+    # each day's cumulative offset and the running minimum carried in
+    # from all PRIOR days on the bounded per-day table; the join back
+    # is a broadcast. Integer arithmetic end-to-end, so the stitched
+    # walk is bit-identical to the single-window form.
+    ww = (
+        Window.partitionBy("event_type", "day")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    walk = dev.select(
+    within = (
+        dev.withColumn("day", F.to_date("ts"))
+        .withColumn("ics6", F.sum("d6").over(ww))
+        .withColumn("ilo6", F.min("ics6").over(ww))
+    )
+    days = within.groupBy("event_type", "day").agg(
+        F.sum("d6").alias("dsum"), F.min("ics6").alias("dmin")
+    )
+    wdo = Window.partitionBy("event_type").orderBy("day")
+    offs = (
+        days.withColumn(
+            "off",
+            F.coalesce(
+                F.sum("dsum").over(
+                    wdo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "prevmin",
+            F.min(F.col("off") + F.col("dmin")).over(
+                wdo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("event_type", "day", "off", "prevmin")
+    )
+    walk = within.join(F.broadcast(offs), ["event_type", "day"]).select(
         "event_id",
         "event_type",
         "ts",
         "sd6",
-        F.sum("d6").over(w).alias("cs6"),
-    ).withColumn("lo6", F.min("cs6").over(w))
+        (F.col("off") + F.col("ics6")).alias("cs6"),
+        F.least(
+            F.coalesce(F.col("prevmin"), F.lit(2**62).cast("long")),
+            F.col("off") + F.col("ilo6"),
+        ).alias("lo6"),
+    )
     peak = walk.groupBy("event_type").agg(
         F.max(F.col("cs6") - F.col("lo6")).alias("peak6"),
         F.count("*").cast("long").alias("n"),
@@ -667,27 +710,43 @@ def q_window_downsample_lttb(spark, sf_dir: str) -> DataFrame:
     Headroom: factors stay < 1e19 while bucket_count·time_span_s
     < 1e10 per series; coarsen the x unit for longer series.
 
-    Plan: one (event_type) exchange for rn, a bounded
-    (types × LTTB_BUCKETS) bucket-sum table joined back twice
+    Plan: the per-series index rn is a TWO-LEVEL count (round 9) —
+    row_number within (event_type, day), corpus-parallel keys, plus
+    each day's cumulative row-count offset from the bounded per-day
+    table (broadcast back); a window partitioned by event_type alone
+    would run each type's entire history through one task. Then a
+    bounded (types × LTTB_BUCKETS) bucket-sum table joined back twice
     (broadcast), and a (type, bucket)-partitioned pick window."""
-    pts = (
-        load(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "event_type",
-            F.expr("unix_micros(ts) div 1000000").alias("x"),
-            (F.col("value").cast("decimal(18,6)") * 1000000)
-            .cast("long")
-            .alias("y6"),
-            "ts",
-        )
+    raw = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("y6"),
+        "ts",
+    ).withColumn("day", F.to_date("ts"))
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = raw.withColumn("rn_d", F.row_number().over(wd))
+    wday = Window.partitionBy("event_type").orderBy("day")
+    dcnt = (
+        raw.groupBy("event_type", "day")
+        .agg(F.count("*").alias("nd"))
         .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy("ts", "event_id")
+            "off",
+            F.coalesce(
+                F.sum("nd").over(
+                    wday.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
             ),
         )
-        .drop("ts")
+        .select("event_type", "day", "off")
+    )
+    pts = (
+        within.join(F.broadcast(dcnt), ["event_type", "day"])
+        .withColumn("rn", (F.col("off") + F.col("rn_d")).cast("int"))
+        .drop("ts", "day", "rn_d", "off")
     )
     sizes = pts.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     sized = pts.join(F.broadcast(sizes), "event_type").withColumn(
@@ -783,11 +842,14 @@ def q_window_peak_detect(spark, sf_dir: str) -> DataFrame:
     """Local-maxima peak detection per event_type: a reading is a peak
     when it exceeds BOTH neighbors by at least the prominence floor —
     the alerting primitive behind 'flag the spikes, not the noise'.
-    One lag + one lead on a single (event_type, ts) exchange; values
-    compared as exact integer micro-units, so the prominence boundary
-    is engine-stable. Series endpoints are excluded (no one-sided
-    peaks)."""
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Lag + lead run within (event_type, day) — corpus-parallel keys —
+    and the day boundaries are stitched from the bounded per-day
+    first/last table (round 9): a window partitioned by event_type
+    alone would run each type's entire history through one task.
+    Values compared as exact integer micro-units, so the prominence
+    boundary is engine-stable and the stitched neighbors are
+    bit-identical to the single-window form. Series endpoints are
+    excluded (no one-sided peaks)."""
     s = load(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -795,13 +857,34 @@ def q_window_peak_detect(spark, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,6)") * 1000000)
         .cast("long")
         .alias("y6"),
+    ).withColumn("day", F.to_date("ts"))
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = s.select(
+        "event_id",
+        "event_type",
+        "day",
+        "y6",
+        F.lag("y6").over(wd).alias("py6"),
+        F.lead("y6").over(wd).alias("ny6"),
     )
-    nb = s.select(
+    # bounded per-(type, day) edge table → cross-boundary neighbors
+    daymeta = s.groupBy("event_type", "day").agg(
+        F.min_by("y6", F.struct("ts", "event_id")).alias("first_y6"),
+        F.max_by("y6", F.struct("ts", "event_id")).alias("last_y6"),
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    edges = daymeta.select(
+        "event_type",
+        "day",
+        F.lag("last_y6").over(wday).alias("prev_last"),
+        F.lead("first_y6").over(wday).alias("next_first"),
+    )
+    nb = within.join(F.broadcast(edges), ["event_type", "day"]).select(
         "event_id",
         "event_type",
         "y6",
-        F.lag("y6").over(w).alias("py6"),
-        F.lead("y6").over(w).alias("ny6"),
+        F.coalesce(F.col("py6"), F.col("prev_last")).alias("py6"),
+        F.coalesce(F.col("ny6"), F.col("next_first")).alias("ny6"),
     )
     return (
         nb.filter(
