@@ -270,23 +270,29 @@ def _scaling_src(spark, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouped_minmax_native(spark, sf_dir: str) -> DataFrame:
-    """Per-group min-max feature scaling as NATIVE window aggregates —
-    the built-in-beats-pandas policy applied: min/max over an unordered
-    group window plus one division stays entirely inside whole-stage
-    codegen, with no Arrow hop and no whole-group materialization.
-    (This replaced an applyInPandas version of the same normalization;
-    grouped-map is reserved for transforms window functions cannot
-    express — see grouped_pandas_ewma.)"""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("priority")
-    lo, hi = F.min("totalprice").over(w), F.max("totalprice").over(w)
+    """Per-group min-max feature scaling NATIVELY — the
+    built-in-beats-pandas policy applied: one bounded (|priorities|-
+    row) min/max aggregation broadcast-joined back, plus one division,
+    stays entirely inside whole-stage codegen with no Arrow hop and no
+    whole-group materialization. (Round 9: this replaced an unordered
+    `min/max OVER (PARTITION BY priority)` window — semantically
+    identical, but a window keyed on 5 priorities funnels the corpus
+    through 5 tasks, while agg+broadcast-join is map-side after a
+    combinable aggregate. Before that it replaced an applyInPandas
+    version; grouped-map is reserved for transforms window functions
+    cannot express — see grouped_pandas_ewma.)"""
+    src = _scaling_src(spark, sf_dir)
+    bounds = src.groupBy("priority").agg(
+        F.min("totalprice").alias("__lo"), F.max("totalprice").alias("__hi")
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
     scaled = F.when(hi == lo, F.lit(0.0)).otherwise(
         (F.col("totalprice") - lo) / (hi - lo)
     )
     return (
-        _scaling_src(spark, sf_dir)
+        src.join(F.broadcast(bounds), "priority")
         .withColumn("scaled", F.round(scaled, 6))
+        .drop("__lo", "__hi")
         .orderBy("o_orderkey")
     )
 

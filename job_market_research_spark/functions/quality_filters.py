@@ -238,6 +238,9 @@ def q_text_gopher_filters(spark, sf_dir: str) -> DataFrame:
 #: text_lm_perplexity.
 CCNET_BUCKETS = 3
 
+#: Two-level rank buckets for the exact per-lang NTILE (round 9).
+CCNET_RANK_BUCKETS = 64
+
 
 @query(
     "text_ccnet_buckets",
@@ -281,12 +284,16 @@ def q_text_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
 
     Plan shape: the LM score is the same two-shuffle pipeline as
     text_lm_perplexity (vocab join-back broadcast, per-doc agg); the
-    tercile is ONE lang-partitioned NTILE window over the bounded
-    per-doc score table, then a |langs|×3-row aggregate. NTILE ranks
-    on the ROUND-6 score with doc_id tie-break, so both engines
-    assign identical buckets. At 100 TB the exact per-lang NTILE
-    would become an approx-quantile cut on the same scores — the
-    bucket boundaries change by ±ε, the plan shape does not."""
+    tercile is an EXACT per-lang NTILE computed as a two-level rank
+    (round 9) — within-(lang, score-range-bucket) row_number plus the
+    bucket's cumulative count offset from a bounded table, closed into
+    NTILE's uneven-split rule as ((r−1)·B) div n + 1 — because a
+    window keyed on |langs| alone would funnel every language's
+    per-doc scores through one task, and WindowGroupLimit cannot
+    prune NTILE (every row keeps a bucket). Ranks are on the ROUND-6
+    score with doc_id tie-break, so both engines assign identical
+    buckets; the two-level split is bit-identical to the single
+    window (verified against DuckDB's NTILE at sf0.01 and sf0.1)."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
@@ -303,10 +310,61 @@ def q_text_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("neg_logp") / F.count("*"), 6).alias("avg_neg_logp"))
     )
-    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
-    bucketed = per_doc.join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).withColumn("bucket", F.ntile(CCNET_BUCKETS).over(w))
+    # Exact NTILE via the two-level rank (round 9): NTILE(B) over a
+    # window keyed on |langs| would funnel every language's full
+    # per-doc score set through one task. The ascending rank r is
+    # computed as within-(lang, score-range-bucket) row_number plus
+    # the bucket's cumulative row-count offset (the bucket function is
+    # monotone in the round-6 score, so bucket order IS score order
+    # and tied scores share a bucket), and NTILE's uneven-split rule
+    # is the closed form ((r-1)·B) div n + 1 — bit-identical to the
+    # window NTILE for every n (first n mod B tiles get the extra
+    # row).
+    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    bounds = scored.groupBy("lang").agg(
+        F.min("avg_neg_logp").alias("mn"), F.max("avg_neg_logp").alias("mx")
+    )
+    vb = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(CCNET_RANK_BUCKETS - 1),
+            F.floor(
+                (F.col("avg_neg_logp") - F.col("mn"))
+                * CCNET_RANK_BUCKETS
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+    )
+    vbucketed = scored.join(F.broadcast(bounds), "lang").withColumn(
+        "vb", vb.cast("int")
+    )
+    wvb = Window.partitionBy("lang", "vb").orderBy("avg_neg_logp", "doc_id")
+    within = vbucketed.withColumn("ri", F.row_number().over(wvb))
+    woff = Window.partitionBy("lang").orderBy("vb")
+    offs = (
+        vbucketed.groupBy("lang", "vb")
+        .agg(F.count("*").alias("nb"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("nb").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "n", F.sum("nb").over(Window.partitionBy("lang"))
+        )
+        .select("lang", "vb", "off", "n")
+    )
+    bucketed = (
+        within.join(F.broadcast(offs), ["lang", "vb"])
+        .withColumn(
+            "__rm1",
+            (F.col("off") + F.col("ri") - 1).cast("long") * CCNET_BUCKETS,
+        )
+        .withColumn("bucket", F.expr("__rm1 DIV n") + 1)
+    )
     return (
         bucketed.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
         .agg(

@@ -460,9 +460,11 @@ def q_ml_eval_retrieval_ndcg(spark, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("qnrm"),
         )
     )
-    from job_market_research_spark.ml.similarity import topk_per_group
-
-    scored = (
+    # rank + filter(<= k): Spark's InferWindowGroupLimit turns this
+    # into a partial pre-shuffle top-k per query (WGL-pinned test),
+    # so the low-cardinality qid does not funnel the corpus
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    topk = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -474,16 +476,13 @@ def q_ml_eval_retrieval_ndcg(spark, sf_dir: str) -> DataFrame:
                 "cosine"
             ),
         )
-    )
-    # two-level rank (topk_per_group): a single-level window over the
-    # low-cardinality qid would funnel each query's full scored set
-    # through one task at scale
-    topk = topk_per_group(
-        scored, "qid", [F.desc("cosine"), "vec_id"], 10, "vec_id"
-    ).select(
-        "qid",
-        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
-        "rk",
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "qid",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            "rk",
+        )
     )
     w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
     ideal_arr = F.array(*[F.lit(x) for x in _NDCG_IDEAL])

@@ -417,14 +417,14 @@ def q_ml_knn_classify(spark, sf_dir: str) -> DataFrame:
             / (F.col("nrm") * F.col("qnrm"))
         ).alias("cos"),
     )
-    from job_market_research_spark.ml.similarity import topk_per_group
-
-    # two-level rank (topk_per_group): a single-level window over the
-    # low-cardinality qid would funnel each query's full scored set
-    # through one task at scale; the vote-rank window below already
-    # runs on the bounded (qid, label) table
+    # rank + filter(<= k): Spark's InferWindowGroupLimit turns this
+    # into a partial pre-shuffle top-k per query (WGL-pinned test),
+    # so the low-cardinality qid does not funnel the corpus; the
+    # vote-rank window below runs on the bounded (qid, label) table
+    rn = F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), "cid"))
     votes = (
-        topk_per_group(scored, "qid", [F.desc("cos"), "cid"], K_NN, "cid")
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= K_NN)
         .groupBy("qid", "label")
         .agg(F.count("*").cast("long").alias("votes"))
     )

@@ -54,19 +54,23 @@ def topk_per_group(
     unique_col: str,
     rk_col: str = "rk",
 ) -> DataFrame:
-    """EXACT per-group top-k as a two-level rank — the scale-safe
-    replacement for `row_number().over(Window.partitionBy(group))`
-    when the group key has LOW cardinality (a query batch, an anchor
-    set): that single-level window shuffles every group's full scored
-    set into ONE task. Level 1 ranks within (group, hash-bucket of the
-    unique tie-break column) and keeps each bucket's top k — any
-    global top-k row is in some bucket, and within its bucket nothing
-    outranks it that wouldn't globally, so the union of bucket top-ks
-    is a superset of the global top-k. Level 2 re-ranks the surviving
-    ≤ TOPK_BUCKETS×k rows per group and cuts at k. `order_cols` must
-    be a TOTAL order (include the unique column as the last
-    tie-break), which both levels share — output is byte-identical to
-    the single-level window."""
+    """EXACT per-group top-k as a two-level rank, for rank shapes
+    Spark's InferWindowGroupLimit CANNOT partial-prune. A plain
+    `row_number().over(partitionBy(group)) + filter(rk <= lit)` does
+    NOT need this helper — Spark 4 inserts a Partial WindowGroupLimit
+    before the shuffle (pinned by tests/test_plan_hygiene.py::
+    test_rank_filters_get_window_group_limit), so even a
+    low-cardinality group key never funnels a group's full scored set
+    through one task. Use this ONLY when the rank feeds something
+    other than a literal rank filter (e.g. ann_dim_truncation_recall
+    consumes ranks from TWO different orders per row, so no filter
+    exists for WGL to infer from). Level 1 ranks within (group,
+    hash-bucket of the unique tie-break column) and keeps each
+    bucket's top k — any global top-k row survives its bucket cut.
+    Level 2 re-ranks the surviving ≤ TOPK_BUCKETS×k rows per group
+    and cuts at k. `order_cols` must be a TOTAL order (include the
+    unique column as the last tie-break), which both levels share —
+    output is byte-identical to the single-level window."""
     from pyspark.sql import Window
 
     w_local = Window.partitionBy(group_col, "__tb").orderBy(*order_cols)
@@ -336,14 +340,14 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
     """Batch kNN — the realistic similarity-search workload: a SET of
     query vectors against the corpus in one plan. The query set
     broadcasts (tiny), scoring is corpus-partition-parallel, and the
-    per-query top-k is the TWO-LEVEL rank (`topk_per_group`, round 9):
-    a per-(query, hash-bucket) partial top-k prunes the corpus-sized
-    candidate set to buckets×k rows per query BEFORE the final
-    per-query rank — a single-level window over the low-cardinality
-    qid would funnel each query's |corpus| scored rows through ONE
-    task at 100 TB. Ranking is on the ROUNDED score (+vec_id
-    tie-break, a total order both levels share) so both engines — and
-    both levels — select the identical k."""
+    per-query top-k is `row_number` + `filter(rk <= k)` — the exact
+    shape Spark 4's InferWindowGroupLimit rewrites into a PARTIAL
+    per-input-partition top-k BEFORE the shuffle plus a Final cut
+    after (pinned by tests/test_plan_hygiene.py::
+    test_rank_filters_get_window_group_limit), so no query's full
+    |corpus| scored set ever funnels through one task even though qid
+    has batch cardinality. Ranking is on the ROUNDED score (+vec_id
+    tie-break) so both engines select the identical k."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
@@ -365,8 +369,11 @@ def q_ann_batch_topk(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return topk_per_group(
-        scored, "qid", [F.desc("cosine"), "vec_id"], TOP_K, "vec_id"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
     )
 
 
@@ -1031,18 +1038,15 @@ def q_sample_hard_negatives(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # two-level rank (see topk_per_group): a single-level window over
-    # the low-cardinality anchor_id would funnel each anchor's full
-    # scored set through one task at scale
+    # rank + filter(<= k): Spark's InferWindowGroupLimit turns this
+    # into a partial pre-shuffle top-k per anchor (WGL-pinned test),
+    # so the low-cardinality anchor key does not funnel the corpus
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
     return (
-        topk_per_group(
-            scored,
-            "anchor_id",
-            [F.desc("cosine"), "neg_id"],
-            HARDNEG_K,
-            "neg_id",
-        )
-        .withColumn("rk", F.col("rk").cast("int"))
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= HARDNEG_K)
         .select(
             "anchor_id", "anchor_label", "rk", "neg_id", "neg_label", "cosine"
         )

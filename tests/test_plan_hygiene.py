@@ -337,3 +337,30 @@ def test_collect_sites_are_exactly_the_allowlisted_bounded_ones():
         f"{sorted(found - set(ALLOWED_COLLECT_SITES))}\n  stale allowlist: "
         f"{sorted(set(ALLOWED_COLLECT_SITES) - found)}"
     )
+
+
+def test_rank_filters_get_window_group_limit(spark, sf_dir):
+    """Scale pin for per-group top-k: `row_number().over(partitionBy
+    (low-card key)) + filter(rk <= lit)` is only safe at 100 TB
+    because Spark 4's InferWindowGroupLimit inserts a PARTIAL
+    WindowGroupLimit before the shuffle (per input partition, only k
+    rows per group survive) — without it, each group's full scored
+    set funnels through one task. Assert the Partial node is really
+    in the executed plan for every query that relies on it, so a
+    refactor that breaks the inference (e.g. consuming the rank
+    column before the filter) fails loudly."""
+    relying = [
+        "ann_batch_topk",
+        "sample_hard_negatives",
+        "ml_eval_retrieval_ndcg",
+        "ml_knn_classify",
+        "sample_reservoir_fixed_k",
+    ]
+    for name in relying:
+        plan = _physical_plan(SPECS[name].fn(spark, sf_dir))
+        assert "WindowGroupLimit" in plan and "Partial" in plan, (
+            f"{name}: rank filter lost its WindowGroupLimit pushdown — "
+            f"the low-cardinality group key would funnel the corpus "
+            f"through one task; restore the row_number+literal-filter "
+            f"shape or rewrite via ml/similarity.topk_per_group"
+        )
