@@ -374,6 +374,10 @@ def q_grouped_pandas_ewma(spark, sf_dir: str) -> DataFrame:
 #: Bounded-EWMA window width (rows of history kept per output row).
 EWMA_WINDOW = 16
 
+#: Contiguous o_orderkey span per stitch bucket for the two-level
+#: bounded-frame walk (order-aligned with the window ORDER BY).
+EWMA_KB_SPAN = 4096
+
 
 @query(
     "window_ewma_bounded",
@@ -420,19 +424,89 @@ def q_window_ewma_bounded(spark, sf_dir: str) -> DataFrame:
     division at the end is IEEE-identical on both engines. The frame
     array is collected oldest→newest on both sides.
 
-    Scale shape: one priority-keyed window over a 16-row frame — a
-    single exchange, constant state per row."""
+    Scale shape (round 9): the 16-row frame is stitched at
+    corpus-parallel keys — rows bucket by contiguous o_orderkey range
+    (order-aligned with the window's ORDER BY), the frame is collected
+    within (priority, bucket), and rows near a bucket's start prepend
+    a carry of the preceding rows taken from the bounded per-bucket
+    tail table: each bucket keeps its last 15 cents (ordered), and the
+    concatenation of all PRIOR buckets' tails provably contains the
+    exact 15 rows preceding the bucket (any row within the global last
+    15 is within its own bucket's last 15), so slicing its tail yields
+    a frame bit-identical to the single priority-keyed window — which
+    would funnel each priority's entire history through one task, and
+    which WindowGroupLimit cannot prune (every row keeps its frame)."""
     from pyspark.sql import Window
 
     src = _scaling_src(spark, sf_dir).withColumn(
         "cents", F.round(F.col("totalprice") * 100).cast("long")
-    )
-    w = (
-        Window.partitionBy("priority")
+    ).withColumn("kb", F.expr(f"o_orderkey DIV {EWMA_KB_SPAN}"))
+    wk = (
+        Window.partitionBy("priority", "kb")
         .orderBy("o_orderkey")
         .rowsBetween(-(EWMA_WINDOW - 1), 0)
     )
-    framed = src.withColumn("arr", F.collect_list("cents").over(w))
+    within = src.withColumn("arr_w", F.collect_list("cents").over(wk))
+    # bounded per-(priority, bucket) tail table: last 15 cents in order
+    tails = (
+        src.groupBy("priority", "kb")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("o_orderkey", "cents"))),
+                lambda s: s["cents"],
+            ).alias("ordered")
+        )
+        .select(
+            "priority",
+            "kb",
+            F.slice(
+                F.col("ordered"),
+                F.greatest(
+                    F.lit(1), F.size("ordered") - (EWMA_WINDOW - 1) + 1
+                ),
+                EWMA_WINDOW - 1,
+            ).alias("tail"),
+        )
+    )
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("kb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = tails.select(
+        "priority",
+        "kb",
+        F.flatten(
+            F.coalesce(
+                F.collect_list("tail").over(wc),
+                F.array().cast("array<array<long>>"),
+            )
+        ).alias("prevflat"),
+    ).select(
+        "priority",
+        "kb",
+        F.slice(
+            F.col("prevflat"),
+            F.greatest(
+                F.lit(1), F.size("prevflat") - (EWMA_WINDOW - 1) + 1
+            ),
+            EWMA_WINDOW - 1,
+        ).alias("carry"),
+    )
+    stitched = within.join(F.broadcast(carries), ["priority", "kb"]).select(
+        "o_orderkey",
+        "priority",
+        "totalprice",
+        F.concat(F.col("carry"), F.col("arr_w")).alias("full"),
+    )
+    framed = stitched.withColumn(
+        "arr",
+        F.slice(
+            F.col("full"),
+            F.greatest(F.lit(1), F.size("full") - EWMA_WINDOW + 1),
+            EWMA_WINDOW,
+        ),
+    )
     num = F.expr(
         "aggregate(zip_with(arr, sequence(0, size(arr) - 1),"
         " (x, i) -> x * shiftleft(1L, i)), 0L, (a, b) -> a + b)"
