@@ -102,6 +102,23 @@ def run_once(sf_dir: str, sf: float) -> dict:
         "queries": timings,
         "canary": canary,
         "sf": sf,
+        "versions": _versions(),
+    }
+
+
+def _versions() -> dict[str, str]:
+    """Engine versions, stamped into every bench line so driver-vs-repo
+    environment skew (e.g. DuckDB decimal-round tie behavior in the
+    oracle) is adjudicable from the recorded artifacts alone."""
+    import platform
+
+    import duckdb
+    import pyspark
+
+    return {
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "python": platform.python_version(),
     }
 
 
@@ -151,6 +168,10 @@ def main() -> None:
     for name in runs[0]["queries"]:
         merged[name] = min(r["queries"][name] for r in runs)
     total = round(sum(merged.values()), 4)
+    # only children that actually carried a canary participate in the
+    # merged min — min(.., inf) on a canary-less child would emit the
+    # non-JSON token Infinity and break downstream parsers
+    cs = [r["canary"] for r in runs if "canary" in r]
     print(
         json.dumps(
             {
@@ -158,11 +179,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": merged,
-                "canary": min(r.get("canary", float("inf")) for r in runs),
+                "canary": min(cs) if cs else None,
                 "sf": sf,
                 "jvm_reps": jvm_reps,
                 "runs": [r["value"] for r in runs],
                 "canaries": [r.get("canary") for r in runs],
+                "versions": runs[0].get("versions") or _versions(),
             }
         )
     )

@@ -30,6 +30,17 @@ from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
 
 
+def _rev_sum_dec(out_type: str = "decimal(18,2)"):
+    """Exact, order-independent day-revenue sum: each o_totalprice is
+    cast to DECIMAL(18,2) BEFORE the sum (registry.py float-exactness
+    policy), so Spark's order-dependent partial DOUBLE aggregation can
+    never flip a cent vs DuckDB's single-threaded sum. The cast back to
+    the caller's legacy output type is lossless (day totals fit 16
+    integer digits at any realistic SF). Oracle twin:
+    ``SUM(CAST(o_totalprice AS DECIMAL(18,2)))``."""
+    return F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(out_type)
+
+
 @query(
     "agg_time_weighted_avg",
     oracle="""
@@ -1076,7 +1087,8 @@ ACF_MAX_LAG = 7
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     ks AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k),
@@ -1132,7 +1144,7 @@ def q_agg_autocorr_lags(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     x = daily.select(
         F.explode(F.expr(f"sequence(1, {ACF_MAX_LAG})")).alias("k"),
@@ -1182,7 +1194,8 @@ HOLT_BETA, HOLT_CBETA = "0.1", "0.9"
     oracle=f"""
     WITH RECURSIVE daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     idx AS (
@@ -1209,7 +1222,9 @@ HOLT_BETA, HOLT_CBETA = "0.1", "0.9"
       FROM rec r JOIN idx i ON i.t = r.t + 1
     )
     SELECT CAST(t AS BIGINT) AS t, d, v,
-           l AS level, b AS trend, fitted
+           CAST(round(l, 6) AS DECIMAL(28,6)) AS level_r6,
+           CAST(round(b, 6) AS DECIMAL(28,6)) AS trend_r6,
+           fitted
     FROM rec ORDER BY t
     """,
 )
@@ -1229,10 +1244,15 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
     (multiply-add contraction differs between engines) and the
     divergence compounds; decimal state with a shared per-step
     rounding point makes every level/trend value identical by
-    construction, emitted AS decimal so the hash compares exact
-    digits. DuckDB\'s decimal round is ties-away-from-zero, which is
-    exactly Python\'s ROUND_HALF_UP (pinned by the negative-trend
-    rounds this series hits).
+    construction. DuckDB\'s decimal round is ties-away-from-zero,
+    which is exactly Python\'s ROUND_HALF_UP (pinned by the
+    negative-trend rounds this series hits). The EMITTED state is
+    additionally rounded to 6 dp on both sides (the registry-wide
+    `_r6` convention), so even a 1-ulp 9-dp tie divergence — e.g.
+    driver-vs-repo DuckDB-version skew on round(DECIMAL, 9) ties —
+    cannot flip the hash: the recursion map is contractive
+    (|∂l\'/∂l| ≤ 1−α+β), so a 1e-9 perturbation stays orders of
+    magnitude below the 1e-6 emission grid.
 
     Scale: the corpus-sized work is the one map-side-combinable daily
     aggregation; the sequential pass runs on |days| rows (calendar-
@@ -1245,7 +1265,7 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1256,6 +1276,9 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
         def r9(x):
             return x.quantize(q9, rounding=ROUND_HALF_UP)
 
+        def r6(x):
+            return x.quantize(q6, rounding=ROUND_HALF_UP)
+
         a, ca = Decimal(HOLT_ALPHA), Decimal(HOLT_CALPHA)
         be, cb = Decimal(HOLT_BETA), Decimal(HOLT_CBETA)
         pdf = pdf.sort_values("d").reset_index(drop=True)
@@ -1263,13 +1286,14 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
         n = len(v)
         lvl = r9(v[0])
         b = r9(v[1] - v[0]) if n > 1 else r9(Decimal(0))
-        rows = [(1, pdf["d"][0], v[0], None, lvl, b)]
+        rows = [(1, pdf["d"][0], v[0], None, r6(lvl), r6(b))]
         for t in range(1, n):
             fitted = (lvl + b).quantize(q6, rounding=ROUND_HALF_UP)
             new_l = r9(a * v[t] + ca * (lvl + b))
             b = r9(be * (new_l - lvl) + cb * b)
             lvl = new_l
-            rows.append((t + 1, pdf["d"][t], v[t], fitted, lvl, b))
+            # Recursion state stays 9 dp; the EMITTED copies are 6 dp.
+            rows.append((t + 1, pdf["d"][t], v[t], fitted, r6(lvl), r6(b)))
         return pd.DataFrame(
             rows, columns=["t", "d", "v", "fitted", "l", "b"]
         )
@@ -1278,13 +1302,13 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
         lambda _, pdf: holt(pdf),
         schema=(
             "t long, d date, v decimal(18,2), fitted decimal(28,6),"
-            " l decimal(28,9), b decimal(28,9)"
+            " l decimal(28,6), b decimal(28,6)"
         ),
     )
     return out.select(
         "t", "d", "v",
-        F.col("l").alias("level"),
-        F.col("b").alias("trend"),
+        F.col("l").alias("level_r6"),
+        F.col("b").alias("trend_r6"),
         "fitted",
     ).orderBy("t")
 
@@ -1294,7 +1318,8 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     ),
     cum AS (
@@ -1342,7 +1367,7 @@ def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
@@ -1374,7 +1399,8 @@ VR_K = 5
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY 1
     ),
     diffs AS (
@@ -1433,7 +1459,7 @@ def q_window_variance_ratio(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     diffs = daily.select(
         "d",
@@ -1480,7 +1506,8 @@ SKILL_SEASON = 7
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY 1
     ),
     err AS (
@@ -1522,7 +1549,7 @@ def q_window_forecast_skill(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d")
     err = daily.select(
@@ -1558,7 +1585,8 @@ LB_CRIT = 14.067140
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY 1
     ),
     diffs AS (
@@ -1623,7 +1651,7 @@ def q_window_ljung_box(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d")
     base = daily.select(
@@ -1690,7 +1718,8 @@ RUNS_CRIT = 1.959964
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY 1
     ),
     mv AS (
@@ -1743,7 +1772,7 @@ def q_stat_runs_test(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d")
     mv = daily.select(
@@ -1797,7 +1826,8 @@ def q_stat_runs_test(spark, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS y
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
     x0 AS (SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
@@ -1874,7 +1904,7 @@ def q_ml_chow_test(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("y"))
+        .agg((_rev_sum_dec() * 100).cast("long").alias("y"))
     )
     x0 = daily.agg(
         F.min("d").alias("d0"), F.count("*").cast("long").alias("nn")
@@ -1946,7 +1976,8 @@ def q_ml_chow_test(spark, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
              CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
-             CAST(SUM(o_totalprice) AS DECIMAL(28,2)) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
       FROM orders GROUP BY 1, 2
     )
     SELECT cur.y AS year, cur.m AS month,
@@ -1979,7 +2010,7 @@ def q_window_yoy_growth(spark, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("y"),
             F.month("o_orderdate").cast("long").alias("m"),
         )
-        .agg(F.sum("o_totalprice").cast("decimal(28,2)").alias("rev"))
+        .agg(_rev_sum_dec("decimal(28,2)").alias("rev"))
     )
     cur = monthly.alias("cur")
     prev = monthly.alias("prev")
@@ -2015,7 +2046,8 @@ KPSS_CRIT = 0.463
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS y
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
     st AS (
@@ -2088,7 +2120,7 @@ def q_window_kpss_test(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("y"))
+        .agg((_rev_sum_dec() * 100).cast("long").alias("y"))
     )
     st = daily.agg(
         F.count("*").cast("long").alias("n"),
@@ -2166,7 +2198,8 @@ SPC_D4 = 2.114
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM daily_src GROUP BY 1
     ),
     idx AS (
@@ -2221,7 +2254,7 @@ def q_window_control_chart(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d")
     idx = daily.select(
@@ -2273,7 +2306,8 @@ def q_window_control_chart(spark, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY 1
     ),
     lagged AS (
@@ -2332,7 +2366,7 @@ def q_window_forecast_combination(spark, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(_rev_sum_dec().alias("v"))
     )
     w = Window.orderBy("d")
     evald = daily.select(
