@@ -379,6 +379,94 @@ EWMA_WINDOW = 16
 EWMA_KB_SPAN = 4096
 
 
+def stitched_bounded_frames(
+    src: DataFrame, part: str, key: str, val: str, n: int, span: int
+) -> DataFrame:
+    """Trailing n-row frame (`arr`: the last <= n `val`s ordered by
+    `key`, oldest first) for every row, computed at corpus-parallel
+    (part, bucket) keys instead of a single `part`-keyed window — the
+    two-level stitch every bounded-frame day/series operator here uses,
+    because a low-cardinality `part` window funnels each partition's
+    full history through one task and WindowGroupLimit cannot prune a
+    frame every row keeps.
+
+    Rows bucket by contiguous `key` range (kb = key DIV span, order-
+    aligned with the window's ORDER BY); the frame is collected within
+    (part, kb); rows near a bucket's start prepend a carry: each bucket
+    keeps its last n-1 vals (ordered), and the concatenation of the
+    LAST n-1 prior buckets' tails provably contains the exact n-1 rows
+    preceding the bucket (any row within the global last n-1 is within
+    its own bucket's last n-1, and every non-empty bucket holds >= 1
+    row, so n-1 buckets back is always far enough). The carry window is
+    therefore rows-bounded — prevflat tops out at (n-1)^2 elements per
+    bucket no matter how many buckets a partition accumulates — and the
+    carries join is left to AQE (one row per (part, bucket) grows with
+    the key range, so it is never force-broadcast; the equi-join key is
+    the same (part, kb) the frame window just exchanged on).
+
+    Adversarially equivalence-tested against the single-window form in
+    tests/test_window_stitching.py.
+    """
+    from pyspark.sql import Window
+
+    src = src.withColumn("kb", F.expr(f"{key} DIV {span}"))
+    wk = (
+        Window.partitionBy(part, "kb")
+        .orderBy(key)
+        .rowsBetween(-(n - 1), 0)
+    )
+    within = src.withColumn("arr_w", F.collect_list(val).over(wk))
+    # bounded per-(part, bucket) tail table: last n-1 vals in key order
+    tails = (
+        src.groupBy(part, "kb")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key, val))),
+                lambda s: s[val],
+            ).alias("ordered")
+        )
+        .select(
+            part,
+            "kb",
+            F.slice(
+                F.col("ordered"),
+                F.greatest(F.lit(1), F.size("ordered") - (n - 1) + 1),
+                n - 1,
+            ).alias("tail"),
+        )
+    )
+    wc = Window.partitionBy(part).orderBy("kb").rowsBetween(-(n - 1), -1)
+    carries = tails.select(
+        part,
+        "kb",
+        F.flatten(
+            F.coalesce(
+                F.collect_list("tail").over(wc),
+                F.array().cast("array<array<long>>"),
+            )
+        ).alias("prevflat"),
+    ).select(
+        part,
+        "kb",
+        F.slice(
+            F.col("prevflat"),
+            F.greatest(F.lit(1), F.size("prevflat") - (n - 1) + 1),
+            n - 1,
+        ).alias("carry"),
+    )
+    stitched = within.join(carries, [part, "kb"]).withColumn(
+        "full", F.concat(F.col("carry"), F.col("arr_w"))
+    )
+    return stitched.withColumn(
+        "arr",
+        F.slice(
+            F.col("full"),
+            F.greatest(F.lit(1), F.size("full") - n + 1),
+            n,
+        ),
+    ).drop("kb", "arr_w", "tail", "carry", "full")
+
+
 @query(
     "window_ewma_bounded",
     oracle=f"""
@@ -430,82 +518,21 @@ def q_window_ewma_bounded(spark, sf_dir: str) -> DataFrame:
     within (priority, bucket), and rows near a bucket's start prepend
     a carry of the preceding rows taken from the bounded per-bucket
     tail table: each bucket keeps its last 15 cents (ordered), and the
-    concatenation of all PRIOR buckets' tails provably contains the
-    exact 15 rows preceding the bucket (any row within the global last
-    15 is within its own bucket's last 15), so slicing its tail yields
-    a frame bit-identical to the single priority-keyed window — which
-    would funnel each priority's entire history through one task, and
-    which WindowGroupLimit cannot prune (every row keeps its frame)."""
-    from pyspark.sql import Window
-
+    concatenation of the LAST 15 prior buckets' tails provably contains
+    the exact 15 rows preceding the bucket (any row within the global
+    last 15 is within its own bucket's last 15, and every non-empty
+    bucket holds >= 1 row, so 15 buckets back is always far enough), so
+    slicing its tail yields a frame bit-identical to the single
+    priority-keyed window — which would funnel each priority's entire
+    history through one task, and which WindowGroupLimit cannot prune
+    (every row keeps its frame). The carry window itself is rows-
+    bounded and the carries join is left to AQE (the table grows with
+    the key range, so it is never force-broadcast)."""
     src = _scaling_src(spark, sf_dir).withColumn(
         "cents", F.round(F.col("totalprice") * 100).cast("long")
-    ).withColumn("kb", F.expr(f"o_orderkey DIV {EWMA_KB_SPAN}"))
-    wk = (
-        Window.partitionBy("priority", "kb")
-        .orderBy("o_orderkey")
-        .rowsBetween(-(EWMA_WINDOW - 1), 0)
     )
-    within = src.withColumn("arr_w", F.collect_list("cents").over(wk))
-    # bounded per-(priority, bucket) tail table: last 15 cents in order
-    tails = (
-        src.groupBy("priority", "kb")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("o_orderkey", "cents"))),
-                lambda s: s["cents"],
-            ).alias("ordered")
-        )
-        .select(
-            "priority",
-            "kb",
-            F.slice(
-                F.col("ordered"),
-                F.greatest(
-                    F.lit(1), F.size("ordered") - (EWMA_WINDOW - 1) + 1
-                ),
-                EWMA_WINDOW - 1,
-            ).alias("tail"),
-        )
-    )
-    wc = (
-        Window.partitionBy("priority")
-        .orderBy("kb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carries = tails.select(
-        "priority",
-        "kb",
-        F.flatten(
-            F.coalesce(
-                F.collect_list("tail").over(wc),
-                F.array().cast("array<array<long>>"),
-            )
-        ).alias("prevflat"),
-    ).select(
-        "priority",
-        "kb",
-        F.slice(
-            F.col("prevflat"),
-            F.greatest(
-                F.lit(1), F.size("prevflat") - (EWMA_WINDOW - 1) + 1
-            ),
-            EWMA_WINDOW - 1,
-        ).alias("carry"),
-    )
-    stitched = within.join(F.broadcast(carries), ["priority", "kb"]).select(
-        "o_orderkey",
-        "priority",
-        "totalprice",
-        F.concat(F.col("carry"), F.col("arr_w")).alias("full"),
-    )
-    framed = stitched.withColumn(
-        "arr",
-        F.slice(
-            F.col("full"),
-            F.greatest(F.lit(1), F.size("full") - EWMA_WINDOW + 1),
-            EWMA_WINDOW,
-        ),
+    framed = stitched_bounded_frames(
+        src, "priority", "o_orderkey", "cents", EWMA_WINDOW, EWMA_KB_SPAN
     )
     num = F.expr(
         "aggregate(zip_with(arr, sequence(0, size(arr) - 1),"

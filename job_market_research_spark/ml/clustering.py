@@ -58,9 +58,19 @@ def assign_clusters(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     or row-multiplies for an assignment pass (the pre-round-9 shape
     cross-joined to corpus×K rows and shuffled them on vec_id for a
     partitioned window — one corpus×K exchange per Lloyd round).
+
+    Centroids must be NON-EMPTY: array_min over an empty collected
+    array is null, which would silently emit every vector with
+    cid/dist null (the pre-round-9 window shape returned zero rows
+    instead) — so an empty `cents` row raises at execution instead of
+    letting callers like kmeans_iterate propagate nulls.
     """
     cents = centroids.agg(
         F.collect_list(F.struct("cid", "cv")).alias("cents")
+    ).select(
+        F.when(F.size("cents") > 0, F.col("cents"))
+        .otherwise(F.raise_error("assign_clusters: empty centroids frame"))
+        .alias("cents")
     )
     best = F.array_min(
         F.transform(

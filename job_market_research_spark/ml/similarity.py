@@ -1112,10 +1112,12 @@ def q_ann_dim_truncation_recall(spark, sf_dir: str) -> DataFrame:
 
     Plan shape: both scorings ride ONE corpus × query broadcast join
     (two fold expressions in the same projection — no second scan);
-    per-query ranks are two windows over the same (qid)-partitioned
-    shuffle; output is |queries| rows of integer overlap counts.
-    Ranking on round-6 scores with vec_id tie-break keeps both
-    engines' top-k identical."""
+    each metric's per-query top-K comes from a two-level
+    topk_per_group rank (bucket-local prune, then a rank over the
+    surviving K·buckets rows — never a full per-qid funnel), and the
+    overlap is a LEFT join of the two K-row-per-qid sets followed by
+    a |queries|-row aggregation. Ranking on round-6 scores with
+    vec_id tie-break keeps both engines' top-k identical."""
     from pyspark.sql import Window
 
     emb = (

@@ -39,6 +39,18 @@ def test_assignment_tiebreak_is_lowest_cid(spark):
     assert assign_clusters(vecs, cents).first().cid == 3
 
 
+def test_assignment_rejects_empty_centroids(spark):
+    """array_min over an empty collected centroid array would silently
+    assign every vector a null cid/dist (the pre-round-9 window shape
+    returned zero rows) — the guard must raise instead."""
+    import pytest
+
+    vecs = _vecs(spark, [(1, [5.0])])
+    empty = spark.createDataFrame([], "cid long, cv array<double>")
+    with pytest.raises(Exception, match="empty centroids"):
+        assign_clusters(vecs, empty).collect()
+
+
 def test_centroid_update_partitioning_invariant(spark):
     rows = [(i, [float(i), float(i % 3)]) for i in range(60)]
     assigned = _vecs(spark, rows).withColumn("cid", F.col("vec_id") % 4)

@@ -120,6 +120,51 @@ def test_cusum_day_stitch_equals_single_window(spark):
     assert got == ref and set(got) == {"A", "B", "C"}
 
 
+def test_bounded_frame_stitch_equals_single_window(spark):
+    """stitched_bounded_frames (the window_ewma_bounded core) must
+    equal the single part-keyed window frame on adversarial bucket
+    shapes: single-row buckets spanning more buckets than the frame,
+    one dense bucket far larger than the frame, huge empty-bucket
+    gaps, and the degenerate spans (every key its own bucket / all
+    keys one bucket). This pins the round-10 narrowing of the carry
+    window to the last n-1 buckets — a frame too narrow by even one
+    bucket drops a carry row on the all-single-row-buckets shape."""
+    from job_market_research_spark.functions.enrich import (
+        stitched_bounded_frames,
+    )
+
+    # partition p1: exactly one row per bucket (at span 10) across 8
+    # buckets; p2: dense run (20 rows in 2 buckets) then multi-bucket
+    # gaps; p3: two rows total (frame never fills)
+    keys_p1 = [1, 12, 23, 34, 45, 56, 67, 78]
+    keys_p2 = list(range(20, 40)) + [500, 9000, 9001]
+    rows = (
+        [("p1", k, (k * 7) % 13) for k in keys_p1]
+        + [("p2", k, (k * 3) % 11) for k in keys_p2]
+        + [("p3", k, k) for k in (7, 70_000)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    for n, span in ((4, 10), (16, 5), (2, 1), (16, 1_000_000)):
+        got = {
+            (r["g"], r["k"]): list(r["arr"])
+            for r in stitched_bounded_frames(
+                df, "g", "k", "x", n, span
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(-(n - 1), Window.currentRow)
+        )
+        ref = {
+            (r["g"], r["k"]): list(r["arr"])
+            for r in df.withColumn(
+                "arr", F.collect_list("x").over(w)
+            ).collect()
+        }
+        assert got == ref, (n, span)
+
+
 def test_topk_per_group_equals_single_window(spark):
     """topk_per_group (kept for WGL-unprunable shapes) must equal the
     single-level window on adversarial data: duplicate scores across
