@@ -874,12 +874,17 @@ def q_window_peak_detect(spark, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "day",
+        "ts",
         "y6",
         F.lag("y6").over(wd).alias("py6"),
         F.lead("y6").over(wd).alias("ny6"),
     )
-    # bounded per-(type, day) edge table → cross-boundary neighbors
-    daymeta = s.groupBy("event_type", "day").agg(
+    # bounded per-(type, day) edge table → cross-boundary neighbors.
+    # Column pruning removes the unused lag/lead from this branch, so
+    # it plans as a map-side partial aggregation over a pruned second
+    # scan — |type×day| rows ever shuffle for it; the windowed corpus
+    # pass happens exactly once, in the nb branch.
+    daymeta = within.groupBy("event_type", "day").agg(
         F.min_by("y6", F.struct("ts", "event_id")).alias("first_y6"),
         F.max_by("y6", F.struct("ts", "event_id")).alias("last_y6"),
     )

@@ -169,15 +169,26 @@ def q_stream_dedup_watermark(spark, sf_dir: str) -> DataFrame:
     new-URL gate (SURVEY §2.3 dedup_incremental) as a streaming
     operator. Duplicates are planted by staging the event set twice;
     `dropDuplicates` with a watermark keeps bounded state and exactly
-    one row per event_id survives."""
-    out = scratch_dir("stream_dedup")
-    ev = load(spark, sf_dir, "events")
-    ev.repartition(2, "event_id").write.mode("overwrite").parquet(
-        os.path.join(out, "arrival_1")
-    )
-    ev.repartition(3, "event_id").write.mode("overwrite").parquet(
-        os.path.join(out, "arrival_2")
-    )
+    one row per event_id survives.
+
+    Drain cost: only the three columns the operator touches are staged
+    (event_id dedup key, ts watermark, event_type output) — the state
+    rows, arrival files and memory sink never carry the payload columns
+    — and the double-arrival staging is memoized per sf_dir like every
+    other arrival directory (it is a pure function of its input; the
+    r9 shape re-wrote both arrivals on every call)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    key = (os.path.abspath(sf_dir), "dedup2x")
+    out = _STAGED.get(key)
+    if not (out and os.path.isdir(out)):
+        out = scratch_dir("stream_dedup")
+        ev.repartition(2, "event_id").write.mode("overwrite").parquet(
+            os.path.join(out, "arrival_1")
+        )
+        ev.repartition(3, "event_id").write.mode("overwrite").parquet(
+            os.path.join(out, "arrival_2")
+        )
+        _STAGED[key] = out
     stream = spark.readStream.schema(ev.schema).option("pathGlobFilter", "*.parquet").parquet(
         out + "/arrival_*"
     )
