@@ -164,30 +164,32 @@ def main() -> None:
                 f"no JSON line in child stdout:\n{out.stdout[-2000:]}"
             )
 
+    print(json.dumps(merge_runs(runs, sf, jvm_reps)))
+
+
+def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
+    """Merge per-child fresh-JVM results: per-query MIN, canary MIN
+    over the children that actually carried one (min(.., inf) on a
+    canary-less child would emit the non-JSON token Infinity and break
+    downstream parsers). Unit-tested in tests/test_bench_merge.py."""
     merged: dict[str, float] = {}
     for name in runs[0]["queries"]:
         merged[name] = min(r["queries"][name] for r in runs)
-    total = round(sum(merged.values()), 4)
-    # only children that actually carried a canary participate in the
-    # merged min — min(.., inf) on a canary-less child would emit the
-    # non-JSON token Infinity and break downstream parsers
     cs = [r["canary"] for r in runs if "canary" in r]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": merged,
-                "canary": min(cs) if cs else None,
-                "sf": sf,
-                "jvm_reps": jvm_reps,
-                "runs": [r["value"] for r in runs],
-                "canaries": [r.get("canary") for r in runs],
-                "versions": runs[0].get("versions") or _versions(),
-            }
-        )
-    )
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(merged.values()), 4),
+        "unit": "sec",
+        "queries": merged,
+        "canary": min(cs) if cs else None,
+        "sf": sf,
+        "jvm_reps": jvm_reps,
+        "runs": [r["value"] for r in runs],
+        "canaries": [r.get("canary") for r in runs],
+        "versions": next(
+            (r["versions"] for r in runs if "versions" in r), _versions()
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: a physical-plan census of every registered
+query, so the plan-shape claims in SCALE.md are auditable without
+running anything.
+
+For each registry entry the query is BUILT (not executed — streaming
+drains and staged sinks that run inside the builder are flagged) at the
+smoke scale factor and its executed-plan string is summarized: scans,
+exchanges, join strategies, window count, WindowGroupLimit pushdown,
+and the Python boundary (Arrow-batched only — BatchEvalPython is
+banned by tests/test_plan_hygiene.py; this census records the same
+facts as data instead of assertions).
+
+Run from the repo root: python scripts/plan_census.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Queries whose BUILDER runs real work (streaming drains, foreachBatch
+#: folds, sink writes) before returning the result frame — their plan
+#: summary describes the terminal read, not the drain.
+_BUILDER_RUNS = re.compile(r"^(stream_|sink_|source_append)")
+
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+)
+_PY_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
+
+
+def summarize(plan: str) -> dict:
+    return {
+        "scans": plan.count("Scan parquet")
+        + plan.count("Scan csv")
+        + plan.count("Scan orc")
+        + plan.count("Scan json")
+        + plan.count("Scan text")
+        + plan.count("Scan ExistingRDD")
+        + plan.count("Scan binaryFile"),
+        "exchanges": plan.count("Exchange") - plan.count("ReusedExchange"),
+        "joins": {j: plan.count(j) for j in _JOIN_NODES if j in plan},
+        "windows": plan.count("Window "),  # trailing space: not WindowGroupLimit
+        "wgl": "WindowGroupLimit" in plan,
+        "python": [p for p in _PY_NODES if p in plan],
+        "banned": [
+            b
+            for b in ("CartesianProduct", "BatchEvalPython")
+            if b in plan
+        ],
+    }
+
+
+def main() -> None:
+    from job_market_research_spark.registry import load_all
+    from job_market_research_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-census", master="local[4]", shuffle_partitions=4)
+    specs = load_all()
+    rows, totals = [], Counter()
+    order = sorted(
+        specs,
+        key=lambda n: (
+            specs[n].fn.__module__.replace("job_market_research_spark.", ""),
+            n,
+        ),
+    )
+    for name in order:
+        try:
+            df = specs[name].fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            s = summarize(plan)
+        except Exception as exc:  # pragma: no cover — census must finish
+            rows.append((name, None, f"ERROR: {exc}"))
+            continue
+        totals["scans"] += s["scans"]
+        totals["exchanges"] += s["exchanges"]
+        for j, c in s["joins"].items():
+            totals[j] += c
+        totals["windows"] += s["windows"]
+        if s["python"]:
+            totals["python_boundary_queries"] += 1
+        rows.append((name, s, None))
+
+    banned = [(n, s["banned"]) for n, s, _ in rows if s and s["banned"]]
+    mod_of = {
+        n: specs[n].fn.__module__.replace("job_market_research_spark.", "")
+        for n in specs
+    }
+    lines = [
+        "# Physical-plan census (generated)",
+        "",
+        f"Every registered query built at `{sf}` and its EXECUTED plan",
+        "summarized — the machine-readable counterpart to SCALE.md's",
+        "plan-shape claims. `joins` abbreviations: BHJ BroadcastHashJoin,",
+        "SMJ SortMergeJoin, SHJ ShuffledHashJoin, BNLJ",
+        "BroadcastNestedLoopJoin (all BNLJ instances are bounded 1-row /",
+        "query-set broadcasts — the plan-hygiene suite bans",
+        "CartesianProduct outright). `py` = Arrow-batched Python boundary",
+        "nodes (row-at-a-time BatchEvalPython is banned). Queries marked",
+        "`*` run real work (streaming drain / staged sink) inside the",
+        "builder; their row describes the terminal read.",
+        "",
+        f"Totals over {len(rows)} queries: {totals['scans']} scans,",
+        f"{totals['exchanges']} exchanges, {totals.get('BroadcastHashJoin', 0)} BHJ,",
+        f"{totals.get('SortMergeJoin', 0)} SMJ, {totals.get('ShuffledHashJoin', 0)} SHJ,",
+        f"{totals.get('BroadcastNestedLoopJoin', 0)} BNLJ, {totals['windows']} window ops,",
+        f"{totals['python_boundary_queries']} queries with an Arrow Python boundary,",
+        f"{len(banned)} queries with banned nodes (must be 0).",
+        "",
+        "Regenerate with `python scripts/plan_census.py`.",
+        "",
+        "| query | scans | exch | joins | win | WGL | py |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    abbrev = {
+        "BroadcastHashJoin": "BHJ",
+        "SortMergeJoin": "SMJ",
+        "ShuffledHashJoin": "SHJ",
+        "BroadcastNestedLoopJoin": "BNLJ",
+    }
+    last_mod = None
+    for name, s, err in rows:
+        mod = mod_of[name]
+        if mod != last_mod:
+            lines.append(f"| **{mod}** | | | | | | |")
+            last_mod = mod
+        star = "\\*" if _BUILDER_RUNS.match(name) else ""
+        if err:
+            lines.append(f"| `{name}`{star} | — | — | {err[:60]} | | | |")
+            continue
+        joins = " ".join(f"{c}{abbrev[j]}" for j, c in s["joins"].items())
+        py = ",".join(p.replace("Pandas", "P").replace("Python", "Py") for p in s["python"])
+        lines.append(
+            f"| `{name}`{star} | {s['scans']} | {s['exchanges']} | {joins} "
+            f"| {s['windows']} | {'y' if s['wgl'] else ''} | {py} |"
+        )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {len(rows)} queries, {len(banned)} banned-node hits")
+    if banned:
+        for n, b in banned:
+            print(f"  BANNED {n}: {b}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
