@@ -1545,6 +1545,126 @@ def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: Zipf-fit vocabulary head size (top-K tokens by frequency).
+ZIPF_K = 100
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT u.t AS token
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ),
+    top AS (
+      SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {ZIPF_K}
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM top
+    ),
+    terms AS (
+      SELECT CAST(round(ln(r), 9) AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(c), 9) AS DECIMAL(28,9)) AS y,
+             CAST(round(ln(r) * ln(r), 9) AS DECIMAL(28,9)) AS xx,
+             CAST(round(ln(r) * ln(c), 9) AS DECIMAL(28,9)) AS xy,
+             CAST(round(ln(c) * ln(c), 9) AS DECIMAL(28,9)) AS yy
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx,
+             CAST(SUM(xy) AS DOUBLE) AS sxy,
+             CAST(SUM(yy) AS DOUBLE) AS syy
+      FROM terms
+    )
+    SELECT k AS k_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope_r6,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                 6) AS intercept_r6,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2_r6
+    FROM m
+    """,
+    tags=("text", "curation", "beyond"),
+)
+def q_text_zipf_fit(spark, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency head: OLS slope of
+    ln(frequency) on ln(rank) over the top-100 (ZIPF_K) tokens, with
+    intercept and R². Natural language sits near slope −1 with high
+    R²; a corpus whose head deviates hard (slope ≫ −1 = suspiciously
+    flat, low R² = non-linguistic token soup — logs, tables, boiler-
+    plate) fails the cheapest distributional sanity check there is,
+    which is why Zipf diagnostics sit next to perplexity in curation
+    stacks (and complement text_vocab_jsd's drift view of the same
+    head).
+
+    Exactness (the text_vocab_jsd recipe): each of the K per-rank
+    ln-moments is a fixed-shape double over exact integers, rounded 9
+    and DECIMAL-summed — order-independent — then the closed-form
+    slope/intercept/R² algebra runs on identical doubles in both
+    engines and is rounded to 6.
+
+    Scale: ONE combinable (token) count aggregation, a TakeOrdered
+    top-ZIPF_K cut (per-partition top-k + driver merge, never a
+    global vocab sort), then a rank window over the now-CONSTANT
+    ZIPF_K-row frame (plan-hygiene allowlisted) and a 1-row reduce."""
+    from pyspark.sql.window import Window
+
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "token").limit(ZIPF_K)
+    ranked = top.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "token"))
+        .cast("long"),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+
+    def d9(col):
+        return F.round(col, 9).cast("decimal(28,9)")
+
+    terms = ranked.select(
+        d9(lx).alias("x"),
+        d9(ly).alias("y"),
+        d9(lx * lx).alias("xx"),
+        d9(lx * ly).alias("xy"),
+        d9(ly * ly).alias("yy"),
+    )
+    m = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    cov = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = k * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return m.select(
+        F.col("k").alias("k_terms"),
+        F.round(slope, 6).alias("slope_r6"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias(
+            "intercept_r6"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2_r6"),
+    )
+
+
 @query(
     "text_bigram_entropy_rate",
     oracle="""

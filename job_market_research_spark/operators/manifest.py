@@ -273,3 +273,88 @@ def q_scan_manifest_time_travel(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+#: Output-shard fan-out for the export-balance audit.
+SHARD_N = 16
+
+
+@query(
+    "maintenance_shard_balance",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {SHARD_N} AS shard,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n_tok,
+             length(text) AS n_chr
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chr) AS BIGINT) AS n_chars
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT shard, n_docs, n_tokens, n_chars,
+           round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share_r6,
+           round(CAST(n_tokens AS DOUBLE) * {SHARD_N} / t, 6)
+             AS balance_ratio_r6
+    FROM per CROSS JOIN tot ORDER BY shard
+    """,
+    tags=("maintenance", "curation", "beyond"),
+)
+def q_maintenance_shard_balance(spark, sf_dir: str) -> DataFrame:
+    """Export-shard balance audit: assign every document to one of
+    SHARD_N output shards by a portable content-independent hash of
+    its id (the assignment a training-data export actually uses —
+    deterministic, resumable, no coordination) and report each
+    shard's doc / token / char mass plus its balance ratio against
+    the perfect 1/SHARD_N split. The check a pipeline runs BEFORE
+    burning a cluster-day writing shards: a ratio far from 1.0 means
+    skewed shard files, straggler training readers, and wasted
+    prefetch — caught here from one aggregation.
+
+    Hash: the md5-based 60-bit portable hash (ml/neardup.py:71) so
+    Spark and the DuckDB oracle agree bit-for-bit; token mass counts
+    whitespace tokens (the same split every text operator here uses),
+    all masses exact integers, only the two ratios are rounded
+    doubles.
+
+    Scale: ONE map-side-combinable aggregation from the corpus to
+    SHARD_N rows; the totals join back is a 1-row broadcast. The
+    audit's cost is a single corpus pass no matter the fan-out."""
+    from job_market_research_spark.ml.neardup import portable_hash60
+
+    d = load(spark, sf_dir, "documents").select(
+        (portable_hash60(F.col("doc_id").cast("string")) % SHARD_N).alias(
+            "shard"
+        ),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+                "token_share_r6"
+            ),
+            F.round(
+                F.col("n_tokens").cast("double") * SHARD_N / F.col("t"), 6
+            ).alias("balance_ratio_r6"),
+        )
+        .orderBy("shard")
+    )

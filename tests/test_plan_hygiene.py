@@ -77,6 +77,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # the rank window separating the threshold order statistic runs on
     # exactly HILL_K+1 rows after the TakeOrdered top-k cut
     "agg_hill_tail_index": "HILL_K+1 rows after top-k cut",
+    # the Zipf rank window runs on exactly ZIPF_K rows after the
+    # TakeOrdered top-k vocabulary cut
+    "text_zipf_fit": "ZIPF_K rows after top-k cut",
     # the rank prefix sum runs over the fixed DPM_BINS candidate grid
     # (128 rows by construction, data-independent)
     "privacy_dp_median": "DPM_BINS candidate-grid rows",
