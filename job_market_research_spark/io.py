@@ -38,6 +38,15 @@ def table_path(sf_dir: str, name: str) -> str:
 _TS_UNIT_CACHE: dict[str, str] = {}
 _TS_PROBE_CACHE: dict[str, int] = {}
 
+#: Memoized loaded DataFrames per (Spark application, table path).
+#: `spark.read.parquet` costs ~90 ms per call (JVM file listing +
+#: schema read) and the registry queries call load() 2–7 times each —
+#: pure planning overhead on IMMUTABLE testdata. A DataFrame is an
+#: immutable logical plan, so reuse across queries is safe; keying by
+#: applicationId keeps entries from a stopped session from leaking
+#: into its successor (each SparkContext gets a fresh app id).
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _events_ts_unit(path: str) -> str:
     """Logical type of `events.ts` read from the parquet FOOTER — a
@@ -114,6 +123,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NANOS-typed / NTZ-annotated parquet columns are SCANNED and cannot
     alter the semantics of non-events queries.
     """
+    ckey = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    cached = _DF_CACHE.get(ckey)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
@@ -153,6 +166,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(micros))
         elif not isinstance(ts_type, TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_CACHE[ckey] = df
     return df
 
 

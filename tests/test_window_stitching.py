@@ -165,6 +165,61 @@ def test_bounded_frame_stitch_equals_single_window(spark):
         assert got == ref, (n, span)
 
 
+def test_bounded_frame_stitch_property(spark):
+    """Hypothesis: for RANDOM key sets, partitions, frame sizes and
+    bucket spans, the stitched trailing frame equals the single-window
+    frame. Random keys generate exactly the shapes the fixed test
+    can't enumerate — runs of single-row buckets longer than the carry
+    frame, duplicate-free sparse tails, clustered bursts."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from job_market_research_spark.functions.enrich import (
+        stitched_bounded_frames,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2"]),
+                st.integers(min_value=0, max_value=2_000),
+            ),
+            min_size=1,
+            max_size=80,
+            unique=True,
+        ),
+        n=st.integers(min_value=2, max_value=16),
+        span=st.sampled_from([1, 7, 64, 1_000]),
+    )
+    def run(keys, n, span):
+        rows = [(g, k, (k * 13) % 97) for g, k in keys]
+        df = spark.createDataFrame(rows, "g string, k long, x long")
+        got = {
+            (r["g"], r["k"]): list(r["arr"])
+            for r in stitched_bounded_frames(
+                df, "g", "k", "x", n, span
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(-(n - 1), Window.currentRow)
+        )
+        ref = {
+            (r["g"], r["k"]): list(r["arr"])
+            for r in df.withColumn(
+                "arr", F.collect_list("x").over(w)
+            ).collect()
+        }
+        assert got == ref, (n, span)
+
+    run()
+
+
 def test_topk_per_group_equals_single_window(spark):
     """topk_per_group (kept for WGL-unprunable shapes) must equal the
     single-level window on adversarial data: duplicate scores across
