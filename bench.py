@@ -175,7 +175,7 @@ def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
     merged: dict[str, float] = {}
     for name in runs[0]["queries"]:
         merged[name] = min(r["queries"][name] for r in runs)
-    cs = [r["canary"] for r in runs if "canary" in r]
+    cs = [r["canary"] for r in runs if r.get("canary") is not None]
     return {
         "metric": "headline_queries_total_wall",
         "value": round(sum(merged.values()), 4),

@@ -436,13 +436,16 @@ def stitched_bounded_frames(
         )
     )
     wc = Window.partitionBy(part).orderBy("kb").rowsBetween(-(n - 1), -1)
+    # the empty-carry fallback must match the caller's val type — a
+    # hardcoded long would fail plan analysis for double/decimal vals
+    vt = src.schema[val].dataType.simpleString()
     carries = tails.select(
         part,
         "kb",
         F.flatten(
             F.coalesce(
                 F.collect_list("tail").over(wc),
-                F.array().cast("array<array<long>>"),
+                F.array().cast(f"array<array<{vt}>>"),
             )
         ).alias("prevflat"),
     ).select(

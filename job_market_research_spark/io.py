@@ -86,6 +86,27 @@ def _events_ts_unit(path: str) -> str:
     return unit
 
 
+def _assert_utc(spark: SparkSession) -> None:
+    """Re-assert the UTC session-timezone invariant (see `load`); runs
+    on EVERY events load including memoized hits, since a mid-session
+    timezone change would silently alter NTZ→TIMESTAMP casting."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        import sys
+
+        print(
+            "io.load('events'): session timezone was "
+            f"{tz!r}; setting UTC (required invariant — see "
+            "session.get_spark). Set it at session creation to "
+            "avoid this mid-session change.",
+            file=sys.stderr,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one synthetic table.
 
@@ -123,28 +144,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NANOS-typed / NTZ-annotated parquet columns are SCANNED and cannot
     alter the semantics of non-events queries.
     """
-    ckey = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    app = spark.sparkContext.applicationId
+    ckey = (app, table_path(sf_dir, name))
     cached = _DF_CACHE.get(ckey)
     if cached is not None:
+        if name == "events":
+            _assert_utc(spark)  # the invariant re-check must survive hits
         return cached
+    # evict plans pinned to stopped SparkContexts: one live app at a
+    # time per process, so any other app id is dead weight (and a
+    # recycled local-mode id must never serve a dead session's plan)
+    for k in [k for k in _DF_CACHE if k[0] != app]:
+        del _DF_CACHE[k]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        try:
-            tz = spark.conf.get("spark.sql.session.timeZone")
-        except Exception:
-            tz = None
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-            import sys
-
-            print(
-                "io.load('events'): session timezone was "
-                f"{tz!r}; setting UTC (required invariant — see "
-                "session.get_spark). Set it at session creation to "
-                "avoid this mid-session change.",
-                file=sys.stderr,
-            )
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _assert_utc(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     if name == "events":

@@ -1118,8 +1118,6 @@ def q_ann_dim_truncation_recall(spark, sf_dir: str) -> DataFrame:
     overlap is a LEFT join of the two K-row-per-qid sets followed by
     a |queries|-row aggregation. Ranking on round-6 scores with
     vec_id tie-break keeps both engines' top-k identical."""
-    from pyspark.sql import Window
-
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))

@@ -334,7 +334,8 @@ NEYMAN_BUDGET = 100
              round(sqrt((syy - sy * sy / n_h) / n_h), 6) AS sd_r6
       FROM s
     ),
-    tot AS (SELECT SUM(n_h * sd_r6) AS z FROM sd)
+    tot AS (SELECT CAST(SUM(CAST(n_h * sd_r6 AS DECIMAL(28,6)))
+                        AS DOUBLE) AS z FROM sd)
     SELECT stratum, n_h, sd_r6,
            round(n_h * sd_r6 / z, 6) AS share_r6,
            CAST(round({NEYMAN_BUDGET} * round(n_h * sd_r6 / z, 6))
@@ -383,7 +384,14 @@ def q_sample_neyman_allocation(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("sd_r6"),
     )
-    tot = sd.agg(F.sum(F.col("n_h") * F.col("sd_r6")).alias("z"))
+    # z sums DOUBLE products across strata — DECIMAL-cast each term so
+    # the reduce is order-independent (each n_h·sd_r6 product is the
+    # same double on both engines; only the summation order varies)
+    tot = sd.agg(
+        F.sum((F.col("n_h") * F.col("sd_r6")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("z")
+    )
     share = F.round(F.col("n_h") * F.col("sd_r6") / F.col("z"), 6)
     return (
         sd.crossJoin(F.broadcast(tot))

@@ -34,6 +34,15 @@ from job_market_research_spark.sources.readers import scratch_dir
 _STAGED: dict[tuple, str] = {}
 
 
+def _sf_slug(sf_dir: str) -> str:
+    """Filesystem-safe token unique per sf_dir for scratch-path names
+    (memo keys already include the abspath; the PATH must too — see
+    `_stage_events`)."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
 def _stage_events(
     spark: SparkSession,
     sf_dir: str,
@@ -43,12 +52,22 @@ def _stage_events(
 ) -> str:
     """Write events as `parts` parquet files — the simulated arrivals.
     Memoized per (sf_dir, parts, cols); `name` is ignored (kept for
-    caller readability)."""
+    caller readability).
+
+    The scratch path must encode EVERY memo-key component including
+    sf_dir: scratch_dir(fresh=True) wipes same-named dirs, so a shared
+    name would let a second scale factor silently restage the directory
+    a first scale factor's memo entry still points at (the entry stays
+    isdir-valid but holds the wrong corpus)."""
     key = (os.path.abspath(sf_dir), parts, cols)
     cached = _STAGED.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    suffix = f"p{parts}" + ("" if not cols else "_" + "_".join(cols))
+    suffix = (
+        f"p{parts}"
+        + ("" if not cols else "_" + "_".join(cols))
+        + "_" + _sf_slug(sf_dir)
+    )
     out = scratch_dir(f"stream_stage_{suffix}")
     df = load(spark, sf_dir, "events")
     if cols:
@@ -181,7 +200,7 @@ def q_stream_dedup_watermark(spark, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), "dedup2x")
     out = _STAGED.get(key)
     if not (out and os.path.isdir(out)):
-        out = scratch_dir("stream_dedup")
+        out = scratch_dir(f"stream_dedup_{_sf_slug(sf_dir)}")
         ev.repartition(2, "event_id").write.mode("overwrite").parquet(
             os.path.join(out, "arrival_1")
         )

@@ -110,7 +110,9 @@ def main() -> None:
         "`*` run real work (streaming drain / staged sink) inside the",
         "builder; their row describes the terminal read.",
         "",
-        f"Totals over {len(rows)} queries: {totals['scans']} scans,",
+        f"Totals over {sum(1 for _, s, _ in rows if s)} summarized"
+        f" queries ({sum(1 for _, s, _ in rows if not s)} errored):"
+        f" {totals['scans']} scans,",
         f"{totals['exchanges']} exchanges, {totals.get('BroadcastHashJoin', 0)} BHJ,",
         f"{totals.get('SortMergeJoin', 0)} SMJ, {totals.get('ShuffledHashJoin', 0)} SHJ,",
         f"{totals.get('BroadcastNestedLoopJoin', 0)} BNLJ, {totals['windows']} window ops,",
@@ -136,7 +138,10 @@ def main() -> None:
             last_mod = mod
         star = "\\*" if _BUILDER_RUNS.match(name) else ""
         if err:
-            lines.append(f"| `{name}`{star} | — | — | {err[:60]} | | | |")
+            # exception text goes into a table cell: pipes/newlines in
+            # Spark AnalysisException messages would corrupt the layout
+            safe = err.replace("\n", " ").replace("|", "/")[:60]
+            lines.append(f"| `{name}`{star} | — | — | {safe} | | | |")
             continue
         joins = " ".join(f"{c}{abbrev[j]}" for j, c in s["joins"].items())
         py = ",".join(p.replace("Pandas", "P").replace("Python", "Py") for p in s["python"])

@@ -31,9 +31,11 @@ def test_merge_takes_per_query_min_and_canary_min():
 
 
 def test_merge_survives_canary_less_children():
+    # one child omits the key entirely, one carries an explicit null —
+    # the exact shape merge_runs itself emits for a canary-less merge
     runs = [
         _run(3.0, {"a": 1.0}),
-        _run(2.0, {"a": 0.9}),
+        _run(2.0, {"a": 0.9}, canary=None),
     ]
     m = merge_runs(runs, sf=0.01, jvm_reps=2)
     assert m["canary"] is None

@@ -55,26 +55,74 @@ def _is_double_sum(e) -> bool:
     return str(e.children().apply(0).dataType()) == "DoubleType"
 
 
+#: Arithmetic wrappers a laundering chain may pass through: these can
+#: carry a 1-ulp sum divergence straight into an exact-typed sink
+#: (Round does NOT sanitize — round(sum·100) flips when the divergence
+#: straddles a .5 boundary, the shape two of the r9-fixed sites had).
+_CHAIN = {
+    "Alias",
+    "Multiply",
+    "Divide",
+    "Add",
+    "Subtract",
+    "UnaryMinus",
+    "Abs",
+    "Round",
+    "BRound",
+    "Cast",
+}
+
+#: Exact-typed cast targets: landing an order-dependent DOUBLE sum in
+#: any of these claims a determinism the sum does not have.
+_EXACT_TARGETS = ("LongType", "IntegerType", "ShortType", "ByteType")
+
+
+def _reaches_double_sum(e, tainted: set[int]) -> bool:
+    """Does this expression's arithmetic chain bottom out in a bare
+    DOUBLE sum (directly or via a tainted attribute)?"""
+    if _is_double_sum(e):
+        return True
+    cn = e.getClass().getSimpleName()
+    if cn == "AttributeReference":
+        return e.exprId().id() in tainted
+    if cn in _CHAIN:
+        return any(
+            _reaches_double_sum(e.children().apply(i), tainted)
+            for i in range(e.children().size())
+        )
+    return False
+
+
 def risky_double_sum_casts(df) -> list[str]:
-    """Every Cast-to-Decimal over an order-dependent DOUBLE sum in the
-    analyzed plan, as strings (empty = policy-clean)."""
+    """Every exact-typed cast (DECIMAL or integral) whose arithmetic
+    chain bottoms out in an order-dependent DOUBLE sum, from the
+    analyzed plan (empty = policy-clean). Chains may pass through
+    round/×/÷/alias and Catalyst's window-alias indirection."""
     plan = df._jdf.queryExecution().analyzed()
     nodes = list(_walk_plan(plan))
 
-    # Pass 1: exprIds of aliases whose payload IS a bare double-sum
-    # (Catalyst hoists window sums into a Window node and the cast
-    # lands in a downstream Project over the alias's attribute).
+    # Pass 1 (to fixpoint): exprIds of aliases whose payload chains to
+    # a bare double-sum — Catalyst hoists window sums into a Window
+    # node and aggregate results travel to downstream Projects as
+    # attributes, sometimes through more than one Alias hop.
     tainted: set[int] = set()
-    for node in nodes:
-        exprs = node.expressions()
-        for i in range(exprs.size()):
-            for e in _walk_expr(exprs.apply(i)):
-                if e.getClass().getSimpleName() == "Alias" and _is_double_sum(
-                    e.child()
-                ):
-                    tainted.add(e.exprId().id())
+    while True:
+        grew = False
+        for node in nodes:
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                for e in _walk_expr(exprs.apply(i)):
+                    if (
+                        e.getClass().getSimpleName() == "Alias"
+                        and e.exprId().id() not in tainted
+                        and _reaches_double_sum(e.child(), tainted)
+                    ):
+                        tainted.add(e.exprId().id())
+                        grew = True
+        if not grew:
+            break
 
-    # Pass 2: decimal casts over a direct double-sum or a tainted attr.
+    # Pass 2: exact-typed casts whose input chains to a double-sum.
     flags: list[str] = []
     for node in nodes:
         exprs = node.expressions()
@@ -82,14 +130,10 @@ def risky_double_sum_casts(df) -> list[str]:
             for e in _walk_expr(exprs.apply(i)):
                 if e.getClass().getSimpleName() != "Cast":
                     continue
-                if "Decimal" not in str(e.dataType()):
+                dt = str(e.dataType())
+                if "Decimal" not in dt and dt not in _EXACT_TARGETS:
                     continue
-                child = e.children().apply(0)
-                kind = child.getClass().getSimpleName()
-                if _is_double_sum(child) or (
-                    kind == "AttributeReference"
-                    and child.exprId().id() in tainted
-                ):
+                if _reaches_double_sum(e.children().apply(0), tainted):
                     flags.append(str(e))
     return flags
 
@@ -110,12 +154,28 @@ def test_detector_catches_the_round9_pattern(spark):
     bad_win = base.select(F.sum("x").over(w).cast("decimal(18,2)").alias("c"))
     assert risky_double_sum_casts(bad_win), "window pattern not detected"
 
+    # round(sum(double)·100) cast to LONG — the chow/kpss laundering
+    # shape: Round does not sanitize a 1-ulp divergence at a .5
+    # boundary, so the integral cast must flag too
+    bad_long = base.groupBy((F.col("id") % 2).alias("g")).agg(
+        F.round(F.sum("x") * 100).cast("long").alias("y")
+    )
+    assert risky_double_sum_casts(bad_long), "round->long pattern not detected"
+
     good = base.groupBy((F.col("id") % 2).alias("g")).agg(
         F.sum(F.col("x").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("v")
     )
     assert not risky_double_sum_casts(good), "false positive on decimal sum"
+    good_long = base.groupBy((F.col("id") % 2).alias("g")).agg(
+        (F.sum(F.col("x").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    assert not risky_double_sum_casts(good_long), (
+        "false positive on decimal-sum -> long"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
