@@ -47,12 +47,21 @@ def _stage_events(
     spark: SparkSession,
     sf_dir: str,
     name: str | None = None,
-    parts: int = 4,
+    parts: int = 2,
     cols: tuple[str, ...] | None = None,
 ) -> str:
     """Write events as `parts` parquet files — the simulated arrivals.
     Memoized per (sf_dir, parts, cols); `name` is ignored (kept for
     caller readability).
+
+    Default is TWO arrival files (round 10): every multi-batch
+    invariance demo (sketch merges, watermark dedup, stateful folds)
+    needs >= 2 micro-batches, and each extra file buys another round of
+    per-batch fixed overhead (state commit + checkpoint + plan) for all
+    maxFilesPerTrigger=1 drains with no added semantic coverage —
+    r9's stream_stream_join sweep measured the per-batch cost directly.
+    stream_stateful_counter keeps its own parts=3 (its contract states
+    >= 3 emissions per user).
 
     The scratch path must encode EVERY memo-key component including
     sf_dir: scratch_dir(fresh=True) wipes same-named dirs, so a shared
