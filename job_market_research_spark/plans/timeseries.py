@@ -1226,10 +1226,10 @@ HOLT_BETA, HOLT_CBETA = "0.1", "0.9"
                   AS DECIMAL(28,9)) AS b
       FROM rec r JOIN idx i ON i.t = r.t + 1
     )
-    SELECT CAST(t AS BIGINT) AS t, d, v,
-           CAST(round(l, 6) AS DECIMAL(28,6)) AS level_r6,
-           CAST(round(b, 6) AS DECIMAL(28,6)) AS trend_r6,
-           fitted
+    SELECT CAST(t AS BIGINT) AS t, d, CAST(v AS DOUBLE) AS v,
+           CAST(round(l, 6) AS DOUBLE) AS level_r6,
+           CAST(round(b, 6) AS DOUBLE) AS trend_r6,
+           CAST(fitted AS DOUBLE) AS fitted
     FROM rec ORDER BY t
     """,
 )
@@ -1310,11 +1310,17 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
             " l decimal(28,6), b decimal(28,6)"
         ),
     )
+    # Emission policy (registry.py:10-21): the recursion is exact
+    # DECIMAL, but the EMITTED columns are CAST to DOUBLE — a 6 dp
+    # decimal converts to the same nearest double on both engines,
+    # whereas Decimal objects round-trip through pandas differently
+    # on Spark vs DuckDB and break the driver's value hash.
     return out.select(
-        "t", "d", "v",
-        F.col("l").alias("level_r6"),
-        F.col("b").alias("trend_r6"),
-        "fitted",
+        "t", "d",
+        F.col("v").cast("double").alias("v"),
+        F.col("l").cast("double").alias("level_r6"),
+        F.col("b").cast("double").alias("trend_r6"),
+        F.col("fitted").cast("double").alias("fitted"),
     ).orderBy("t")
 
 
@@ -1341,8 +1347,9 @@ def q_window_holt_linear(spark, sf_dir: str) -> DataFrame:
                AS DECIMAL(28,2)) AS peak
       FROM cum
     )
-    SELECT d AS trough_date, c AS cum_at_trough, peak AS peak_before,
-           CAST(peak - c AS DECIMAL(28,2)) AS max_drawdown
+    SELECT d AS trough_date, CAST(c AS DOUBLE) AS cum_at_trough,
+           CAST(peak AS DOUBLE) AS peak_before,
+           CAST(peak - c AS DOUBLE) AS max_drawdown
     FROM dd
     ORDER BY (peak - c) DESC, d ASC
     LIMIT 1
@@ -1381,6 +1388,10 @@ def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
     dd = cum.select(
         "d", "c", F.max("c").over(w).cast("decimal(28,2)").alias("peak")
     )
+    # Order on the EXACT decimal drawdown; emit DOUBLE (registry
+    # emission policy — 2 dp decimals convert to the same nearest
+    # double on both engines, while Decimal objects hash differently
+    # through the driver's pandas canonicalization).
     return (
         dd.select(
             F.col("d").alias("trough_date"),
@@ -1392,6 +1403,98 @@ def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("max_drawdown"), F.asc("trough_date"))
         .limit(1)
+        .select(
+            "trough_date",
+            F.col("cum_at_trough").cast("double").alias("cum_at_trough"),
+            F.col("peak_before").cast("double").alias("peak_before"),
+            F.col("max_drawdown").cast("double").alias("max_drawdown"),
+        )
+    )
+
+
+@query(
+    "window_holt_linear_probe",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS v
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ORDER BY d
+    """,
+)
+def q_window_holt_linear_probe(spark, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of window_holt_linear (r10 verdict item 3):
+    emits ONLY the input columns (day + exact-decimal revenue cast to
+    DOUBLE), skipping the recursion entirely. If the r11 driver round
+    leaves window_holt_linear red while this probe is green, the
+    residual mismatch is localized to the recursion/state columns; if
+    BOTH are red, the input aggregation itself diverges. Remove once
+    window_holt_linear has a green driver row."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(_rev_sum_dec().cast("double").alias("v"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "window_max_drawdown_probe",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    cum AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, c,
+             CAST(MAX(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS peak
+      FROM cum
+    )
+    SELECT d AS trough_date
+    FROM dd
+    ORDER BY (peak - c) DESC, d ASC
+    LIMIT 1
+    """,
+)
+def q_window_max_drawdown_probe(spark, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of window_max_drawdown (r10 verdict item 3):
+    same exact-decimal running-sum/running-max pipeline and the same
+    deterministic (drawdown, date) top-1 pick, but emits ONLY the
+    trough date — no numeric column at all. Green probe + red original
+    localizes any residual driver mismatch to the three value columns;
+    red probe means the row selection itself diverges. Remove once
+    window_max_drawdown has a green driver row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(_rev_sum_dec().alias("v"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d", F.sum("v").over(w).cast("decimal(28,2)").alias("c")
+    )
+    dd = cum.select(
+        "d", "c", F.max("c").over(w).cast("decimal(28,2)").alias("peak")
+    )
+    return (
+        dd.select(
+            F.col("d").alias("trough_date"),
+            (F.col("peak") - F.col("c")).alias("_dd"),
+        )
+        .orderBy(F.desc("_dd"), F.asc("trough_date"))
+        .limit(1)
+        .select("trough_date")
     )
 
 

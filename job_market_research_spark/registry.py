@@ -137,6 +137,20 @@ FORCE_REPROVE: frozenset[str] = frozenset()
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
+    # ---- round-11 head (names may repeat below; FIRST position wins).
+    # The r10 verdict: the two perennially driver-red DECIMAL emitters
+    # first (retyped to DOUBLE emission this round — verdict item 1),
+    # then their diagnostic probe twins (item 3: if the retype somehow
+    # doesn't land, a green probe + red original localizes the residual
+    # mismatch to a column family). Tier 0 is otherwise empty, so the
+    # remaining ~46 driver slots fall through to tier 1's
+    # oldest-proving-round-first rotation — the §2 freshness backfill
+    # of verdict item 4 (r1/r2-stamped scan_*/dedup_*/fn_* cohorts).
+    "window_holt_linear",
+    "window_max_drawdown",
+    "window_holt_linear_probe",
+    "window_max_drawdown_probe",
+    # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9
     # driver window on EXACTLY the 50 highest-priority names from the
