@@ -176,6 +176,17 @@ def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
     for name in runs[0]["queries"]:
         merged[name] = min(r["queries"][name] for r in runs)
     cs = [r["canary"] for r in runs if r.get("canary") is not None]
+    # All fresh-JVM children must have run under ONE environment — a
+    # version skew across children would otherwise hide inside the
+    # merged per-query minima (each min could come from a different
+    # engine build).
+    vsets = {
+        json.dumps(r["versions"], sort_keys=True)
+        for r in runs
+        if "versions" in r
+    }
+    if len(vsets) > 1:
+        raise RuntimeError(f"children ran under different versions: {vsets}")
     return {
         "metric": "headline_queries_total_wall",
         "value": round(sum(merged.values()), 4),

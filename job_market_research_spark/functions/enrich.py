@@ -404,70 +404,102 @@ def stitched_bounded_frames(
     the key range, so it is never force-broadcast; the equi-join key is
     the same (part, kb) the frame window just exchanged on).
 
+    Preconditions (asserted / reserved):
+    - ``n >= 2`` — n=1 would make the carry frame rowsBetween(0, -1)
+      (invalid) and every slice zero-length; a 1-row trailing frame
+      needs no stitch, use a plain bounded window.
+    - ``key`` must be UNIQUE within each ``part`` — with duplicate
+      keys the within-window collect_list tie order and the tails'
+      array_sort(struct(key, val)) order can disagree, so the stitched
+      frame may differ from the (itself nondeterministic)
+      single-window form.
+    - The output column ``arr`` is REPLACED if the source already has
+      one; intermediate names are ``__sbf_``-prefixed so caller
+      columns are never silently clobbered.
+
     Adversarially equivalence-tested against the single-window form in
     tests/test_window_stitching.py.
     """
     from pyspark.sql import Window
 
-    src = src.withColumn("kb", F.expr(f"{key} DIV {span}"))
+    if n < 2:
+        raise ValueError(
+            f"stitched_bounded_frames requires n >= 2 (got {n}); a "
+            f"1-row trailing frame needs no stitch"
+        )
+
+    src = src.withColumn("__sbf_kb", F.expr(f"{key} DIV {span}"))
     wk = (
-        Window.partitionBy(part, "kb")
+        Window.partitionBy(part, "__sbf_kb")
         .orderBy(key)
         .rowsBetween(-(n - 1), 0)
     )
-    within = src.withColumn("arr_w", F.collect_list(val).over(wk))
+    within = src.withColumn("__sbf_arr_w", F.collect_list(val).over(wk))
     # bounded per-(part, bucket) tail table: last n-1 vals in key order
     tails = (
-        src.groupBy(part, "kb")
+        src.groupBy(part, "__sbf_kb")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(key, val))),
                 lambda s: s[val],
-            ).alias("ordered")
+            ).alias("__sbf_ordered")
         )
         .select(
             part,
-            "kb",
+            "__sbf_kb",
             F.slice(
-                F.col("ordered"),
-                F.greatest(F.lit(1), F.size("ordered") - (n - 1) + 1),
+                F.col("__sbf_ordered"),
+                F.greatest(F.lit(1), F.size("__sbf_ordered") - (n - 1) + 1),
                 n - 1,
-            ).alias("tail"),
+            ).alias("__sbf_tail"),
         )
     )
-    wc = Window.partitionBy(part).orderBy("kb").rowsBetween(-(n - 1), -1)
+    wc = (
+        Window.partitionBy(part)
+        .orderBy("__sbf_kb")
+        .rowsBetween(-(n - 1), -1)
+    )
     # the empty-carry fallback must match the caller's val type — a
     # hardcoded long would fail plan analysis for double/decimal vals
     vt = src.schema[val].dataType.simpleString()
     carries = tails.select(
         part,
-        "kb",
+        "__sbf_kb",
         F.flatten(
             F.coalesce(
-                F.collect_list("tail").over(wc),
+                F.collect_list("__sbf_tail").over(wc),
                 F.array().cast(f"array<array<{vt}>>"),
             )
-        ).alias("prevflat"),
+        ).alias("__sbf_prevflat"),
     ).select(
         part,
-        "kb",
+        "__sbf_kb",
         F.slice(
-            F.col("prevflat"),
-            F.greatest(F.lit(1), F.size("prevflat") - (n - 1) + 1),
+            F.col("__sbf_prevflat"),
+            F.greatest(F.lit(1), F.size("__sbf_prevflat") - (n - 1) + 1),
             n - 1,
-        ).alias("carry"),
+        ).alias("__sbf_carry"),
     )
-    stitched = within.join(carries, [part, "kb"]).withColumn(
-        "full", F.concat(F.col("carry"), F.col("arr_w"))
+    stitched = within.join(carries, [part, "__sbf_kb"]).withColumn(
+        "__sbf_full", F.concat(F.col("__sbf_carry"), F.col("__sbf_arr_w"))
     )
-    return stitched.withColumn(
-        "arr",
-        F.slice(
-            F.col("full"),
-            F.greatest(F.lit(1), F.size("full") - n + 1),
-            n,
-        ),
-    ).drop("kb", "arr_w", "tail", "carry", "full")
+    return (
+        stitched.withColumn(
+            "arr",
+            F.slice(
+                F.col("__sbf_full"),
+                F.greatest(F.lit(1), F.size("__sbf_full") - n + 1),
+                n,
+            ),
+        )
+        .drop(
+            "__sbf_kb",
+            "__sbf_arr_w",
+            "__sbf_tail",
+            "__sbf_carry",
+            "__sbf_full",
+        )
+    )
 
 
 @query(

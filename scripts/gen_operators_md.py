@@ -49,6 +49,24 @@ def main() -> None:
         "additionally re-proven against its oracle on each local pytest run).",
         f"Freshness histogram — {hist}; unproven: {unproven}.",
         "",
+        "Driver-environment versions (r10 verdict item 7): the",
+        "driver-recorded `BENCH_r10.json` (the driver runs this repo's",
+        "`bench.py`, which stamps its runtime versions into the JSON",
+        "line) carries pyspark 4.1.2 / duckdb 1.0.0 / python 3.11.7 —",
+        "byte-identical to the repo-local `VERSIONS.json`. So the two",
+        "r9–r10 hash-red rows (`window_holt_linear`,",
+        "`window_max_drawdown`) were NOT engine-version skew: with",
+        "identical engines on both sides, the only remaining divergence",
+        "axis is the driver's pandas canonicalization path, where Spark",
+        "`toPandas()` renders DECIMAL output as `Decimal` objects while",
+        "duckdb 1.0's `.df()` renders it float64 — equal values,",
+        "different hash text. Confirmed by reproduction: simulating the",
+        "pandas hash locally diverges on the pre-fix DECIMAL emissions",
+        "and matches after the r11 cast-to-DOUBLE retype (the dtype",
+        "census in that run: object-vs-float64 before, float64-vs-",
+        "float64 after). Emission policy is now machine-enforced",
+        "(tests/test_plan_hygiene.py::HASH_SAFE_EMISSION_TYPES).",
+        "",
         "Regenerate with `python scripts/gen_operators_md.py`.",
         "",
     ]

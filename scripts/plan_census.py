@@ -152,10 +152,21 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(rows)} queries, {len(banned)} banned-node hits")
+    errored = [(n, e) for n, s, e in rows if e]
+    print(
+        f"wrote {out}: {len(rows)} queries, {len(banned)} banned-node "
+        f"hits, {len(errored)} errored"
+    )
+    # Both failure classes exit nonzero: a census regenerated with
+    # broken queries must not silently publish (ERROR rows used to ride
+    # the banned==0 exit path and look like a clean run).
     if banned:
         for n, b in banned:
             print(f"  BANNED {n}: {b}", file=sys.stderr)
+    if errored:
+        for n, e in errored:
+            print(f"  ERROR {n}: {e[:200]}", file=sys.stderr)
+    if banned or errored:
         sys.exit(1)
 
 
