@@ -968,3 +968,96 @@ def q_text_tokenizer_coverage(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Cyrillic homoglyphs of latin a/e/o (U+0430, U+0435, U+043E) — the
+#: classic confusable-spoofing trio. PAIRED strings for translate().
+_CONF_LAT = "aeo"
+_CONF_CYR = "аео"
+_LATIN_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+@query(
+    "text_confusable_scripts",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN translate(text, 'aeo', 'аео')
+                  ELSE text END AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(t) - length(translate(t, 'аео', ''))
+                  AS BIGINT) AS n_confusable,
+             CAST(length(t) - length(translate(lower(t),
+                  'abcdefghijklmnopqrstuvwxyz', '')) AS BIGINT) AS n_latin
+      FROM corpus
+    )
+    SELECT doc_id, n_confusable, n_latin,
+           n_confusable > 0 AND n_latin > 0 AS mixed_script,
+           round(CAST(n_confusable AS DOUBLE)
+                 / nullif(n_confusable + n_latin, 0), 6)
+             AS confusable_ratio_r6
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_text_confusable_scripts(spark, sf_dir: str) -> DataFrame:
+    """Mixed-script confusable audit — the homoglyph-spoofing detector
+    a web-scale curation pipeline runs before dedup and quality
+    scoring: text whose latin letters are partially swapped for
+    visually-identical Cyrillic codepoints (а/е/о) defeats exact and
+    shingle dedup, poisons tokenizers (each spoofed word becomes an
+    out-of-vocab token), and is a strong spam/SEO-cloaking signal.
+    Every 3rd document gets the spoof planted (the same planted-chrome
+    convention as text_normalize_unicode/filter_term_blocklist), then
+    the detector — which sees only the spoofed corpus — counts
+    confusable and latin codepoints per document and flags
+    mixed-script rows with their confusable ratio.
+
+    Counting is pure translate()/length() char-map arithmetic (no
+    regex, no UDF): n_confusable = chars removed by folding the
+    Cyrillic trio out, n_latin likewise over the lowercase latin
+    alphabet — both engines count UTF-8 codepoints identically. The
+    ratio is one deterministic double division of exact integers,
+    rounded per the float policy.
+
+    Scale: zero shuffles — a single scan projection in whole-stage
+    codegen; the ORDER BY is presentation-only. A production fold-back
+    (translate the trio to latin before fingerprinting) composes with
+    dedup_exact_hash unchanged."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.translate(F.col("text"), _CONF_LAT, _CONF_CYR),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n_conf = (
+        F.length("t") - F.length(F.translate(F.col("t"), _CONF_CYR, ""))
+    ).cast("long")
+    n_lat = (
+        F.length("t")
+        - F.length(F.translate(F.lower(F.col("t")), _LATIN_LC, ""))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_conf.alias("n_confusable"),
+        n_lat.alias("n_latin"),
+    )
+    return m.select(
+        "doc_id",
+        "n_confusable",
+        "n_latin",
+        ((F.col("n_confusable") > 0) & (F.col("n_latin") > 0)).alias(
+            "mixed_script"
+        ),
+        F.round(
+            F.col("n_confusable").cast("double")
+            / F.nullif(F.col("n_confusable") + F.col("n_latin"), F.lit(0)),
+            6,
+        ).alias("confusable_ratio_r6"),
+    ).orderBy("doc_id")

@@ -918,6 +918,75 @@ def q_graph_assortativity(spark, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+      FROM docs, unnest(generate_series(1, {PR_FANOUT})) AS t(k)
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+      FROM e
+    )
+    SELECT n_edges, n_mutual,
+           round(CAST(n_mutual AS DOUBLE) / n_edges, 6) AS reciprocity_r6
+    FROM agg
+    """,
+)
+def q_graph_reciprocity(spark, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the DIRECTED link graph: the fraction of
+    (deduped, loop-free) directed edges whose reverse edge also
+    exists. The companion structural fingerprint to assortativity —
+    crawl graphs are near-zero-reciprocal (links rarely come back),
+    social/citation-spam graphs reciprocate heavily, so a sudden
+    reciprocity jump in a refreshed crawl flags link farms before
+    PageRank-style ranks trust them.
+
+    Spark-first shape: the mutual test is ONE equi-join of the edge
+    set with its own (dst, src) projection on the composite key — the
+    reverse probe co-partitions with the edge table on the same hash,
+    so at 100 TB this is a single co-located shuffle join, never a
+    broadcast of anything corpus-sized. Both counts reduce out of the
+    join in one map-side-combinable aggregate; the division is one
+    deterministic double expression over exact integers.
+
+    Exactness: counts are exact BIGINTs on both engines; the oracle
+    replays the same dedup + EXISTS semantics in SQL."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        _edges(docs, n)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    flagged = e.join(rev, ["src", "dst"], "left")
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.coalesce(F.col("has_rev"), F.lit(0)))
+        .cast("long")
+        .alias("n_mutual"),
+    ).select(
+        "n_edges",
+        "n_mutual",
+        F.round(
+            F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity_r6"),
+    )
+
+
+@query(
     "graph_clustering_coeff",
     oracle=f"""
     WITH {_UND_EDGES_SQL},

@@ -468,6 +468,8 @@ def sniff_kind(payload: bytes) -> str:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:8] == _PNG_MAGIC:
@@ -522,6 +524,11 @@ def decode_media(payload: bytes) -> dict:
         # (trivial) pixel-array read stays behind the boundary with
         # the other formats for symmetry.
         return parse_bmp_header(payload)
+    if kind == "webp":
+        # Header-only metadata (RIFF walk + VP8/VP8L/VP8X frame
+        # header); the entropy-coded image decode stays behind the
+        # boundary.
+        return parse_webp_header(payload)
     raise NotImplementedError(
         f"no codec for payload kind {kind!r}; wire PIL/ffmpeg here in production"
     )
@@ -762,3 +769,106 @@ def parse_mp4_meta(payload: bytes) -> dict:
     if not saw_moov:
         raise NotImplementedError("no moov box (metadata-less stream)")
     return meta
+
+
+# ---------------------------------------------------------------- webp
+
+
+def encode_webp_headers(
+    variant: str, width: int, height: int, alpha: bool = False
+) -> bytes:
+    """Assemble a REAL WebP header payload — RIFF/'WEBP' container
+    around one of the three spec bitstream chunks (header-only, same
+    contract as the JPEG/PNG/MP4 codecs: the entropy-coded image data
+    is absent, the container/frame-header layout is exact):
+
+    - ``'VP8 '`` (lossy): 3-byte frame tag (keyframe bit 0), the
+      0x9D012A keyframe start code, then width and height as
+      little-endian u16s whose top 2 bits are the horizontal/vertical
+      scale fields — dims are 14-bit (max 16383).
+    - ``'VP8L'`` (lossless): 0x2F signature byte, then a 4-byte
+      little-endian bitstream packing width-1 (14 bits), height-1
+      (14 bits), alpha_is_used (1 bit), version (3 bits, 0).
+    - ``'VP8X'`` (extended): feature-flags byte (alpha = 0x10),
+      3 reserved bytes, then canvas width-1 and height-1 as 24-bit
+      little-endian fields (max 2^24).
+
+    Odd-sized chunk bodies (VP8L's 5 bytes) take the RIFF word-
+    alignment pad, which the stored chunk size must NOT count."""
+    if variant == "VP8 ":
+        if not (1 <= width <= 0x3FFF and 1 <= height <= 0x3FFF):
+            raise ValueError("VP8 dimensions are 14-bit")
+        if alpha:
+            raise ValueError("lossy VP8 has no alpha channel")
+        body = (
+            bytes([0x00, 0x00, 0x00])  # frame tag: keyframe, v0
+            + b"\x9d\x01\x2a"          # keyframe start code
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+        )
+    elif variant == "VP8L":
+        if not (1 <= width <= 0x4000 and 1 <= height <= 0x4000):
+            raise ValueError("VP8L dimensions are 14-bit (+1 biased)")
+        bits = (
+            (width - 1)
+            | ((height - 1) << 14)
+            | ((1 if alpha else 0) << 28)
+        )
+        body = b"\x2f" + bits.to_bytes(4, "little")
+    elif variant == "VP8X":
+        if not (1 <= width <= 1 << 24 and 1 <= height <= 1 << 24):
+            raise ValueError("VP8X canvas dimensions are 24-bit (+1 biased)")
+        body = (
+            bytes([0x10 if alpha else 0x00])
+            + bytes(3)
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+    else:
+        raise ValueError(f"unknown WebP variant {variant!r}")
+    chunk = variant.encode("ascii") + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"  # word-alignment pad, excluded from the size
+    riff_size = 4 + len(chunk)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def parse_webp_header(payload: bytes) -> dict:
+    """WebP metadata parse: RIFF walk to the first bitstream chunk,
+    then the variant-specific frame-header decode — VP8 keyframe
+    start-code check + 14-bit dims (scale bits masked off), VP8L
+    signature byte + packed 4-byte LE bitstream, VP8X feature flags +
+    24-bit canvas fields. Returns kind/variant/width/height/alpha."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP payload (missing magic)")
+    for c in walk_riff_chunks(payload):
+        cid = c["chunk_id"]
+        off = c["offset"] + 8
+        body = payload[off : off + c["size"]]
+        if cid == "VP8 ":
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise NotImplementedError("VP8 keyframe start code missing")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return {
+                "kind": "webp", "variant": "VP8 ",
+                "width": w, "height": h, "alpha": False,
+            }
+        if cid == "VP8L":
+            if body[0] != 0x2F:
+                raise NotImplementedError("VP8L signature byte missing")
+            bits = int.from_bytes(body[1:5], "little")
+            return {
+                "kind": "webp", "variant": "VP8L",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "alpha": bool((bits >> 28) & 1),
+            }
+        if cid == "VP8X":
+            return {
+                "kind": "webp", "variant": "VP8X",
+                "width": int.from_bytes(body[4:7], "little") + 1,
+                "height": int.from_bytes(body[7:10], "little") + 1,
+                "alpha": bool(body[0] & 0x10),
+            }
+    raise NotImplementedError("no WebP bitstream chunk found")

@@ -1422,3 +1422,93 @@ def q_multimodal_mp4_meta(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_mp4_meta, schema=MP4_META_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+#: Deterministic WebP recipe: variant rotates through the three spec
+#: bitstream chunks; dims exercise both little-endian field widths
+#: (u16-masked 14-bit for VP8/VP8L, 24-bit for VP8X).
+_WEBP_MAX_DOC = 300
+WEBP_META_SCHEMA = (
+    "doc_id long, variant string, width long, height long,"
+    " alpha boolean, riff_size long"
+)
+
+
+def _webp_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from job_market_research_spark.multimodal.codecs import (
+        encode_webp_headers,
+        parse_webp_header,
+    )
+
+    variants = ["VP8 ", "VP8L", "VP8X"]
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            variant = variants[d % 3]
+            alpha = d % 2 == 0 and variant != "VP8 "
+            payload = encode_webp_headers(
+                variant,
+                width=1 + (d * 37) % 14000,
+                height=1 + (d * 53) % 9000,
+                alpha=alpha,
+            )
+            meta = parse_webp_header(payload)  # magic sniff -> frame header
+            riff_size = int.from_bytes(payload[4:8], "little")
+            rows.append(
+                (d, meta["variant"], meta["width"], meta["height"],
+                 meta["alpha"], riff_size)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "variant", "width", "height", "alpha", "riff_size",
+            ],
+        )
+
+
+@query(
+    "multimodal_webp_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'VP8 ' WHEN 1 THEN 'VP8L'
+                ELSE 'VP8X' END AS variant,
+           CAST(1 + (doc_id * 37) % 14000 AS BIGINT) AS width,
+           CAST(1 + (doc_id * 53) % 9000 AS BIGINT) AS height,
+           (doc_id % 2 = 0 AND doc_id % 3 <> 0) AS alpha,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 18 ELSE 22 END AS BIGINT)
+             AS riff_size
+    FROM documents WHERE doc_id < {_WEBP_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_webp_meta(spark, sf_dir: str) -> DataFrame:
+    """REAL WebP metadata: assemble a genuine RIFF/'WEBP' container per
+    document around one of the three spec bitstream chunks and parse it
+    back — variant, dimensions, alpha flag, container size. WebP is the
+    dominant modern format of web-scraped image corpora, and its three
+    header layouts differ in exactly the ways that break naive parsers:
+    'VP8 ' hides a keyframe start code between the frame tag and the
+    u16 dims whose top 2 bits are SCALE fields (mask or misread 4x-off
+    sizes); 'VP8L' packs width-1/height-1/alpha into one little-endian
+    32-bit bitstream (+1 bias and bit offsets must be exact); 'VP8X'
+    uses 24-bit little-endian canvas fields. VP8L's 5-byte body also
+    forces the RIFF odd-size pad rule (stored size excludes the pad),
+    so the emitted riff_size catches a walker that counts it. The
+    oracle replays every field from the recipe arithmetic. Extends the
+    multimodal header-pass family (multimodal_riff_chunks walks the
+    container generically; this decodes the format-specific frame
+    headers). Beyond-reference training-data-pipeline surface
+    (/root/reference has no media path).
+
+    Scale: payloads built and parsed inside one Arrow batch; only
+    fixed-width header fields cross to the JVM — the binary column
+    never shuffles."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WEBP_MAX_DOC)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(_webp_meta, schema=WEBP_META_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -150,6 +150,11 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "window_max_drawdown",
     "window_holt_linear_probe",
     "window_max_drawdown_probe",
+    # The three honest r11 additions follow the diagnostics; the
+    # remaining ~43 slots still drain the oldest-stamp backfill.
+    "multimodal_webp_meta",
+    "graph_reciprocity",
+    "text_confusable_scripts",
     # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9

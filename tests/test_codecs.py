@@ -241,3 +241,57 @@ def test_mp4_size_zero_box_extends_to_end():
     moov[:4] = (0).to_bytes(4, "big")
     meta = codecs.parse_mp4_meta(whole[:ftyp_len] + bytes(moov))
     assert meta["duration"] == 777 and meta["track_count"] == 2
+
+
+def test_webp_roundtrip_all_variants():
+    """All three bitstream layouts at their boundary dimensions: VP8 /
+    VP8L dims are 14-bit (VP8L +1-biased, so 16384 is legal), VP8X
+    canvas fields are 24-bit little-endian."""
+    cases = [
+        ("VP8 ", 1, 1, False),
+        ("VP8 ", 0x3FFF, 0x3FFF, False),
+        ("VP8L", 1, 1, True),
+        ("VP8L", 0x4000, 0x4000, False),
+        ("VP8X", 1, 1, True),
+        ("VP8X", 1 << 24, 1 << 24, False),
+    ]
+    for variant, w, h, alpha in cases:
+        p = codecs.encode_webp_headers(variant, w, h, alpha)
+        assert codecs.sniff_kind(p) == "webp"
+        meta = codecs.parse_webp_header(p)
+        assert meta == {
+            "kind": "webp", "variant": variant,
+            "width": w, "height": h, "alpha": alpha,
+        }
+        # RIFF bookkeeping: stored container size is payload minus the
+        # 8-byte RIFF header, and odd bodies (VP8L's 5 bytes) pad.
+        assert int.from_bytes(p[4:8], "little") == len(p) - 8
+
+
+def test_webp_vp8_scale_bits_are_masked():
+    """The top 2 bits of the VP8 u16 dim fields are SCALE fields — a
+    parser that forgets to mask them reads 4x-off dimensions."""
+    p = bytearray(codecs.encode_webp_headers("VP8 ", 100, 50))
+    p[-3] |= 0xC0  # set both horizontal-scale bits on the width field
+    p[-1] |= 0x80  # and one vertical-scale bit on height
+    meta = codecs.parse_webp_header(bytes(p))
+    assert (meta["width"], meta["height"]) == (100, 50)
+
+
+def test_webp_error_boundaries():
+    with pytest.raises(NotImplementedError):
+        codecs.parse_webp_header(b"RIFF\x04\x00\x00\x00WAVE")  # not WEBP
+    with pytest.raises(ValueError):
+        codecs.encode_webp_headers("VP8 ", 100, 50, alpha=True)  # lossy
+    with pytest.raises(ValueError):
+        codecs.encode_webp_headers("VP8 ", 0x4000, 1)  # 14-bit overflow
+    with pytest.raises(ValueError):
+        codecs.encode_webp_headers("VP9 ", 1, 1)  # unknown variant
+    good = bytearray(codecs.encode_webp_headers("VP8 ", 8, 8))
+    good[23] = 0x00  # corrupt the keyframe start code (after frame tag)
+    with pytest.raises(NotImplementedError, match="start code"):
+        codecs.parse_webp_header(bytes(good))
+    lossless = bytearray(codecs.encode_webp_headers("VP8L", 8, 8))
+    lossless[20] = 0x00  # corrupt the 0x2F signature byte
+    with pytest.raises(NotImplementedError, match="signature"):
+        codecs.parse_webp_header(bytes(lossless))
