@@ -358,3 +358,107 @@ def q_maintenance_shard_balance(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: Orphan-vacuum staging: tracked layout fan-out and the deterministic
+#: "failed write" filters that produce the two orphan files.
+VACUUM_TRACKED_FILES = 4
+_ORPHAN_MODS = (997, 991)
+
+#: Memoized vacuum directory per sf_dir: (dir, tracked basenames).
+_VACUUM_STAGED: dict[str, tuple[str, list[str]]] = {}
+
+
+def stage_vacuum_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
+    """Stage a lake-table directory containing BOTH manifest-tracked
+    files (orders range-clustered into VACUUM_TRACKED_FILES parts,
+    snapshotted as the manifest the moment they land) and two orphan
+    parquet files simulating failed/zombie writes: each orphan is a
+    real Spark write of a deterministic orders slice whose part-file
+    is then moved into the table directory WITHOUT a manifest entry —
+    exactly how a task retried after manifest commit, or a killed
+    compaction, strands files in production lakes."""
+    key = os.path.abspath(sf_dir)
+    if key in _VACUUM_STAGED:
+        return _VACUUM_STAGED[key]
+    import glob
+    import shutil
+
+    out = scratch_dir("vacuum_orders")
+    (
+        load(spark, sf_dir, "orders")
+        .repartitionByRange(VACUUM_TRACKED_FILES, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    tracked = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    for i, mod in enumerate(_ORPHAN_MODS):
+        tmp = scratch_dir(f"vacuum_orphan_{i}")
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % mod == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        shutil.move(part, os.path.join(out, f"orphan-{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _VACUUM_STAGED[key] = (out, tracked)
+    return out, tracked
+
+
+@query(
+    "maintenance_vacuum_orphans",
+    oracle=f"""
+    SELECT CAST({VACUUM_TRACKED_FILES} AS BIGINT) AS n_tracked,
+           CAST({VACUUM_TRACKED_FILES + len(_ORPHAN_MODS)} AS BIGINT)
+             AS n_listed,
+           CAST({len(_ORPHAN_MODS)} AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 997 = 0)
+              + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 991 = 0)
+             AS BIGINT) AS orphan_rows
+    """,
+    tags=("maintenance", "beyond"),
+)
+def q_maintenance_vacuum_orphans(spark, sf_dir: str) -> DataFrame:
+    """Orphan-file vacuum audit — the other half of lake-table
+    maintenance (manifest_prune READS through the manifest; this finds
+    what the manifest does NOT know about): diff the directory listing
+    against the manifest's tracked-file set, then read ONLY the orphan
+    files to report the reclaimable row mass. Orphans accumulate from
+    task retries after manifest commit, killed compactions, and
+    crashed writers; every production lake format ships this exact
+    operation (`VACUUM`, `remove_orphan_files`) because unreferenced
+    files silently double storage and poison naive directory-scan
+    readers.
+
+    The listing diff is driver-side METADATA (|files| names — the
+    bounded class every manifest op here uses, no data rows touched);
+    the orphan row count is a real distributed scan of just the
+    orphan files. The oracle replays the staged layout arithmetically:
+    tracked/listed/orphan counts are construction constants, orphan
+    rows are the two deterministic orders slices the staging wrote.
+
+    Scale: listing is O(|files|) metadata; the verification scan reads
+    ONLY orphans (never the tracked table), so vacuuming a 100 TB
+    table costs proportional to what it reclaims."""
+    import glob
+
+    out, tracked = stage_vacuum_dir(spark, sf_dir)
+    listed = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    orphans = [b for b in listed if b not in set(tracked)]
+    orphan_paths = [os.path.join(out, b) for b in orphans]
+    counts = spark.read.parquet(*orphan_paths).agg(
+        F.count("*").cast("long").alias("orphan_rows")
+    )
+    return counts.select(
+        F.lit(len(tracked)).cast("long").alias("n_tracked"),
+        F.lit(len(listed)).cast("long").alias("n_listed"),
+        F.lit(len(orphans)).cast("long").alias("n_orphans"),
+        "orphan_rows",
+    )

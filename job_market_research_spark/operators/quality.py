@@ -552,6 +552,110 @@ def q_privacy_l_diversity(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: t-closeness release threshold (variational distance), as an exact
+#: rational p/q so the breach flag compares INTEGERS on both engines.
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 5  # t = 0.2
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS p, CAST(year(o_orderdate) AS BIGINT) AS y,
+             o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT p, y, CAST(SUM(c) AS BIGINT) AS ng FROM base GROUP BY 1, 2),
+    sd AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM base),
+    x AS (
+      SELECT g.p, g.y, g.ng, sd.cs, COALESCE(b.c, 0) AS cgs
+      FROM g CROSS JOIN sd
+      LEFT JOIN base b ON b.p = g.p AND b.y = g.y AND b.s = sd.s
+    ),
+    d AS (
+      SELECT p, y, ng,
+             SUM(abs(CAST(cgs AS DECIMAL(38,0)) * (SELECT n FROM tot)
+                     - CAST(cs AS DECIMAL(38,0)) * ng)) AS dsum
+      FROM x GROUP BY 1, 2, 3
+    )
+    SELECT p AS qi_priority, y AS qi_year,
+           CAST(ng AS BIGINT) AS group_size,
+           round(CAST(dsum AS DOUBLE)
+                 / CAST(2 * ng * (SELECT n FROM tot) AS DOUBLE), 6)
+             AS t_closeness_r6,
+           dsum * {T_CLOSE_DEN} > CAST(2 * {T_CLOSE_NUM} AS DECIMAL(38,0))
+             * ng * (SELECT n FROM tot) AS breach
+    FROM d ORDER BY qi_priority, qi_year
+    """,
+)
+def q_privacy_t_closeness(spark, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder
+    (k-anonymity bounds group SIZE, l-diversity bounds sensitive
+    CARDINALITY, t-closeness bounds sensitive DISTRIBUTION): a group
+    whose status mix deviates from the corpus-wide mix leaks
+    attribute information even when large and diverse. Per
+    quasi-identifier group (priority × order year), the variational
+    distance t = ½·Σ|p_i − q_i| between the group's and the global
+    sensitive distribution, with a breach flag at t > 1/5.
+
+    Exactness: the distance is computed on the COMMON DENOMINATOR —
+    D = Σ|cnt_gs·N − cnt_s·n_g| is an exact DECIMAL(38,0) integer
+    (products reach corpus² at 100 TB, past int64), t = D/(2·n_g·N)
+    is one double division for display, and the breach flag compares
+    the exact integers D·5 > 2·n_g·N — no float ever decides a gate.
+
+    Scale: one corpus aggregation onto the bounded (QI × status) key
+    space; everything after is |groups|×|statuses| rows, with the
+    global status mix and total riding broadcast joins (the crossJoin
+    is bounded×bounded, planning as a legal BNLJ)."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    g = base.groupBy("p", "y").agg(F.sum("c").cast("long").alias("ng"))
+    sd = base.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    tot = base.agg(F.sum("c").cast("long").alias("n"))
+    x = (
+        g.crossJoin(F.broadcast(sd))
+        .join(base, ["p", "y", "s"], "left")
+        .select(
+            "p", "y", "ng", "cs",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cgs"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    d = x.groupBy("p", "y", "ng", "n").agg(
+        F.sum(
+            F.abs(
+                F.col("cgs").cast("decimal(38,0)") * F.col("n")
+                - F.col("cs").cast("decimal(38,0)") * F.col("ng")
+            )
+        ).alias("dsum")
+    )
+    return d.select(
+        F.col("p").alias("qi_priority"),
+        F.col("y").alias("qi_year"),
+        F.col("ng").alias("group_size"),
+        F.round(
+            F.col("dsum").cast("double")
+            / (F.lit(2) * F.col("ng") * F.col("n")).cast("double"),
+            6,
+        ).alias("t_closeness_r6"),
+        (
+            F.col("dsum") * T_CLOSE_DEN
+            > F.lit(2 * T_CLOSE_NUM).cast("decimal(38,0)")
+            * F.col("ng")
+            * F.col("n")
+        ).alias("breach"),
+    ).orderBy("qi_priority", "qi_year")
+
+
 @query(
     "profile_fd_violations",
     oracle="""

@@ -155,6 +155,8 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "multimodal_webp_meta",
     "graph_reciprocity",
     "text_confusable_scripts",
+    "privacy_t_closeness",
+    "maintenance_vacuum_orphans",
     # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9
