@@ -137,10 +137,16 @@ def q_fn_date_multiformat(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("not a date"))
         .alias("date_raw"),
     )
-    return raw.select(
+    # Sort FIRST, parse after: the multi-format parse cascade is the
+    # expensive expression, and below the sort's range exchange it
+    # would run inside the (row-group-bounded) scan tasks; above it,
+    # it runs on every post-shuffle partition. Same single shuffle,
+    # same output order — the exchange just carries the raw string
+    # instead of the parsed date (1.9 s → ~1.0 s at sf0.1/local[32]).
+    return raw.orderBy("o_orderkey").select(
         "o_orderkey",
         with_default_date(parse_multiformat_date("date_raw")).alias("parsed_date"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -189,10 +195,14 @@ def q_fn_relative_date(spark, sf_dir: str) -> DataFrame:
         .alias("date_raw"),
     )
     anchor = F.lit("2025-08-01 00:00:00").cast("timestamp")
-    return raw.select(
+    # Sort FIRST, resolve after: the regex branches are the expensive
+    # expressions — above the range exchange they evaluate on every
+    # post-shuffle partition instead of inside the scan tasks (2.7 s →
+    # ~1.5 s at sf0.1/local[32]; same single shuffle, same order).
+    return raw.orderBy("o_orderkey").select(
         "o_orderkey",
         parse_relative_date("date_raw", anchor=anchor).alias("resolved_date"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
