@@ -2205,3 +2205,126 @@ def q_agg_logrank_test(spark, sf_dir: str) -> DataFrame:
             "curves_differ_5pct"
         ),
     )
+
+
+#: DiD design: pre/post cut inside the events window, treatment by
+#: portable user hash parity.
+DID_CUT = "2024-01-16 00:00:00"
+
+
+@query(
+    "ml_cohort_did",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 2 = 1
+                  THEN 'treat' ELSE 'ctrl' END AS grp,
+             CASE WHEN ts >= TIMESTAMP '{DID_CUT}'
+                  THEN 'post' ELSE 'pre' END AS period,
+             value
+      FROM events
+    ),
+    cells AS (
+      SELECT grp, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS s
+      FROM tagged GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN grp = 'treat' AND period = 'pre'  THEN n END) AS n_tp,
+        MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN n END) AS n_tq,
+        MAX(CASE WHEN grp = 'ctrl'  AND period = 'pre'  THEN n END) AS n_cp,
+        MAX(CASE WHEN grp = 'ctrl'  AND period = 'post' THEN n END) AS n_cq,
+        CAST(MAX(CASE WHEN grp = 'treat' AND period = 'pre'  THEN s END)
+             AS DOUBLE) AS s_tp,
+        CAST(MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN s END)
+             AS DOUBLE) AS s_tq,
+        CAST(MAX(CASE WHEN grp = 'ctrl'  AND period = 'pre'  THEN s END)
+             AS DOUBLE) AS s_cp,
+        CAST(MAX(CASE WHEN grp = 'ctrl'  AND period = 'post' THEN s END)
+             AS DOUBLE) AS s_cq
+      FROM cells
+    )
+    SELECT n_tp AS n_treat_pre, n_tq AS n_treat_post,
+           n_cp AS n_ctrl_pre, n_cq AS n_ctrl_post,
+           round(s_tp / n_tp, 6) AS mean_treat_pre_r6,
+           round(s_tq / n_tq, 6) AS mean_treat_post_r6,
+           round(s_cp / n_cp, 6) AS mean_ctrl_pre_r6,
+           round(s_cq / n_cq, 6) AS mean_ctrl_post_r6,
+           round((s_tq / n_tq - s_tp / n_tp)
+                 - (s_cq / n_cq - s_cp / n_cp), 6) AS did_r6
+    FROM wide
+    """,
+)
+def q_ml_cohort_did(spark, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse of
+    staged-rollout measurement when randomized assignment is not per
+    event: users hash into treated/control cohorts (deterministic,
+    coordination-free, the same portable md5 parity every sampler
+    here uses), the window splits pre/post at a pinned cut, and the
+    effect is the treated group's mean-value change minus the control
+    group's — differencing out both the cohort baseline and the
+    shared time trend that a naive post-mean comparison conflates.
+
+    Exactness: the only corpus pass is one aggregation onto 4 cells
+    with exact DECIMAL value sums (order-independent partials); the
+    four means and the DiD are double expressions over those exact
+    sums, identical on both engines from identical inputs; rounding
+    is display-only (the DiD derives from the UNROUNDED means).
+
+    Scale: one map-side-combinable aggregation to 4 rows, then a
+    4-row pivot — no joins, no windows, no second corpus touch. At
+    100 TB the cut and the hash are pure row-local functions, so the
+    plan is a single exact pass whatever the event volume."""
+    from job_market_research_spark.ml.neardup import portable_hash60
+
+    tagged = load(spark, sf_dir, "events").select(
+        F.when(
+            portable_hash60(F.col("user_id").cast("string")) % 2 == 1,
+            F.lit("treat"),
+        )
+        .otherwise(F.lit("ctrl"))
+        .alias("grp"),
+        F.when(
+            F.col("ts") >= F.lit(DID_CUT).cast("timestamp"), F.lit("post")
+        )
+        .otherwise(F.lit("pre"))
+        .alias("period"),
+        "value",
+    )
+    cells = tagged.groupBy("grp", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+
+    def cell(g: str, p: str, col: str):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell("treat", "pre", "n").alias("n_tp"),
+        cell("treat", "post", "n").alias("n_tq"),
+        cell("ctrl", "pre", "n").alias("n_cp"),
+        cell("ctrl", "post", "n").alias("n_cq"),
+        cell("treat", "pre", "s").cast("double").alias("s_tp"),
+        cell("treat", "post", "s").cast("double").alias("s_tq"),
+        cell("ctrl", "pre", "s").cast("double").alias("s_cp"),
+        cell("ctrl", "post", "s").cast("double").alias("s_cq"),
+    )
+    m_tp = F.col("s_tp") / F.col("n_tp")
+    m_tq = F.col("s_tq") / F.col("n_tq")
+    m_cp = F.col("s_cp") / F.col("n_cp")
+    m_cq = F.col("s_cq") / F.col("n_cq")
+    return wide.select(
+        F.col("n_tp").alias("n_treat_pre"),
+        F.col("n_tq").alias("n_treat_post"),
+        F.col("n_cp").alias("n_ctrl_pre"),
+        F.col("n_cq").alias("n_ctrl_post"),
+        F.round(m_tp, 6).alias("mean_treat_pre_r6"),
+        F.round(m_tq, 6).alias("mean_treat_post_r6"),
+        F.round(m_cp, 6).alias("mean_ctrl_pre_r6"),
+        F.round(m_cq, 6).alias("mean_ctrl_post_r6"),
+        F.round((m_tq - m_tp) - (m_cq - m_cp), 6).alias("did_r6"),
+    )

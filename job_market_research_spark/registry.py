@@ -157,6 +157,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "text_confusable_scripts",
     "privacy_t_closeness",
     "maintenance_vacuum_orphans",
+    "ml_cohort_did",
     # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9
