@@ -2523,3 +2523,208 @@ def q_window_forecast_combination(spark, sf_dir: str) -> DataFrame:
         F.round(F.col("ec") / best, 6).alias("combo_vs_best_r6"),
         F.when(F.col("ec") < best, 1).otherwise(0).alias("combo_wins"),
     )
+
+
+#: R/S block sizes (powers of two so the log-log regressor levels are
+#: exact: log2 n = 3,4,5,6 and the centered weights are exact decimals).
+HURST_NS = (8, 16, 32, 64)
+
+
+@query(
+    "window_hurst_exponent",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY 1
+    ),
+    diffs AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS r,
+             CAST(x AS DECIMAL(19,2)) AS x
+      FROM (SELECT d, v - LAG(v) OVER (ORDER BY d) AS x FROM daily)
+      WHERE x IS NOT NULL
+    ),
+    expanded AS (
+      SELECT n, (r - 1) // n AS b, ((r - 1) % n) + 1 AS k, x
+      FROM diffs, unnest([{", ".join(str(n) for n in HURST_NS)}]) AS t(n)
+    ),
+    cum AS (
+      SELECT n, b, k, x,
+             CAST(SUM(x) OVER (PARTITION BY n, b ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS cs,
+             CAST(SUM(x) OVER (PARTITION BY n, b)
+               AS DECIMAL(28,2)) AS sx
+      FROM expanded
+    ),
+    blocks AS (
+      SELECT n, b,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MAX(n * cs - k * sx) AS maxz,
+             MIN(n * cs - k * sx) AS minz,
+             CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                  AS DECIMAL(38,4)) AS sxx,
+             MAX(sx) AS sx
+      FROM cum GROUP BY 1, 2
+    ),
+    rs AS (
+      SELECT n,
+             CAST(round(
+               CAST(greatest(maxz, 0) - least(minz, 0) AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS rs9
+      FROM blocks
+      WHERE cnt = n AND n * sxx - sx * sx > 0
+    ),
+    per_n AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(rs9) AS DOUBLE) / COUNT(*) AS mean_rs
+      FROM rs GROUP BY 1
+    ),
+    ys AS (
+      SELECT n, n_blocks, mean_rs,
+             CAST(round(log2(mean_rs), 9) AS DECIMAL(28,9)) AS y,
+             CAST(CAST(log2(n) AS DECIMAL(3,1)) - 4.5 AS DECIMAL(3,1)) AS w
+      FROM per_n
+    )
+    SELECT
+      round(MAX(CASE WHEN n = 8  THEN mean_rs END), 6) AS mean_rs_n8_r6,
+      round(MAX(CASE WHEN n = 16 THEN mean_rs END), 6) AS mean_rs_n16_r6,
+      round(MAX(CASE WHEN n = 32 THEN mean_rs END), 6) AS mean_rs_n32_r6,
+      round(MAX(CASE WHEN n = 64 THEN mean_rs END), 6) AS mean_rs_n64_r6,
+      CAST(SUM(n_blocks) AS BIGINT) AS n_blocks_total,
+      round(CAST(SUM(w * y) / 5.0 AS DOUBLE), 6) AS hurst_r6
+    FROM ys
+    """,
+)
+def q_window_hurst_exponent(spark, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily revenue changes via classical
+    rescaled-range (R/S) analysis — the long-memory fingerprint that
+    tells a forecaster whether a series is mean-reverting (H < 0.5),
+    a random walk (H = 0.5) or trending/persistent (H > 0.5); the
+    multi-scale companion to window_variance_ratio's single-k test.
+    The day-diff series splits into complete blocks of n ∈ {8,16,32,
+    64}; each block's range of cumulative deviations from the block
+    mean, rescaled by the block's population std, averages into
+    R/S(n); H is the slope of log2 R/S against log2 n.
+
+    Exactness: everything up to the one sqrt per block is EXACT
+    decimal — the deviation z_k = n·cs_k − k·Σx clears the /n mean
+    by scaling (so no rational rounding anywhere), the range uses
+    greatest(max z, 0) − least(min z, 0) (the k=0 anchor), and the
+    variance numerator n·Σx² − (Σx)² is an exact decimal. Each
+    block's R/S is one double division rounded to 9 dp into decimal,
+    so the per-n mean is an order-independent decimal sum. The log2
+    values are rounded to 9 dp into decimal and the slope is an
+    exact decimal dot with centered weights (log2 n − 4.5 ∈ {−1.5,
+    −0.5, 0.5, 1.5}, Σw² = 5) — double-rounding keeps a 1-ulp libm
+    log wobble orders of magnitude below the 6 dp emission grid.
+
+    Scale: corpus → |days| in one combinable aggregation; the only
+    global window is the day-series rank (calendar-bounded,
+    allowlisted); everything after is (n, block)-partitioned bounded
+    windows over ≤ 4·|days| rows and a 4-row regression."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(_rev_sum_dec().alias("v"))
+    )
+    diffs = (
+        daily.select(
+            "d",
+            (F.col("v") - F.lag("v").over(Window.orderBy("d")))
+            .cast("decimal(19,2)")
+            .alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+        .select(F.row_number().over(Window.orderBy("d")).alias("r"), "x")
+    )
+    expanded = diffs.select(
+        F.explode(F.array(*[F.lit(n) for n in HURST_NS])).alias("n"),
+        "r",
+        "x",
+    ).select(
+        "n",
+        ((F.col("r") - 1) / F.col("n")).cast("long").alias("b"),
+        ((F.col("r") - 1) % F.col("n") + 1).alias("k"),
+        "x",
+    )
+    wb = Window.partitionBy("n", "b").orderBy("k")
+    cum = expanded.select(
+        "n",
+        "b",
+        "k",
+        "x",
+        F.sum("x")
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(28,2)")
+        .alias("cs"),
+        F.sum("x")
+        .over(
+            Window.partitionBy("n", "b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("decimal(28,2)")
+        .alias("sx"),
+    )
+    z = F.col("n") * F.col("cs") - F.col("k") * F.col("sx")
+    blocks = cum.groupBy("n", "b").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max(z).alias("maxz"),
+        F.min(z).alias("minz"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x").cast("decimal(19,2)"))
+        .cast("decimal(38,4)")
+        .alias("sxx"),
+        F.max("sx").alias("sx"),
+    )
+    d_var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    rs = blocks.filter(
+        (F.col("cnt") == F.col("n")) & (d_var > 0)
+    ).select(
+        "n",
+        F.round(
+            (
+                F.greatest(F.col("maxz"), F.lit(0))
+                - F.least(F.col("minz"), F.lit(0))
+            ).cast("double")
+            / F.sqrt(d_var.cast("double")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("rs9"),
+    )
+    per_n = rs.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        (F.sum("rs9").cast("double") / F.count("*")).alias("mean_rs"),
+    )
+    ys = per_n.select(
+        "n",
+        "n_blocks",
+        "mean_rs",
+        F.round(F.log2("mean_rs"), 9).cast("decimal(28,9)").alias("y"),
+        (F.log2("n").cast("decimal(3,1)") - F.lit("4.5").cast("decimal(3,1)"))
+        .cast("decimal(3,1)")
+        .alias("w"),
+    )
+    return ys.agg(
+        F.round(F.max(F.when(F.col("n") == 8, F.col("mean_rs"))), 6).alias(
+            "mean_rs_n8_r6"
+        ),
+        F.round(F.max(F.when(F.col("n") == 16, F.col("mean_rs"))), 6).alias(
+            "mean_rs_n16_r6"
+        ),
+        F.round(F.max(F.when(F.col("n") == 32, F.col("mean_rs"))), 6).alias(
+            "mean_rs_n32_r6"
+        ),
+        F.round(F.max(F.when(F.col("n") == 64, F.col("mean_rs"))), 6).alias(
+            "mean_rs_n64_r6"
+        ),
+        F.sum("n_blocks").cast("long").alias("n_blocks_total"),
+        F.round(
+            (F.sum(F.col("w") * F.col("y")) / F.lit("5.0").cast("decimal(2,1)"))
+            .cast("double"),
+            6,
+        ).alias("hurst_r6"),
+    )

@@ -158,6 +158,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "privacy_t_closeness",
     "maintenance_vacuum_orphans",
     "ml_cohort_did",
+    "window_hurst_exponent",
     # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9

@@ -27,6 +27,7 @@ SENSITIVE = [
     "window_holt_linear",
     "window_max_drawdown",
     "window_variance_ratio",
+    "window_hurst_exponent",
     "window_kpss_test",
     "ml_chow_test",
     "stat_runs_test",

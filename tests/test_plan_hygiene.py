@@ -96,6 +96,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "window_max_drawdown": "|days| rows after per-day agg",
     # r11 diagnostic twin: same |days|-bounded window pipeline
     "window_max_drawdown_probe": "|days| rows after per-day agg",
+    # lag + rank run on the per-day diff table; the R/S block windows
+    # are (n, block)-partitioned, not global
+    "window_hurst_exponent": "|days| rows after per-day agg",
     # the cumulative-capture window runs on the LIFT_BINS band table
     "ml_lift_table": "LIFT_BINS rows after band agg",
     # the AUC cumulative runs on the ≤ AUC_MAX_BAND+1 band table
