@@ -159,6 +159,7 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "maintenance_vacuum_orphans",
     "ml_cohort_did",
     "window_hurst_exponent",
+    "graph_rich_club",
     # ---- end round-11 head ----
     # ---- round-9 head (names may repeat below; FIRST position wins).
     # The r8 verdict: freeze new-operator additions and spend the r9
