@@ -150,8 +150,9 @@ UNPROVEN_PRIORITY: tuple[str, ...] = (
     "window_max_drawdown",
     "window_holt_linear_probe",
     "window_max_drawdown_probe",
-    # The three honest r11 additions follow the diagnostics; the
-    # remaining ~43 slots still drain the oldest-stamp backfill.
+    # The eight honest r11 additions follow the diagnostics (12 tier-0
+    # names total); the remaining ~38 slots still drain the
+    # oldest-stamp backfill — all 20 r1-stamped names fit.
     "multimodal_webp_meta",
     "graph_reciprocity",
     "text_confusable_scripts",
