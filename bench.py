@@ -187,7 +187,17 @@ def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
     }
     if len(vsets) > 1:
         raise RuntimeError(f"children ran under different versions: {vsets}")
+    # A child that omits the stamp entirely (older child protocol)
+    # must not let a partial stamp masquerade as a verified-uniform
+    # run — record the gap in the merged artifact.
+    unstamped = sum(1 for r in runs if "versions" not in r)
+    if unstamped:
+        sys.stderr.write(
+            f"bench: {unstamped}/{len(runs)} children carried no "
+            "'versions' stamp; uniformity only partially verified\n"
+        )
     return {
+        **({"versions_unstamped_children": unstamped} if unstamped else {}),
         "metric": "headline_queries_total_wall",
         "value": round(sum(merged.values()), 4),
         "unit": "sec",

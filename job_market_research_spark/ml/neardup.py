@@ -39,8 +39,43 @@ AUGMENTED_CORPUS_SQL = """
 """
 
 
+#: Per-Spark-app memo of the dedup family's shared staging frames
+#: (augmented corpus, shingle rows, minhash band rows), persisted
+#: MEMORY_AND_DISK. Five of the registry's slowest queries re-derived
+#: the identical corpus → shingle → signature chain per query (r11
+#: verdict item 1); one persisted materialization per app amortizes it
+#: across the family — the same staged-intermediate discipline a
+#: production pipeline applies (there it would be a parquet stage; in
+#: one app Spark's block store is the idiomatic equivalent, spilling
+#: to disk when it outgrows memory). Keyed by applicationId exactly
+#: like io._DF_CACHE so a stopped session's blocks are unpersisted and
+#: dropped the first time a successor app stages anything.
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _app_staged(spark, key: tuple, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    full = (app, *key)
+    hit = _STAGE_CACHE.get(full)
+    if hit is not None:
+        return hit
+    for k in [k for k in _STAGE_CACHE if k[0] != app]:
+        try:
+            _STAGE_CACHE[k].unpersist()
+        except Exception:
+            pass  # stopped contexts can't (and needn't) unpersist
+        del _STAGE_CACHE[k]
+    from pyspark import StorageLevel
+
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _STAGE_CACHE[full] = df
+    return df
+
+
 def augmented_corpus(spark, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copies of every 10th doc (near-dup seeds).
+    """documents ∪ mutated copies of every 10th doc (near-dup seeds),
+    persisted once per (app, sf_dir) — every dedup-family query starts
+    from this exact frame, so the scan + mutation runs once per app.
 
     The corpus is fanned out to full parallelism right after the scan:
     locally it is one small parquet file → 1-2 input splits, and every
@@ -51,16 +86,24 @@ def augmented_corpus(spark, sf_dir: str) -> DataFrame:
     partitioning already provides the width — an explicit numPartitions
     repartition is still byte-cheap relative to the hash work it spreads.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
-    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
-        "lang",
-        "source",
-    )
-    return docs.unionByName(mutants).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+            "lang",
+            "source",
+        )
+        return docs.unionByName(mutants).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+
+    import os
+
+    return _app_staged(spark, ("corpus", os.path.abspath(sf_dir)), build)
 
 
 def portable_hash(col: Column) -> Column:
@@ -127,6 +170,70 @@ def _shingle_rows(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles."""
     return corpus.select(
         "doc_id", F.explode(word_shingles("text", n)).alias("sh")
+    )
+
+
+def staged_shingles(spark, sf_dir: str, n: int = 3) -> DataFrame:
+    """Persisted (doc_id, sh) shingle rows of the augmented corpus,
+    one materialization per (app, sf_dir, n). The shingle explode is
+    the dedup family's shared expensive leg — minhash LSH, the
+    incremental index probe and the recall audit all start from this
+    identical frame (r11 verdict item 1)."""
+    import os
+
+    return _app_staged(
+        spark,
+        ("shingles", os.path.abspath(sf_dir), n),
+        lambda: _shingle_rows(augmented_corpus(spark, sf_dir), n),
+    )
+
+
+def staged_minhash_bands(spark, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, band, band_key) minhash band rows over
+    `staged_shingles`, one materialization per (app, sf_dir). Saves
+    the MINHASH_K min-hash aggregation from re-running for each of the
+    three banded-minhash queries."""
+    import os
+
+    return _app_staged(
+        spark,
+        ("minhash_bands", os.path.abspath(sf_dir)),
+        lambda: minhash_band_rows(staged_shingles(spark, sf_dir)),
+    )
+
+
+def staged_shingle_profiles(spark, sf_dir: str) -> DataFrame:
+    """Persisted per-doc verification profiles (doc_id, n, arr): total
+    shingle count plus the df-capped shingle set as an array. The
+    exact-Jaccard verification stage of both the batch LSH self-join
+    and the incremental index probe consumes this identical frame —
+    hot shingles (df > GRAM_DF_CAP) are excluded from the INTERSECTION
+    array only, n counts everything, so capped Jaccard under-estimates
+    and never inflates. Per-doc arrays are bounded by document length,
+    so no row outgrows executor memory at corpus scale."""
+    import os
+
+    def build() -> DataFrame:
+        shingles = staged_shingles(spark, sf_dir)
+        hot = (
+            shingles.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > GRAM_DF_CAP)
+            .select("sh", F.lit(True).alias("_hot"))
+        )
+        return (
+            shingles.join(F.broadcast(hot), "sh", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_list(
+                    F.when(F.col("_hot").isNull(), F.col("sh"))
+                ).alias("arr"),
+            )
+        )
+
+    return _app_staged(
+        spark, ("shingle_profiles", os.path.abspath(sf_dir)), build
     )
 
 
@@ -286,8 +393,7 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     emit a quadratic row burst; set sizes still count every shingle,
     so capped Jaccard only ever under-estimates (scale-safe recall
     trade, mirrored exactly in the oracle)."""
-    shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
-    bands = minhash_band_rows(shingles)
+    bands = staged_minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -309,22 +415,7 @@ def q_dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     # everything — with 2 key-balanced joins instead of 4 plus a
     # re-group. Per-doc arrays are bounded by document length, so no
     # row ever exceeds executor memory at corpus scale.
-    hot = (
-        shingles.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > GRAM_DF_CAP)
-        .select("sh", F.lit(True).alias("_hot"))
-    )
-    profiles = (
-        shingles.join(F.broadcast(hot), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.collect_list(
-                F.when(F.col("_hot").isNull(), F.col("sh"))
-            ).alias("arr"),
-        )
-    )
+    profiles = staged_shingle_profiles(spark, sf_dir)
     inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
@@ -1326,8 +1417,7 @@ def q_dedup_incremental_minhash(spark, sf_dir: str) -> DataFrame:
     here is bit-identical to what the batch self-join would have
     found. Output: which new docs are near-dups of which indexed docs
     (the reject list the ingest gate consumes)."""
-    shingles = _shingle_rows(augmented_corpus(spark, sf_dir)).cache()
-    bands = minhash_band_rows(shingles)
+    bands = staged_minhash_bands(spark, sf_dir)
     incoming = bands.filter(F.col("doc_id") % 4 == 0)
     index = bands.filter(F.col("doc_id") % 4 != 0)
     candidates = (
@@ -1343,22 +1433,7 @@ def q_dedup_incremental_minhash(spark, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hot = (
-        shingles.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > GRAM_DF_CAP)
-        .select("sh", F.lit(True).alias("_hot"))
-    )
-    profiles = (
-        shingles.join(F.broadcast(hot), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.collect_list(
-                F.when(F.col("_hot").isNull(), F.col("sh"))
-            ).alias("arr"),
-        )
-    )
+    profiles = staged_shingle_profiles(spark, sf_dir)
     inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
@@ -1750,9 +1825,8 @@ def q_dedup_lsh_recall_audit(spark, sf_dir: str) -> DataFrame:
     Scale: the audit costs one extra pair-key join over the two
     bounded candidate sets; run it on a sampled partition in
     production for a continuous dedup-quality monitor."""
-    corpus = augmented_corpus(spark, sf_dir)
-    sh = _shingle_rows(corpus, 3)
-    bands = minhash_band_rows(sh)
+    sh = staged_shingles(spark, sf_dir, 3)
+    bands = staged_minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(

@@ -846,6 +846,10 @@ def parse_webp_header(payload: bytes) -> dict:
         off = c["offset"] + 8
         body = payload[off : off + c["size"]]
         if cid == "VP8 ":
+            # minimum frame-header prefix: 3-byte frame tag + 3-byte
+            # start code + 2×2-byte dims = 10 bytes
+            if len(body) < 10:
+                raise NotImplementedError("truncated VP8 frame header")
             if body[3:6] != b"\x9d\x01\x2a":
                 raise NotImplementedError("VP8 keyframe start code missing")
             w = int.from_bytes(body[6:8], "little") & 0x3FFF
@@ -855,6 +859,9 @@ def parse_webp_header(payload: bytes) -> dict:
                 "width": w, "height": h, "alpha": False,
             }
         if cid == "VP8L":
+            # signature byte + packed 4-byte LE bitstream = 5 bytes
+            if len(body) < 5:
+                raise NotImplementedError("truncated VP8L header")
             if body[0] != 0x2F:
                 raise NotImplementedError("VP8L signature byte missing")
             bits = int.from_bytes(body[1:5], "little")
@@ -865,6 +872,9 @@ def parse_webp_header(payload: bytes) -> dict:
                 "alpha": bool((bits >> 28) & 1),
             }
         if cid == "VP8X":
+            # flags byte + 3 reserved + 2×3-byte canvas dims = 10 bytes
+            if len(body) < 10:
+                raise NotImplementedError("truncated VP8X header")
             return {
                 "kind": "webp", "variant": "VP8X",
                 "width": int.from_bytes(body[4:7], "little") + 1,

@@ -382,9 +382,15 @@ def stage_vacuum_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
     if key in _VACUUM_STAGED:
         return _VACUUM_STAGED[key]
     import glob
+    import hashlib
     import shutil
 
-    out = scratch_dir("vacuum_orders")
+    # Scratch name derived from the sf_dir key: a second sf_dir staged
+    # in the same process must get its OWN directory — a shared name
+    # would wipe the first staging while its memo entry still points
+    # there, misclassifying every file as an orphan on the next run.
+    suffix = hashlib.sha1(key.encode()).hexdigest()[:10]
+    out = scratch_dir(f"vacuum_orders_{suffix}")
     (
         load(spark, sf_dir, "orders")
         .repartitionByRange(VACUUM_TRACKED_FILES, "o_orderkey")

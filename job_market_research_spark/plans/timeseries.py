@@ -1412,92 +1412,6 @@ def q_window_max_drawdown(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_holt_linear_probe",
-    oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS d,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(18,2)) AS DOUBLE) AS v
-    FROM orders GROUP BY CAST(o_orderdate AS DATE)
-    ORDER BY d
-    """,
-)
-def q_window_holt_linear_probe(spark, sf_dir: str) -> DataFrame:
-    """Diagnostic twin of window_holt_linear (r10 verdict item 3):
-    emits ONLY the input columns (day + exact-decimal revenue cast to
-    DOUBLE), skipping the recursion entirely. If the r11 driver round
-    leaves window_holt_linear red while this probe is green, the
-    residual mismatch is localized to the recursion/state columns; if
-    BOTH are red, the input aggregation itself diverges. Remove once
-    window_holt_linear has a green driver row."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(_rev_sum_dec().cast("double").alias("v"))
-        .orderBy("d")
-    )
-
-
-@query(
-    "window_max_drawdown_probe",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                  AS DECIMAL(18,2)) AS v
-      FROM orders GROUP BY CAST(o_orderdate AS DATE)
-    ),
-    cum AS (
-      SELECT d, v,
-             CAST(SUM(v) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28,2)) AS c
-      FROM daily
-    ),
-    dd AS (
-      SELECT d, c,
-             CAST(MAX(c) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28,2)) AS peak
-      FROM cum
-    )
-    SELECT d AS trough_date
-    FROM dd
-    ORDER BY (peak - c) DESC, d ASC
-    LIMIT 1
-    """,
-)
-def q_window_max_drawdown_probe(spark, sf_dir: str) -> DataFrame:
-    """Diagnostic twin of window_max_drawdown (r10 verdict item 3):
-    same exact-decimal running-sum/running-max pipeline and the same
-    deterministic (drawdown, date) top-1 pick, but emits ONLY the
-    trough date — no numeric column at all. Green probe + red original
-    localizes any residual driver mismatch to the three value columns;
-    red probe means the row selection itself diverges. Remove once
-    window_max_drawdown has a green driver row."""
-    daily = (
-        load(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(_rev_sum_dec().alias("v"))
-    )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = daily.select(
-        "d", F.sum("v").over(w).cast("decimal(28,2)").alias("c")
-    )
-    dd = cum.select(
-        "d", "c", F.max("c").over(w).cast("decimal(28,2)").alias("peak")
-    )
-    return (
-        dd.select(
-            F.col("d").alias("trough_date"),
-            (F.col("peak") - F.col("c")).alias("_dd"),
-        )
-        .orderBy(F.desc("_dd"), F.asc("trough_date"))
-        .limit(1)
-        .select("trough_date")
-    )
-
-
 #: Variance-ratio horizon (k-day aggregated returns vs daily).
 VR_K = 5
 

@@ -137,22 +137,19 @@ FORCE_REPROVE: frozenset[str] = frozenset()
 #: every remaining SURVEY §2 ID with no driver row (sinks last of the
 #: batch, streaming + ml + multimodal rotate into the next round).
 UNPROVEN_PRIORITY: tuple[str, ...] = (
-    # ---- round-11 head (names may repeat below; FIRST position wins).
-    # The r10 verdict: the two perennially driver-red DECIMAL emitters
-    # first (retyped to DOUBLE emission this round — verdict item 1),
-    # then their diagnostic probe twins (item 3: if the retype somehow
-    # doesn't land, a green probe + red original localizes the residual
-    # mismatch to a column family). Tier 0 is otherwise empty, so the
-    # remaining ~46 driver slots fall through to tier 1's
-    # oldest-proving-round-first rotation — the §2 freshness backfill
-    # of verdict item 4 (r1/r2-stamped scan_*/dedup_*/fn_* cohorts).
+    # ---- round-12 note: the registry is 465 queries, all with a green
+    # newest driver row (the two r11 *_probe diagnostics were deleted
+    # per their own docstrings once their originals went green —
+    # VERDICT r11 item 2). Tier 0 is EMPTY, so every driver slot falls
+    # through to tier 1's oldest-proving-round-first rotation: the r12
+    # window re-stamps the r2-stamped cohorts (scalars, nested, sinks,
+    # setops) per VERDICT r11 item 7 — no head pinning needed; the
+    # evidence_order rule does it mechanically.
+    # ---- round-11 head (historical; names may repeat below; FIRST
+    # position wins). The r10 verdict: the two perennially driver-red
+    # DECIMAL emitters first (retyped to DOUBLE emission that round).
     "window_holt_linear",
     "window_max_drawdown",
-    "window_holt_linear_probe",
-    "window_max_drawdown_probe",
-    # The eight honest r11 additions follow the diagnostics (12 tier-0
-    # names total); the remaining ~38 slots still drain the
-    # oldest-stamp backfill — all 20 r1-stamped names fit.
     "multimodal_webp_meta",
     "graph_reciprocity",
     "text_confusable_scripts",

@@ -30,6 +30,24 @@ def test_merge_takes_per_query_min_and_canary_min():
     json.dumps(m)  # must be serializable
 
 
+def test_merge_records_unstamped_children():
+    # ADVICE r11: a child omitting 'versions' must not let a partial
+    # stamp masquerade as a verified-uniform run — the merged artifact
+    # records how many children carried no stamp
+    runs = [
+        _run(3.0, {"a": 1.0}, versions={"x": "1"}),
+        _run(2.0, {"a": 0.9}),
+    ]
+    m = merge_runs(runs, sf=0.1, jvm_reps=2)
+    assert m["versions_unstamped_children"] == 1
+    # fully-stamped merges carry no noise key
+    runs2 = [
+        _run(3.0, {"a": 1.0}, versions={"x": "1"}),
+        _run(2.0, {"a": 0.9}, versions={"x": "1"}),
+    ]
+    assert "versions_unstamped_children" not in merge_runs(runs2, 0.1, 2)
+
+
 def test_merge_survives_canary_less_children():
     # one child omits the key entirely, one carries an explicit null —
     # the exact shape merge_runs itself emits for a canary-less merge

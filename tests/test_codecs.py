@@ -295,3 +295,28 @@ def test_webp_error_boundaries():
     lossless[20] = 0x00  # corrupt the 0x2F signature byte
     with pytest.raises(NotImplementedError, match="signature"):
         codecs.parse_webp_header(bytes(lossless))
+
+
+def _truncate_webp_body(payload: bytes, keep: int) -> bytes:
+    """Rewrite the single bitstream chunk to carry only `keep` body
+    bytes, with the RIFF and chunk sizes made consistent — the
+    truncation the codec must classify, not crash on."""
+    variant = payload[12:16]
+    body = payload[20 : 20 + keep]
+    chunk = variant + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_webp_truncated_bodies_raise_not_crash():
+    # ADVICE r11: short chunk bodies previously IndexError'd (VP8L at
+    # body[0]) or returned silently-wrong dims from short slices; all
+    # three variants must raise the codec-convention NotImplementedError
+    for variant, minimum in (("VP8 ", 10), ("VP8L", 5), ("VP8X", 10)):
+        full = codecs.encode_webp_headers(variant, 8, 8)
+        for keep in (0, 1, minimum - 1):
+            with pytest.raises(NotImplementedError, match="truncated"):
+                codecs.parse_webp_header(_truncate_webp_body(full, keep))
+        # the exact minimum still parses (VP8 needs only the 10-byte
+        # frame-header prefix; trailing entropy data is ignorable)
+        meta = codecs.parse_webp_header(_truncate_webp_body(full, minimum))
+        assert (meta["width"], meta["height"]) == (8, 8)

@@ -94,8 +94,6 @@ ALLOWED_GLOBAL_WINDOW = {
     "agg_bh_fdr": "|p_type| hypothesis rows after moment agg",
     # running sum/max over the per-day totals: |days| rows
     "window_max_drawdown": "|days| rows after per-day agg",
-    # r11 diagnostic twin: same |days|-bounded window pipeline
-    "window_max_drawdown_probe": "|days| rows after per-day agg",
     # lag + rank run on the per-day diff table; the R/S block windows
     # are (n, block)-partitioned, not global
     "window_hurst_exponent": "|days| rows after per-day agg",
