@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
+from job_market_research_spark.staging import app_staged
 
 #: Fixed BM25 probe terms (present across the synthetic corpus at
 #: moderate document frequency — exercises the df/idf spread).
@@ -42,6 +43,54 @@ BM25_B = 0.75
 BM25_TOP_K = 15
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def staged_ws_tcounts(spark, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, token, tf) whitespace token counts of
+    `documents` — the IR family's shared inverted-index leg, staged
+    once per (app, sf_dir). BM25, Rocchio PRF, query likelihood,
+    vocab JSD and the Zipf fit all consume this identical frame; each
+    previously re-ran the corpus explode + (doc, token) shuffle
+    (r11 verdict item 4 generalized family-wide). Bag-of-token
+    consumers only — operators needing token ADJACENCY (PMI, bigram
+    LM/entropy, BPE pair counts) keep their positional streams."""
+    import os
+
+    def build() -> DataFrame:
+        docs = (
+            load(spark, sf_dir, "documents")
+            # widen the 1-file local scan so the explode runs at full
+            # parallelism (one byte-cheap shuffle of the raw rows)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "text")
+        )
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.filter(F.split("text", r"\s+"), lambda x: x != "")
+                ).alias("token"),
+            )
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    return app_staged(spark, ("ws_tcounts", os.path.abspath(sf_dir)), build)
+
+
+def staged_ws_doclen(spark, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, dl) whitespace document lengths — dl = Σtf
+    over `staged_ws_tcounts`, identical to size(filter(split(text)))
+    on the raw text. Shared by every BM25-shaped scorer."""
+    import os
+
+    return app_staged(
+        spark,
+        ("ws_doclen", os.path.abspath(sf_dir)),
+        lambda: staged_ws_tcounts(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl")),
+    )
 
 
 @query(
@@ -93,42 +142,26 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 def q_text_bm25_topk(spark, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k over `documents` for the fixed probe terms.
 
-    Plan shape (the one that survives 100 TB): the token stream is
-    term-filtered BEFORE the (doc, term) aggregation, so the big
-    shuffle carries only query-term hits, not the whole corpus; DF is
-    a second tiny aggregate over that same filtered stream (broadcast
-    to the join); N/avgdl ride a broadcast one-row aggregate crossJoin
-    (no separate count() job — same fusion as `text_tfidf`). Final
-    top-k is TakeOrderedAndProject, not a global sort. Per-term scores
-    are summed per doc in exact DECIMAL so Spark's partial aggregation
+    Plan shape (the one that survives 100 TB): scores ride the staged
+    per-(doc, term) count table (`staged_ws_tcounts` — the IR family's
+    shared inverted-index materialization), term-filtered before any
+    join so the scoring joins carry only query-term hits; DF is a tiny
+    aggregate over that filtered frame (broadcast to the join); N/avgdl
+    ride a broadcast one-row aggregate crossJoin (no separate count()
+    job — same fusion as `text_tfidf`). Final top-k is
+    TakeOrderedAndProject, not a global sort. Per-term scores are
+    summed per doc in exact DECIMAL so Spark's partial aggregation
     order cannot perturb the hash.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
-            "token"
-        ),
-    )
-    # Document length is a map-side array size — NO token explode, NO
-    # doc_id shuffle (the only corpus-sized shuffle left is the
-    # term-filtered tf aggregation).
-    dl = docs.select(
-        "doc_id",
-        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-        .cast("long")
-        .alias("dl"),
-    )
+    tcounts = staged_ws_tcounts(spark, sf_dir)
+    dl = staged_ws_doclen(spark, sf_dir)
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tf = (
-        tok.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    tf = tcounts.filter(F.col("token").isin(*BM25_TERMS))
+    # tcounts is unique per (doc_id, token): COUNT(*) == COUNT(DISTINCT doc_id)
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .join(dl, "doc_id")
@@ -1152,37 +1185,21 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
     literal query under-describes the information need (Rocchio 1971;
     the RM3-style tf×idf selection).
 
-    Scale shape: the corpus is tokenized ONCE into a per-(doc, token)
-    count frame — one explode, one map-side-combined shuffle — which
-    is localCheckpoint'ed and feeds all four former token-stream
-    consumers (pass-1 tf, expansion candidates, candidate df, pass-2
-    tf) plus doc length (dl = Σtf). The round-6 plan re-derived the
-    explode per branch: 4 corpus tokenizations per run. The feedback
-    -doc semi-join and the expansion/query term tables are bounded
-    (PRF_FB docs' vocab, then ≤ 8 terms) and broadcast; every top-k
-    is TakeOrderedAndProject. Per-doc sums ride exact DECIMAL like
-    text_bm25_topk. At 100 TB the checkpoint becomes a persisted
-    (MEMORY_AND_DISK) or written-out term-count table — the classic
+    Scale shape: all four token-stream consumers (pass-1 tf, expansion
+    candidates, candidate df, pass-2 tf) plus doc length ride the
+    STAGED per-(doc, token) count table (`staged_ws_tcounts` /
+    `staged_ws_doclen` — the IR family's shared inverted-index
+    materialization, persisted once per app): one explode + one
+    map-side-combined shuffle for the whole family, where the round-6
+    plan re-derived the explode per branch (4 corpus tokenizations per
+    run; r11 verdict item 4). The feedback-doc semi-join and the
+    expansion/query term tables are bounded (PRF_FB docs' vocab, then
+    ≤ 8 terms) and broadcast; every top-k is TakeOrderedAndProject.
+    Per-doc sums ride exact DECIMAL like text_bm25_topk. At 100 TB the
+    stage becomes a written-out term-count table — the classic
     inverted-index materialization — still one corpus pass."""
-    # Widen the 1-file local scan first so the single explode runs at
-    # full parallelism.
-    docs = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "text")
-    )
-    tcounts = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.filter(F.split("text", r"\s+"), lambda x: x != "")
-            ).alias("token"),
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dl = tcounts.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    tcounts = staged_ws_tcounts(spark, sf_dir)
+    dl = staged_ws_doclen(spark, sf_dir)
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1220,23 +1237,33 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
         )
     )
     fb = pass1.orderBy(F.desc("bm25"), "doc_id").limit(PRF_FB).select("doc_id")
+    # ONE aggregation over the eligible token rows computes BOTH the
+    # feedback term frequency (tf summed over feedback docs only — a
+    # broadcast left join marks membership) and the corpus document
+    # frequency (tcounts is unique per (doc, token), so COUNT(*) = df);
+    # the former two-pass shape (cand agg + df semi-join re-pass) ran
+    # the corpus leg twice (r11 verdict item 4).
     cand = (
-        tcounts.join(F.broadcast(fb), "doc_id", "left_semi")
-        .filter(
+        tcounts.filter(
             F.col("token").rlike("^[a-z]{4,}$")
             & ~F.col("token").isin(*BM25_TERMS)
         )
+        .join(
+            F.broadcast(fb.select("doc_id", F.lit(True).alias("_fb"))),
+            "doc_id",
+            "left",
+        )
         .groupBy("token")
-        .agg(F.sum("tf").cast("long").alias("fb_tf"))
-    )
-    cand_df = (
-        tcounts.join(F.broadcast(cand.select("token")), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("df"))
+        .agg(
+            F.sum(F.when(F.col("_fb"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("fb_tf"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .filter(F.col("fb_tf") > 0)
     )
     exp_terms = (
-        cand.join(cand_df, "token")
-        .crossJoin(F.broadcast(stats))
+        cand.crossJoin(F.broadcast(stats))
         .select(
             "token",
             F.round(
@@ -1253,7 +1280,7 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
         .limit(PRF_EXP_TERMS)
     )
     qterms = (
-        docs.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(t,) for t in BM25_TERMS], "token string"
         )
         .select("token", F.lit(1.0).alias("wq"))
@@ -1361,15 +1388,14 @@ def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
     BM25/MI contract — order-free across partial aggregation); the
     final score is one fixed-shape double expression round-6.
 
-    Scale: one term-filtered (doc, term) shuffle + broadcast scalars;
-    top-k is TakeOrdered."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    tok = docs.select("doc_id", F.explode(toks_arr).alias("token"))
-    dl = docs.select("doc_id", F.size(toks_arr).cast("long").alias("dl"))
-    c = tok.agg(F.count("*").cast("double").alias("ctot"))
-    qf = tok.filter(F.col("token").isin("spark", "hash", "stream"))
-    cf = qf.groupBy("token").agg(F.count("*").cast("long").alias("cf"))
+    Scale: rides the staged (doc, term) count table
+    (`staged_ws_tcounts`) like every BM25-shaped scorer — broadcast
+    scalars on top; top-k is TakeOrdered."""
+    tcounts = staged_ws_tcounts(spark, sf_dir)
+    dl = staged_ws_doclen(spark, sf_dir)
+    c = tcounts.agg(F.sum("tf").cast("double").alias("ctot"))
+    qf = tcounts.filter(F.col("token").isin("spark", "hash", "stream"))
+    cf = qf.groupBy("token").agg(F.sum("tf").cast("long").alias("cf"))
     constq = (
         cf.crossJoin(F.broadcast(c))
         .agg(
@@ -1381,7 +1407,7 @@ def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
             .alias("cq")
         )
     )
-    tf = qf.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    tf = qf.select("doc_id", "token", F.col("tf").cast("long").alias("tf"))
     hits = (
         tf.join(F.broadcast(cf), "token")
         .crossJoin(F.broadcast(c))
@@ -1495,28 +1521,33 @@ def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
     Scale: one (token) aggregation for the top-V cut
     (TakeOrdered, broadcast back), one (term, half) combinable count,
     constant-size algebra after."""
-    docs = load(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("g"),
-        F.explode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != "")
-        ).alias("token"),
+    # token-instance counts ride the staged (doc, token, tf) table:
+    # a token INSTANCE count is Σtf, and the half split g = doc_id % 2
+    # is a projection of the staged frame's key
+    gt = staged_ws_tcounts(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("g"), "token", "tf"
     )
     topv = (
-        docs.groupBy("token")
-        .agg(F.count("*").alias("n"))
+        gt.groupBy("token")
+        .agg(F.sum("tf").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(JSD_VOCAB)
         .select("token", F.lit(1).alias("in_v"))
     )
-    mapped = docs.join(F.broadcast(topv), "token", "left").select(
+    mapped = gt.join(F.broadcast(topv), "token", "left").select(
         "g",
+        "tf",
         F.when(F.col("in_v").isNotNull(), F.col("token"))
         .otherwise(F.lit(_JSD_OOV))
         .alias("term"),
     )
     c = mapped.groupBy("term").agg(
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("c0"),
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == 0, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("g") == 1, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
     )
     tot = c.agg(
         F.sum("c0").cast("long").alias("t0"),
@@ -1616,12 +1647,11 @@ def q_text_zipf_fit(spark, sf_dir: str) -> DataFrame:
     ZIPF_K-row frame (plan-hygiene allowlisted) and a 1-row reduce."""
     from pyspark.sql.window import Window
 
-    tok = load(spark, sf_dir, "documents").select(
-        F.explode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != "")
-        ).alias("token")
+    cnt = (
+        staged_ws_tcounts(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("c"))
     )
-    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
     top = cnt.orderBy(F.desc("c"), "token").limit(ZIPF_K)
     ranked = top.withColumn(
         "r",

@@ -39,37 +39,10 @@ AUGMENTED_CORPUS_SQL = """
 """
 
 
-#: Per-Spark-app memo of the dedup family's shared staging frames
-#: (augmented corpus, shingle rows, minhash band rows), persisted
-#: MEMORY_AND_DISK. Five of the registry's slowest queries re-derived
-#: the identical corpus → shingle → signature chain per query (r11
-#: verdict item 1); one persisted materialization per app amortizes it
-#: across the family — the same staged-intermediate discipline a
-#: production pipeline applies (there it would be a parquet stage; in
-#: one app Spark's block store is the idiomatic equivalent, spilling
-#: to disk when it outgrows memory). Keyed by applicationId exactly
-#: like io._DF_CACHE so a stopped session's blocks are unpersisted and
-#: dropped the first time a successor app stages anything.
-_STAGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _app_staged(spark, key: tuple, build) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    full = (app, *key)
-    hit = _STAGE_CACHE.get(full)
-    if hit is not None:
-        return hit
-    for k in [k for k in _STAGE_CACHE if k[0] != app]:
-        try:
-            _STAGE_CACHE[k].unpersist()
-        except Exception:
-            pass  # stopped contexts can't (and needn't) unpersist
-        del _STAGE_CACHE[k]
-    from pyspark import StorageLevel
-
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _STAGE_CACHE[full] = df
-    return df
+# Per-Spark-app staging for the dedup family's shared frames
+# (augmented corpus, shingle rows, minhash band rows, verification
+# profiles) — see staging.app_staged for the memo/persist discipline.
+from job_market_research_spark.staging import app_staged as _app_staged
 
 
 def augmented_corpus(spark, sf_dir: str) -> DataFrame:

@@ -11,8 +11,11 @@ float64 via DuckDB. Run this after adding any query with a new output
 type; tests/test_plan_hygiene.py's emission-type allowlist is the
 static guard, this is the dynamic one.
 
-Usage: python scripts/driver_hash_sim.py [sf_dir]
-Exit 0 = every oracle-carrying query's pandas hash matches.
+Usage: python scripts/driver_hash_sim.py [sf_dir] [--only=name1,name2]
+The full sweep is ~5 min; --only makes the pre-commit changed-set
+check seconds (r11 verdict item 6 — run it on every new or
+emission-changed query before committing).
+Exit 0 = every (selected) oracle-carrying query's pandas hash matches.
 """
 
 from __future__ import annotations
@@ -39,7 +42,13 @@ def main() -> int:
     from job_market_research_spark.io import TABLES
     from job_market_research_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    for a in list(args):
+        if a.startswith("--only="):
+            only = {n for n in a[len("--only="):].split(",") if n}
+            args.remove(a)
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -49,7 +58,7 @@ def main() -> int:
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     t0, mismatched, errored = time.time(), [], []
     for name in sorted(queries):
-        if name not in oracles:
+        if name not in oracles or (only is not None and name not in only):
             continue
         try:
             sp = queries[name](spark, sf).toPandas()
@@ -60,10 +69,15 @@ def main() -> int:
         except Exception as exc:
             errored.append(name)
             print(f"ERROR {name}: {exc}", file=sys.stderr)
-    n = sum(1 for q in queries if q in oracles)
+    n = sum(
+        1
+        for q in queries
+        if q in oracles and (only is None or q in only)
+    )
+    scope = "" if only is None else f" (changed-set of {len(only)})"
     print(
         f"DRIVER-SIM: {n - len(mismatched) - len(errored)}/{n} pandas-hash "
-        f"match at {sf} in {int(time.time() - t0)}s; "
+        f"match at {sf} in {int(time.time() - t0)}s{scope}; "
         f"mismatched={mismatched} errored={errored}"
     )
     return 1 if (mismatched or errored) else 0

@@ -37,8 +37,63 @@ _JOIN_NODES = (
 _PY_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
 
 
+def _node_depth(line: str) -> int:
+    """Depth of a node in Spark's tree drawing = column of the first
+    character that isn't tree scaffolding (space/:/+/-)."""
+    m = re.search(r"[^ :+\-]", line)
+    return m.start() if m else len(line)
+
+
+def split_cached(plan: str) -> tuple[str, list[str]]:
+    """Separate a plan-tree string into (outer plan, distinct cached
+    subtrees). `toString` reprints every InMemoryRelation's FULL child
+    plan at each reference, so counting nodes on the raw text charges a
+    staged frame once per consumer — but the cached subtree executes
+    ONCE per application (staging.app_staged). Each distinct subtree
+    (keyed with expression ids stripped) is returned once so summarize
+    can count its build a single time."""
+    subtrees: dict[str, str] = {}
+
+    def strip(text: str) -> str:
+        lines = text.splitlines()
+        kept: list[str] = []
+        i = 0
+        while i < len(lines):
+            ln = lines[i]
+            if "InMemoryRelation" not in ln:
+                kept.append(ln)
+                i += 1
+                continue
+            depth = _node_depth(ln)
+            j = i + 1
+            sub: list[str] = []
+            while j < len(lines) and _node_depth(lines[j]) > depth:
+                sub.append(lines[j])
+                j += 1
+            body = "\n".join(sub)
+            # reprint sites indent the same subtree differently, so the
+            # identity key strips tree scaffolding and expression ids
+            key = re.sub(
+                r"#\d+", "", "\n".join(l.lstrip(" :+-") for l in sub)
+            )
+            if key not in subtrees:
+                subtrees[key] = ""  # claim before recursing (cycles can't
+                # occur, but a nested re-print of the same stage can)
+                subtrees[key] = strip(body)  # stages built on stages
+            i = j
+        return "\n".join(kept)
+
+    outer = strip(plan)
+    return outer, [s for s in subtrees.values() if s]
+
+
 def summarize(plan: str) -> dict:
+    outer, cached = split_cached(plan)
+    # the outer plan plus each distinct cached BUILD counted once —
+    # staged references themselves surface as `staged`
+    plan = outer + "\n" + "\n".join(cached)
     return {
+        "staged": outer.count("InMemoryTableScan"),
         "scans": plan.count("Scan parquet")
         + plan.count("Scan csv")
         + plan.count("Scan orc")
@@ -121,8 +176,8 @@ def main() -> None:
         "",
         "Regenerate with `python scripts/plan_census.py`.",
         "",
-        "| query | scans | exch | joins | win | WGL | py |",
-        "|---|---|---|---|---|---|---|",
+        "| query | scans | stg | exch | joins | win | WGL | py |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     abbrev = {
         "BroadcastHashJoin": "BHJ",
@@ -134,19 +189,20 @@ def main() -> None:
     for name, s, err in rows:
         mod = mod_of[name]
         if mod != last_mod:
-            lines.append(f"| **{mod}** | | | | | | |")
+            lines.append(f"| **{mod}** | | | | | | | |")
             last_mod = mod
         star = "\\*" if _BUILDER_RUNS.match(name) else ""
         if err:
             # exception text goes into a table cell: pipes/newlines in
             # Spark AnalysisException messages would corrupt the layout
             safe = err.replace("\n", " ").replace("|", "/")[:60]
-            lines.append(f"| `{name}`{star} | — | — | {safe} | | | |")
+            lines.append(f"| `{name}`{star} | — | — | — | {safe} | | | |")
             continue
         joins = " ".join(f"{c}{abbrev[j]}" for j, c in s["joins"].items())
         py = ",".join(p.replace("Pandas", "P").replace("Python", "Py") for p in s["python"])
         lines.append(
-            f"| `{name}`{star} | {s['scans']} | {s['exchanges']} | {joins} "
+            f"| `{name}`{star} | {s['scans']} | {s['staged'] or ''} "
+            f"| {s['exchanges']} | {joins} "
             f"| {s['windows']} | {'y' if s['wgl'] else ''} | {py} |"
         )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
