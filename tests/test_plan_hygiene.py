@@ -179,6 +179,117 @@ HASH_SAFE_EMISSION_TYPES = frozenset(
 )
 
 
+#: BNLJ build sides that `_is_bounded` cannot prove constant-row but
+#: whose bound holds BY CONTRACT (the query's own docstring states it);
+#: same mechanism as ALLOWED_GLOBAL_WINDOW. Every entry names the
+#: bound — a NEW query whose BNLJ broadcasts something corpus-sized
+#: fails the check unless it can justify a row here.
+ALLOWED_BNLJ_BUILD = {
+    # literal query-vector / query-point selections: a vec_id-filter on
+    # embeddings or a literal anchor set — ≤ Q rows by construction
+    "ann_cosine_topk": "query vector: vec_id literal filter (1 row)",
+    "ann_batch_topk": "literal query-vector batch (Q rows)",
+    "ann_mips_topk": "query vector: vec_id literal filter (1 row)",
+    "ann_filtered_topk": "query vector: vec_id literal filter (1 row)",
+    "ann_lsh_bucketed": "query vector: vec_id literal filter (1 row)",
+    "ann_pq_topk": "query vector: vec_id literal filter (1 row)",
+    "ann_rp_rerank": "query vector: vec_id literal filter (1 row)",
+    "ann_dim_truncation_recall": "query vectors: literal id filter",
+    "ml_knn_classify": "literal query-point set broadcast",
+    "sample_hard_negatives": "anchor set: literal id filter",
+    # keyed aggregates whose key domain is bounded by contract
+    "agg_kaplan_meier": "|distinct death days| (observation window)",
+    "agg_kendall_tau_daily": "per-day moment table (|days|)",
+    "agg_hodges_lehmann_shift": "per-day moment table (|days|)",
+    "agg_welch_ttest": "2-arm moment table",
+    "stream_welch_monitor": "2-arm moment table",
+    "ml_eval_confusion": "|classes|^2 confusion cells",
+    "ml_eval_retrieval_ndcg": "per-query ideal-gain table (|queries|)",
+    "ml_isotonic_calibration": "per-bin PAV table (bounded bins)",
+    "ml_naive_bayes_lang": "|langs| prior/denominator table",
+    "ml_rdd_sharp": "2-row side-moment table (side in {0,1})",
+    "privacy_t_closeness": "global value-distribution table (domain)",
+    "sample_time_series_cv": "|folds| boundary table",
+    "agg_audience_overlap": "KMV sketch table (K-bounded)",
+    "agg_kmv_audience_sketch": "KMV sketch table (K-bounded)",
+    "agg_shapley_attribution": "per-channel coalition table",
+    "ir_hybrid_rrf": "per-leg top-k table (RRF_DEPTH rows)",
+}
+
+#: Row-bounding physical nodes: their OUTPUT row count is a constant
+#: (limit k / literal frame) regardless of input data volume.
+_BOUNDING_NODES = frozenset(
+    {
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "CollectLimitExec",
+        "TakeOrderedAndProjectExec",
+        "LocalTableScanExec",
+        "RDDScanExec",  # createDataFrame of a literal Python list
+        "EmptyRelationExec",
+    }
+)
+
+
+def _is_bounded(node) -> bool:
+    """True when a physical subtree provably emits a data-independent
+    (constant-order) number of rows: a grand aggregate (no grouping
+    keys) is 1 row; limits/literal frames are constant; every other
+    node is bounded iff ALL its children are (Project/Filter/Exchange/
+    Sort/Window preserve-or-reduce; keyed aggregates and joins of
+    bounded inputs stay bounded; Generate's fan-out rides fixed-width
+    literal arrays wherever it appears on a build side in this
+    engine). Corpus leaves (FileScan, InMemoryTableScan of a staged
+    corpus frame) have no children and return False."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return _is_bounded(node.initialPlan())
+    if name == "ReusedExchangeExec":
+        return _is_bounded(node.child())
+    if name in _BOUNDING_NODES:
+        return True
+    if name == "RangeExec":
+        # spark.range bounds are literals by construction; bounded when
+        # the element count is broadcast-sized (the literal grids the
+        # engine builds are ≤ thousands of rows)
+        return int(str(node.numElements())) <= 1_000_000
+    if name.endswith("AggregateExec") and node.groupingExpressions().isEmpty():
+        return True  # grand aggregate: exactly one row
+    it = node.children().iterator()
+    kids = []
+    while it.hasNext():
+        kids.append(it.next())
+    return bool(kids) and all(_is_bounded(k) for k in kids)
+
+
+def _unbounded_bnlj_builds(plan) -> list[str]:
+    """Walk a JVM physical plan; for every BroadcastNestedLoopJoinExec
+    return the node-name path of any build side that `_is_bounded`
+    cannot prove constant-row (r11 verdict item 3 — turns PLANS.md's
+    'all BNLJ builds are bounded broadcasts' prose into a pinned,
+    machine-checked invariant)."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        kids = []
+        it = node.children().iterator()
+        while it.hasNext():
+            kids.append(it.next())
+        if name == "BroadcastNestedLoopJoinExec" and len(kids) == 2:
+            build = kids[1] if str(node.buildSide()) == "BuildRight" else kids[0]
+            if not _is_bounded(build):
+                bad.append(build.getClass().getSimpleName())
+        for k in kids:
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_no_cartesian_no_row_udf_no_global_window(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
@@ -207,6 +318,18 @@ def test_no_cartesian_no_row_udf_no_global_window(spark, sf_dir, name):
             f"{name}: partitionBy-less window over a single-partition "
             f"exchange — prove the input is bounded and allowlist it, or "
             f"rewrite (hash surrogate / global_row_number)"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        unbounded = _unbounded_bnlj_builds(
+            df._jdf.queryExecution().executedPlan()
+        )
+        if unbounded and name in ALLOWED_BNLJ_BUILD:
+            unbounded = []  # bound holds by documented contract
+        assert not unbounded, (
+            f"{name}: BroadcastNestedLoopJoin build side(s) not provably "
+            f"constant-row: {unbounded}. A BNLJ whose build side can grow "
+            f"with the data broadcasts the corpus — every legal BNLJ here "
+            f"builds a 1-row aggregate, a literal frame, or a limit-cut."
         )
 
 
@@ -386,6 +509,33 @@ def test_collect_sites_are_exactly_the_allowlisted_bounded_ones():
         f"collect() sites changed.\n  new/unlisted: "
         f"{sorted(found - set(ALLOWED_COLLECT_SITES))}\n  stale allowlist: "
         f"{sorted(set(ALLOWED_COLLECT_SITES) - found)}"
+    )
+
+
+def test_bnlj_bounded_checker_catches_corpus_build(spark, sf_dir):
+    """Negative control for the BNLJ invariant: a deliberately
+    corpus-sized broadcast build (the whole orders table as the inner
+    of a non-equi join) must be reported, and a 1-row-aggregate build
+    must pass — proving the r12 machine check would fail if someone
+    introduced a real corpus BNLJ."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.io import load
+
+    orders = load(spark, sf_dir, "orders")
+    one = orders.limit(3).select(F.col("o_orderkey").alias("k"))
+    # corpus build: broadcast(orders) under a non-equi condition
+    bad = one.join(
+        F.broadcast(orders.select("o_orderkey")),
+        one.k < F.col("o_orderkey"),
+    )
+    found = _unbounded_bnlj_builds(bad._jdf.queryExecution().executedPlan())
+    assert found, "corpus-sized BNLJ build went undetected"
+    # bounded build: 1-row grand aggregate under the same condition
+    stats = orders.agg(F.max("o_orderkey").alias("mx"))
+    good = one.join(F.broadcast(stats), one.k < F.col("mx"))
+    assert not _unbounded_bnlj_builds(
+        good._jdf.queryExecution().executedPlan()
     )
 
 
