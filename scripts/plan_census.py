@@ -163,7 +163,11 @@ def main() -> None:
         "CartesianProduct outright). `py` = Arrow-batched Python boundary",
         "nodes (row-at-a-time BatchEvalPython is banned). Queries marked",
         "`*` run real work (streaming drain / staged sink) inside the",
-        "builder; their row describes the terminal read.",
+        "builder; their row describes the terminal read. `stg` counts",
+        "references to per-app staged frames (staging.app_staged —",
+        "InMemoryTableScan); each staged frame's BUILD subtree is",
+        "counted once in scans/exch/joins, matching its once-per-app",
+        "execution, not once per reprint in the plan text.",
         "",
         f"Totals over {sum(1 for _, s, _ in rows if s)} summarized"
         f" queries ({sum(1 for _, s, _ in rows if not s)} errored):"
