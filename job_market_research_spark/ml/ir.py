@@ -1416,14 +1416,18 @@ def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
     BM25/MI contract — order-free across partial aggregation); the
     final score is one fixed-shape double expression round-6.
 
-    Scale: rides the staged (doc, term) count table
-    (`staged_ws_tcounts`) like every BM25-shaped scorer — broadcast
-    scalars on top; top-k is TakeOrdered."""
-    tcounts = staged_ws_tcounts(spark, sf_dir)
-    dl = staged_ws_doclen(spark, sf_dir)
-    c = tcounts.agg(F.sum("tf").cast("double").alias("ctot"))
-    qf = tcounts.filter(F.col("token").isin("spark", "hash", "stream"))
-    cf = qf.groupBy("token").agg(F.sum("tf").cast("long").alias("cf"))
+    Scale: one term-filtered (doc, term) shuffle + broadcast scalars;
+    top-k is TakeOrdered. Kept INLINE (not on staged_ws_tcounts): the
+    r12 sweep measured the cached-read path 2× slower for this
+    shallow-reuse shape — one fused scan beats one cache pass when the
+    frame is consumed once."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks_arr).alias("token"))
+    dl = docs.select("doc_id", F.size(toks_arr).cast("long").alias("dl"))
+    c = tok.agg(F.count("*").cast("double").alias("ctot"))
+    qf = tok.filter(F.col("token").isin("spark", "hash", "stream"))
+    cf = qf.groupBy("token").agg(F.count("*").cast("long").alias("cf"))
     constq = (
         cf.crossJoin(F.broadcast(c))
         .agg(
@@ -1435,7 +1439,7 @@ def q_ir_query_likelihood(spark, sf_dir: str) -> DataFrame:
             .alias("cq")
         )
     )
-    tf = qf.select("doc_id", "token", F.col("tf").cast("long").alias("tf"))
+    tf = qf.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
     hits = (
         tf.join(F.broadcast(cf), "token")
         .crossJoin(F.broadcast(c))
@@ -1549,33 +1553,28 @@ def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
     Scale: one (token) aggregation for the top-V cut
     (TakeOrdered, broadcast back), one (term, half) combinable count,
     constant-size algebra after."""
-    # token-instance counts ride the staged (doc, token, tf) table:
-    # a token INSTANCE count is Σtf, and the half split g = doc_id % 2
-    # is a projection of the staged frame's key
-    gt = staged_ws_tcounts(spark, sf_dir).select(
-        (F.col("doc_id") % 2).alias("g"), "token", "tf"
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("g"),
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("token"),
     )
     topv = (
-        gt.groupBy("token")
-        .agg(F.sum("tf").alias("n"))
+        docs.groupBy("token")
+        .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(JSD_VOCAB)
         .select("token", F.lit(1).alias("in_v"))
     )
-    mapped = gt.join(F.broadcast(topv), "token", "left").select(
+    mapped = docs.join(F.broadcast(topv), "token", "left").select(
         "g",
-        "tf",
         F.when(F.col("in_v").isNotNull(), F.col("token"))
         .otherwise(F.lit(_JSD_OOV))
         .alias("term"),
     )
     c = mapped.groupBy("term").agg(
-        F.sum(F.when(F.col("g") == 0, F.col("tf")).otherwise(0))
-        .cast("long")
-        .alias("c0"),
-        F.sum(F.when(F.col("g") == 1, F.col("tf")).otherwise(0))
-        .cast("long")
-        .alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
     )
     tot = c.agg(
         F.sum("c0").cast("long").alias("t0"),
@@ -1675,11 +1674,12 @@ def q_text_zipf_fit(spark, sf_dir: str) -> DataFrame:
     ZIPF_K-row frame (plan-hygiene allowlisted) and a 1-row reduce."""
     from pyspark.sql.window import Window
 
-    cnt = (
-        staged_ws_tcounts(spark, sf_dir)
-        .groupBy("token")
-        .agg(F.sum("tf").cast("long").alias("c"))
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("token")
     )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
     top = cnt.orderBy(F.desc("c"), "token").limit(ZIPF_K)
     ranked = top.withColumn(
         "r",

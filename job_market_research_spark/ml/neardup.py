@@ -46,9 +46,15 @@ from job_market_research_spark.staging import app_staged as _app_staged
 
 
 def augmented_corpus(spark, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copies of every 10th doc (near-dup seeds),
-    persisted once per (app, sf_dir) — every dedup-family query starts
-    from this exact frame, so the scan + mutation runs once per app.
+    """documents ∪ mutated copies of every 10th doc (near-dup seeds).
+
+    Deliberately NOT persisted (r12 measurement): most consumers read
+    the corpus exactly once and fuse scan → mutate → shingle/hash in
+    one codegen stage; serving them from an InMemoryRelation broke
+    that fusion and cost MORE than the re-derivation saved (winnowing
+    6.2 s cached vs 3.5 s fused at sf0.1). The frames worth staging
+    are the DEEP shared legs built from this one — see
+    staged_shingles / staged_minhash_bands / staged_shingle_profiles.
 
     The corpus is fanned out to full parallelism right after the scan:
     locally it is one small parquet file → 1-2 input splits, and every
@@ -59,24 +65,18 @@ def augmented_corpus(spark, sf_dir: str) -> DataFrame:
     partitioning already provides the width — an explicit numPartitions
     repartition is still byte-cheap relative to the hash work it spreads.
     """
-
-    def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents").select(
-            "doc_id", "text", "lang", "source"
-        )
-        mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
-            "lang",
-            "source",
-        )
-        return docs.unionByName(mutants).repartition(
-            spark.sparkContext.defaultParallelism
-        )
-
-    import os
-
-    return _app_staged(spark, ("corpus", os.path.abspath(sf_dir)), build)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(mutants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def portable_hash(col: Column) -> Column:
