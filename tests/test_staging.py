@@ -1,0 +1,88 @@
+"""staging.app_staged memo semantics: per-(app, key) identity, build
+laziness, and dead-app eviction — tested with stub frames (no Spark
+needed for the memo logic) plus one live identity check."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from job_market_research_spark import staging
+
+
+class _FakeFrame:
+    def __init__(self) -> None:
+        self.persisted = False
+        self.unpersisted = False
+
+    def persist(self, _level):
+        self.persisted = True
+        return self
+
+    def unpersist(self):
+        self.unpersisted = True
+        return self
+
+
+class _FakeSpark:
+    def __init__(self, app_id: str) -> None:
+        self.sparkContext = type("SC", (), {"applicationId": app_id})()
+
+
+def _fresh_cache(monkeypatch):
+    cache: dict = {}
+    monkeypatch.setattr(staging, "_STAGE_CACHE", cache)
+    return cache
+
+
+def test_same_key_returns_same_persisted_frame(monkeypatch):
+    _fresh_cache(monkeypatch)
+    spark = _FakeSpark("app-1")
+    builds = []
+
+    def build():
+        f = _FakeFrame()
+        builds.append(f)
+        return f
+
+    a = staging.app_staged(spark, ("x", "/sf"), build)
+    b = staging.app_staged(spark, ("x", "/sf"), build)
+    assert a is b and a.persisted
+    assert len(builds) == 1, "memo hit must not rebuild"
+    c = staging.app_staged(spark, ("x", "/other"), build)
+    assert c is not a and len(builds) == 2, "key includes parameters"
+
+
+def test_dead_app_entries_are_unpersisted_and_dropped(monkeypatch):
+    cache = _fresh_cache(monkeypatch)
+    old = staging.app_staged(_FakeSpark("app-old"), ("x", "/sf"), _FakeFrame)
+    assert ("app-old", "x", "/sf") in cache
+    new = staging.app_staged(_FakeSpark("app-new"), ("x", "/sf"), _FakeFrame)
+    assert old.unpersisted, "stopped app's blocks must be released"
+    assert ("app-old", "x", "/sf") not in cache
+    assert new is not old
+
+
+def test_unpersist_failure_still_evicts(monkeypatch):
+    cache = _fresh_cache(monkeypatch)
+
+    class _Broken(_FakeFrame):
+        def unpersist(self):
+            raise RuntimeError("context stopped")
+
+    staging.app_staged(_FakeSpark("app-old"), ("x", "/sf"), _Broken)
+    staging.app_staged(_FakeSpark("app-new"), ("x", "/sf"), _FakeFrame)
+    assert ("app-old", "x", "/sf") not in cache
+
+
+def test_live_staged_frames_are_identical_across_calls(spark, sf_dir):
+    """The real staged legs return the SAME DataFrame object on every
+    call within one app — callers share one persisted materialization."""
+    from job_market_research_spark.ml.ir import staged_ws_tcounts
+    from job_market_research_spark.ml.neardup import staged_shingles
+    from job_market_research_spark.ml.similarity import staged_embeddings
+
+    for fn in (staged_ws_tcounts, staged_shingles, staged_embeddings):
+        assert fn(spark, sf_dir) is fn(spark, sf_dir)
