@@ -83,6 +83,23 @@ def run_once(sf_dir: str, sf: float) -> dict:
     _canary_once()  # codegen warmup
     canary = round(min(_canary_once() for _ in range(2)), 4)
 
+    # IO canary: a CONSTANT file-scan workload (full lineitem pass,
+    # trivial agg — the plan never changes round-to-round). The CPU
+    # canary above is deliberately blind to storage: r10-r12 sweeps
+    # repeatedly measured uniform 1.3-1.4x per-query inflation from
+    # page-cache/IO drift that the CPU canary barely registered, which
+    # reads as a phantom regression. Recording both lets cross-round
+    # comparisons separate compute drift from IO drift.
+    def _io_canary_once() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(l_orderkey) AS s", "count(*) AS n"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _io_canary_once()  # reader warmup
+    io_canary = round(min(_io_canary_once() for _ in range(2)), 4)
+
     reps = 1 if os.environ.get("BENCH_ALL") else int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in names:
@@ -101,6 +118,7 @@ def run_once(sf_dir: str, sf: float) -> dict:
         "unit": "sec",
         "queries": timings,
         "canary": canary,
+        "io_canary": io_canary,
         "sf": sf,
         "versions": _versions(),
     }
@@ -176,6 +194,7 @@ def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
     for name in runs[0]["queries"]:
         merged[name] = min(r["queries"][name] for r in runs)
     cs = [r["canary"] for r in runs if r.get("canary") is not None]
+    ios = [r["io_canary"] for r in runs if r.get("io_canary") is not None]
     # All fresh-JVM children must have run under ONE environment — a
     # version skew across children would otherwise hide inside the
     # merged per-query minima (each min could come from a different
@@ -203,6 +222,7 @@ def merge_runs(runs: list[dict], sf: float, jvm_reps: int) -> dict:
         "unit": "sec",
         "queries": merged,
         "canary": min(cs) if cs else None,
+        "io_canary": min(ios) if ios else None,
         "sf": sf,
         "jvm_reps": jvm_reps,
         "runs": [r["value"] for r in runs],
