@@ -77,6 +77,46 @@ def test_unpersist_failure_still_evicts(monkeypatch):
     assert ("app-old", "x", "/sf") not in cache
 
 
+def test_staged_values_equal_inline_derivation(spark, sf_dir):
+    """The staging contract: persist changes the access path, never the
+    values. Each staged leg must collect to EXACTLY the rows its inline
+    derivation produces (sorted compare; guards against a staged build
+    drifting from the semantics its consumers' oracles assume)."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.ir import staged_ws_tcounts
+    from job_market_research_spark.plans.timeseries import (
+        _rev_sum_dec,
+        staged_daily_revenue,
+    )
+
+    staged = staged_ws_tcounts(spark, sf_dir)
+    inline = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    key = lambda r: (r["doc_id"], r["token"])  # noqa: E731
+    assert sorted(staged.collect(), key=key) == sorted(
+        inline.collect(), key=key
+    )
+
+    daily = staged_daily_revenue(spark, sf_dir)
+    inline_daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(_rev_sum_dec().alias("v"))
+    )
+    assert sorted(daily.collect()) == sorted(inline_daily.collect())
+
+
 def test_live_staged_frames_are_identical_across_calls(spark, sf_dir):
     """The real staged legs return the SAME DataFrame object on every
     call within one app — callers share one persisted materialization."""
