@@ -697,11 +697,29 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
     the `GRAM_DF_CAP` pattern). Item supports are vocabulary-sized
     (broadcast); N rides a 1-row broadcast; the support floor prunes
     the pair table before the lift join. Same algebra as
-    `text_pmi_collocations` on a different domain — lift is exp(PMI)."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
-        .distinct()
+    `text_pmi_collocations` on a different domain — lift is exp(PMI).
+
+    The distinct (order, part) item table is consumed FOUR times in
+    this one DAG (basket count, supports, both self-join sides), and
+    Catalyst does not dedupe the repeated scan+distinct subtrees —
+    staged (app_staged), the lineitem scan and the dedup shuffle run
+    once (the materialized basket table every market-basket pipeline
+    writes out first)."""
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
+    items = app_staged(
+        spark,
+        ("basket_items", os.path.abspath(sf_dir)),
+        lambda: (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("part"),
+            )
+            .distinct()
+        ),
     )
     n = items.select("ok").distinct().agg(
         F.count("*").cast("long").alias("n_orders")
