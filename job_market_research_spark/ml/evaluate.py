@@ -744,13 +744,29 @@ def q_ml_bradley_terry_strength(spark, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("outcome"),
     )
-    games = (
-        duels.filter(F.col("outcome") != 0)
-        .groupBy("item_a", "item_b")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("outcome") == 1, 1).otherwise(0)).alias("w_a"),
+    # The duel-count table is |types|² rows but its build is the
+    # expensive leg (corpus scan + per-user self-join), and every MM
+    # round re-references it (items, gj, pair_terms) — unstaged, the
+    # 2-round unroll re-ran the build ~12x (48 scans in the plan
+    # census). Staged once per (app, sf_dir), the corpus is read once.
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
+    def _build_games() -> DataFrame:
+        return (
+            duels.filter(F.col("outcome") != 0)
+            .groupBy("item_a", "item_b")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("outcome") == 1, 1).otherwise(0)).alias(
+                    "w_a"
+                ),
+            )
         )
+
+    games = app_staged(
+        spark, ("bt_games", os.path.abspath(sf_dir)), _build_games
     )
     items = games.select(
         F.col("item_a").alias("item"), F.col("n").alias("g"), F.col("w_a").alias("w")

@@ -676,20 +676,31 @@ def q_graph_link_prediction(spark, sf_dir: str) -> DataFrame:
 HITS_ROUNDS = 2
 
 
-def _hits_round(edges: DataFrame, spine: DataFrame, h: DataFrame) -> DataFrame:
+def _hits_round(
+    edges: DataFrame, spine: DataFrame, h: DataFrame, stage=lambda name, df: df
+) -> DataFrame:
     """One HITS iteration from hub scores `h` (node, h): authority
     update a(v) = Σ_{u→v} h(u), L1-normalize; hub update
     h(u) = Σ_{u→v} a(v), L1-normalize. Sums in exact DECIMAL; the
     normalized score is one double division of two decimal-exact
     values. Returns (node, h, a) on the full node spine (coalesce 0 —
-    a node with no in-links has authority 0, no out-links hub 0)."""
+    a node with no in-links has authority 0, no out-links hub 0).
+
+    `stage` hooks the two per-round |V|-bounded frames that are each
+    consumed twice (the normalized authority table feeds both the hub
+    update and the round output; the round output feeds the next
+    round and the final select) — unstaged, the lineage doubles per
+    consumption and the 2-round unroll ballooned to 108 scans in the
+    plan census. The default is identity so the function stays usable
+    stand-alone."""
     araw = (
         edges.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("h").cast("decimal(28,14)")).alias("raw"))
     )
     atot = araw.agg(F.sum("raw").alias("tot"))
-    a = (
+    a = stage(
+        "a",
         spine.join(araw, "node", "left")
         .crossJoin(F.broadcast(atot))
         .select(
@@ -698,7 +709,7 @@ def _hits_round(edges: DataFrame, spine: DataFrame, h: DataFrame) -> DataFrame:
                 (F.col("raw").cast("double") / F.col("tot").cast("double")),
                 F.lit(0.0),
             ).alias("a"),
-        )
+        ),
     )
     hraw = (
         edges.join(a.withColumnRenamed("node", "dst"), "dst")
@@ -785,13 +796,21 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
     sum in exact DECIMAL with map-side partials, and the L1 total is a
     broadcast 1-row aggregate. Scores re-attach to the full node spine
     (coalesce 0) so sink/source nodes keep rows on both engines."""
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     edges = _edges(docs, n)
     spine = docs.select(F.col("doc_id").alias("node"))
     state = spine.select("node", F.lit(1.0).alias("h"))
-    for _ in range(HITS_ROUNDS):
-        state = _hits_round(edges, spine, state)
+    key = os.path.abspath(sf_dir)
+    for r in range(HITS_ROUNDS):
+        def _stage(name, df, r=r):
+            return app_staged(spark, ("hits", key, r, name), lambda: df)
+
+        state = _stage("state", _hits_round(edges, spine, state, _stage))
     return state.select(
         "node", F.round("h", 9).alias("hub"), F.round("a", 9).alias("auth")
     ).orderBy("node")
