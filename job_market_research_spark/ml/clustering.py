@@ -328,11 +328,24 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
     collapses to |langs|² rows. No Python in any row path; DuckDB
     replays training end-to-end."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
-            "token"
+    # The exploded token stream is consumed FOUR times (lang totals,
+    # vocab, per-(lang, token) counts, scoring join) — each unstaged
+    # reference re-runs the scan + split + explode (census: 8 scans).
+    # Staged per app it derives once; (doc, lang, token) rows are the
+    # tokenized corpus a real NB trainer materializes first.
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
+    tok = app_staged(
+        spark,
+        ("nb_tok", os.path.abspath(sf_dir)),
+        lambda: docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("token"),
         ),
     )
     langs = tok.groupBy("lang").agg(

@@ -787,8 +787,22 @@ def q_window_downsample_lttb(spark, sf_dir: str) -> DataFrame:
         .drop("ts", "day", "rn_d", "off")
     )
     sizes = pts.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
-    sized = pts.join(F.broadcast(sizes), "event_type").withColumn(
-        "bucket", F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n")
+    # The bucketed point table is consumed by BOTH downstream legs
+    # (the bucket-sum rollup feeding pb/nb, and the mid/picks argmax),
+    # and its build carries the two per-series index windows — unstaged
+    # the census charged this query 16 events scans. Staged per app it
+    # is derived once (the materialized downsample input a dashboard
+    # pipeline would keep anyway).
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
+    sized = app_staged(
+        spark,
+        ("lttb_sized", os.path.abspath(sf_dir)),
+        lambda: pts.join(F.broadcast(sizes), "event_type").withColumn(
+            "bucket", F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n")
+        ),
     )
     bsum = sized.groupBy("event_type", "bucket").agg(
         F.count("*").cast("long").alias("cnt"),
