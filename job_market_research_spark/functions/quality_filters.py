@@ -295,20 +295,14 @@ def q_text_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
     buckets; the two-level split is bit-identical to the single
     window (verified against DuckDB's NTILE at sf0.01 and sf0.1)."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
-    ).filter(F.col("token") != "")
-    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
-    stats = tok.agg(
-        (F.count("*") + F.countDistinct("token")).cast("double").alias("__n_plus_v")
-    )
-    neg_logp = -F.log((F.col("c") + 1).cast("double") / F.col("__n_plus_v"))
-    per_doc = (
-        tok.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", neg_logp.alias("neg_logp"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("neg_logp") / F.count("*"), 6).alias("avg_neg_logp"))
+    # The per-doc LM score table is the staged leg SHARED with
+    # text_lm_perplexity (staged_lm_per_doc) — the three-read unigram
+    # pipeline builds once per app and this query's rank stage (which
+    # consumes the scores twice) reads the cache.
+    from job_market_research_spark.functions.text import staged_lm_per_doc
+
+    per_doc = staged_lm_per_doc(spark, sf_dir).select(
+        "doc_id", "avg_neg_logp"
     )
     # Exact NTILE via the two-level rank (round 9): NTILE(B) over a
     # window keyed on |langs| would funnel every language's full

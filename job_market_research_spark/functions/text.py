@@ -471,6 +471,53 @@ def q_text_pii_redact(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def staged_lm_per_doc(spark, sf_dir: str) -> DataFrame:
+    """Persisted per-doc unigram-LM score table (doc_id, n_tokens,
+    avg_neg_logp), one materialization per (app, sf_dir). This is the
+    shared expensive leg of text_lm_perplexity AND text_ccnet_buckets
+    (CCNet's tiering step starts from exactly these scores, and its
+    rank stage consumes them twice) — staged, the three-read LM
+    pipeline (vocab counts, N+V normalizer, per-doc join-back) runs
+    once per app, which is the scored-table materialization the CCNet
+    pipeline itself performs between scoring and bucketing."""
+    import os
+
+    from job_market_research_spark.staging import app_staged
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        ).filter(F.col("token") != "")
+        counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+        stats = tok.agg(
+            (F.count("*") + F.countDistinct("token"))
+            .cast("double")
+            .alias("__n_plus_v")
+        )
+        neg_logp = -F.log(
+            (F.col("c") + 1).cast("double") / F.col("__n_plus_v")
+        )
+        return (
+            tok.join(F.broadcast(counts), "token")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", neg_logp.alias("neg_logp"))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.round(F.sum("neg_logp") / F.count("*"), 6).alias(
+                    "avg_neg_logp"
+                ),
+            )
+        )
+
+    return app_staged(
+        spark, ("lm_per_doc", os.path.abspath(sf_dir)), build
+    )
+
+
+
 @query(
     "text_lm_perplexity",
     oracle="""
@@ -514,26 +561,9 @@ def q_text_lm_perplexity(spark, sf_dir: str) -> DataFrame:
     policy: -ln(p) is libm math, so the per-doc mean is rounded to 6
     decimals on both engines and the perplexity is exp() OF THE
     ROUNDED mean — both engines feed identical doubles into exp,
-    making the hash deterministic."""
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
-    ).filter(F.col("token") != "")
-    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
-    stats = tok.agg(
-        (F.count("*") + F.countDistinct("token")).cast("double").alias("__n_plus_v")
-    )
-    neg_logp = -F.log((F.col("c") + 1).cast("double") / F.col("__n_plus_v"))
-    per_doc = (
-        tok.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", neg_logp.alias("neg_logp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("neg_logp") / F.count("*"), 6).alias("avg_neg_logp"),
-        )
-    )
+    making the hash deterministic. The per-doc score table is staged
+    per app (staged_lm_per_doc), shared with text_ccnet_buckets."""
+    per_doc = staged_lm_per_doc(spark, sf_dir)
     return per_doc.select(
         "doc_id",
         "n_tokens",
