@@ -126,3 +126,89 @@ def test_live_staged_frames_are_identical_across_calls(spark, sf_dir):
 
     for fn in (staged_ws_tcounts, staged_shingles, staged_embeddings):
         assert fn(spark, sf_dir) is fn(spark, sf_dir)
+
+
+def test_round12_staged_frames_value_equal_inline(spark, sf_dir):
+    """Value-equality pins for the late-r12 staged legs (iterative
+    graph, shared LM scores, basket items): each must collect to
+    exactly the rows of its inline derivation."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.functions.text import staged_lm_per_doc
+    from job_market_research_spark.io import load
+    from job_market_research_spark.ml.graph import (
+        _undirected_edges,
+        staged_und,
+    )
+
+    und = staged_und(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    inline_und = _undirected_edges(docs, docs.count())
+    assert sorted(map(tuple, und.collect())) == sorted(
+        map(tuple, inline_und.collect())
+    )
+
+    per_doc = staged_lm_per_doc(spark, sf_dir)
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    stats = tok.agg(
+        (F.count("*") + F.countDistinct("token"))
+        .cast("double")
+        .alias("__n_plus_v")
+    )
+    neg_logp = -F.log((F.col("c") + 1).cast("double") / F.col("__n_plus_v"))
+    inline_pd = (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", neg_logp.alias("neg_logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("neg_logp") / F.count("*"), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+    assert sorted(map(tuple, per_doc.collect())) == sorted(
+        map(tuple, inline_pd.collect())
+    )
+
+
+def test_staged_und_does_not_cache_substitute_wedge_queries(spark, sf_dir):
+    """Regression pin for the cache-substitution hazard: Spark's cache
+    manager swaps a persisted plan into ANY query whose analyzed
+    subtree matches it, so the single-pass wedge queries (measured
+    1.4-1.7x slower from cache) would silently reroute through
+    staged_und once a sibling staged it — unless the staged build
+    carries the repartition marker that makes its plan non-identical.
+    Stage the edge table, then assert the wedge plans still contain
+    zero InMemoryTableScan nodes."""
+    from job_market_research_spark.ml.graph import staged_und
+    from job_market_research_spark.registry import load_all
+
+    staged_und(spark, sf_dir).count()  # materialize the cache entry
+    specs = load_all()
+    for name in (
+        "graph_triangle_count",
+        "graph_link_prediction",
+        "graph_assortativity",
+        "graph_clustering_coeff",
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" not in plan, (
+            f"{name} was cache-substituted onto staged_und — "
+            "the repartition marker in staged_und's build is gone"
+        )
