@@ -480,9 +480,8 @@ def staged_lm_per_doc(spark, sf_dir: str) -> DataFrame:
     pipeline (vocab counts, N+V normalizer, per-doc join-back) runs
     once per app, which is the scored-table materialization the CCNet
     pipeline itself performs between scoring and bucketing."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents")
@@ -512,8 +511,7 @@ def staged_lm_per_doc(spark, sf_dir: str) -> DataFrame:
             )
         )
 
-    return app_staged(
-        spark, ("lm_per_doc", os.path.abspath(sf_dir)), build
+    return staged_frame(spark, "lm_per_doc", sf_dir, build
     )
 
 

@@ -333,13 +333,10 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
     # reference re-runs the scan + split + explode (census: 8 scans).
     # Staged per app it derives once; (doc, lang, token) rows are the
     # tokenized corpus a real NB trainer materializes first.
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
-    tok = app_staged(
-        spark,
-        ("nb_tok", os.path.abspath(sf_dir)),
+    tok = staged_frame(spark, "nb_tok", sf_dir,
         lambda: docs.select(
             "doc_id",
             "lang",

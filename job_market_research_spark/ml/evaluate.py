@@ -749,9 +749,8 @@ def q_ml_bradley_terry_strength(spark, sf_dir: str) -> DataFrame:
     # round re-references it (items, gj, pair_terms) — unstaged, the
     # 2-round unroll re-ran the build ~12x (48 scans in the plan
     # census). Staged once per (app, sf_dir), the corpus is read once.
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
     def _build_games() -> DataFrame:
         return (
@@ -765,8 +764,7 @@ def q_ml_bradley_terry_strength(spark, sf_dir: str) -> DataFrame:
             )
         )
 
-    games = app_staged(
-        spark, ("bt_games", os.path.abspath(sf_dir)), _build_games
+    games = staged_frame(spark, "bt_games", sf_dir, _build_games
     )
     items = games.select(
         F.col("item_a").alias("item"), F.col("n").alias("g"), F.col("w_a").alias("w")

@@ -168,9 +168,8 @@ def staged_und(spark, sf_dir: str) -> DataFrame:
     scan→distinct fusion and its partitioning knowledge), the same
     boundary SCALE.md records for the dedup corpus and the
     alpha-token table: stage only what iteration re-consumes."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import app_staged, staged_frame
 
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -181,7 +180,7 @@ def staged_und(spark, sf_dir: str) -> DataFrame:
         # through the cache (measured slower for single-pass use).
         return _undirected_edges(docs, docs.count()).repartition("a")
 
-    return app_staged(spark, ("graph_und", os.path.abspath(sf_dir)), build)
+    return staged_frame(spark, "graph_und", sf_dir, build)
 
 
 @query(
@@ -314,9 +313,8 @@ def staged_lpa_labels(spark, sf_dir: str) -> DataFrame:
     consumes it three times inside its own DAG (size/degree rollup
     plus both sides of the intra-edge join) — staged, the LPA rounds
     run once per app (|V| rows, never corpus-sized)."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import app_staged, staged_frame
 
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -331,8 +329,7 @@ def staged_lpa_labels(spark, sf_dir: str) -> DataFrame:
             labels = lpa_round(nbr, labels)
         return labels
 
-    return app_staged(
-        spark, ("lpa_labels", os.path.abspath(sf_dir)), build
+    return staged_frame(spark, "lpa_labels", sf_dir, build
     )
 
 
@@ -458,13 +455,13 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
     the per-round materialization every iterative graph engine does."""
     import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import app_staged, staged_frame
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     und = staged_und(spark, sf_dir)
     alive = docs.select(F.col("doc_id").alias("v"))
     counts = [alive.agg(F.count("*").cast("long").alias("n_alive")).select(F.lit(0).alias("round"), "n_alive")]
-    key = os.path.abspath(sf_dir)
+    key = os.path.realpath(os.path.abspath(sf_dir))
     for r in range(1, KCORE_ROUNDS + 1):
         alive = app_staged(
             spark,
@@ -558,9 +555,9 @@ def q_graph_bfs_hops(spark, sf_dir: str) -> DataFrame:
     # rows, never corpus-sized).
     import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import app_staged, staged_frame
 
-    key = os.path.abspath(sf_dir)
+    key = os.path.realpath(os.path.abspath(sf_dir))
     for r in range(BFS_ROUNDS):
         def _round(bi=bi, dist=dist):
             expanded = bi.join(
@@ -798,14 +795,14 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
     (coalesce 0) so sink/source nodes keep rows on both engines."""
     import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import app_staged, staged_frame
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     edges = _edges(docs, n)
     spine = docs.select(F.col("doc_id").alias("node"))
     state = spine.select("node", F.lit(1.0).alias("h"))
-    key = os.path.abspath(sf_dir)
+    key = os.path.realpath(os.path.abspath(sf_dir))
     for r in range(HITS_ROUNDS):
         def _stage(name, df, r=r):
             return app_staged(spark, ("hits", key, r, name), lambda: df)

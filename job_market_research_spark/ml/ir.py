@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
-from job_market_research_spark.staging import app_staged
+from job_market_research_spark.staging import staged_frame
 
 #: Fixed BM25 probe terms (present across the synthetic corpus at
 #: moderate document frequency — exercises the df/idf spread).
@@ -54,7 +54,6 @@ def staged_ws_tcounts(spark, sf_dir: str) -> DataFrame:
     (r11 verdict item 4 generalized family-wide). Bag-of-token
     consumers only — operators needing token ADJACENCY (PMI, bigram
     LM/entropy, BPE pair counts) keep their positional streams."""
-    import os
 
     def build() -> DataFrame:
         docs = (
@@ -75,21 +74,26 @@ def staged_ws_tcounts(spark, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("tf"))
         )
 
-    return app_staged(spark, ("ws_tcounts", os.path.abspath(sf_dir)), build)
+    return staged_frame(spark, "ws_tcounts", sf_dir, build)
 
 
 def staged_ws_doclen(spark, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, dl) whitespace document lengths — dl = Σtf
-    over `staged_ws_tcounts`, identical to size(filter(split(text)))
-    on the raw text. Shared by every BM25-shaped scorer."""
-    import os
+    """Persisted (doc_id, dl) whitespace document lengths, derived
+    FROM THE DOCUMENTS TABLE (one row per document, dl = 0 for an
+    empty/whitespace-only text) — NOT as Σtf over `staged_ws_tcounts`,
+    which would silently drop zero-token documents and skew
+    n_docs/avgdl away from the DuckDB oracles' `dl ... FROM documents`
+    CTEs the moment the corpus contains an empty doc (today's corpus
+    has none, but the parity must hold by construction, not by a data
+    property). Shared by every BM25-shaped scorer."""
 
-    return app_staged(
-        spark,
-        ("ws_doclen", os.path.abspath(sf_dir)),
-        lambda: staged_ws_tcounts(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.sum("tf").cast("long").alias("dl")),
+    return staged_frame(spark, "ws_doclen", sf_dir,
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+            .cast("long")
+            .alias("dl"),
+        ),
     )
 
 

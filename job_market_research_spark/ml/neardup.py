@@ -42,7 +42,10 @@ AUGMENTED_CORPUS_SQL = """
 # Per-Spark-app staging for the dedup family's shared frames
 # (augmented corpus, shingle rows, minhash band rows, verification
 # profiles) — see staging.app_staged for the memo/persist discipline.
-from job_market_research_spark.staging import app_staged as _app_staged
+from job_market_research_spark.staging import (
+    app_staged as _app_staged,
+    staged_frame as _staged_frame,
+)
 
 
 def augmented_corpus(spark, sf_dir: str) -> DataFrame:
@@ -156,7 +159,7 @@ def staged_shingles(spark, sf_dir: str, n: int = 3) -> DataFrame:
 
     return _app_staged(
         spark,
-        ("shingles", os.path.abspath(sf_dir), n),
+        ("shingles", os.path.realpath(os.path.abspath(sf_dir)), n),
         lambda: _shingle_rows(augmented_corpus(spark, sf_dir), n),
     )
 
@@ -168,9 +171,7 @@ def staged_minhash_bands(spark, sf_dir: str) -> DataFrame:
     three banded-minhash queries."""
     import os
 
-    return _app_staged(
-        spark,
-        ("minhash_bands", os.path.abspath(sf_dir)),
+    return _staged_frame(spark, "minhash_bands", sf_dir,
         lambda: minhash_band_rows(staged_shingles(spark, sf_dir)),
     )
 
@@ -205,8 +206,7 @@ def staged_shingle_profiles(spark, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _app_staged(
-        spark, ("shingle_profiles", os.path.abspath(sf_dir)), build
+    return _staged_frame(spark, "shingle_profiles", sf_dir, build
     )
 
 

@@ -47,9 +47,8 @@ def staged_embeddings(spark, sf_dir: str) -> DataFrame:
     production ANN system maintains (see staging.app_staged); values
     are the exact expressions each query computed inline, so every
     oracle is untouched."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
     def build() -> DataFrame:
         return (
@@ -58,8 +57,7 @@ def staged_embeddings(spark, sf_dir: str) -> DataFrame:
             .withColumn("nrm", l2_norm(F.col("v")))
         )
 
-    return app_staged(
-        spark, ("embeddings_nrm", os.path.abspath(sf_dir)), build
+    return staged_frame(spark, "embeddings_nrm", sf_dir, build
     )
 
 

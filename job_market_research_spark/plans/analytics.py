@@ -705,13 +705,10 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
     staged (app_staged), the lineitem scan and the dedup shuffle run
     once (the materialized basket table every market-basket pipeline
     writes out first)."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
-    items = app_staged(
-        spark,
-        ("basket_items", os.path.abspath(sf_dir)),
+    items = staged_frame(spark, "basket_items", sf_dir,
         lambda: (
             load(spark, sf_dir, "lineitem")
             .select(

@@ -52,9 +52,8 @@ def staged_daily_revenue(spark, sf_dir: str) -> DataFrame:
     staging — see staging.app_staged). v stays DECIMAL(18,2)
     (_rev_sum_dec) so every consumer's exactness contract is
     unchanged."""
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
     def build() -> DataFrame:
         return (
@@ -63,8 +62,7 @@ def staged_daily_revenue(spark, sf_dir: str) -> DataFrame:
             .agg(_rev_sum_dec().alias("v"))
         )
 
-    return app_staged(
-        spark, ("daily_revenue", os.path.abspath(sf_dir)), build
+    return staged_frame(spark, "daily_revenue", sf_dir, build
     )
 
 
@@ -793,13 +791,10 @@ def q_window_downsample_lttb(spark, sf_dir: str) -> DataFrame:
     # the census charged this query 16 events scans. Staged per app it
     # is derived once (the materialized downsample input a dashboard
     # pipeline would keep anyway).
-    import os
 
-    from job_market_research_spark.staging import app_staged
+    from job_market_research_spark.staging import staged_frame
 
-    sized = app_staged(
-        spark,
-        ("lttb_sized", os.path.abspath(sf_dir)),
+    sized = staged_frame(spark, "lttb_sized", sf_dir,
         lambda: pts.join(F.broadcast(sizes), "event_type").withColumn(
             "bucket", F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n")
         ),

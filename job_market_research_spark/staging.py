@@ -31,6 +31,21 @@ from pyspark.sql import DataFrame
 _STAGE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def staged_frame(
+    spark, name: str, sf_dir: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """The common staged-leg shape: one frame per (app, name, dataset).
+    Normalizes the dataset path once HERE (realpath, so a symlinked
+    sf_dir cannot create a second cache entry for the same data) —
+    callers with extra key parameters (shingle width, iteration round)
+    use app_staged directly and should normalize the same way."""
+    import os
+
+    return app_staged(
+        spark, (name, os.path.realpath(os.path.abspath(sf_dir))), build
+    )
+
+
 def app_staged(spark, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     """Return the staged frame for `key`, building + persisting it on
     first use in this Spark application."""

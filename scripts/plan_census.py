@@ -90,10 +90,13 @@ def split_cached(plan: str) -> tuple[str, list[str]]:
 def summarize(plan: str) -> dict:
     outer, cached = split_cached(plan)
     # the outer plan plus each distinct cached BUILD counted once —
-    # staged references themselves surface as `staged`
+    # staged references themselves surface as `staged`, INCLUDING
+    # stage-on-stage reads inside a cached build (staged_ws_doclen
+    # reading staged_ws_tcounts, staged_lpa_labels reading staged_und)
+    # so the census's staging graph is complete, not outer-only
     plan = outer + "\n" + "\n".join(cached)
     return {
-        "staged": outer.count("InMemoryTableScan"),
+        "staged": plan.count("InMemoryTableScan"),
         "scans": plan.count("Scan parquet")
         + plan.count("Scan csv")
         + plan.count("Scan orc")

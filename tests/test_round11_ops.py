@@ -99,8 +99,24 @@ def test_vacuum_staging_isolated_per_sf_dir(spark, sf_dir):
 
     from job_market_research_spark.operators.manifest import stage_vacuum_dir
 
+    import pytest
+
     out1, tracked1 = stage_vacuum_dir(spark, sf_dir)
-    other = os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.01")
+    # pick a sibling dataset that is not the one under test — hardcoding
+    # sf0.01 breaks when SPARK_GRAFT_TEST_SF itself points there (the
+    # two stagings would share a memo entry) or when the sibling is
+    # absent on this machine.
+    root = os.path.dirname(os.path.abspath(sf_dir))
+    others = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("sf")
+        and os.path.join(root, d) != os.path.abspath(sf_dir)
+        and os.path.exists(os.path.join(root, d, "orders.parquet"))
+    ]
+    if not others:
+        pytest.skip("no sibling sf dataset available for isolation check")
+    other = others[0]
     out2, _ = stage_vacuum_dir(spark, other)
     assert out1 != out2
     listed = sorted(os.listdir(out1))
