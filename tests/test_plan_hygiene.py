@@ -564,3 +564,53 @@ def test_rank_filters_get_window_group_limit(spark, sf_dir):
             f"through one task; restore the row_number+literal-filter "
             f"shape or rewrite via ml/similarity.topk_per_group"
         )
+
+
+#: Lineage-collapse guard (late r12): the iterative / multi-consumer
+#: queries whose unrolled rounds once re-executed the whole prior
+#: lineage per consumption (kcore 139 scans, HITS 108, BFS 30,
+#: Bradley-Terry 48 before staging). The cap is the POST-staging
+#: census count plus slack of 2 — far below each query's pre-staging
+#: blow-up, so losing a stage (or the O(R^2)/O(2^R) unroll coming
+#: back) fails loudly while normal plan drift does not. Counted with
+#: scripts/plan_census.summarize (each distinct cached build subtree
+#: charged once, matching its once-per-app execution).
+_LINEAGE_SCAN_CAPS = {
+    "graph_kcore_peel": 8,
+    "graph_bfs_hops": 4,
+    "graph_label_propagation": 4,
+    "graph_modularity_score": 5,
+    "graph_hits": 16,
+    "ml_bradley_terry_strength": 5,
+    "agg_basket_affinity": 4,
+    "ml_naive_bayes_lang": 5,
+    "window_downsample_lttb": 7,
+    "text_ccnet_buckets": 10,
+}
+
+
+@pytest.mark.parametrize("qname", sorted(_LINEAGE_SCAN_CAPS))
+def test_iterative_queries_stay_lineage_collapsed(spark, sf_dir, qname):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_census",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "plan_census.py",
+        ),
+    )
+    census = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(census)
+
+    from job_market_research_spark.registry import load_all
+
+    df = load_all()[qname].fn(spark, sf_dir)
+    s = census.summarize(_physical_plan(df))
+    cap = _LINEAGE_SCAN_CAPS[qname]
+    assert s["scans"] <= cap, (
+        f"{qname}: {s['scans']} distinct scans (cap {cap}) — a staged "
+        "leg was lost or the per-round unroll re-derives its lineage"
+    )
