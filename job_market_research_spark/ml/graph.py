@@ -169,7 +169,7 @@ def staged_und(spark, sf_dir: str) -> DataFrame:
     boundary SCALE.md records for the dedup corpus and the
     alpha-token table: stage only what iteration re-consumes."""
 
-    from job_market_research_spark.staging import app_staged, staged_frame
+    from job_market_research_spark.staging import staged_frame
 
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -314,7 +314,7 @@ def staged_lpa_labels(spark, sf_dir: str) -> DataFrame:
     plus both sides of the intra-edge join) — staged, the LPA rounds
     run once per app (|V| rows, never corpus-sized)."""
 
-    from job_market_research_spark.staging import app_staged, staged_frame
+    from job_market_research_spark.staging import staged_frame
 
     def build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -455,7 +455,7 @@ def q_graph_kcore_peel(spark, sf_dir: str) -> DataFrame:
     the per-round materialization every iterative graph engine does."""
     import os
 
-    from job_market_research_spark.staging import app_staged, staged_frame
+    from job_market_research_spark.staging import app_staged
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     und = staged_und(spark, sf_dir)
@@ -555,7 +555,7 @@ def q_graph_bfs_hops(spark, sf_dir: str) -> DataFrame:
     # rows, never corpus-sized).
     import os
 
-    from job_market_research_spark.staging import app_staged, staged_frame
+    from job_market_research_spark.staging import app_staged
 
     key = os.path.realpath(os.path.abspath(sf_dir))
     for r in range(BFS_ROUNDS):
@@ -795,7 +795,7 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
     (coalesce 0) so sink/source nodes keep rows on both engines."""
     import os
 
-    from job_market_research_spark.staging import app_staged, staged_frame
+    from job_market_research_spark.staging import app_staged
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()

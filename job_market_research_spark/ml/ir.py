@@ -1307,26 +1307,37 @@ def q_ir_rocchio_prf(spark, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("w_r6"),
+            "df",
         )
         .orderBy(F.desc("w_r6"), "token")
         .limit(PRF_EXP_TERMS)
     )
+    # qterms carries each token's corpus df THROUGH from the stats the
+    # chain already computed — df1 for the original terms (tcounts is
+    # unique per (doc, token), so its COUNT(*) equals pass-2's
+    # COUNT(DISTINCT doc_id) for those tokens) and cand.df for the
+    # expansion terms (same rows pass 2 sees: the semi-join never
+    # changes a token's document set). The former separate `df2`
+    # re-aggregation of the corpus leg was one more DEPENDENT bounded
+    # job in the warm chain (r12 verdict item 5: ~8 sequential
+    # barriers on 116k cached rows is local-mode latency, and at 100 TB
+    # it is a whole extra corpus-leg shuffle) — deriving df from the
+    # already-broadcast stats removes the job AND the shuffle.
     qterms = (
         spark.createDataFrame(
             [(t,) for t in BM25_TERMS], "token string"
         )
         .select("token", F.lit(1.0).alias("wq"))
+        .join(F.broadcast(df1), "token", "left")
         .unionByName(
-            exp_terms.select("token", F.lit(PRF_BETA).alias("wq"))
+            exp_terms.select("token", F.lit(PRF_BETA).alias("wq"), "df")
         )
     )
     tf2 = tcounts.join(
         F.broadcast(qterms.select("token")), "token", "left_semi"
     )
-    df2 = tf2.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf2.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(df2), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(

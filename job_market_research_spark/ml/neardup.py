@@ -169,8 +169,6 @@ def staged_minhash_bands(spark, sf_dir: str) -> DataFrame:
     `staged_shingles`, one materialization per (app, sf_dir). Saves
     the MINHASH_K min-hash aggregation from re-running for each of the
     three banded-minhash queries."""
-    import os
-
     return _staged_frame(spark, "minhash_bands", sf_dir,
         lambda: minhash_band_rows(staged_shingles(spark, sf_dir)),
     )

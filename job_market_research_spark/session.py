@@ -19,6 +19,14 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _scratch_dir() -> str:
+    """Gitignored `.scratch/` at the repo root — shared with
+    sources.readers.SCRATCH — for engine byproducts (Derby, warehouse)."""
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def get_spark(
     app_name: str = "job_market_research_spark",
     master: str | None = None,
@@ -56,6 +64,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # keep engine droppings out of the CWD: the Hive-less warehouse
+        # dir and embedded Derby's log (JDBC sink tests) both default to
+        # the process CWD, which litters the repo root across rounds
+        .config("spark.sql.warehouse.dir", os.path.join(_scratch_dir(), "spark-warehouse"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={_scratch_dir()} "
+            f"-Dderby.stream.error.file={os.path.join(_scratch_dir(), 'derby.log')}",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -25,11 +25,14 @@ Lifecycle note: entries live until the app changes (dead-app eviction
 below) — including query-LOCAL round frames (k-core alive_r, BFS
 dist_r, HITS state) that no other query will read. That is deliberate:
 the frames are |V|-bounded (never corpus-sized), persist() is lazy so
-plan construction stays execution-free (the plan census builds all 465
-plans without running them — an eager localCheckpoint would break
-that), and under storage pressure Spark's LRU evicts exactly these
-never-re-read blocks first, at recompute-on-miss cost only. A sweep
-leaves ~a dozen small round tables resident, not a leak.
+plan construction stays nearly execution-free (the plan census builds
+all 465 plans without running them — an eager localCheckpoint would
+break that; one exception: ml.graph.staged_und's BUILD runs a
+docs.count() job the first time any iterative graph plan is
+constructed, to size its round count), and under storage pressure
+Spark's LRU evicts exactly these never-re-read blocks first, at
+recompute-on-miss cost only. A sweep leaves ~a dozen small round
+tables resident, not a leak.
 """
 
 from __future__ import annotations

@@ -566,31 +566,40 @@ def test_rank_filters_get_window_group_limit(spark, sf_dir):
         )
 
 
-#: Lineage-collapse guard (late r12): the iterative / multi-consumer
-#: queries whose unrolled rounds once re-executed the whole prior
-#: lineage per consumption (kcore 139 scans, HITS 108, BFS 30,
-#: Bradley-Terry 48 before staging). The cap is the POST-staging
-#: census count plus slack of 2 — far below each query's pre-staging
+#: Lineage-collapse guard (late r12, rekeyed r13): the iterative /
+#: multi-consumer queries whose unrolled rounds once re-executed the
+#: whole prior lineage per consumption (kcore 139 scans, HITS 108,
+#: BFS 30, Bradley-Terry 48 before staging). Each cap is the
+#: fresh-app census scan count (PLANS.md row, regenerated at this
+#: HEAD) plus slack of 2 — far below each query's pre-staging
 #: blow-up, so losing a stage (or the O(R^2)/O(2^R) unroll coming
 #: back) fails loudly while normal plan drift does not. Counted with
-#: scripts/plan_census.summarize (each distinct cached build subtree
-#: charged once, matching its once-per-app execution).
-_LINEAGE_SCAN_CAPS = {
-    "graph_kcore_peel": 8,
-    "graph_bfs_hops": 4,
-    "graph_label_propagation": 4,
-    "graph_modularity_score": 5,
-    "graph_hits": 16,
-    "ml_bradley_terry_strength": 5,
-    "agg_basket_affinity": 4,
-    "ml_naive_bayes_lang": 5,
-    "window_downsample_lttb": 7,
-    "text_ccnet_buckets": 10,
+#: scripts/plan_census.summarize_tree (each distinct cached build
+#: charged once via its shared CachedRDDBuilder, matching its
+#: once-per-app execution) — the TREE walk, not toString() parsing,
+#: because executed cached frames reprint in AQE dual-section form
+#: that defeats text keying and made the r12 guard order-dependent.
+_LINEAGE_SCAN_CAPS = {  # fresh census scans + 2
+    "graph_kcore_peel": 8,  # 6
+    "graph_bfs_hops": 3,  # 1
+    "graph_label_propagation": 4,  # 2
+    "graph_modularity_score": 4,  # 2
+    "graph_hits": 16,  # 14
+    "ml_bradley_terry_strength": 4,  # 2
+    "agg_basket_affinity": 3,  # 1
+    "ml_naive_bayes_lang": 4,  # 2
+    "window_downsample_lttb": 6,  # 4
+    "text_ccnet_buckets": 9,  # 7
 }
 
 
 @pytest.mark.parametrize("qname", sorted(_LINEAGE_SCAN_CAPS))
 def test_iterative_queries_stay_lineage_collapsed(spark, sf_dir, qname):
+    """Dual-context: the cap must hold on a freshly built plan in
+    whatever cache state the suite happens to be in (order
+    independence), AND after this query has demonstrably executed in
+    this very app — the exact condition (oracle-parity sweep first)
+    that broke the r12 text-keyed guard."""
     import importlib.util
     import os
 
@@ -607,10 +616,18 @@ def test_iterative_queries_stay_lineage_collapsed(spark, sf_dir, qname):
 
     from job_market_research_spark.registry import load_all
 
-    df = load_all()[qname].fn(spark, sf_dir)
-    s = census.summarize(_physical_plan(df))
+    fn = load_all()[qname].fn
     cap = _LINEAGE_SCAN_CAPS[qname]
-    assert s["scans"] <= cap, (
-        f"{qname}: {s['scans']} distinct scans (cap {cap}) — a staged "
+    df = fn(spark, sf_dir)
+    before = census.summarize_tree(df)["scans"]
+    assert before <= cap, (
+        f"{qname}: {before} distinct scans (cap {cap}) — a staged "
         "leg was lost or the per-round unroll re-derives its lineage"
+    )
+    df.count()  # materialize the staged frames: reprints flip to AQE form
+    after = census.summarize_tree(fn(spark, sf_dir))["scans"]
+    assert after == before, (
+        f"{qname}: scan count drifted across execution "
+        f"({before} fresh -> {after} post-exec) — the cached-build "
+        "dedup key is execution-state dependent again"
     )
