@@ -130,7 +130,12 @@ def _module_mtime(fn: Callable) -> float:
 #: (text_skill_ner sat here for its round-3 multi-word rework; the
 #: round-3 green row proved the new semantics, so the pin is lifted —
 #: module-mtime staleness re-fronts it automatically after any edit.)
-FORCE_REPROVE: frozenset[str] = frozenset()
+#: Round 13 (ADVICE r12 item 3: the round's plan-changed queries must
+#: appear in the SAME round's driver correctness slice, not only in
+#: local parity runs): ir_rocchio_prf's pass-2 df now derives from the
+#: pass-1/candidate stats instead of a separate re-aggregation — values
+#: unchanged, physical plan changed, so it fronts the driver window.
+FORCE_REPROVE: frozenset[str] = frozenset({"ir_rocchio_prf"})
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
