@@ -1143,19 +1143,28 @@ def q_dedup_containment(spark, sf_dir: str) -> DataFrame:
     what surfaces the planted prefix-truncation mutants as containment
     ≈ 1.0 while their Jaccard sits near the threshold. The score is a
     ratio of exact integers — identical doubles on both engines."""
-    corpus = augmented_corpus(spark, sf_dir)
-    grams = corpus.select(
-        "doc_id", "lang", "source", F.explode(word_shingles("text", 3)).alias("g")
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    idx = df_capped(grams, "g")
+    # Ride the family's staged (doc_id, sh) shingle table instead of
+    # re-deriving the corpus explode per consumer: the former inline
+    # `grams` lineage appeared SIX times in the executed plan (sizes,
+    # df-cap count, anti-join left, x2 for the self-join = census 12
+    # scans / 17 exchanges) because each consumer sits on a different
+    # subtree shape, so ReuseExchange cannot dedupe them. lang/source
+    # are DOC-level attributes, so the (lang, source) blocking is
+    # equivalent as a PAIR-level filter after the gram join: a doc pair
+    # either matches on both (all shared grams count) or is dropped
+    # whole — value-identical to the gram-level predicate, and the
+    # per-gram fan-out stays bounded by GRAM_DF_CAP² regardless of
+    # blocking. At 100 TB this is one corpus explode per app (the
+    # inverted-index materialization) instead of six per query.
+    sh = staged_shingles(spark, sf_dir, 3)
+    attrs = augmented_corpus(spark, sf_dir).select("doc_id", "lang", "source")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    idx = df_capped(sh, "sh")
     a, b = idx.alias("a"), idx.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -1163,10 +1172,26 @@ def q_dedup_containment(spark, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("inter"))
     )
+    aa = attrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+    )
+    ab = attrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     scored = (
-        pairs.join(sa, "doc_a")
+        pairs.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+        )
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "containment",
@@ -1519,8 +1544,17 @@ def q_dedup_winnowing(spark, sf_dir: str) -> DataFrame:
     )
     # Docs with fewer than W grams (len < K + W - 1) select no
     # fingerprints — same rows the old window-filter shape produced.
-    fps = corpus.filter(F.length("text") >= WIN_K + WIN_W - 1).select(
-        "doc_id", F.explode(F.expr(fp_arr)).alias("fp")
+    # STAGED per (app, sf_dir): the fingerprint compute is the
+    # expensive leg (an md5 per character position), and the inline
+    # form re-derived it per consumer (sizes, df-cap count, anti-join
+    # left, both self-join sides — census 12 scans / 17 exchanges;
+    # ReuseExchange dedupes only the identical a/b subtrees). The
+    # (doc_id, fp) table is exactly what a MOSS-style engine stores —
+    # at 100 TB the fingerprint pass runs once, not six times.
+    fps = _staged_frame(spark, "winnow_fps", sf_dir,
+        lambda: corpus.filter(
+            F.length("text") >= WIN_K + WIN_W - 1
+        ).select("doc_id", F.explode(F.expr(fp_arr)).alias("fp")),
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = df_capped(fps, "fp")
@@ -1869,3 +1903,4 @@ def q_dedup_lsh_recall_audit(spark, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision_r6"),
         )
     )
+

@@ -133,9 +133,14 @@ def _module_mtime(fn: Callable) -> float:
 #: Round 13 (ADVICE r12 item 3: the round's plan-changed queries must
 #: appear in the SAME round's driver correctness slice, not only in
 #: local parity runs): ir_rocchio_prf's pass-2 df now derives from the
-#: pass-1/candidate stats instead of a separate re-aggregation — values
-#: unchanged, physical plan changed, so it fronts the driver window.
-FORCE_REPROVE: frozenset[str] = frozenset({"ir_rocchio_prf"})
+#: pass-1/candidate stats instead of a separate re-aggregation;
+#: dedup_containment rides staged_shingles with pair-level attribute
+#: blocking; dedup_winnowing's fingerprint table is staged per app.
+#: Values unchanged in all three, physical plans changed, so they
+#: front the driver window.
+FORCE_REPROVE: frozenset[str] = frozenset(
+    {"ir_rocchio_prf", "dedup_containment", "dedup_winnowing"}
+)
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then

@@ -64,6 +64,7 @@ STAGE_OWNERS = [
     "text_ccnet_buckets",
     "ann_cosine_topk",
     "dedup_skill_set",
+    "dedup_winnowing",  # winnow_fps (r13)
 ]
 
 
