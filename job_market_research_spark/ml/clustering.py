@@ -367,12 +367,23 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
     )
     ntot = langs.agg(F.sum("n_docs").cast("double").alias("n"))
     pri = langs.select("lang", "n_docs")
+    # The scoring join is the heavy leg: tok × |langs| candidate rows
+    # shuffled on (doc, cand). Ride the IR family's staged (doc_id,
+    # token, tf) table instead of the raw token stream — identical
+    # whitespace tokenization, tf-compressed, shared per app with the
+    # whole BM25/Rocchio family — and weight by tf. Exact: tf (bigint)
+    # × DECIMAL(28,14) loglik is exact decimal arithmetic, so the sum
+    # equals the per-occurrence DECIMAL sum bit-for-bit. The corpus-row
+    # side of the model join shrinks by the mean within-doc repeat
+    # factor, and in a sweep the table already exists.
+    from job_market_research_spark.ml.ir import staged_ws_tcounts
+
     scored = (
-        tok.select("doc_id", F.col("token").alias("token"))
+        staged_ws_tcounts(spark, sf_dir)
         .join(F.broadcast(grid.withColumnRenamed("lang", "cand")), "token")
         .groupBy("doc_id", "cand")
         .agg(
-            F.sum(F.col("loglik").cast("decimal(28,14)"))
+            F.sum(F.col("loglik").cast("decimal(28,14)") * F.col("tf"))
             .cast("double")
             .alias("ll")
         )

@@ -139,7 +139,12 @@ def _module_mtime(fn: Callable) -> float:
 #: Values unchanged in all three, physical plans changed, so they
 #: front the driver window.
 FORCE_REPROVE: frozenset[str] = frozenset(
-    {"ir_rocchio_prf", "dedup_containment", "dedup_winnowing"}
+    {
+        "ir_rocchio_prf",
+        "dedup_containment",
+        "dedup_winnowing",
+        "ml_naive_bayes_lang",  # scoring rides staged_ws_tcounts (r13)
+    }
 )
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:

@@ -587,7 +587,7 @@ _LINEAGE_SCAN_CAPS = {  # fresh census scans + 2
     "graph_hits": 16,  # 14
     "ml_bradley_terry_strength": 4,  # 2
     "agg_basket_affinity": 3,  # 1
-    "ml_naive_bayes_lang": 4,  # 2
+    "ml_naive_bayes_lang": 5,  # 3 (scoring rides staged_ws_tcounts; its build counts once)
     "window_downsample_lttb": 6,  # 4
     "text_ccnet_buckets": 9,  # 7
 }
