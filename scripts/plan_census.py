@@ -194,6 +194,14 @@ def summarize_tree(df) -> dict:
             children = node.children()
             for i in range(children.length()):
                 stack.append(children.apply(i))
+            # expression-embedded plans (DPP / scalar subqueries) are
+            # not in children() but ARE printed by toString — traverse
+            # them so the tree count matches the text census
+            # (ann_index_build's partition-pruning subquery reads the
+            # staged index and was invisible to a children()-only walk)
+            subqueries = node.subqueries()
+            for i in range(subqueries.length()):
+                stack.append(subqueries.apply(i))
     counts["joins"] = dict(counts["joins"])
     counts["python"] = sorted(counts["python"])
     counts["banned"] = sorted(counts["banned"])
