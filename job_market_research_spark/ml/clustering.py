@@ -371,9 +371,13 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
     # shuffled on (doc, cand). Ride the IR family's staged (doc_id,
     # token, tf) table instead of the raw token stream — identical
     # whitespace tokenization, tf-compressed, shared per app with the
-    # whole BM25/Rocchio family — and weight by tf. Exact: tf (bigint)
-    # × DECIMAL(28,14) loglik is exact decimal arithmetic, so the sum
-    # equals the per-occurrence DECIMAL sum bit-for-bit. The corpus-row
+    # whole BM25/Rocchio family — and weight by tf. Exactness needs
+    # care: decimal(28,14) × bigint would be typed decimal(38,6) by
+    # Spark's precision-loss rule, rounding each term to 6 dp. Sizing
+    # the casts as decimal(23,14) × decimal(14,0) → decimal(38,14)
+    # (loglik magnitude < 1e9 and tf < 1e14 hold trivially) keeps the
+    # product exact, so the sum equals the oracle's per-occurrence
+    # DECIMAL(28,14) sum bit-for-bit. The corpus-row
     # side of the model join shrinks by the mean within-doc repeat
     # factor, and in a sweep the table already exists.
     from job_market_research_spark.ml.ir import staged_ws_tcounts
@@ -383,7 +387,10 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
         .join(F.broadcast(grid.withColumnRenamed("lang", "cand")), "token")
         .groupBy("doc_id", "cand")
         .agg(
-            F.sum(F.col("loglik").cast("decimal(28,14)") * F.col("tf"))
+            F.sum(
+                F.col("loglik").cast("decimal(23,14)")
+                * F.col("tf").cast("decimal(14,0)")
+            )
             .cast("double")
             .alias("ll")
         )

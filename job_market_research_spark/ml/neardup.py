@@ -183,7 +183,6 @@ def staged_shingle_profiles(spark, sf_dir: str) -> DataFrame:
     array only, n counts everything, so capped Jaccard under-estimates
     and never inflates. Per-doc arrays are bounded by document length,
     so no row outgrows executor memory at corpus scale."""
-    import os
 
     def build() -> DataFrame:
         shingles = staged_shingles(spark, sf_dir)
