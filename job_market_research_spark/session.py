@@ -44,6 +44,10 @@ def get_spark(
       cluster AQE re-coalesces upward from the initial value.
     """
     cpus = default_parallelism()
+    derby_java_options = (
+        f"-Dderby.system.home={_scratch_dir()} "
+        f"-Dderby.stream.error.file={os.path.join(_scratch_dir(), 'derby.log')}"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -66,15 +70,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # keep engine droppings out of the CWD: the Hive-less warehouse
         # dir and embedded Derby's log (JDBC sink tests) both default to
-        # the process CWD, which litters the repo root across rounds
+        # the process CWD, which litters the repo root across rounds.
+        # NOTE: -D flags only take effect when THIS builder launches the
+        # driver JVM; in a process whose SparkContext already exists
+        # they no-op (getOrCreate returns the live session) and Derby
+        # falls back to its CWD defaults — acceptable for the secondary
+        # caller, harmless for the repo since every entry point here
+        # builds its session through this factory first.
         .config("spark.sql.warehouse.dir", os.path.join(_scratch_dir(), "spark-warehouse"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Dderby.system.home={_scratch_dir()} "
-            f"-Dderby.stream.error.file={os.path.join(_scratch_dir(), 'derby.log')}",
-        )
+        .config("spark.driver.extraJavaOptions", derby_java_options)
     )
     for k, v in (extra_conf or {}).items():
+        # merge, don't clobber: a caller-supplied extraJavaOptions
+        # would otherwise silently drop the Derby flags above
+        if k == "spark.driver.extraJavaOptions":
+            v = f"{derby_java_options} {v}"
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

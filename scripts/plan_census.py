@@ -158,6 +158,7 @@ def summarize_tree(df) -> dict:
         "banned": set(),
     }
     seen_builds: set[int] = set()
+    jvm = df.sparkSession._jvm
     stack = [df._jdf.queryExecution().executedPlan()]
     while stack:
         node = stack.pop()
@@ -171,7 +172,11 @@ def summarize_tree(df) -> dict:
         if name == "InMemoryTableScan":
             counts["staged"] += 1
             relation = node.relation()
-            build_key = relation.cacheBuilder().hashCode()
+            # key by JVM object identity: relations of the SAME cache
+            # entry share one CachedRDDBuilder instance, while two
+            # distinct entries with field-equal builders (hashCode is
+            # a case-class field hash) must not merge (ADVICE r13)
+            build_key = jvm.System.identityHashCode(relation.cacheBuilder())
             if build_key not in seen_builds:
                 seen_builds.add(build_key)
                 stack.append(relation.cachedPlan())

@@ -15,13 +15,20 @@ frame first (by building the owner queries), then build all 465 plans
 and diff each plan's staged-read count against the committed PLANS.md.
 
 r13 result (recorded in SCALE.md "cache-substitution boundary"):
-exactly 3 queries change —
+exactly 3 queries changed —
 
   dedup_bridge_conflict   0 -> 1  (rides the dedup bridge-pairs cache)
   ml_eval_retrieval_ndcg  0 -> 2  (rides the ANN normalized-embedding
                                    cache, staged r12 commit d4d09f5)
   ann_index_build         2 -> 1  (its partitioned index read collapses
                                    onto the shared normalized table)
+
+r14: the PLANS.md regenerated at c22ead8 already records
+ann_index_build's collapsed read, so the standing diff set is the
+first two names only; all three stay adjudicated in the pytest
+allowlist (tests/test_plan_hygiene.py::test_staged_frames_do_not_
+silently_reroute_fused_queries, which runs this audit in the suite
+session so a new staged frame cannot land without re-adjudication).
 
 A/B at sf0.1 (min-of-3, same app, warm cache): rerouted/fused =
 0.82x for dedup_bridge_conflict, 0.87x for ml_eval_retrieval_ndcg —
@@ -46,68 +53,101 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: Queries whose construction registers every staged frame (owners of
-#: each staging.app_staged / staged_frame key as of r13).
-STAGE_OWNERS = [
-    "agg_basket_affinity",
-    "ml_naive_bayes_lang",
-    "ml_bradley_terry_strength",
-    "text_lm_perplexity",
-    "window_downsample_lttb",
-    "graph_triangle_count",
-    "graph_kcore_peel",
-    "graph_hits",
-    "graph_bfs_hops",
-    "graph_label_propagation",
-    "dedup_minhash_lsh",
-    "ir_bm25f_fielded",
-    "text_ccnet_buckets",
-    "ann_cosine_topk",
-    "dedup_skill_set",
-    "dedup_winnowing",  # winnow_fps (r13)
-]
+#: Query families whose fn() runs real side effects at call time
+#: (writes, streaming drains) — excluded from BOTH passes below.
+SKIP_RE = r"^(stream_|sink_|source_append)"
 
 
-def main() -> None:
+def assert_no_staging_outside_audited_modules(root: str) -> None:
+    """Fail loudly if a staging call site lives in a module whose
+    queries the audit skips (streaming/, sources/). Staged frames are
+    registered at plan-construction time, so building every
+    non-skipped query's plan (pass 1) registers every staged frame —
+    PROVIDED no skipped query owns one. This guard replaces the old
+    hand-maintained STAGE_OWNERS list (ADVICE r13): a future staged
+    frame in a skipped module breaks here instead of silently
+    under-constructing the cache."""
+    pkg = os.path.join(root, "job_market_research_spark")
+    bad = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, pkg)
+            if rel.split(os.sep)[0] not in ("streaming", "sources"):
+                continue
+            src = open(p).read()
+            if re.search(r"\b(staged_frame|app_staged)\(", src):
+                bad.append(rel)
+    if bad:
+        raise SystemExit(
+            "reroute_audit: staging call sites in skipped modules "
+            f"{bad} — the audit's pass 1 cannot register their frames; "
+            "extend the audit to cover these owners first."
+        )
+
+
+def audit(spark, sf: str, root: str) -> list[tuple[str, int, int]]:
+    """Single-pass reroute audit. Returns [(name, plans_md_staged_count,
+    all-staged count)] for every auditable query whose staged-read
+    count differs from the committed PLANS.md row.
+
+    Deterministic in any starting cache state, without an owner list
+    (ADVICE r13): the CONSTRUCT loop builds every auditable query's
+    LOGICAL plan first, and staged_frame registers (and persist()s,
+    lazily) with the CacheManager at construction time — so by the
+    time the WALK loop forces physical planning (where
+    CacheManager.useCachedData substitutes canonically-equal
+    subtrees), EVERY staged frame is registered. Verified equivalent
+    to the two-pass (build owners, rebuild all) formulation at this
+    HEAD: both report the same diff set."""
     spec = importlib.util.spec_from_file_location(
         "plan_census",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_census.py"),
+        os.path.join(root, "scripts", "plan_census.py"),
     )
     census = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(census)
 
     from job_market_research_spark.registry import load_all
-    from job_market_research_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(app_name="reroute-audit", master="local[4]", shuffle_partitions=4)
+    assert_no_staging_outside_audited_modules(root)
     specs = load_all()
-    for n in STAGE_OWNERS:
+    dfs = {}
+    for n in sorted(specs):
+        if re.match(SKIP_RE, n):
+            continue  # builders run real work; plan shape not at issue
         try:
-            specs[n].fn(spark, sf)
+            dfs[n] = specs[n].fn(spark, sf)
         except Exception as exc:
-            print(f"OWNER-ERR {n}: {exc!r}"[:140])
+            print(f"CONSTRUCT-ERR {n}: {exc!r}"[:140])
 
     plans: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for line in open(os.path.join(root, "PLANS.md")):
         m = re.match(r"\| `(\w+)`\\?\*? \| (\d+|—) \| (\d*) \|", line)
         if m:
             plans[m.group(1)] = int(m.group(3) or 0)
 
     changed = []
-    for name in sorted(specs):
-        if re.match(r"^(stream_|sink_|source_append)", name):
-            continue  # builders run real work; plan shape not at issue
+    for name in sorted(dfs):
         try:
-            s = census.summarize_tree(specs[name].fn(spark, sf))
+            s = census.summarize_tree(dfs[name])
         except Exception as exc:
             print(f"ERR {name}: {exc!r}"[:120])
             continue
         ref = plans.get(name)
         if ref is not None and s["staged"] != ref:
             changed.append((name, ref, s["staged"]))
+    return changed
 
+
+def main() -> None:
+    from job_market_research_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark = get_spark(app_name="reroute-audit", master="local[4]", shuffle_partitions=4)
+    changed = audit(spark, sf, root)
     print("=== queries whose staged-read count differs from PLANS.md ===")
     for n, r, c in changed:
         print(f"{n}: plans_md={r} with_all_stages={c}")

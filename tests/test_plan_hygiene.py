@@ -631,3 +631,63 @@ def test_iterative_queries_stay_lineage_collapsed(spark, sf_dir, qname):
         f"({before} fresh -> {after} post-exec) — the cached-build "
         "dedup key is execution-state dependent again"
     )
+
+
+#: Cache-substitution (reroute) allowlist: queries whose physical plan
+#: is ALLOWED to read staged frames they never asked for, because the
+#: substitution was adjudicated by an sf0.1 warm A/B (SCALE.md
+#: "cache-substitution boundary"): rerouted/fused = 0.82x for
+#: dedup_bridge_conflict and 0.87x for ml_eval_retrieval_ndcg (both
+#: FASTER — the cached frames are exactly their expensive legs);
+#: ann_index_build's partitioned-index read collapses 2 -> 1 onto the
+#: shared normalized-embedding table (same A/B session). Entries are
+#: exact (plans_md, with_all_stages) tuples — a reroute to a DIFFERENT
+#: count is a new, un-adjudicated substitution and fails like any
+#: other. ann_index_build's row is absent from the standing diff set
+#: since the c22ead8 PLANS.md regen records its collapsed read, but
+#: stays allowlisted in case a future regen restores the fused row.
+ADJUDICATED_REROUTES = {
+    "dedup_bridge_conflict": (0, 1),
+    "ml_eval_retrieval_ndcg": (0, 2),
+    "ann_index_build": (2, 1),
+}
+
+
+def test_staged_frames_do_not_silently_reroute_fused_queries(spark, sf_dir):
+    """The wedge hazard, machine-checked (r13 verdict item 2): Spark's
+    CacheManager substitutes any canonically-equal subtree of ANY
+    query with a staged frame's InMemoryRelation — including queries
+    that never asked for staging. For the graph wedge queries that
+    substitution forfeits scan->distinct fusion and measured 1.4-1.7x
+    SLOWER at sf0.1 (r12), so a NEW staged frame must not be able to
+    reroute an existing query without an A/B-backed allowlist entry.
+    Runs scripts/reroute_audit.audit in the suite session: construct
+    every auditable plan (registering every staged frame — no owner
+    list), then diff each plan's staged-read count against PLANS.md.
+    Deterministic in any suite cache state, since substitution
+    happens at physical-planning time, after all registration."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "reroute_audit", os.path.join(root, "scripts", "reroute_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    changed = mod.audit(spark, sf_dir, root)
+    rogue = [
+        (n, ref, cur)
+        for n, ref, cur in changed
+        if ADJUDICATED_REROUTES.get(n) != (ref, cur)
+    ]
+    assert not rogue, (
+        f"un-adjudicated cache reroutes {rogue}: a staged frame now "
+        "substitutes into these queries' plans. A/B each at sf0.1 "
+        "(warm, min-of-3, rerouted vs fused) per SCALE.md's "
+        "cache-substitution rule, record the verdict there, then "
+        "allowlist the exact (plans_md, with_all_stages) tuple — or "
+        "add a distinguishing marker to the staged build so the "
+        "subtree no longer canonicalizes equal."
+    )
