@@ -691,24 +691,24 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
     (P(ab)·N / (s_a·s_b)) for part pairs appearing in the same order
     — "frequently bought together".
 
-    Scale shape: pair enumeration is a self-join keyed on the ORDER,
-    so fan-out per order is items² with items bounded by basket size
-    (≤7 lineitems in this schema; a df-cap on pathological baskets is
-    the `GRAM_DF_CAP` pattern). Item supports are vocabulary-sized
-    (broadcast); N rides a 1-row broadcast; the support floor prunes
-    the pair table before the lift join. Same algebra as
-    `text_pmi_collocations` on a different domain — lift is exp(PMI).
-
-    The distinct (order, part) item table is consumed FOUR times in
-    this one DAG (basket count, supports, both self-join sides), and
-    Catalyst does not dedupe the repeated scan+distinct subtrees —
-    staged (app_staged), the lineitem scan and the dedup shuffle run
-    once (the materialized basket table every market-basket pipeline
-    writes out first)."""
+    Scale shape (r14, A/B'd 0.72x warm vs the ok-keyed self-join at
+    sf0.1, value-identical at sf0.01): the staged frame IS the basket
+    table — per-order sorted arrays of distinct parts, the
+    materialized form every market-basket pipeline writes out first.
+    Pair enumeration is then a NARROW per-row array combination
+    (explode × higher-order filter), items² fan-out bounded by basket
+    size (≤7 lineitems in this schema; a df-cap on pathological
+    baskets is the `GRAM_DF_CAP` pattern) — no self-join, so the only
+    corpus shuffle left is the pair aggregation itself. Basket count N
+    is a row count of the staged table (no distinct shuffle); item
+    supports are vocabulary-sized (broadcast); N rides a 1-row
+    broadcast; the support floor prunes the pair table before the
+    lift join. Same algebra as `text_pmi_collocations` on a different
+    domain — lift is exp(PMI)."""
 
     from job_market_research_spark.staging import staged_frame
 
-    items = staged_frame(spark, "basket_items", sf_dir,
+    baskets = staged_frame(spark, "basket_arrays", sf_dir,
         lambda: (
             load(spark, sf_dir, "lineitem")
             .select(
@@ -716,17 +716,26 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias("part"),
             )
             .distinct()
+            .groupBy("ok")
+            .agg(F.sort_array(F.collect_list("part")).alias("parts"))
         ),
     )
-    n = items.select("ok").distinct().agg(
-        F.count("*").cast("long").alias("n_orders")
+    n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    isup = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("s"))
     )
-    isup = items.groupBy("part").agg(F.count("*").cast("long").alias("s"))
-    a = items.select("ok", F.col("part").alias("part_a"))
-    b = items.select("ok", F.col("part").alias("part_b"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select(
+            "part_a",
+            F.explode(
+                # parts is sorted+distinct, so strict > emits each
+                # unordered pair exactly once
+                F.filter("parts", lambda x: x > F.col("part_a"))
+            ).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("s_ab"))
         .filter(F.col("s_ab") >= BASKET_MIN_SUPPORT)
