@@ -130,20 +130,22 @@ def _module_mtime(fn: Callable) -> float:
 #: (text_skill_ner sat here for its round-3 multi-word rework; the
 #: round-3 green row proved the new semantics, so the pin is lifted —
 #: module-mtime staleness re-fronts it automatically after any edit.)
-#: Round 13 (ADVICE r12 item 3: the round's plan-changed queries must
-#: appear in the SAME round's driver correctness slice, not only in
-#: local parity runs): ir_rocchio_prf's pass-2 df now derives from the
-#: pass-1/candidate stats instead of a separate re-aggregation;
-#: dedup_containment rides staged_shingles with pair-level attribute
-#: blocking; dedup_winnowing's fingerprint table is staged per app.
-#: Values unchanged in all three, physical plans changed, so they
-#: front the driver window.
+#: Standing rule (ADVICE r12 item 3): the round's plan-changed queries
+#: must appear in the SAME round's driver correctness slice, not only
+#: in local parity runs — list them here for one round, then remove
+#: once the green row lands (the r13 four — rocchio, containment,
+#: winnowing, naive-bayes — all got their r13 rows and are lifted).
+#: Round 14: agg_basket_affinity moved onto a staged basket-array
+#: table (pair enumeration is now an array combination, not a
+#: self-join); ml_naive_bayes_lang's scoring product was retyped
+#: decimal(38,6)→decimal(38,14) (the ADVICE r13 exactness fix — same
+#: rounded emission on current data, but the arithmetic changed);
+#: stream_stateful_counter's stateful boundary narrowed to user_id.
 FORCE_REPROVE: frozenset[str] = frozenset(
     {
-        "ir_rocchio_prf",
-        "dedup_containment",
-        "dedup_winnowing",
-        "ml_naive_bayes_lang",  # scoring rides staged_ws_tcounts (r13)
+        "agg_basket_affinity",
+        "ml_naive_bayes_lang",
+        "stream_stateful_counter",
     }
 )
 
