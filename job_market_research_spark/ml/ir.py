@@ -1573,30 +1573,47 @@ def q_text_vocab_jsd(spark, sf_dir: str) -> DataFrame:
 
     Scale: one (token) aggregation for the top-V cut
     (TakeOrdered, broadcast back), one (term, half) combinable count,
-    constant-size algebra after."""
-    docs = load(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("g"),
-        F.explode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != "")
-        ).alias("token"),
-    )
-    topv = (
-        docs.groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "token")
-        .limit(JSD_VOCAB)
-        .select("token", F.lit(1).alias("in_v"))
-    )
-    mapped = docs.join(F.broadcast(topv), "token", "left").select(
-        "g",
-        F.when(F.col("in_v").isNotNull(), F.col("token"))
-        .otherwise(F.lit(_JSD_OOV))
-        .alias("term"),
-    )
-    c = mapped.groupBy("term").agg(
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("c0"),
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
-    )
+    constant-size algebra after.
+
+    r14: rides the family's staged (doc_id, token, tf) table —
+    occurrence counts become tf sums, identical tokenization — and
+    the bounded (term, c0, c1) table is staged too: its four
+    consumers (totals, contributions, the sum, the term count) each
+    re-derived the whole corpus lineage otherwise (census 8→1
+    scans)."""
+
+    def build_counts() -> DataFrame:
+        tok = staged_ws_tcounts(spark, sf_dir).select(
+            (F.col("doc_id") % 2).alias("g"), "token", "tf"
+        )
+        topv = (
+            tok.groupBy("token")
+            .agg(F.sum("tf").alias("n"))
+            .orderBy(F.desc("n"), "token")
+            .limit(JSD_VOCAB)
+            .select("token", F.lit(1).alias("in_v"))
+        )
+        return (
+            tok.join(F.broadcast(topv), "token", "left")
+            .select(
+                "g",
+                "tf",
+                F.when(F.col("in_v").isNotNull(), F.col("token"))
+                .otherwise(F.lit(_JSD_OOV))
+                .alias("term"),
+            )
+            .groupBy("term")
+            .agg(
+                F.sum(F.when(F.col("g") == 0, F.col("tf")).otherwise(0))
+                .cast("long")
+                .alias("c0"),
+                F.sum(F.when(F.col("g") == 1, F.col("tf")).otherwise(0))
+                .cast("long")
+                .alias("c1"),
+            )
+        )
+
+    c = staged_frame(spark, "jsd_term_counts", sf_dir, build_counts)
     tot = c.agg(
         F.sum("c0").cast("long").alias("t0"),
         F.sum("c1").cast("long").alias("t1"),

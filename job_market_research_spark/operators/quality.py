@@ -1395,38 +1395,66 @@ def q_profile_ref_integrity(spark, sf_dir: str) -> DataFrame:
     warehouse QA suite runs after a load, and the one that catches
     partial-load/late-dimension races at 100 TB.
 
-    Each edge is a LEFT ANTI join (Spark's fastest existence check —
-    broadcast when the parent's key projection fits, shuffle-hash
-    otherwise under AQE; never a full distinct-materialize), counts
-    are exact integers, and the per-edge results union into one
-    bounded report.
-
-    Scale: one anti-join per edge, each shuffling only the key
-    columns (column pruning pinned repo-wide); report size = |edges|."""
-    frames = []
+    r14 restructure: ONE pass per child table, not two per edge. The
+    old shape scanned each child twice per edge (anti-join leg +
+    stats leg) — 21 scans across the 7 edges, with lineitem read six
+    times; at 100 TB that is 6× the IO of the warehouse's biggest
+    table for one QA report. Now each child is scanned once,
+    LEFT-joined to every parent's key projection in sequence
+    (parents are PRIMARY keys, so row counts are preserved and a
+    null parent key ≡ the anti-join's orphan; broadcast when the
+    projection fits, shuffle-hash otherwise under AQE), and every
+    edge's orphan/null counts come out of one conditional
+    aggregation, unpivoted to the per-edge report. Census: 21→12
+    scans (5 child passes + 7 parent projections), report size =
+    |edges|."""
+    groups: dict[str, list[tuple[str, str, str]]] = {}
     for child, fk, parent, pk in _RI_EDGES:
-        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
-        orphans = (
-            c.filter(F.col("fk").isNotNull())
-            .join(p, F.col("fk") == F.col("pk"), "left_anti")
-            .agg(F.count("*").cast("long").alias("n_orphans"))
-        )
-        stats = c.agg(
-            F.count("*").cast("long").alias("n_child"),
-            F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_null_fk"),
+        groups.setdefault(child, []).append((fk, parent, pk))
+    frames = []
+    for child, edges in groups.items():
+        df = load(spark, sf_dir, child).select(*[fk for fk, _, _ in edges])
+        for i, (fk, parent, pk) in enumerate(edges):
+            par = load(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"__pk{i}")
+            )
+            df = df.join(par, F.col(fk) == F.col(f"__pk{i}"), "left")
+        aggs = [F.count("*").cast("long").alias("n_child")]
+        for i, (fk, _parent, _pk) in enumerate(edges):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(fk).isNotNull() & F.col(f"__pk{i}").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n_orphans_{i}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_null_fk_{i}")
+            )
+        stats = df.agg(*aggs)
+        per_edge = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                    F.col(f"n_orphans_{i}").alias("n_orphans"),
+                    F.col(f"n_null_fk_{i}").alias("n_null_fk"),
+                )
+                for i, (fk, parent, pk) in enumerate(edges)
+            ]
         )
         frames.append(
-            stats.crossJoin(F.broadcast(orphans)).select(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+            stats.select("n_child", F.explode(per_edge).alias("e")).select(
+                F.col("e.edge").alias("edge"),
                 "n_child",
-                "n_orphans",
-                "n_null_fk",
-                F.when(F.col("n_orphans") == 0, 1).otherwise(0).alias(
-                    "intact"
-                ),
+                F.col("e.n_orphans").alias("n_orphans"),
+                F.col("e.n_null_fk").alias("n_null_fk"),
+                F.when(F.col("e.n_orphans") == 0, 1)
+                .otherwise(0)
+                .alias("intact"),
             )
         )
     out = frames[0]

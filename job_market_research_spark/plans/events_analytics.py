@@ -1719,7 +1719,17 @@ def q_agg_markov_stationary(spark, sf_dir: str) -> DataFrame:
     decimal-summed aggregation. At 100 TB the transition counting is
     the only corpus-sized work — the chain algebra is constant-size
     and could run on the driver; keeping it relational keeps the whole
-    plan one lazy DAG and the oracle replayable."""
+    plan one lazy DAG and the oracle replayable.
+
+    The |types|² transition table is staged (r14): it is consumed by
+    every unrolled power-iteration round plus the row-normalizer and
+    the state list, and Catalyst re-derives shared subtrees per
+    consumer — the unstaged plan re-ran the corpus scan AND the
+    user-keyed lag window 8 times (census 8 scans / 31 exchanges;
+    staged: 1 scan, the lineage-collapse discipline of
+    graph_hits/kcore)."""
+    from job_market_research_spark.staging import staged_frame
+
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
@@ -1727,9 +1737,11 @@ def q_agg_markov_stationary(spark, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    trans = seq.groupBy(
-        "prev_type", F.col("event_type").alias("next_type")
-    ).agg(F.count("*").alias("n"))
+    trans = staged_frame(spark, "markov_trans", sf_dir,
+        lambda: seq.groupBy(
+            "prev_type", F.col("event_type").alias("next_type")
+        ).agg(F.count("*").alias("n")),
+    )
     tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
     p = trans.join(F.broadcast(tot), "prev_type").select(
         "prev_type",

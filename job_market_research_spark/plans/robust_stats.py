@@ -68,14 +68,22 @@ def q_agg_theil_sen_trend(spark, sf_dir: str) -> DataFrame:
     Exactness: slopes are integer-difference ratios rounded to 6
     before the median; `F.percentile` ↔ `quantile_cont` interpolate
     identically on identical doubles (agg_percentiles convention);
-    the intercept medians round-6 residuals of the round-6 slope."""
-    daily = (
-        load(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
-        )
-        .agg(F.count("*").alias("y"))
+    the intercept medians round-6 residuals of the round-6 slope.
+
+    The bounded per-(type, day) table is staged (r14): six consumers
+    (origin min, both pair-join sides, residuals, day counts) each
+    re-derived the corpus count otherwise — census 8→1 scans."""
+    from job_market_research_spark.staging import staged_frame
+
+    daily = staged_frame(spark, "theilsen_daily", sf_dir,
+        lambda: (
+            load(spark, sf_dir, "events")
+            .groupBy(
+                "event_type",
+                (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+            )
+            .agg(F.count("*").alias("y"))
+        ),
     )
     x0 = daily.agg(F.min("day").alias("min_day"))
     d = daily.crossJoin(F.broadcast(x0)).select(
@@ -267,8 +275,16 @@ def q_window_anomaly_mad(spark, sf_dir: str) -> DataFrame:
 
     Scale: corpus → bounded per-(type, day) table in one count; both
     medians and the flag scan run on that bounded table (the Theil–Sen
-    discipline). Exactness: medians via percentile↔quantile_cont on
-    integer counts, round-6 before every ratio."""
+    discipline). r14 restructure: the medians are WINDOW aggregates
+    over event_type partitions instead of groupBy+rejoin — the old
+    join shape consumed `daily` twice and `dev` twice, and Catalyst
+    re-derives shared subtrees per consumer (census: 12 scans, 23
+    exchanges); the linear window pipeline derives each frame once
+    (3 scans — the seeded union's burst legs — 5 exchanges). The
+    window partitions are the BOUNDED per-type day series (|days|
+    rows per type), never corpus rows. Exactness: medians via
+    percentile↔quantile_cont on integer counts, round-6 before every
+    ratio."""
     ev = load(spark, sf_dir, "events").select(
         "event_type", "ts", (F.unix_micros("ts") / _DAY_US).cast("long").alias("day")
     )
@@ -283,22 +299,16 @@ def q_window_anomaly_mad(spark, sf_dir: str) -> DataFrame:
     )
     seeded = ev.select("event_type", "ts", "day").unionByName(burst)
     daily = seeded.groupBy("event_type", "day").agg(F.count("*").alias("y"))
-    med = daily.groupBy("event_type").agg(
-        F.round(F.percentile("y", F.lit(0.5)), 6).alias("med_y")
-    )
-    dev = daily.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "day",
-        "y",
-        "med_y",
-        F.round(F.abs(F.col("y") - F.col("med_y")), 6).alias("adev"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad_y")
+    per_type = Window.partitionBy("event_type")
+    dev = daily.withColumn(
+        "med_y", F.round(F.percentile("y", F.lit(0.5)).over(per_type), 6)
+    ).withColumn("adev", F.round(F.abs(F.col("y") - F.col("med_y")), 6))
+    scored = dev.withColumn(
+        "mad_y", F.round(F.percentile("adev", F.lit(0.5)).over(per_type), 6)
     )
     denom = MAD_K * F.greatest(F.col("mad_y"), F.lit(0.5))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        scored
         .filter(F.abs(F.col("y") - F.col("med_y")) > MAD_SIGMAS * denom)
         .select(
             "event_type",
@@ -4682,55 +4692,49 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
     rounded 6 then DECIMAL-summed across parts (order-free); three
     closing divisions and one sqrt.
 
-    Scale: one fact-to-orders join (both corpus-sized, equi-join on
-    the order key), one (part, period) combinable aggregation, then a
-    part-keyed self-pair join — all hash-partitioned, no windows."""
-    li = (
+    Scale (r14 linearization): one fact-to-orders join (both
+    corpus-sized, equi-join on the order key), then ONE (part)
+    aggregation with per-period conditional sums — the old shape
+    self-joined the per-(part, period) table to pair the halves and
+    consumed both it and the pair table twice, so Catalyst re-derived
+    the fact join four times (census 8 scans; now 2). The pair count
+    folds into the same closing aggregation as the four basket sums,
+    so the whole query is one linear pipeline: join → pivot agg →
+    per-row terms → bounded reduce."""
+    period0 = F.year("o_orderdate") < 1995
+    pivot = (
         load(spark, sf_dir, "lineitem")
         .join(
             load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .groupBy(
-            F.col("l_partkey").alias("pk"),
-            F.when(F.year("o_orderdate") < 1995, 0).otherwise(1).alias(
-                "period"
-            ),
-        )
+        .groupBy(F.col("l_partkey").alias("pk"))
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
-            F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+            F.sum(F.when(period0, F.col("l_quantity").cast("long")))
+            .cast("long")
+            .alias("q0"),
+            F.sum(F.when(period0, F.col("l_extendedprice").cast("decimal(28,4)")))
             .cast("decimal(28,4)")
-            .alias("spend"),
+            .alias("spend0"),
+            F.sum(F.when(~period0, F.col("l_quantity").cast("long")))
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(~period0, F.col("l_extendedprice").cast("decimal(28,4)")))
+            .cast("decimal(28,4)")
+            .alias("spend1"),
         )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
     )
-    a = li.filter(F.col("period") == 0).select(
-        "pk",
-        (F.col("spend").cast("double") / F.col("q")).alias("p0"),
-        F.col("q").alias("q0"),
+    p0 = F.col("spend0").cast("double") / F.col("q0")
+    p1 = F.col("spend1").cast("double") / F.col("q1")
+    terms = pivot.select(
+        F.round(p1 * F.col("q0"), 6).cast("decimal(28,6)").alias("l_num"),
+        F.round(p0 * F.col("q0"), 6).cast("decimal(28,6)").alias("l_den"),
+        F.round(p1 * F.col("q1"), 6).cast("decimal(28,6)").alias("p_num"),
+        F.round(p0 * F.col("q1"), 6).cast("decimal(28,6)").alias("p_den"),
     )
-    b = li.filter(F.col("period") == 1).select(
-        F.col("pk").alias("pk_b"),
-        (F.col("spend").cast("double") / F.col("q")).alias("p1"),
-        F.col("q").alias("q1"),
-    )
-    paired = a.join(b, F.col("pk") == F.col("pk_b"))
-    terms = paired.select(
-        F.round(F.col("p1") * F.col("q0"), 6)
-        .cast("decimal(28,6)")
-        .alias("l_num"),
-        F.round(F.col("p0") * F.col("q0"), 6)
-        .cast("decimal(28,6)")
-        .alias("l_den"),
-        F.round(F.col("p1") * F.col("q1"), 6)
-        .cast("decimal(28,6)")
-        .alias("p_num"),
-        F.round(F.col("p0") * F.col("q1"), 6)
-        .cast("decimal(28,6)")
-        .alias("p_den"),
-    )
-    npar = paired.agg(F.count("*").cast("long").alias("n_parts"))
     s = terms.agg(
+        F.count("*").cast("long").alias("n_parts"),
         F.sum("l_num").cast("double").alias("ln_"),
         F.sum("l_den").cast("double").alias("ld_"),
         F.sum("p_num").cast("double").alias("pn_"),
@@ -4738,7 +4742,7 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
     )
     lasp = F.col("ln_") / F.col("ld_")
     paas = F.col("pn_") / F.col("pd_")
-    return npar.crossJoin(F.broadcast(s)).select(
+    return s.select(
         "n_parts",
         F.round(lasp, 6).alias("laspeyres_r6"),
         F.round(paas, 6).alias("paasche_r6"),

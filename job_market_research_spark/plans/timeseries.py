@@ -642,20 +642,32 @@ def cusum_report(events: DataFrame) -> DataFrame:
             F.col("off") + F.col("ilo6"),
         ).alias("lo6"),
     )
-    peak = walk.groupBy("event_type").agg(
-        F.max(F.col("cs6") - F.col("lo6")).alias("peak6"),
-        F.count("*").cast("long").alias("n"),
-    )
+    # Peak + first-peak-event in ONE pass over the walk (r14): the
+    # old peak-join shape consumed `walk` twice, and Catalyst
+    # re-derives the whole corpus lineage (scan + both window levels)
+    # per consumer. max(struct(du6, -event_id)) is the argmax with a
+    # min-event_id tie-break — lexicographic struct ordering gives
+    # the max drawup, then the max negated id = the min id; sd6 is
+    # constant per type (the broadcast moment join), so max() of it
+    # is ANY_VALUE.
     return (
-        peak.join(
-            walk.withColumn("du6", F.col("cs6") - F.col("lo6")),
-            ["event_type"],
-        )
-        .filter(F.col("du6") == F.col("peak6"))
-        .groupBy("event_type", "peak6", "n")
+        walk.groupBy("event_type")
         .agg(
-            F.min("event_id").cast("long").alias("peak_event_id"),
-            F.first("sd6").alias("sd6"),
+            F.max(
+                F.struct(
+                    (F.col("cs6") - F.col("lo6")).alias("du6"),
+                    (-F.col("event_id")).alias("neg_id"),
+                )
+            ).alias("pk"),
+            F.count("*").cast("long").alias("n"),
+            F.max("sd6").alias("sd6"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("pk.du6").alias("peak6"),
+            (-F.col("pk.neg_id")).cast("long").alias("peak_event_id"),
+            "sd6",
         )
         .select(
             "event_type",

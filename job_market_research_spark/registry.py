@@ -140,12 +140,22 @@ def _module_mtime(fn: Callable) -> float:
 #: self-join); ml_naive_bayes_lang's scoring product was retyped
 #: decimal(38,6)→decimal(38,14) (the ADVICE r13 exactness fix — same
 #: rounded emission on current data, but the arithmetic changed);
-#: stream_stateful_counter's stateful boundary narrowed to user_id.
+#: stream_stateful_counter's stateful boundary narrowed to user_id;
+#: window_anomaly_mad's medians became window aggregates (12→3
+#: scans); profile_ref_integrity collapsed to one pass per child
+#: table (21→12 scans).
 FORCE_REPROVE: frozenset[str] = frozenset(
     {
         "agg_basket_affinity",
         "ml_naive_bayes_lang",
         "stream_stateful_counter",
+        "window_anomaly_mad",
+        "profile_ref_integrity",
+        "agg_markov_stationary",  # staged transition matrix (8→1 scans)
+        "window_cusum_change",  # one-pass argmax peak (8→4 scans)
+        "agg_theil_sen_trend",  # staged per-(type,day) table (8→1)
+        "text_vocab_jsd",  # rides ws_tcounts + staged term counts (8→1)
+        "agg_price_index_fisher",  # linearized pivot, no self-join (8→2)
     }
 )
 

@@ -587,6 +587,13 @@ _LINEAGE_SCAN_CAPS = {  # fresh census scans + 2
     "graph_hits": 16,  # 14
     "ml_bradley_terry_strength": 4,  # 2
     "agg_basket_affinity": 3,  # 1
+    "agg_markov_stationary": 3,  # 1 (staged transition matrix, r14)
+    "agg_theil_sen_trend": 3,  # 1 (staged per-(type,day) counts, r14)
+    "text_vocab_jsd": 3,  # 1 (rides ws_tcounts, staged term counts, r14)
+    "window_cusum_change": 6,  # 4 (one-pass argmax peak, r14)
+    "agg_price_index_fisher": 4,  # 2 (linearized pivot, r14)
+    "window_anomaly_mad": 5,  # 3 (window-aggregate medians, r14)
+    "profile_ref_integrity": 14,  # 12 (one pass per child table, r14)
     "ml_naive_bayes_lang": 5,  # 3 (scoring rides staged_ws_tcounts; its build counts once)
     "window_downsample_lttb": 6,  # 4
     "text_ccnet_buckets": 9,  # 7
@@ -650,6 +657,12 @@ ADJUDICATED_REROUTES = {
     "dedup_bridge_conflict": (0, 1),
     "ml_eval_retrieval_ndcg": (0, 2),
     "ann_index_build": (2, 1),
+    # r14: the markov_trans staged frame (agg_markov_stationary's
+    # transition matrix) substitutes into agg_event_transitions, whose
+    # plan contains the same lag-window+count subtree. sf0.1 warm A/B
+    # (fused first in a fresh app, then staged): 0.78-1.31 s fused vs
+    # 0.34-0.41 s rerouted — 0.44×, the cache IS its expensive leg.
+    "agg_event_transitions": (0, 2),
 }
 
 
