@@ -70,20 +70,24 @@ def q_agg_theil_sen_trend(spark, sf_dir: str) -> DataFrame:
     identically on identical doubles (agg_percentiles convention);
     the intercept medians round-6 residuals of the round-6 slope.
 
-    The bounded per-(type, day) table is staged (r14): six consumers
-    (origin min, both pair-join sides, residuals, day counts) each
-    re-derived the corpus count otherwise — census 8→1 scans."""
-    from job_market_research_spark.staging import staged_frame
-
-    daily = staged_frame(spark, "theilsen_daily", sf_dir,
-        lambda: (
-            load(spark, sf_dir, "events")
-            .groupBy(
-                "event_type",
-                (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
-            )
-            .agg(F.count("*").alias("y"))
-        ),
+    Measured boundary (r14): the census's 8 initial-plan scans are
+    NOT 8 executions — the six consumers' daily-count subtrees are
+    IDENTICAL, so the executed plan carries 4 ReusedExchange nodes
+    and runs the corpus aggregation once. Staging the daily table
+    instead was A/B'd at sf0.1 (3 fresh JVMs each, interleaved):
+    0.66-1.01 s inline vs 0.98-1.04 s staged — the persist
+    round-trip costs more than the already-deduped recompute, the
+    same boundary as dedup_simhash's inline self-join. Kept inline
+    deliberately; this is the ReuseExchange counterpart to the
+    staged-frame rule (stage only what ReuseExchange cannot dedupe:
+    differing subtrees or cross-query reuse)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        )
+        .agg(F.count("*").alias("y"))
     )
     x0 = daily.agg(F.min("day").alias("min_day"))
     d = daily.crossJoin(F.broadcast(x0)).select(
@@ -4638,7 +4642,7 @@ def q_ml_rdd_sharp(spark, sf_dir: str) -> DataFrame:
     oracle="""
     WITH li AS (
       SELECT l.l_partkey AS pk,
-             CASE WHEN EXTRACT(year FROM o.o_orderdate) < 1995
+             CASE WHEN EXTRACT(year FROM o.o_orderdate) < 1998
                   THEN 0 ELSE 1 END AS period,
              CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4)))
@@ -4678,7 +4682,7 @@ def q_ml_rdd_sharp(spark, sf_dir: str) -> DataFrame:
     tags=("stats", "econ", "beyond"),
 )
 def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
-    """Price-index panel between the pre-1995 and 1995+ order halves
+    """Price-index panel between the pre-1998 and 1998+ order halves
     over parts sold in BOTH periods: Laspeyres (base-period basket —
     overstates inflation when buyers substitute), Paasche (current
     basket — understates it), and Fisher's ideal index (their
@@ -4701,7 +4705,7 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
     folds into the same closing aggregation as the four basket sums,
     so the whole query is one linear pipeline: join → pivot agg →
     per-row terms → bounded reduce."""
-    period0 = F.year("o_orderdate") < 1995
+    period0 = F.year("o_orderdate") < 1998
     pivot = (
         load(spark, sf_dir, "lineitem")
         .join(

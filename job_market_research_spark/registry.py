@@ -153,9 +153,8 @@ FORCE_REPROVE: frozenset[str] = frozenset(
         "profile_ref_integrity",
         "agg_markov_stationary",  # staged transition matrix (8→1 scans)
         "window_cusum_change",  # one-pass argmax peak (8→4 scans)
-        "agg_theil_sen_trend",  # staged per-(type,day) table (8→1)
         "text_vocab_jsd",  # rides ws_tcounts + staged term counts (8→1)
-        "agg_price_index_fisher",  # linearized pivot, no self-join (8→2)
+        "agg_price_index_fisher",  # linearized pivot + 1998 split (values change)
     }
 )
 

@@ -588,7 +588,6 @@ _LINEAGE_SCAN_CAPS = {  # fresh census scans + 2
     "ml_bradley_terry_strength": 4,  # 2
     "agg_basket_affinity": 3,  # 1
     "agg_markov_stationary": 3,  # 1 (staged transition matrix, r14)
-    "agg_theil_sen_trend": 3,  # 1 (staged per-(type,day) counts, r14)
     "text_vocab_jsd": 3,  # 1 (rides ws_tcounts, staged term counts, r14)
     "window_cusum_change": 6,  # 4 (one-pass argmax peak, r14)
     "agg_price_index_fisher": 4,  # 2 (linearized pivot, r14)
