@@ -626,15 +626,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
-                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.93
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40
     ORDER BY vec_a, vec_b
     """,
 )
 def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: same-label (cluster) blocking, pair
-    cosine ≥ 0.93. Blocking by the coarse cluster id is the IVF trick:
+    cosine ≥ 0.40. Blocking by the coarse cluster id is the IVF trick:
     the pair join is per-block instead of global. Rounded to 6 dp so
-    cross-engine float summation order can't flip the hash."""
+    cross-engine float summation order can't flip the hash.
+
+    Threshold note (r14 empty-result audit): the synthetic embeddings
+    carry no true near-dups — the max same-label cosine is ~0.45/0.51
+    at sf0.01/sf0.1 — so the production-style 0.93 cut returned ZERO
+    rows at every scale and the driver's value-hash comparison was
+    vacuous. 0.40 selects the top ~5/86 pairs (sf0.01/sf0.1), keeping
+    the operator's filter+hash path actually exercised; a real corpus
+    would raise the constant back to ~0.9."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -665,7 +673,7 @@ def q_dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.93)
+        .filter(F.col("cosine") >= 0.40)
     )
 
 

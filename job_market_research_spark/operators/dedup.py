@@ -112,7 +112,9 @@ def q_dedup_incremental(spark, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < DATE '1996-01-01')
     ORDER BY c_custkey
     """,
 )
@@ -120,10 +122,22 @@ def q_dedup_load_time(spark, sf_dir: str) -> DataFrame:
     """Warehouse-side duplicate rejection: rows whose key already
     exists in the target table are dropped before append (reference:
     SELECT-before-INSERT probe, _init_postgres.py:103-105). Expressed
-    as one anti-join instead of one RPC per row."""
+    as one anti-join instead of one RPC per row. The "already loaded"
+    set is a load SNAPSHOT — orders before the 1996-01-01 cutoff, the
+    state of the target after the previous incremental run — which
+    also keeps the oracle check non-vacuous: this testdata has
+    complete FK coverage, so probing the full orders table made the
+    survivor set (and hence the driver's value-hash comparison) empty
+    at every gate scale (found by the r14 empty-result audit; ~22%
+    of customers survive at each SF with the snapshot probe)."""
     customer = load(spark, sf_dir, "customer")
-    existing = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    existing = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").cast("date")
+            < F.lit("1996-01-01").cast("date")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return (
         dedup_incremental(customer, existing, "c_custkey")

@@ -155,6 +155,8 @@ FORCE_REPROVE: frozenset[str] = frozenset(
         "window_cusum_change",  # one-pass argmax peak (8→4 scans)
         "text_vocab_jsd",  # rides ws_tcounts + staged term counts (8→1)
         "agg_price_index_fisher",  # linearized pivot + 1998 split (values change)
+        "dedup_load_time",  # snapshot probe: check was vacuous (values change)
+        "dedup_embedding_cosine",  # threshold 0.93→0.40 (values change)
     }
 )
 
