@@ -715,9 +715,12 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
                 F.col("l_orderkey").alias("ok"),
                 F.col("l_partkey").alias("part"),
             )
-            .distinct()
+            # collect_SET dedupes inside the aggregation, so the build
+            # is ONE shuffle on ok (a separate distinct() would add a
+            # (ok, part) shuffle first — measured 1.25-2.7 s vs
+            # 0.76-1.05 s cold at sf0.1, r14)
             .groupBy("ok")
-            .agg(F.sort_array(F.collect_list("part")).alias("parts"))
+            .agg(F.sort_array(F.collect_set("part")).alias("parts"))
         ),
     )
     n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
