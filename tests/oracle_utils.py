@@ -97,6 +97,19 @@ def assert_type_parity(df, con, sql: str, name: str = "?") -> None:
     )
 
 
+#: Queries allowed to return ZERO rows at the sf0.001 smoke scale —
+#: each is non-empty at sf0.01 (the driver's gate scale; verified by
+#: the r14 empty-result audit) but its filter legitimately drains the
+#: 150-row/6k-row smoke tables. Everything else must return rows: an
+#: empty result makes the value-hash comparison vacuous (empty
+#: matches empty — how the pre-r14 Fisher index hid a degenerate
+#: 1995 period split and dedup_embedding_cosine hid an unreachable
+#: 0.93 threshold).
+SMOKE_EMPTY_OK = frozenset(
+    {"agg_nation_trade_volume", "dedup_incremental", "join_spatial_grid"}
+)
+
+
 def assert_parity(df, con, sql: str, name: str = "?") -> None:
     # The DRIVER canonicalizes via pandas sort_values over every output
     # column; a list/struct/map-typed column is unhashable there and the
@@ -114,6 +127,14 @@ def assert_parity(df, con, sql: str, name: str = "?") -> None:
     )
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
+    assert s_rows or name in SMOKE_EMPTY_OK, (
+        f"{name}: empty result — the value-hash comparison is vacuous "
+        f"(empty matches empty). If the emptiness is data-legitimate "
+        f"at THIS scale factor only, allowlist it in SMOKE_EMPTY_OK "
+        f"after verifying it returns rows at sf0.01; otherwise fix "
+        f"the query's constants against the testdata ranges (see the "
+        f"r14 Fisher-index degeneracy in SCALE.md)."
+    )
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
