@@ -106,7 +106,23 @@ def assert_type_parity(df, con, sql: str, name: str = "?") -> None:
 #: 1995 period split and dedup_embedding_cosine hid an unreachable
 #: 0.93 threshold).
 SMOKE_EMPTY_OK = frozenset(
-    {"agg_nation_trade_volume", "dedup_incremental", "join_spatial_grid"}
+    {
+        # empty at sf0.001 only (filters drain the 150-row/6k-row
+        # smoke tables); non-empty at sf0.01 and sf0.1
+        "agg_nation_trade_volume",
+        "dedup_incremental",
+        "join_spatial_grid",
+        # empty at sf0.1 only: the synthetic corpus vocabulary does
+        # not grow with scale, so gram document frequency rises
+        # linearly and the ABSOLUTE GRAM_DF_CAP (the deliberate
+        # 100 TB fan-out bound — cap² per gram must not scale with
+        # corpus) drops every gram the planted near-dup pairs share.
+        # Non-empty at sf0.001/sf0.01, where the driver's gate runs.
+        # A relative cap would keep these non-empty but makes the
+        # pair join corpus-quadratic — rejected (see neardup.df_capped).
+        "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
+    }
 )
 
 
