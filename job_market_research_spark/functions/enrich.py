@@ -16,7 +16,6 @@ client=...)`; the plan shape does not change.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Callable, Iterator
 
 import pandas as pd

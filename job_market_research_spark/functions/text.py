@@ -11,7 +11,7 @@ path, so whole-stage codegen holds across the corpus scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query

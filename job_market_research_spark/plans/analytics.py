@@ -26,7 +26,6 @@ from job_market_research_spark.exact import (
     ORACLE_SUM,
     exact_avg,
     exact_sum,
-    revenue_expr,
     revenue_sum,
 )
 from job_market_research_spark.io import load
