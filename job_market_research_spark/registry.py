@@ -135,30 +135,14 @@ def _module_mtime(fn: Callable) -> float:
 #: in local parity runs — list them here for one round, then remove
 #: once the green row lands (the r13 four — rocchio, containment,
 #: winnowing, naive-bayes — all got their r13 rows and are lifted).
-#: Round 14: agg_basket_affinity moved onto a staged basket-array
-#: table (pair enumeration is now an array combination, not a
-#: self-join); ml_naive_bayes_lang's scoring product was retyped
-#: decimal(38,6)→decimal(38,14) (the ADVICE r13 exactness fix — same
-#: rounded emission on current data, but the arithmetic changed);
-#: stream_stateful_counter's stateful boundary narrowed to user_id;
-#: window_anomaly_mad's medians became window aggregates (12→3
-#: scans); profile_ref_integrity collapsed to one pass per child
-#: table (21→12 scans).
-FORCE_REPROVE: frozenset[str] = frozenset(
-    {
-        "agg_basket_affinity",
-        "ml_naive_bayes_lang",
-        "stream_stateful_counter",
-        "window_anomaly_mad",
-        "profile_ref_integrity",
-        "agg_markov_stationary",  # staged transition matrix (8→1 scans)
-        "window_cusum_change",  # one-pass argmax peak (8→4 scans)
-        "text_vocab_jsd",  # rides ws_tcounts + staged term counts (8→1)
-        "agg_price_index_fisher",  # linearized pivot + 1998 split (values change)
-        "dedup_load_time",  # snapshot probe: check was vacuous (values change)
-        "dedup_embedding_cosine",  # threshold 0.93→0.40 (values change)
-    }
-)
+#: Round 14 listed its 11 plan/value-changed queries here (basket
+#: affinity staging, naive-bayes decimal retype, the three vacuity
+#: fixes, the multi-scan sweep survivors); all 11 got green r14 rows
+#: (CORRECTNESS_r14.json) so the pins are lifted — tier 1's
+#: oldest-round-first rotation now fronts the r5 cohort per the r14
+#: verdict's item 2. Round 15 made no semantics changes requiring a
+#: re-prove (the sf0.1 vacuity fix tightened a GATE, not a query).
+FORCE_REPROVE: frozenset[str] = frozenset()
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then

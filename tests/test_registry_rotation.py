@@ -110,6 +110,41 @@ def test_unlisted_unproven_sort_after_all_listed():
     assert out == [listed, "zz_unlisted_query"]
 
 
+def test_operators_md_histogram_matches_correctness_union():
+    """OPERATORS.md is generated, but nothing forced regeneration when
+    a new driver CORRECTNESS file landed — the r13 AND r14 verdicts
+    both caught the committed histogram one round stale. This pins the
+    doc's freshness line to the LIVE evidence union: the first pytest
+    run after a new CORRECTNESS_r*.json lands fails here until
+    `python scripts/gen_operators_md.py` is re-run (the round-open
+    routine the r14 verdict item 3 asked to machine-enforce)."""
+    import os
+    import re
+
+    from job_market_research_spark.registry import _driver_green_evidence
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "OPERATORS.md")).read()
+    m = re.search(r"Freshness histogram — (.*?); unproven: (\d+)\.", text)
+    assert m, "OPERATORS.md freshness-histogram line missing or reformatted"
+    doc_hist = dict(
+        (k, int(v)) for k, v in re.findall(r"(r\d+): (\d+)", m.group(1))
+    )
+    green = _driver_green_evidence()
+    specs = load_all()
+    live_hist: dict[str, int] = {}
+    for n in specs:
+        if n in green:
+            key = f"r{green[n][0]}"
+            live_hist[key] = live_hist.get(key, 0) + 1
+    live_unproven = sum(1 for n in specs if n not in green)
+    assert (doc_hist, int(m.group(2))) == (live_hist, live_unproven), (
+        f"OPERATORS.md histogram stale: doc={doc_hist} unproven={m.group(2)} "
+        f"vs live={live_hist} unproven={live_unproven} — regenerate with "
+        "`python scripts/gen_operators_md.py`"
+    )
+
+
 def test_live_window_fronts_unproven_queries():
     """While a driver-evidence backlog exists, load_all()'s window head
     must carry names with NO green CORRECTNESS row — the property the
