@@ -125,6 +125,62 @@ def _df_cap_sql(src: str, gram_col: str) -> str:
     """
 
 
+def gram_pairs_ctes(corpus_sql: str) -> str:
+    """Shared CTE chain corpus → bigrams → df-capped index → candidate
+    pairs (jpairs: doc_a, doc_b, inter) + per-doc sizes. Used by the
+    dedup_ngram_jaccard / dedup_cluster_cc oracles AND by their sf0.1
+    non-vacuity probes (tests/oracle_utils.py): the absolute GRAM_DF_CAP
+    legitimately drains both FINAL results at sf0.1, so the standing
+    parity gate there proves full value parity on this candidate-pair
+    frame instead of comparing empty-vs-empty (r14 verdict item 1)."""
+    return f"""
+    corpus AS ({corpus_sql}),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g, lang, source FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks) WHERE g IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    gidx AS ({_df_cap_sql("grams", "g")}),
+    jpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM gidx a JOIN gidx b
+        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    """
+
+
+def gram_pairs_and_sizes(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of `gram_pairs_ctes`: (candidate pairs, per-doc
+    sizes) from the df-capped bigram inverted index. Pairs carry
+    (doc_a, doc_b, inter); sizes carry (doc_id, n)."""
+    grams = corpus.select(
+        "doc_id", "lang", "source", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    idx = df_capped(grams, "g")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return pairs, sizes
+
+
 def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (native:
     split → sequence → transform; no UDF)."""
@@ -540,29 +596,10 @@ def q_dedup_simhash(spark, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH corpus AS ({AUGMENTED_CORPUS_SQL}),
-    toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, g, lang, source FROM (
-        SELECT doc_id, lang, source,
-               unnest(list_transform(range(1, greatest(len(t), 1)),
-                      i -> t[i] || ' ' || t[i+1])) AS g
-        FROM toks) WHERE g IS NOT NULL
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-    idx AS ({_df_cap_sql("grams", "g")}),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM idx a JOIN idx b
-        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
-       AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {gram_pairs_ctes(AUGMENTED_CORPUS_SQL)}
     SELECT p.doc_a, p.doc_b,
            CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
-    FROM pairs p
+    FROM jpairs p
     JOIN sizes sa ON sa.doc_id = p.doc_a
     JOIN sizes sb ON sb.doc_id = p.doc_b
     WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
@@ -577,29 +614,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     df-capped index (GRAM_DF_CAP): a stop-word gram shared by k docs
     would emit k² pairs, so grams over the cap are dropped from the
     index (sizes still count them — capped Jaccard under-estimates,
-    never inflates). Mirrored in the oracle."""
-    corpus = augmented_corpus(spark, sf_dir)
-    grams = corpus.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(word_shingles("text", 2)).alias("g"),
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    idx = df_capped(grams, "g")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    never inflates). Mirrored in the oracle (gram_pairs_ctes)."""
+    pairs, sizes = gram_pairs_and_sizes(augmented_corpus(spark, sf_dir))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
@@ -739,42 +755,19 @@ def q_dedup_fuzzy_levenshtein(spark, sf_dir: str) -> DataFrame:
 
 #: Edge CTEs shared with the recursive-CC oracle: bigram-Jaccard
 #: near-dup pairs (mutant ↔ original) plus exact-copy pairs.
-_CC_EDGES_SQL = f"""
-    corpus AS (
-      SELECT doc_id, text, lang, source FROM documents
+#: CC test corpus: documents + near-dup mutants (+1M, every 10th doc)
+#: + verbatim copies (+2M, every 20th doc) — Spark twin `_cc_corpus`.
+CC_CORPUS_SQL = f"""{AUGMENTED_CORPUS_SQL}
       UNION ALL
-      SELECT doc_id + 1000000, regexp_replace(text, '^[^ ]+ ', ''), lang, source
-      FROM documents WHERE doc_id % 10 = 0
-      UNION ALL
-      SELECT doc_id + 2000000, text, lang, source
+      SELECT doc_id + 2000000 AS doc_id, text, lang, source
       FROM documents WHERE doc_id % 20 = 0
-    ),
-    toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t, lang, source FROM corpus
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, g, lang, source FROM (
-        SELECT doc_id, lang, source,
-               unnest(list_transform(range(1, greatest(len(t), 1)),
-                      i -> t[i] || ' ' || t[i+1])) AS g
-        FROM toks) WHERE g IS NOT NULL
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-    gidx AS (
-      SELECT * FROM grams WHERE g NOT IN (
-        SELECT g FROM grams GROUP BY g HAVING COUNT(*) > {GRAM_DF_CAP})
-    ),
-    jpairs AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
-      FROM gidx a JOIN gidx b
-        ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
-       AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+"""
+
+_CC_EDGES_SQL = f"""{gram_pairs_ctes(CC_CORPUS_SQL)},
     edges AS (
-      SELECT p.a, p.b FROM jpairs p
-      JOIN sizes sa ON sa.doc_id = p.a
-      JOIN sizes sb ON sb.doc_id = p.b
+      SELECT p.doc_a AS a, p.doc_b AS b FROM jpairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
     ),
     sym AS (
@@ -921,32 +914,15 @@ def q_dedup_cluster_cc(spark, sf_dir: str) -> DataFrame:
     iterative min-label propagation over the edge list; DuckDB replays
     it as a recursive CTE — two independent CC implementations
     agreeing on every cluster id."""
-    corpus = _cc_corpus(spark, sf_dir)
-    grams = corpus.select(
-        "doc_id", "lang", "source", F.explode(word_shingles("text", 2)).alias("g")
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    idx = df_capped(grams, "g")
-    a, b = idx.alias("a"), idx.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    pairs, sizes = gram_pairs_and_sizes(_cc_corpus(spark, sf_dir))
     jac = F.col("inter").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("inter")
     )
     edges = (
-        pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b"))
+        pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.4)
-        .select("a", "b")
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     return (
         connected_components(edges)

@@ -293,6 +293,64 @@ GRID_CELL = 2.0
 GRID_TOPK = 20
 
 
+def _spatial_d2():
+    """Squared pair distance over the candidate frame's column names."""
+    return (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+
+
+def spatial_grid_candidates(spark, sf_dir: str):
+    """Adjacent-cell candidate pairs BEFORE the distance predicate —
+    the grid join's bounded candidate generator (columns ak/ax/ay from
+    the probe side, k/x/y/cx/cy from the build side). Shared by
+    `join_spatial_grid` and its sf0.001 non-vacuity probe
+    (tests/oracle_utils.py): at the 150-customer smoke scale no pair
+    falls within the radius, so the gate proves THIS frame's row count
+    against the oracle instead of comparing empty-vs-empty."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("xr"),
+        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("yr"),
+    ).select(
+        "k",
+        (F.col("xr") / 10.0).alias("x"),
+        (F.col("yr") / 10.0).alias("y"),
+    )
+    cells = pts.select(
+        "k",
+        "x",
+        "y",
+        F.floor(F.col("x") / GRID_CELL).cast("long").alias("cx"),
+        F.floor(F.col("y") / GRID_CELL).cast("long").alias("cy"),
+    )
+    probes = cells.select(
+        "k",
+        "x",
+        "y",
+        "cx",
+        "cy",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), i ->"
+                " transform(sequence(-1, 1), j -> struct(i, j))))"
+            )
+        ).alias("o"),
+    ).select(
+        F.col("k").alias("ak"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("o.i")).alias("jx"),
+        (F.col("cy") + F.col("o.j")).alias("jy"),
+    )
+    return probes.join(
+        cells,
+        (F.col("cx") == F.col("jx"))
+        & (F.col("cy") == F.col("jy"))
+        & (F.col("ak") < F.col("k")),
+    )
+
+
 @query(
     "join_spatial_grid",
     oracle=f"""
@@ -350,51 +408,9 @@ def q_join_spatial_grid(spark, sf_dir: str) -> DataFrame:
     at extreme skew, sub-split hot cells (salt on a finer grid)
     exactly like any hot-key join. Top-k is TakeOrdered, no global
     sort."""
-    pts = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("xr"),
-        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("yr"),
-    ).select(
-        "k",
-        (F.col("xr") / 10.0).alias("x"),
-        (F.col("yr") / 10.0).alias("y"),
-    )
-    cells = pts.select(
-        "k",
-        "x",
-        "y",
-        F.floor(F.col("x") / GRID_CELL).cast("long").alias("cx"),
-        F.floor(F.col("y") / GRID_CELL).cast("long").alias("cy"),
-    )
-    probes = cells.select(
-        "k",
-        "x",
-        "y",
-        "cx",
-        "cy",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(-1, 1), i ->"
-                " transform(sequence(-1, 1), j -> struct(i, j))))"
-            )
-        ).alias("o"),
-    ).select(
-        F.col("k").alias("ak"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        (F.col("cx") + F.col("o.i")).alias("jx"),
-        (F.col("cy") + F.col("o.j")).alias("jy"),
-    )
-    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
-        F.col("ay") - F.col("y")
-    ) * (F.col("ay") - F.col("y"))
+    d2 = _spatial_d2()
     pairs = (
-        probes.join(
-            cells,
-            (F.col("cx") == F.col("jx"))
-            & (F.col("cy") == F.col("jy"))
-            & (F.col("ak") < F.col("k")),
-        )
+        spatial_grid_candidates(spark, sf_dir)
         .filter(d2 <= GRID_RADIUS2)
         .select(
             F.col("ak").alias("a_custkey"),

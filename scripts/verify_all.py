@@ -50,7 +50,9 @@ def main() -> int:
     for name in names:
         try:
             if name in oracles:
-                assert_parity(queries[name](spark, sf), con, oracles[name], name=name)
+                assert_parity(
+                    queries[name](spark, sf), con, oracles[name], name=name, sf_dir=sf
+                )
             else:
                 assert queries[name](spark, sf).count() >= 0
         except Exception as exc:  # keep going: report ALL failures

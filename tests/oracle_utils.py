@@ -97,36 +97,158 @@ def assert_type_parity(df, con, sql: str, name: str = "?") -> None:
     )
 
 
-#: Queries allowed to return ZERO rows at the sf0.001 smoke scale —
-#: each is non-empty at sf0.01 (the driver's gate scale; verified by
-#: the r14 empty-result audit) but its filter legitimately drains the
-#: 150-row/6k-row smoke tables. Everything else must return rows: an
-#: empty result makes the value-hash comparison vacuous (empty
-#: matches empty — how the pre-r14 Fisher index hid a degenerate
-#: 1995 period split and dedup_embedding_cosine hid an unreachable
-#: 0.93 threshold).
-SMOKE_EMPTY_OK = frozenset(
-    {
-        # empty at sf0.001 only (filters drain the 150-row/6k-row
-        # smoke tables); non-empty at sf0.01 and sf0.1
-        "agg_nation_trade_volume",
-        "dedup_incremental",
-        "join_spatial_grid",
-        # empty at sf0.1 only: the synthetic corpus vocabulary does
-        # not grow with scale, so gram document frequency rises
-        # linearly and the ABSOLUTE GRAM_DF_CAP (the deliberate
-        # 100 TB fan-out bound — cap² per gram must not scale with
-        # corpus) drops every gram the planted near-dup pairs share.
-        # Non-empty at sf0.001/sf0.01, where the driver's gate runs.
-        # A relative cap would keep these non-empty but makes the
-        # pair join corpus-quadratic — rejected (see neardup.df_capped).
-        "dedup_ngram_jaccard",
-        "dedup_cluster_cc",
-    }
-)
+def _scale_of(sf_dir: str) -> str:
+    import os
+
+    return os.path.basename(os.path.normpath(sf_dir))
 
 
-def assert_parity(df, con, sql: str, name: str = "?") -> None:
+# --- non-vacuity probes -------------------------------------------------
+# Each EMPTY_OK entry MUST carry one of these: when a query's final
+# result is legitimately empty at one scale, the probe proves a
+# NON-EMPTY upstream intermediate still matches the oracle at that
+# scale — so the gate line never silently includes an empty-vs-empty
+# comparison (r14 verdict item 1; the pre-r14 Fisher-index degeneracy
+# is how vacuous green hides real defects). A probe receives
+# (spark, con, sf_dir) with con's views bound to the SAME scale.
+
+
+def _probe_nation_trade(spark, con, sf_dir: str) -> None:
+    """The nation-pair predicate drains the 150-row smoke sample; the
+    4-way fact join upstream of it must be non-empty and count-equal."""
+    from job_market_research_spark.io import load
+
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    c, s = load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
+    n_spark = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .count()
+    )
+    n_duck = con.execute(
+        "SELECT COUNT(*) FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+    ).fetchone()[0]
+    assert n_spark == n_duck > 0, (
+        f"agg_nation_trade_volume probe: 4-way join spark={n_spark} "
+        f"duck={n_duck} — emptiness is no longer filter-legitimate"
+    )
+
+
+def _probe_dedup_incremental(spark, con, sf_dir: str) -> None:
+    """Every 2001+ customer existed before 2001 in the smoke sample, so
+    the anti-join output is empty; both anti-join INPUTS must be
+    non-empty and count-equal (the emptiness is the operator working)."""
+    from pyspark.sql import functions as F
+
+    from job_market_research_spark.io import load
+
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    n_new = orders.filter(F.col("o_orderdate") >= cutoff).count()
+    n_seen = orders.filter(F.col("o_orderdate") < cutoff).count()
+    d_new, d_seen = con.execute(
+        "SELECT SUM(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 1"
+        " ELSE 0 END), SUM(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01'"
+        " THEN 1 ELSE 0 END) FROM orders"
+    ).fetchone()
+    assert n_new == d_new > 0 and n_seen == d_seen > 0, (
+        f"dedup_incremental probe: new spark={n_new}/duck={d_new}, "
+        f"seen spark={n_seen}/duck={d_seen} — an anti-join input drained"
+    )
+
+
+def _probe_spatial_grid(spark, con, sf_dir: str) -> None:
+    """No customer pair falls within the radius at the smoke scale; the
+    adjacent-cell candidate join upstream of the distance predicate
+    must be non-empty and count-equal."""
+    from job_market_research_spark.operators.joins import spatial_grid_candidates
+
+    n_spark = spatial_grid_candidates(spark, sf_dir).count()
+    n_duck = con.execute(
+        """
+        WITH pts AS (
+          SELECT c_custkey AS k,
+                 CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS x,
+                 CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 10.0 AS y
+          FROM customer),
+        cells AS (SELECT k, x, y, CAST(floor(x / 2.0) AS BIGINT) AS cx,
+                  CAST(floor(y / 2.0) AS BIGINT) AS cy FROM pts),
+        probes AS (SELECT c.k, c.cx + dx.i AS jx, c.cy + dy.j AS jy
+          FROM cells c, (VALUES (-1), (0), (1)) dx(i),
+                        (VALUES (-1), (0), (1)) dy(j))
+        SELECT COUNT(*) FROM probes a
+        JOIN cells b ON b.cx = a.jx AND b.cy = a.jy AND a.k < b.k
+        """
+    ).fetchone()[0]
+    assert n_spark == n_duck > 0, (
+        f"join_spatial_grid probe: candidate pairs spark={n_spark} "
+        f"duck={n_duck} — the grid join itself drained"
+    )
+
+
+def _probe_gram_pairs(corpus_fn_name: str, corpus_sql_name: str, name: str):
+    """FULL value parity on the df-capped candidate-pair frame that
+    feeds the Jaccard threshold — at sf0.1 the ABSOLUTE GRAM_DF_CAP
+    (the deliberate 100 TB fan-out bound: per-gram fan-out must not
+    scale with corpus) legitimately drains every pair past 0.4, so the
+    gate proves the candidate generator end-to-end instead (59/105
+    rows at sf0.1). A relative cap would keep the final result
+    non-empty but makes the pair join corpus-quadratic — rejected
+    (see neardup.df_capped)."""
+
+    def probe(spark, con, sf_dir: str) -> None:
+        from job_market_research_spark.ml import neardup as nd
+
+        corpus = getattr(nd, corpus_fn_name)(spark, sf_dir)
+        pairs, _sizes = nd.gram_pairs_and_sizes(corpus)
+        sql = (
+            f"WITH {nd.gram_pairs_ctes(getattr(nd, corpus_sql_name))} "
+            "SELECT doc_a, doc_b, inter FROM jpairs ORDER BY doc_a, doc_b"
+        )
+        assert_parity(pairs, con, sql, name=f"{name}::candidate_pairs", sf_dir=sf_dir)
+
+    return probe
+
+
+#: (query name, scale) pairs allowed to return ZERO rows, each mapped
+#: to its MANDATORY non-vacuity probe (run in place of the value-hash
+#: comparison the emptiness voids). Keyed by scale (ADVICE r14): the
+#: old name-only set also excused emptiness at scales where rows are
+#: documented to exist — a regression emptying dedup_ngram_jaccard at
+#: sf0.01 (the driver gate scale) would have passed vacuously.
+EMPTY_OK: dict[tuple[str, str], object] = {
+    # filters drain the 150-row/6k-row smoke tables; non-empty at
+    # sf0.01 (driver gate) and sf0.1 — where this allowlist no longer
+    # applies, so emptiness there now FAILS the gate.
+    ("agg_nation_trade_volume", "sf0.001"): _probe_nation_trade,
+    ("dedup_incremental", "sf0.001"): _probe_dedup_incremental,
+    # ALSO empty at sf0.1 (0 of 13 227 post-cutoff orders carry an
+    # unseen custkey there; 5 survive at sf0.01, the driver's gate
+    # scale) — found by THIS scale-keyed rework: the old name-only
+    # allowlist asserted "non-empty at sf0.1" in a comment nothing
+    # checked, and the r14 sf0.1 gate silently included the
+    # empty-vs-empty row. The probe proves both anti-join inputs
+    # non-empty and count-equal at the empty scales.
+    ("dedup_incremental", "sf0.1"): _probe_dedup_incremental,
+    ("join_spatial_grid", "sf0.001"): _probe_spatial_grid,
+    # empty at sf0.1 only: synthetic corpus vocabulary does not grow
+    # with scale, so gram df rises linearly past GRAM_DF_CAP and the
+    # planted near-dup pairs lose their shared grams. Non-empty at
+    # sf0.001/sf0.01, where the driver's gate runs.
+    ("dedup_ngram_jaccard", "sf0.1"): _probe_gram_pairs(
+        "augmented_corpus", "AUGMENTED_CORPUS_SQL", "dedup_ngram_jaccard"
+    ),
+    ("dedup_cluster_cc", "sf0.1"): _probe_gram_pairs(
+        "_cc_corpus", "CC_CORPUS_SQL", "dedup_cluster_cc"
+    ),
+}
+
+
+def assert_parity(df, con, sql: str, name: str = "?", sf_dir: str | None = None) -> None:
     # The DRIVER canonicalizes via pandas sort_values over every output
     # column; a list/struct/map-typed column is unhashable there and the
     # whole row crashes (round-3 multimodal_embed_extract failure). The
@@ -143,14 +265,22 @@ def assert_parity(df, con, sql: str, name: str = "?") -> None:
     )
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
-    assert s_rows or name in SMOKE_EMPTY_OK, (
-        f"{name}: empty result — the value-hash comparison is vacuous "
-        f"(empty matches empty). If the emptiness is data-legitimate "
-        f"at THIS scale factor only, allowlist it in SMOKE_EMPTY_OK "
-        f"after verifying it returns rows at sf0.01; otherwise fix "
-        f"the query's constants against the testdata ranges (see the "
-        f"r14 Fisher-index degeneracy in SCALE.md)."
-    )
+    if not s_rows:
+        key = (name, _scale_of(sf_dir)) if sf_dir else None
+        assert key in EMPTY_OK, (
+            f"{name}: empty result at scale "
+            f"{key[1] if key else '<unknown — pass sf_dir>'} — the "
+            f"value-hash comparison is vacuous (empty matches empty). "
+            f"If the emptiness is data-legitimate at THIS scale only, "
+            f"add ((name, scale) → non-empty-intermediate probe) to "
+            f"EMPTY_OK; otherwise fix the query's constants against "
+            f"the testdata ranges (see the r14 Fisher-index degeneracy "
+            f"in SCALE.md)."
+        )
+        # The emptiness voids the value comparison below — run the
+        # entry's probe instead so the gate still proves a non-empty
+        # invariant at this scale.
+        EMPTY_OK[key](df.sparkSession, con, sf_dir)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )

@@ -21,7 +21,29 @@ ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
-    assert_parity(df, duck, spec.oracle, name=name)
+    assert_parity(df, duck, spec.oracle, name=name, sf_dir=sf_dir)
+
+
+def test_empty_ok_allowlist_shape():
+    """EMPTY_OK policy (r14 verdict item 1 + ADVICE): every entry is
+    (registered name, real scale) → callable non-vacuity probe, and NO
+    entry may allowlist sf0.01 — the driver's gate scale must never
+    admit an empty-vs-empty comparison."""
+    import os
+
+    from .oracle_utils import EMPTY_OK
+
+    for (name, scale), probe in EMPTY_OK.items():
+        assert name in SPECS, f"EMPTY_OK names unknown query {name!r}"
+        assert os.path.isdir(f"/root/testdata/{scale}"), (
+            f"EMPTY_OK scale {scale!r} is not a testdata directory"
+        )
+        assert scale != "sf0.01", (
+            f"EMPTY_OK must never allowlist the driver gate scale: {name}"
+        )
+        assert callable(probe), (
+            f"EMPTY_OK[{name}, {scale}] lacks a non-empty-intermediate probe"
+        )
 
 
 def test_every_registration_has_an_oracle():
