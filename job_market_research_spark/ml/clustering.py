@@ -352,6 +352,15 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
     vocab = tok.select("token").distinct()
     vsize = vocab.agg(F.count("*").cast("long").alias("v"))
     counts = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("c"))
+    # loglik = ln of a Laplace-smoothed probability, so |loglik| < ~40
+    # on any input; the scoring product below RELIES on |loglik| < 1e9
+    # (the decimal(23,14) integral capacity — a non-ANSI overflow casts
+    # to NULL, which F.sum would silently DROP from the score, shifting
+    # results instead of erroring; ADVICE r14). Enforce the bound loudly
+    # here on the grid (a small broadcast frame, so the branch is free):
+    raw_ll = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n_tokens") + F.col("v"))
+    )
     grid = (
         langs.crossJoin(vocab)
         .crossJoin(F.broadcast(vsize))
@@ -359,10 +368,14 @@ def q_ml_naive_bayes_lang(spark, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "token",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                / (F.col("n_tokens") + F.col("v"))
-            ).alias("loglik"),
+            F.when(F.abs(raw_ll) < 1e9, raw_ll)
+            .otherwise(
+                F.raise_error(
+                    "naive-bayes loglik exceeds the decimal(23,14) bound —"
+                    " the tf-weighted product would overflow to NULL"
+                )
+            )
+            .alias("loglik"),
         )
     )
     ntot = langs.agg(F.sum("n_docs").cast("double").alias("n"))

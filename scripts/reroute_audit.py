@@ -58,33 +58,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SKIP_RE = r"^(stream_|sink_|source_append)"
 
 
-def assert_no_staging_outside_audited_modules(root: str) -> None:
-    """Fail loudly if a staging call site lives in a module whose
-    queries the audit skips (streaming/, sources/). Staged frames are
-    registered at plan-construction time, so building every
-    non-skipped query's plan (pass 1) registers every staged frame —
-    PROVIDED no skipped query owns one. This guard replaces the old
-    hand-maintained STAGE_OWNERS list (ADVICE r13): a future staged
-    frame in a skipped module breaks here instead of silently
-    under-constructing the cache."""
-    pkg = os.path.join(root, "job_market_research_spark")
+def assert_no_staging_in_skipped_queries(specs) -> None:
+    """Fail loudly if any SKIP_RE-matching query is defined in a module
+    that touches the staging API. Staged frames are registered at
+    plan-construction time, so building every non-skipped query's plan
+    (the CONSTRUCT loop) registers every staged frame — PROVIDED no
+    skipped query owns one. Derived from SKIP_RE itself (ADVICE r14):
+    the old guard hard-coded the streaming/ and sources/ DIRECTORIES,
+    which already missed source_append_merge (operators/setops.py) —
+    a staged frame there would have been skipped by the audit yet not
+    caught by the guard. The match is a whole-module mention scan
+    (including aliased imports like `_app_staged`), deliberately
+    broader than call sites: err loud, then extend the audit."""
+    import sys as _sys
+
     bad = []
-    for dirpath, _dirs, files in os.walk(pkg):
-        for f in files:
-            if not f.endswith(".py"):
-                continue
-            p = os.path.join(dirpath, f)
-            rel = os.path.relpath(p, pkg)
-            if rel.split(os.sep)[0] not in ("streaming", "sources"):
-                continue
-            src = open(p).read()
-            if re.search(r"\b(staged_frame|app_staged)\(", src):
-                bad.append(rel)
+    for name in specs:
+        if not re.match(SKIP_RE, name):
+            continue
+        mod = _sys.modules.get(specs[name].fn.__module__)
+        path = getattr(mod, "__file__", None)
+        if path is None:
+            bad.append((name, "<module file unresolved>"))
+            continue
+        if re.search(r"\b_?(app_staged|staged_frame)\b", open(path).read()):
+            bad.append((name, os.path.relpath(path)))
     if bad:
         raise SystemExit(
-            "reroute_audit: staging call sites in skipped modules "
-            f"{bad} — the audit's pass 1 cannot register their frames; "
-            "extend the audit to cover these owners first."
+            "reroute_audit: SKIP_RE queries defined in staging-touching "
+            f"modules {sorted(set(bad))} — the audit's CONSTRUCT pass "
+            "cannot register their frames; extend the audit to cover "
+            "these owners first."
         )
 
 
@@ -111,8 +115,8 @@ def audit(spark, sf: str, root: str) -> list[tuple[str, int, int]]:
 
     from job_market_research_spark.registry import load_all
 
-    assert_no_staging_outside_audited_modules(root)
     specs = load_all()
+    assert_no_staging_in_skipped_queries(specs)
     dfs = {}
     for n in sorted(specs):
         if re.match(SKIP_RE, n):
