@@ -112,7 +112,7 @@ def run_once(sf_dir: str, sf: float) -> dict:
 
     total = round(sum(timings.values()), 4)
     spark.stop()
-    return {
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -122,6 +122,23 @@ def run_once(sf_dir: str, sf: float) -> dict:
         "sf": sf,
         "versions": _versions(),
     }
+    if os.environ.get("BENCH_ALL"):
+        # Cross-round sweep comparability (r14 verdict item 4): state
+        # the iteration order in the artifact, and record per-FAMILY
+        # (defining module) sums — staged frames are built lazily by
+        # whichever family member first forces them in sweep order, so
+        # individual cache-riding rows re-attribute the shared build
+        # cost whenever a family gains a member; the family sum is the
+        # stable cross-round row.
+        out["order"] = "name-sorted"
+        fams: dict[str, float] = {}
+        for name, secs in timings.items():
+            mod = specs[name].fn.__module__.replace(
+                "job_market_research_spark.", ""
+            )
+            fams[mod] = fams.get(mod, 0.0) + secs
+        out["family_sums"] = {m: round(s, 4) for m, s in sorted(fams.items())}
+    return out
 
 
 def _versions() -> dict[str, str]:

@@ -1149,6 +1149,16 @@ def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
             / det1
         ).alias("a1"),
     )
+    # betas1's subtree (one full lineitem moment pass) is consumed
+    # TWICE — broadcast into the step-2 re-score and again in the
+    # final coefficient join — with DIFFERENT column prunings, so the
+    # two broadcast subtrees are never canonically equal and
+    # ReuseExchange cannot dedupe them (r15 profile: 3 lineitem scans,
+    # 0 ReusedExchange). Staging the 3-row frame collapses the fit to
+    # its designed two corpus passes; sf0.1 A/B in SCALE.md.
+    from job_market_research_spark.staging import staged_frame
+
+    betas1 = staged_frame(spark, "logreg_betas1", sf_dir, lambda: betas1)
     z = F.col("a0") + F.col("a1") * (F.col("p").cast("double") / F.lit(10000.0))
     scored = li.join(F.broadcast(betas1.select("l_returnflag", "a0", "a1")),
                      "l_returnflag").select(

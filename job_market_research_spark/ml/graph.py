@@ -799,6 +799,18 @@ def q_graph_hits(spark, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
+    # Deliberately UNSTAGED edge derivation (r15 ReuseExchange census,
+    # SCALE.md): the edges subtree re-executes inside each staged
+    # half-step build (2×HITS_ROUNDS derivations — ReuseExchange
+    # cannot dedupe across the materialization boundaries), but an
+    # app_staged edges frame measured a WASH at sf0.1 (interleaved
+    # 5-pair A/B: min-warm 1.16 vs 1.39 s, both colds 10.7 s) while
+    # its canonical subtree substituted into FIVE sibling plans —
+    # including the wedge family (triangle_count, link_prediction),
+    # pinned fused since r12 after rerouting measured 1.4-1.7×
+    # slower. Fused-is-optimal verdict; at 100 TB materialize the two
+    # per-orientation edge copies as real tables (docstring above),
+    # not as an in-app cache.
     edges = _edges(docs, n)
     spine = docs.select(F.col("doc_id").alias("node"))
     state = spine.select("node", F.lit(1.0).alias("h"))
