@@ -46,6 +46,25 @@ def test_empty_ok_allowlist_shape():
         )
 
 
+def test_empty_ok_probes_execute(spark, duck, sf_dir):
+    """Every EMPTY_OK probe must RUN green at the smoke scale, not just
+    exist: the gram-pair probes normally execute only inside the sf0.1
+    gate (their queries are non-empty at sf0.001, so the allowlist
+    path never fires in this suite) — without this test a bit-rotted
+    probe would first fail in the standing sf0.1 gate, after the fact.
+    Probes are scale-generic by construction (they prove parity of a
+    non-empty intermediate, and all their intermediates are non-empty
+    at every scale), so running them here is well-defined."""
+    from .oracle_utils import EMPTY_OK
+
+    ran = set()
+    for (name, _scale), probe in EMPTY_OK.items():
+        if probe in ran:
+            continue
+        ran.add(probe)
+        probe(spark, duck, sf_dir)
+
+
 def test_every_registration_has_an_oracle():
     """Registry invariant: the driver ERRS (not rows-only-falls-back)
     on `oracle=None` — round 5 proved it with `agg_sketch_prod:
