@@ -135,14 +135,24 @@ def _module_mtime(fn: Callable) -> float:
 #: in local parity runs — list them here for one round, then remove
 #: once the green row lands (the r13 four — rocchio, containment,
 #: winnowing, naive-bayes — all got their r13 rows and are lifted).
-#: Round 14 listed its 11 plan/value-changed queries here (basket
-#: affinity staging, naive-bayes decimal retype, the three vacuity
-#: fixes, the multi-scan sweep survivors); all 11 got green r14 rows
-#: (CORRECTNESS_r14.json) so the pins are lifted — tier 1's
-#: oldest-round-first rotation now fronts the r5 cohort per the r14
-#: verdict's item 2. Round 15 made no semantics changes requiring a
-#: re-prove (the sf0.1 vacuity fix tightened a GATE, not a query).
-FORCE_REPROVE: frozenset[str] = frozenset()
+#: Round 14 listed its 11 plan/value-changed queries here; all 11 got
+#: green r14 rows (CORRECTNESS_r14.json) so those pins are lifted —
+#: tier 1's oldest-round-first rotation fronts the r5 cohort per the
+#: r14 verdict's item 2 (the two r15 pins below still leave all 36
+#: r5-stamped queries inside the 50-slot window: 2 + 36 + 12 of r6).
+#: Round 15 plan-changed queries (values identical, plans not —
+#: standing rule from ADVICE r12 item 3; lift after their r15 rows):
+#: ml_logreg_newton's twice-consumed moment pass is now staged
+#: (3→2 lineitem scans); ml_naive_bayes_lang's loglik gained the
+#: decimal-bound raise_error guard branch. The r15 gram-pair /
+#: spatial-candidate refactors changed CONSTRUCTION only — plan
+#: census byte-identical — so they carry no pin.
+FORCE_REPROVE: frozenset[str] = frozenset(
+    {
+        "ml_logreg_newton",
+        "ml_naive_bayes_lang",
+    }
+)
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
