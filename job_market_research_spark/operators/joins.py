@@ -291,6 +291,37 @@ def q_join_null_safe(spark, sf_dir: str) -> DataFrame:
 GRID_RADIUS2 = 2.25  # radius 1.5, compared as squared distance
 GRID_CELL = 2.0
 GRID_TOPK = 20
+#: Deterministic coordinate recipe: two co-prime multipliers mod 1000
+#: (the synthetic tables carry no geo columns). Single source for the
+#: Spark side, the oracle, and the sf0.001 non-vacuity probe.
+COORD_MULT_X = 7919
+COORD_MULT_Y = 104729
+
+
+def spatial_grid_ctes() -> str:
+    """pts/cells/probes CTE text shared by the `join_spatial_grid`
+    oracle and its sf0.001 non-vacuity probe (tests/oracle_utils.py's
+    _probe_spatial_grid) — one source for the coordinate recipe and
+    GRID_CELL, so tuning a constant cannot leave the probe comparing
+    a different grid than the query (the drift gram_pairs_ctes was
+    introduced to eliminate for the n-gram family)."""
+    return f"""pts AS (
+      SELECT c_custkey AS k,
+             CAST((c_custkey * {COORD_MULT_X}) % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST((c_custkey * {COORD_MULT_Y}) % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT k, x, y,
+             CAST(floor(x / {GRID_CELL}) AS BIGINT) AS cx,
+             CAST(floor(y / {GRID_CELL}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probes AS (
+      SELECT c.k, c.x, c.y, c.cx + dx.i AS jx, c.cy + dy.j AS jy
+      FROM cells c, (VALUES (-1), (0), (1)) dx(i),
+                    (VALUES (-1), (0), (1)) dy(j)
+    )"""
 
 
 def _spatial_d2():
@@ -310,8 +341,8 @@ def spatial_grid_candidates(spark, sf_dir: str):
     against the oracle instead of comparing empty-vs-empty."""
     pts = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
-        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("xr"),
-        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("yr"),
+        ((F.col("c_custkey") * COORD_MULT_X) % 1000).cast("double").alias("xr"),
+        ((F.col("c_custkey") * COORD_MULT_Y) % 1000).cast("double").alias("yr"),
     ).select(
         "k",
         (F.col("xr") / 10.0).alias("x"),
@@ -354,23 +385,7 @@ def spatial_grid_candidates(spark, sf_dir: str):
 @query(
     "join_spatial_grid",
     oracle=f"""
-    WITH pts AS (
-      SELECT c_custkey AS k,
-             CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS x,
-             CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 10.0 AS y
-      FROM customer
-    ),
-    cells AS (
-      SELECT k, x, y,
-             CAST(floor(x / {GRID_CELL}) AS BIGINT) AS cx,
-             CAST(floor(y / {GRID_CELL}) AS BIGINT) AS cy
-      FROM pts
-    ),
-    probes AS (
-      SELECT c.k, c.x, c.y, c.cx + dx.i AS jx, c.cy + dy.j AS jy
-      FROM cells c, (VALUES (-1), (0), (1)) dx(i),
-                    (VALUES (-1), (0), (1)) dy(j)
-    ),
+    WITH {spatial_grid_ctes()},
     pairs AS (
       SELECT a.k AS a_custkey, b.k AS b_custkey,
              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2

@@ -165,21 +165,18 @@ def _probe_spatial_grid(spark, con, sf_dir: str) -> None:
     """No customer pair falls within the radius at the smoke scale; the
     adjacent-cell candidate join upstream of the distance predicate
     must be non-empty and count-equal."""
-    from job_market_research_spark.operators.joins import spatial_grid_candidates
+    from job_market_research_spark.operators.joins import (
+        spatial_grid_candidates,
+        spatial_grid_ctes,
+    )
 
     n_spark = spatial_grid_candidates(spark, sf_dir).count()
+    # The SAME pts/cells/probes CTEs the oracle uses (one source for
+    # GRID_CELL and the coordinate recipe — a tuned constant cannot
+    # leave this probe comparing a different grid than the query).
     n_duck = con.execute(
-        """
-        WITH pts AS (
-          SELECT c_custkey AS k,
-                 CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS x,
-                 CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 10.0 AS y
-          FROM customer),
-        cells AS (SELECT k, x, y, CAST(floor(x / 2.0) AS BIGINT) AS cx,
-                  CAST(floor(y / 2.0) AS BIGINT) AS cy FROM pts),
-        probes AS (SELECT c.k, c.cx + dx.i AS jx, c.cy + dy.j AS jy
-          FROM cells c, (VALUES (-1), (0), (1)) dx(i),
-                        (VALUES (-1), (0), (1)) dy(j))
+        f"""
+        WITH {spatial_grid_ctes()}
         SELECT COUNT(*) FROM probes a
         JOIN cells b ON b.cx = a.jx AND b.cy = a.jy AND a.k < b.k
         """

@@ -703,3 +703,64 @@ def test_staged_frames_do_not_silently_reroute_fused_queries(spark, sf_dir):
         "add a distinguishing marker to the staged build so the "
         "subtree no longer canonicalizes equal."
     )
+
+
+def _reroute_audit_module():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "reroute_audit", os.path.join(root, "scripts", "reroute_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_staging_exclusivity_guard_flags_private_helpers_only():
+    """The helper-module half of the reroute-audit guard: a staging
+    call in a module reachable ONLY from skipped (stream_*/sink_*)
+    queries is flagged — its frames would never be registered by the
+    audit's CONSTRUCT pass — while a helper shared with any
+    non-skipped query is excused (that sibling registers the frame
+    at construction time). Synthetic graph, pure logic."""
+    mod = _reroute_audit_module()
+    edges = {
+        "pkg.streaming.sessions": {"pkg.streaming.state"},
+        "pkg.streaming.state": {"pkg.staging"},
+        "pkg.plans.analytics": {"pkg.io"},
+        "pkg.io": set(),
+        "pkg.staging": set(),
+    }
+    mentions = {"pkg.streaming.state", "pkg.staging"}
+    rogue = mod.staging_reachable_only_from_skipped(
+        {"pkg.streaming.sessions"}, {"pkg.plans.analytics"}, edges, mentions
+    )
+    assert rogue == {"pkg.streaming.state", "pkg.staging"}
+
+    # Shared helper: the non-skipped module also imports it -> excused.
+    edges["pkg.plans.analytics"] = {"pkg.io", "pkg.streaming.state"}
+    rogue = mod.staging_reachable_only_from_skipped(
+        {"pkg.streaming.sessions"}, {"pkg.plans.analytics"}, edges, mentions
+    )
+    assert rogue == set()
+
+
+def test_staging_guard_import_graph_sees_function_body_imports():
+    """The real package graph must carry edges for imports INSIDE
+    function bodies (most query fns import lazily) — spot-checked on
+    a known lazy edge, and the full guard must pass at HEAD."""
+    mod = _reroute_audit_module()
+    files, edges = mod._package_import_graph()
+    # operators/joins.py imports load from ..io at module top; the
+    # streaming modules import package modules inside fns - both kinds
+    # must appear.
+    assert "job_market_research_spark.io" in edges["job_market_research_spark.operators.joins"]
+    assert any(
+        e for e in edges["job_market_research_spark.streaming.windows"]
+    ), "streaming.windows has package imports; graph saw none"
+
+    from job_market_research_spark.registry import load_all
+
+    mod.assert_no_staging_in_skipped_queries(load_all())
