@@ -147,10 +147,16 @@ def _module_mtime(fn: Callable) -> float:
 #: decimal-bound raise_error guard branch. The r15 gram-pair /
 #: spatial-candidate refactors changed CONSTRUCTION only — plan
 #: census byte-identical — so they carry no pin.
+#: join_spatial_grid's ORACLE text moved onto the shared
+#: spatial_grid_ctes() source late in r15 (values identical, SQL text
+#: not — same standing rule, conservatively applied to oracle-text
+#: changes so the driver proves the exact SQL it will keep running;
+#: 3 pins + 36 r5 + 11 of r6 still fit the 50-slot window).
 FORCE_REPROVE: frozenset[str] = frozenset(
     {
         "ml_logreg_newton",
         "ml_naive_bayes_lang",
+        "join_spatial_grid",
     }
 )
 
