@@ -140,25 +140,15 @@ def _module_mtime(fn: Callable) -> float:
 #: tier 1's oldest-round-first rotation fronts the r5 cohort per the
 #: r14 verdict's item 2 (the two r15 pins below still leave all 36
 #: r5-stamped queries inside the 50-slot window: 2 + 36 + 12 of r6).
-#: Round 15 plan-changed queries (values identical, plans not —
-#: standing rule from ADVICE r12 item 3; lift after their r15 rows):
-#: ml_logreg_newton's twice-consumed moment pass is now staged
-#: (3→2 lineitem scans); ml_naive_bayes_lang's loglik gained the
-#: decimal-bound raise_error guard branch. The r15 gram-pair /
-#: spatial-candidate refactors changed CONSTRUCTION only — plan
-#: census byte-identical — so they carry no pin.
-#: join_spatial_grid's ORACLE text moved onto the shared
-#: spatial_grid_ctes() source late in r15 (values identical, SQL text
-#: not — same standing rule, conservatively applied to oracle-text
-#: changes so the driver proves the exact SQL it will keep running;
-#: 3 pins + 36 r5 + 11 of r6 still fit the 50-slot window).
-FORCE_REPROVE: frozenset[str] = frozenset(
-    {
-        "ml_logreg_newton",
-        "ml_naive_bayes_lang",
-        "join_spatial_grid",
-    }
-)
+#: Round 15 pinned its three plan/oracle-text-changed queries
+#: (ml_logreg_newton, ml_naive_bayes_lang, join_spatial_grid); all
+#: three got green r15 rows (CORRECTNESS_r15.json) so the pins are
+#: lifted per the standing rule — the r16 window spends all 50 slots
+#: on tier 1's oldest-round-first rotation (drains the r6 cohort,
+#: VERDICT r15 item 2). Round 16 is an optimization round: any query
+#: whose PLAN is restructured re-fronts automatically via module-mtime
+#: staleness, and values are locally re-proved before commit.
+FORCE_REPROVE: frozenset[str] = frozenset()
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
