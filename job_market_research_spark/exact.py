@@ -82,11 +82,6 @@ def exact_avg(col: str | Column, alias: str) -> Column:
     return ((total / F.lit(10_000)).cast("double") / F.count(c)).alias(alias)
 
 
-def revenue_expr() -> Column:
-    """l_extendedprice * (1 - l_discount) in exact decimal (TPC-H style)."""
-    return dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
-
-
 ORACLE_SUM = "CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
 ORACLE_AVG = "CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({col})"
 #: The product sum carries scale 8; REDUCE to scale 4 before the double
@@ -103,25 +98,24 @@ ORACLE_REVENUE = (
 )
 
 
-def revenue_sum(alias: str) -> Column:
-    """SUM of the exact revenue l_extendedprice * (1 - l_discount),
-    scale-reduced to 4 (exact for 2dp money) before the double cast —
-    keeps the decimal→double conversion correctly rounded on BOTH
-    engines at any magnitude.
-
-    Computed via the scaled-long hi/lo path (see _hilo_sum_as_decimal):
-    price in cents (exact: money is 2dp) times (10^4 − discount·10^4)
-    gives the revenue as an integer in 10^-6 currency units, |v| ≤ 1e11
-    per row; the hi/lo sums recompose to the identical scale-8 decimal
-    SUM the oracle computes (for 2dp prices the scale-6 integer times
-    10^-6 equals the scale-8 product sum digit for digit), and the
-    final decimal division (scale 8 ≥ true scale 6, exact) + the
-    DECIMAL(38,4) cast apply the same HALF_UP rounding as the oracle's
-    scale-8→scale-4 reduction. Bit-identity is proven by the oracle
-    hash gates at every scale factor."""
+def scaled_revenue() -> Column:
+    """l_extendedprice * (1 − l_discount) as a LONG in 10^-6 currency
+    units: price in cents (exact — money is 2dp) times
+    (10^4 − discount·10^4). |v| ≤ 1e11 per row. For 2dp prices this
+    scale-6 integer times 10^-6 equals the oracle's scale-8 decimal
+    product digit for digit."""
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_4 = F.round(F.col("l_discount") * 10_000).cast("long")
-    v6 = price_c * (F.lit(10_000) - disc_4)
+    return price_c * (F.lit(10_000) - disc_4)
+
+
+def sum_scale6_money(v6: Column, alias: str) -> Column:
+    """Exact SUM of a scale-6 scaled-long money expression (e.g.
+    scaled_revenue), reduced to scale 4 before the double cast — the
+    same HALF_UP reduction as the oracle's
+    ``CAST(SUM(...) AS DECIMAL(38,4))`` (the intermediate decimal
+    division's scale ≥ 6 keeps every true digit, so the only rounding
+    is the final scale-4 cast, identical on both engines)."""
     total = _hilo_sum_as_decimal(v6)
     return (
         (total / F.lit(1_000_000))
@@ -129,3 +123,13 @@ def revenue_sum(alias: str) -> Column:
         .cast("double")
         .alias(alias)
     )
+
+
+def revenue_sum(alias: str) -> Column:
+    """SUM of the exact revenue l_extendedprice * (1 - l_discount),
+    scale-reduced to 4 (exact for 2dp money) before the double cast —
+    keeps the decimal→double conversion correctly rounded on BOTH
+    engines at any magnitude. Scaled-long hi/lo path (see
+    _hilo_sum_as_decimal); bit-identity proven by the oracle hash
+    gates at every scale factor."""
+    return sum_scale6_money(scaled_revenue(), alias)

@@ -30,8 +30,9 @@ from job_market_research_spark.exact import (
     ORACLE_SUM,
     dec,
     exact_sum,
-    revenue_expr,
     revenue_sum,
+    scaled_revenue,
+    sum_scale6_money,
 )
 from job_market_research_spark.io import load
 from job_market_research_spark.registry import query
@@ -53,12 +54,15 @@ _ORACLE_FORECAST = (
 
 
 def _forecast_sum(alias: str) -> F.Column:
-    return (
-        F.sum(dec("l_extendedprice") * dec("l_discount"))
-        .cast("decimal(38,4)")
-        .cast("double")
-        .alias(alias)
+    # price·discount via the scaled-long path (exact.py): cents ×
+    # discount·10^4 is the scale-6 integer form of the oracle's
+    # scale-8 decimal product for 2dp money — same number, ~2x
+    # cheaper per row than the wide-decimal accumulator.
+    v6 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_discount") * 10_000).cast("long")
     )
+    return sum_scale6_money(v6, alias)
 
 
 @query(
@@ -229,12 +233,10 @@ def q_agg_market_share(spark, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    num = (
-        F.sum(F.when(F.col("supp_nation") == "NATION_3", revenue_expr()))
-        .cast("decimal(38,4)")
-        .cast("double")
+    num = sum_scale6_money(
+        F.when(F.col("supp_nation") == "NATION_3", scaled_revenue()), "num"
     )
-    den = F.sum(revenue_expr()).cast("decimal(38,4)").cast("double")
+    den = sum_scale6_money(scaled_revenue(), "den")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -396,12 +398,10 @@ def q_agg_promo_revenue_share(spark, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.expr(_Q2_96))
     )
     part = load(spark, sf_dir, "part")
-    num = (
-        F.sum(F.when(F.col("p_type") == "PROMO", revenue_expr()))
-        .cast("decimal(38,4)")
-        .cast("double")
+    num = sum_scale6_money(
+        F.when(F.col("p_type") == "PROMO", scaled_revenue()), "num"
     )
-    den = F.sum(revenue_expr()).cast("decimal(38,4)").cast("double")
+    den = sum_scale6_money(scaled_revenue(), "den")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue_pct"))
