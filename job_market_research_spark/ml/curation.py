@@ -963,21 +963,31 @@ def q_pipeline_rag_index_e2e(spark, sf_dir: str) -> DataFrame:
         (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
         F.expr(f"slice(toks, start + 1, {CHUNK_SIZE})").alias("ctoks"),
     )
-    # The explode-of-singleton is a deliberate projection-collapse
-    # BARRIER: downstream bucket/nrm/cosine all reference `v`, and
-    # CollapseProject would otherwise inline the full md5+fold
-    # embedding expression into each of them (higher-order functions
-    # get no common-subexpression elimination) — measured 4× the
-    # embedding cost without it. The Generate materializes v ONCE.
-    embedded = (
-        chunks.select(
-            "doc_id", "chunk_id", F.expr(_RAG_HL_SPARK).alias("chl")
-        )
-        .select("doc_id", "chunk_id", F.expr(_RAG_EMB_SPARK).alias("v0"))
-        .select(
-            "doc_id", "chunk_id", F.explode(F.array("v0")).alias("v")
-        )
-    )
+    # Two distinct re-evaluation hazards, two distinct guards:
+    # - The explode-of-singleton is a deliberate projection-collapse
+    #   BARRIER: downstream bucket/nrm/cosine all reference `v`, and
+    #   CollapseProject would otherwise inline the full md5+fold
+    #   embedding expression into each of them (higher-order functions
+    #   get no common-subexpression elimination) — measured 4× the
+    #   embedding cost without it. The Generate materializes v ONCE.
+    # - `chl` must be LET-BOUND inside the embedding expression (the
+    #   single-element-array transform idiom): projecting it as its
+    #   own column does NOT survive CollapseProject, which re-inlines
+    #   the md5 token-hash list into the per-dimension lambda — every
+    #   chunk re-hashed its 32 tokens once per dim, 8 md5/token again
+    #   despite the one-hash-per-token design above (the r16 before
+    #   plan shows md5 inside the per-j lambda). Binding it as the
+    #   lone element of a literal array evaluates it once per chunk
+    #   regardless of collapsing: interleaved A/B 0.30× at sf0.1
+    #   (2.78 s → 0.84 s, values byte-identical).
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"element_at(transform(array({_RAG_HL_SPARK}), chl ->"
+            f" {_RAG_EMB_SPARK}), 1)"
+        ).alias("v0"),
+    ).select("doc_id", "chunk_id", F.explode(F.array("v0")).alias("v"))
     indexed = embedded.select(
         "doc_id",
         "chunk_id",

@@ -668,6 +668,29 @@ def test_balanced_classes_exact_floor(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_rag_embedding_hash_list_stays_let_bound(spark, sf_dir):
+    """CollapseProject must not re-inline the per-token md5 hash list
+    into the per-dimension embedding lambda: projecting `chl` as its
+    own column did not survive collapsing, and every chunk re-hashed
+    its 32 tokens once per dim — 8 md5/token (r16 A/B: 0.30× at sf0.1
+    after let-binding). Pin that the optimized doc-side plan still
+    carries the single-element-array binding and that the per-dim
+    aggregate folds the BOUND lambda variable, not a recomputed
+    transform."""
+    from job_market_research_spark.ml.curation import (
+        q_pipeline_rag_index_e2e,
+    )
+
+    plan = (
+        q_pipeline_rag_index_e2e(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "element_at(transform(array(transform(" in plan
+    assert "aggregate(lambda chl" in plan
+
+
 def test_rag_pipeline_probe_stays_in_query_bucket(spark, sf_dir):
     from job_market_research_spark.ml.curation import (
         RAG_TOP,
