@@ -1158,7 +1158,13 @@ def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
     # its designed two corpus passes; sf0.1 A/B in SCALE.md.
     from job_market_research_spark.staging import staged_frame
 
-    betas1 = staged_frame(spark, "logreg_betas1", sf_dir, lambda: betas1)
+    # Bind the inline frame to its own name before rebinding `betas1`:
+    # the build closure must not capture the variable it assigns to,
+    # or a deferred build would resolve to the staged frame itself.
+    betas1_inline = betas1
+    betas1 = staged_frame(
+        spark, "logreg_betas1", sf_dir, lambda: betas1_inline
+    )
     z = F.col("a0") + F.col("a1") * (F.col("p").cast("double") / F.lit(10000.0))
     scored = li.join(F.broadcast(betas1.select("l_returnflag", "a0", "a1")),
                      "l_returnflag").select(

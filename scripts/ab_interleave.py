@@ -82,9 +82,14 @@ def run(a_spec: str, b_spec: str, sf_dir: str, n_pairs: int) -> None:
         print(f"pair {pair} ({order}): A {a:.3f}s  B {b:.3f}s  B/A {b / a:.2f}")
 
     sa, sb = sorted(ta), sorted(tb)
-    med = len(sa) // 2
+
+    def _median(xs: list[float]) -> float:
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    ma, mb = _median(sa), _median(sb)
     print(f"min  A {sa[0]:.3f}  B {sb[0]:.3f}  B/A {sb[0] / sa[0]:.2f}")
-    print(f"med  A {sa[med]:.3f}  B {sb[med]:.3f}  B/A {sb[med] / sa[med]:.2f}")
+    print(f"med  A {ma:.3f}  B {mb:.3f}  B/A {mb / ma:.2f}")
     spark.stop()
 
 

@@ -747,6 +747,70 @@ def test_staging_exclusivity_guard_flags_private_helpers_only():
     assert rogue == set()
 
 
+def test_mixed_reachability_registration_check_flags_unregistered():
+    """r15 verdict item 4: the excuse check 2 grants to a helper
+    reachable from both sides is now CHECKED — after the construct
+    pass, every literal frame name in a mixed-reachability module must
+    be in the staging registry. Synthetic graph, pure logic: `beta`
+    declared in the shared helper but never registered is flagged;
+    `gamma` in a module no skipped query can reach is not this check's
+    business; full registration clears."""
+    mod = _reroute_audit_module()
+    edges = {
+        "pkg.streaming.sessions": {"pkg.helpers"},
+        "pkg.plans.analytics": {"pkg.helpers"},
+        "pkg.helpers": set(),
+        "pkg.private": set(),
+    }
+    sites = {"pkg.helpers": {"alpha", "beta"}, "pkg.private": {"gamma"}}
+    missing = mod.unregistered_mixed_reachability_names(
+        {"pkg.streaming.sessions"},
+        {"pkg.plans.analytics"},
+        edges,
+        sites,
+        {"alpha"},
+    )
+    assert missing == {"pkg.helpers": {"beta"}}
+    missing = mod.unregistered_mixed_reachability_names(
+        {"pkg.streaming.sessions"},
+        {"pkg.plans.analytics"},
+        edges,
+        sites,
+        {"alpha", "beta"},
+    )
+    assert missing == {}
+
+
+def test_staging_site_name_extraction(tmp_path):
+    """Literal frame names are read from both staged_frame's 2nd arg
+    and app_staged's key-tuple head (aliased imports included);
+    dynamic names stay invisible (the documented residual boundary)."""
+    mod = _reroute_audit_module()
+    p = tmp_path / "m.py"
+    p.write_text(
+        "def f(spark, sf, dyn):\n"
+        "    a = staged_frame(spark, 'alpha', sf, lambda: None)\n"
+        "    b = _app_staged(spark, ('beta', sf, 3), lambda: None)\n"
+        "    c = app_staged(spark, (dyn, sf), lambda: None)\n"
+    )
+    assert mod.staging_site_names(str(p)) == {"alpha", "beta"}
+
+
+def test_import_graph_resolves_init_relative_imports(tmp_path, monkeypatch):
+    """ADVICE r15: `from . import x` inside a package's __init__.py
+    must resolve relative to the package ITSELF, not its parent — the
+    old form silently dropped those edges."""
+    pkg = tmp_path / "rrpkg" / "sub"
+    pkg.mkdir(parents=True)
+    (tmp_path / "rrpkg" / "__init__.py").write_text("")
+    (pkg / "__init__.py").write_text("from . import leaf\n")
+    (pkg / "leaf.py").write_text("")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mod = _reroute_audit_module()
+    _files, edges = mod._package_import_graph("rrpkg")
+    assert "rrpkg.sub.leaf" in edges["rrpkg.sub"]
+
+
 def test_staging_guard_import_graph_sees_function_body_imports():
     """The real package graph must carry edges for imports INSIDE
     function bodies (most query fns import lazily) — spot-checked on
