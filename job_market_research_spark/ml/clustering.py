@@ -505,30 +505,52 @@ def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
     the driver never touches row data. Both engines cast the SAME
     exact decimals to doubles and evaluate the SAME expression tree,
     so determinants match bit-for-bit before the final rounding."""
+    from job_market_research_spark.exact import _hilo_sum_as_decimal
+
     li = load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    # Moment sums as scaled-long hi/lo sums (exact.py, the r16 change-2
+    # path): quantity is integer-valued and discount/price are 2dp
+    # money, so each operand is exact at scale 2 and every product is
+    # exact at scale 4 (|price2*price2| <= ~1.2e14 per row, hi/lo
+    # partials safe to ~1e13 rows). The recombined decimal is the SAME
+    # rational as the former decimal(18,6)-product SUM digit for digit,
+    # and the decimal->double conversion is correctly rounded on both
+    # paths — bit-identical moments (checked per scale factor at
+    # adoption), ~2x cheaper per row than the wide-decimal accumulator.
+    q2 = F.round(F.col("l_quantity") * 100).cast("long")
+    d2 = F.round(F.col("l_discount") * 100).cast("long")
+    p2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def s2(v, alias):  # single scale-2 operand
+        return (_hilo_sum_as_decimal(v) / F.lit(100)).cast("double").alias(alias)
+
+    def s4(v, alias):  # product of two scale-2 operands -> scale 4
+        return (
+            (_hilo_sum_as_decimal(v) / F.lit(10_000)).cast("double").alias(alias)
+        )
+
     m = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(dec("l_quantity")).alias("sx1"),
-        F.sum(dec("l_discount")).alias("sx2"),
-        F.sum(dec("l_extendedprice")).alias("sy"),
-        F.sum(dec("l_quantity") * dec("l_quantity")).alias("s11"),
-        F.sum(dec("l_quantity") * dec("l_discount")).alias("s12"),
-        F.sum(dec("l_discount") * dec("l_discount")).alias("s22"),
-        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("s1y"),
-        F.sum(dec("l_discount") * dec("l_extendedprice")).alias("s2y"),
-        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).alias("syy"),
+        s2(q2, "sx1"),
+        s2(d2, "sx2"),
+        s2(p2, "sy"),
+        s4(q2 * q2, "s11"),
+        s4(q2 * d2, "s12"),
+        s4(d2 * d2, "s22"),
+        s4(q2 * p2, "s1y"),
+        s4(d2 * p2, "s2y"),
+        s4(p2 * p2, "syy"),
     )
     a = F.col("n").cast("double")
-    b = F.col("sx1").cast("double")
-    c = F.col("sx2").cast("double")
-    y0 = F.col("sy").cast("double")
-    e = F.col("s11").cast("double")
-    f = F.col("s12").cast("double")
-    g = F.col("s22").cast("double")
-    y1 = F.col("s1y").cast("double")
-    y2 = F.col("s2y").cast("double")
-    yy = F.col("syy").cast("double")
+    b = F.col("sx1")
+    c = F.col("sx2")
+    y0 = F.col("sy")
+    e = F.col("s11")
+    f = F.col("s12")
+    g = F.col("s22")
+    y1 = F.col("s1y")
+    y2 = F.col("s2y")
+    yy = F.col("syy")
     det = a * (e * g - f * f) - b * (b * g - f * c) + c * (b * f - e * c)
     det0 = y0 * (e * g - f * f) - b * (y1 * g - f * y2) + c * (y1 * f - e * y2)
     det1 = a * (y1 * g - y2 * f) - y0 * (b * g - f * c) + c * (b * y2 - y1 * c)

@@ -85,9 +85,16 @@ def salted_join(
     moderate build sides with a skewed probe; for small builds plain
     broadcast wins, and AQE skew-split covers the sort-merge case."""
     salted_probe = probe.withColumn("_salt", salt_column(salt_src, buckets=buckets))
+    # Pin the shuffle strategy: salting exists to spread one hot key
+    # over SALT reducers, which REQUIRES a shuffle by (key, salt).
+    # Left to Catalyst, a build side under autoBroadcastJoinThreshold
+    # is collected into a buckets×|build| broadcast relation — the
+    # worst of both (r16 isolated profile: 3.2–10.6 s vs 1.1–1.6 s
+    # shuffled at sf0.1, A/B min 0.50×), and the exact shape salting
+    # is meant to avoid at scale.
     salted_build = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
-    )
+    ).hint("shuffle_hash")
     cond = (salted_probe[probe_key] == salted_build[build_key]) & (
         salted_probe["_salt"] == salted_build["_salt"]
     )
