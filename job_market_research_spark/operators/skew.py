@@ -82,8 +82,12 @@ def salted_join(
 ) -> DataFrame:
     """Hot-key equi-join: replicate the build side `buckets` ways and
     join on (key, salt). Build-side blowup is buckets×|build| — use for
-    moderate build sides with a skewed probe; for small builds plain
-    broadcast wins, and AQE skew-split covers the sort-merge case."""
+    moderate build sides with a skewed probe. This helper now ALWAYS
+    forces the shuffled-hash path (r16 measurement below): a build side
+    small enough to broadcast should use a plain broadcast join instead
+    of salting at all (broadcast replicates to every executor anyway,
+    so salting buys nothing and pays buckets× replication first). AQE
+    skew-split covers the sort-merge case."""
     salted_probe = probe.withColumn("_salt", salt_column(salt_src, buckets=buckets))
     # Pin the shuffle strategy: salting exists to spread one hot key
     # over SALT reducers, which REQUIRES a shuffle by (key, salt).

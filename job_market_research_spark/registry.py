@@ -145,10 +145,31 @@ def _module_mtime(fn: Callable) -> float:
 #: three got green r15 rows (CORRECTNESS_r15.json) so the pins are
 #: lifted per the standing rule — the r16 window spends all 50 slots
 #: on tier 1's oldest-round-first rotation (drains the r6 cohort,
-#: VERDICT r15 item 2). Round 16 is an optimization round: any query
-#: whose PLAN is restructured re-fronts automatically via module-mtime
-#: staleness, and values are locally re-proved before commit.
-FORCE_REPROVE: frozenset[str] = frozenset()
+#: VERDICT r15 item 2). Round 16 emptied this set on the theory that
+#: module-mtime staleness would re-front its touched queries — but the
+#: driver's fresh checkout re-stamps every mtime (see
+#: _STALENESS_SLACK_S above), so nothing re-fronted automatically and
+#: most r16 expression/plan-changed queries got no fresh driver row
+#: (VERDICT r16 item 1). Round 17 re-pins them per the standing
+#: r12/r15 rule: the r16-changed heads below (join_salted_skew is the
+#: round's one plan-shape change, BHJ→SHJ; the aggregate rewrites are
+#: represented by their named heads; dedup_minhash_lsh fronts the
+#: 14-query shingle family of r16 change 1), plus r17's own touched
+#: queries as they land. Lift each pin once its green CORRECTNESS_r17
+#: row exists.
+FORCE_REPROVE: frozenset[str] = frozenset(
+    {
+        # r16 changes without an r16 driver row (VERDICT r16 item 1)
+        "join_salted_skew",
+        "agg_pricing_summary",
+        "join_star_wide",
+        "agg_revenue_forecast",
+        "agg_market_share",
+        "agg_promo_revenue_share",
+        "text_decontaminate",
+        "dedup_minhash_lsh",
+    }
+)
 
 #: Explicit front-of-window order for driver-unproven queries. Round 2:
 #: the 7 round-1 red rows first (proving the session/typing fixes), then
