@@ -48,14 +48,52 @@ def _hilo_sum_as_decimal(v: Column) -> Column:
     0.33 s for the same aggregate over the sf0.1 lineitem scan).
     Summing the raw long instead would overflow at scale (|v| reaches
     1e11 for the revenue product; fine at sf0.1, not at 100 TB), so v
-    is split hi/lo at 2^20: two plain long sums, each safe to ~1e13
-    rows (|sum(hi)| <= 1e5*N, sum(lo) < 2^20*N vs the 9.2e18 long
-    range), recombined in decimal once per output group. Integer
-    arithmetic is exact in every association order, so the result is
-    bit-identical to the single decimal SUM the oracle keeps running."""
+    is split hi/lo at 2^20: two plain long sums recombined in decimal
+    once per output group. Integer arithmetic is exact in every
+    association order, so the result is bit-identical to the single
+    decimal SUM the oracle keeps running.
+
+    PRECONDITION (overflow headroom is a function of the INPUT
+    magnitude, not a constant — ADVICE r16): with split B=20 the two
+    partials are safe against long wrap for
+    ``N <= 9.2e18 / max(|v|max / 2^20, 2^20 - 1)`` rows per group —
+    |sum(hi)| <= (|v|max/2^20)·N and sum(lo) < 2^20·N vs the ±9.2e18
+    long range. Callers must hold |v|max <= ~1e12, which keeps N_safe
+    >= ~9.6e12 rows (scale-6 revenue, |v| <= 1e11 → N_safe ≈ 9.7e13;
+    the 100 TB design point is ~6e11 lineitem rows TOTAL). For larger
+    per-row magnitudes — e.g. scale-4 products of two scale-2 money
+    operands, |v| <= ~1.5e14, where N_safe here collapses to ~6.4e10 —
+    use `_hilo3_sum_as_decimal` instead."""
     hi = F.sum(F.shiftright(v, _SPLIT_BITS)).cast("decimal(38,0)")
     lo = F.sum(v.bitwiseAND(F.lit(_SPLIT - 1))).cast("decimal(38,0)")
     return hi * _SPLIT + lo
+
+
+def _hilo3_sum_as_decimal(v: Column) -> Column:
+    """Exact SUM of a LONG expression via THREE limb sums (split points
+    2^40 / 2^20) — the product-magnitude variant of
+    `_hilo_sum_as_decimal` (VERDICT r16 item 3 / ADVICE r16: a 2-limb
+    split at 2^20 wraps at ~8e10 rows per group for |v| ~ 1.5e14, and
+    even the optimal 2-limb split only reaches ~8e11 — inside the
+    100 TB worst case of ~2e11 rows per group).
+
+    Identity (any sign, two's complement): v == (v>>40)·2^40
+    + ((v>>20) & (2^20−1))·2^20 + (v & (2^20−1)) — the 2-limb identity
+    applied twice. Limb-sum bounds for |v|max <= 1.5e14:
+    |sum(hi40)| <= (|v|max/2^40)·N ≈ 137·N  (N_safe ≈ 6.7e16 rows),
+    each masked limb sum < 2^20·N            (N_safe ≈ 8.8e12 rows),
+    so the worst group at the 100 TB design point (~2e11 rows) keeps
+    ~44× headroom. NULLs propagate through shift/mask and are skipped
+    by every limb sum identically, so NULL semantics match a decimal
+    SUM. Costs one extra long sum per expression vs the 2-limb form —
+    still well under the wide-decimal accumulator (r16: ~2×)."""
+    mask = F.lit(_SPLIT - 1)
+    hi = F.sum(F.shiftright(v, 2 * _SPLIT_BITS)).cast("decimal(38,0)")
+    mid = F.sum(F.shiftright(v, _SPLIT_BITS).bitwiseAND(mask)).cast(
+        "decimal(38,0)"
+    )
+    lo = F.sum(v.bitwiseAND(mask)).cast("decimal(38,0)")
+    return (hi * F.lit(_SPLIT) + mid) * F.lit(_SPLIT) + lo
 
 
 def exact_sum(col: str | Column, alias: str) -> Column:

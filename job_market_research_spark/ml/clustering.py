@@ -505,18 +505,32 @@ def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
     the driver never touches row data. Both engines cast the SAME
     exact decimals to doubles and evaluate the SAME expression tree,
     so determinants match bit-for-bit before the final rounding."""
-    from job_market_research_spark.exact import _hilo_sum_as_decimal
+    from job_market_research_spark.exact import (
+        _hilo3_sum_as_decimal,
+        _hilo_sum_as_decimal,
+    )
 
     li = load(spark, sf_dir, "lineitem")
-    # Moment sums as scaled-long hi/lo sums (exact.py, the r16 change-2
+    # Moment sums as scaled-long limb sums (exact.py, the r16 change-2
     # path): quantity is integer-valued and discount/price are 2dp
     # money, so each operand is exact at scale 2 and every product is
-    # exact at scale 4 (|price2*price2| <= ~1.2e14 per row, hi/lo
-    # partials safe to ~1e13 rows). The recombined decimal is the SAME
-    # rational as the former decimal(18,6)-product SUM digit for digit,
-    # and the decimal->double conversion is correctly rounded on both
-    # paths — bit-identical moments (checked per scale factor at
-    # adoption), ~2x cheaper per row than the wide-decimal accumulator.
+    # exact at scale 4. The recombined decimal is the SAME rational as
+    # the former decimal(18,6)-product SUM digit for digit, and the
+    # decimal->double conversion is correctly rounded on both paths —
+    # bit-identical moments (checked per scale factor at adoption),
+    # still ~2x cheaper per row than the wide-decimal accumulator.
+    # Limb count follows the input magnitude (ADVICE r16 — the old
+    # "safe to ~1e13 rows" claim held only for scale-2 operands).
+    # TPC-H data contracts bound the operands: l_quantity in [1,50]
+    # (q2 <= 5e3), l_discount in [0,0.10] (d2 <= 10), l_extendedprice
+    # <= ~1.1e5 (p2 <= ~1.2e7). Per exact.py's restated rule (N_safe =
+    # 9.2e18 / max(|v|max/2^20, 2^20)), every moment except syy stays
+    # 2-limb-safe to ~8.8e12 rows per group (largest is s1y = q2*p2 <=
+    # 6e10). syy = p2*p2 reaches ~1.5e14, where the 2-limb hi partial
+    # wraps at ~6.4e10 rows per group — under the 100 TB worst case of
+    # ~2e11 — so syy ALONE rides the 3-limb split (N_safe ~8.8e12,
+    # ~44x headroom; r17 A/B: 3-limb on all six products cost 1.09x
+    # min, on syy alone it is noise).
     q2 = F.round(F.col("l_quantity") * 100).cast("long")
     d2 = F.round(F.col("l_discount") * 100).cast("long")
     p2 = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -529,6 +543,11 @@ def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
             (_hilo_sum_as_decimal(v) / F.lit(10_000)).cast("double").alias(alias)
         )
 
+    def s4w(v, alias):  # scale-4 product at price*price magnitude
+        return (
+            (_hilo3_sum_as_decimal(v) / F.lit(10_000)).cast("double").alias(alias)
+        )
+
     m = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
         s2(q2, "sx1"),
@@ -539,7 +558,7 @@ def q_ml_ols_multivariate(spark, sf_dir: str) -> DataFrame:
         s4(d2 * d2, "s22"),
         s4(q2 * p2, "s1y"),
         s4(d2 * p2, "s2y"),
-        s4(p2 * p2, "syy"),
+        s4w(p2 * p2, "syy"),
     )
     a = F.col("n").cast("double")
     b = F.col("sx1")

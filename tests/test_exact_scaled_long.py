@@ -133,6 +133,72 @@ def test_conditional_revenue_matches_decimal_when_chain(lineitem_like_df):
     _rows_match(new, old)
 
 
+def test_hilo3_sum_bit_identical_to_decimal_product_sum(spark):
+    """The 3-limb split (r17, VERDICT r16 item 3) on scale-4 products
+    of 2dp money: same rational as the wide-decimal product SUM,
+    including negatives, NULL skipping, and values straddling both
+    split points (2^20 and 2^40)."""
+    from job_market_research_spark.exact import _hilo3_sum_as_decimal
+
+    rows = [
+        Row(g="a", p=104857.60, q=100.00),   # p2*q2 straddles 2^40 region
+        Row(g="a", p=0.01, q=0.01),
+        Row(g="a", p=-104857.61, q=104857.61),
+        Row(g="a", p=None, q=3.00),          # NULL operand -> row skipped
+        Row(g="b", p=10.48, q=10.49),        # around 2^20 in scaled units
+        Row(g="b", p=-0.01, q=1.00),
+        Row(g="z", p=None, q=None),          # all-NULL group stays NULL
+    ]
+    df = spark.createDataFrame(rows)
+    p2 = F.round(F.col("p") * 100).cast("long")
+    q2 = F.round(F.col("q") * 100).cast("long")
+    new = (
+        df.groupBy("g")
+        .agg(
+            (_hilo3_sum_as_decimal(p2 * q2) / F.lit(10_000))
+            .cast("double")
+            .alias("s")
+        )
+        .orderBy("g")
+        .collect()
+    )
+    old = (
+        df.groupBy("g")
+        .agg(
+            F.sum(
+                F.col("p").cast("decimal(19,6)") * F.col("q").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("s")
+        )
+        .orderBy("g")
+        .collect()
+    )
+    _rows_match(new, old)
+    assert new[-1].s is None
+
+
+def test_hilo3_split_recomposes_for_either_sign(spark):
+    """(v>>40)*2^40 + ((v>>20)&mask)*2^20 + (v&mask) == v for both
+    signs, at the limb boundaries, and at product-magnitude extremes
+    (|v| ~ 1.5e14, the price2*price2 worst case)."""
+    from job_market_research_spark.exact import _hilo3_sum_as_decimal
+
+    vals = [
+        -150_994_944_000_001, -1_099_511_627_777, -1_048_577, -1, 0, 1,
+        1_048_575, 1_048_576, 1_099_511_627_776, 150_994_944_000_001,
+    ]
+    df = spark.createDataFrame([Row(g=i, v=v) for i, v in enumerate(vals)])
+    out = (
+        df.groupBy("g")
+        .agg(_hilo3_sum_as_decimal(F.col("v")).cast("long").alias("re"))
+        .join(df, "g")
+        .collect()
+    )
+    for r in out:
+        assert r.re == r.v, (r.v, r.re)
+
+
 def test_hilo_split_recomposes_for_either_sign(spark):
     # direct property check of the split the helpers rely on:
     # (v >> 20)*2^20 + (v & (2^20-1)) == v for negative and positive v.
