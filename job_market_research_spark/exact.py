@@ -96,6 +96,42 @@ def _hilo3_sum_as_decimal(v: Column) -> Column:
     return (hi * F.lit(_SPLIT) + mid) * F.lit(_SPLIT) + lo
 
 
+def limb_sum_scaled(
+    v: Column, pow10: int, sum_digits: int, limbs: int = 2
+) -> Column:
+    """Exact SUM of a scale-`pow10` scaled-long expression, returned as
+    the decimal value ``sum(v) / 10^pow10`` — equal BY VALUE (same
+    rational, so the same correctly-rounded double on cast) to the
+    wide-decimal ``SUM(CAST(x AS DECIMAL(p, pow10)))`` it replaces,
+    when ``v`` is provably that decimal's unscaled value per row.
+
+    `limbs` picks the split per the magnitude rules above: 1 = plain
+    long sum (|v|max <= ~1e6; N_safe = 9.2e18/|v|max), 2 = hi/lo at
+    2^20 (|v|max <= ~1e12), 3 = 2^40/2^20 (|v|max <= ~1.5e14, the
+    2dp-money product class).
+
+    `sum_digits` declares the caller's bound on |sum(v)| (< 10^sum_digits):
+    the recombined total is cast to DECIMAL(sum_digits, 0) so Spark's
+    division typing keeps every true digit — the unconstrained
+    decimal(38,0)/10^k quotient is capped to scale 6, which would
+    silently round any scale > 6 (typing verified empirically on
+    4.1.2). Requires sum_digits + max(6, pow10 + 2) <= 38; an actual
+    |sum| overflowing sum_digits yields NULL (loud), never a wrong
+    number."""
+    if sum_digits + max(6, pow10 + 2) > 38:
+        raise ValueError(
+            f"sum_digits={sum_digits} too wide for scale {pow10}: "
+            f"division would lose digits"
+        )
+    if limbs == 1:
+        total = F.sum(v).cast(f"decimal({sum_digits},0)")
+    elif limbs == 2:
+        total = _hilo_sum_as_decimal(v).cast(f"decimal({sum_digits},0)")
+    else:
+        total = _hilo3_sum_as_decimal(v).cast(f"decimal({sum_digits},0)")
+    return total / F.lit(10**pow10).cast(f"decimal({pow10 + 1},0)")
+
+
 def exact_sum(col: str | Column, alias: str) -> Column:
     """SUM computed exactly (scaled-long hi/lo sums, decimal recombine
     once per group), emitted as DOUBLE.

@@ -1152,17 +1152,31 @@ def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
     iterative fit must take at 100 TB — per-iteration full passes
     with driver-side tiny solves, never per-row Python.
     """
+    from job_market_research_spark.exact import limb_sum_scaled
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("y"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
     )
+    # Moment sums as scaled-long limb sums (exact.py; the r16 change-2
+    # discipline extended here in r17): p is 2dp money, so its decimal
+    # unscaled value p2 = p*100 is an exact long (<= ~1.2e7; the
+    # decimal multiply and truncating cast never touch a double), and
+    # every per-row product below is an exact integer. Each recombined
+    # decimal is the SAME rational as the wide-decimal SUM it replaces
+    # — bit-identical moments (verified at adoption, see
+    # OPTIMIZATION_r17.md), at plain-long-sum cost per row. Limb
+    # counts per exact.py's magnitude rule: |p2| <= 1.2e7 -> 2-limb,
+    # |p2*y| <= 1.2e7 -> 2-limb, |p2*p2| <= 1.5e14 -> 3-limb.
+    p2l = (F.col("p") * 100).cast("long")
+    yl = F.col("y").cast("long")
     m1 = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum("p").alias("sp"),
-        F.sum(F.col("p").cast("decimal(19,2)") * F.col("p")).alias("spp"),
-        F.sum(F.col("p").cast("decimal(19,2)") * F.col("y")).alias("spy"),
+        limb_sum_scaled(p2l, 2, 32).alias("sp"),
+        limb_sum_scaled(p2l * p2l, 4, 32, limbs=3).alias("spp"),
+        limb_sum_scaled(p2l * yl, 2, 32).alias("spy"),
     )
     s1 = m1.select(
         "l_returnflag",
@@ -1224,20 +1238,33 @@ def q_ml_logreg_newton(spark, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("pr")).cast("decimal(8,6)")
         ).cast("decimal(17,12)"),
     )
+    # Step-2 moment sums: pr is DECIMAL(8,6) by contract (the rounded
+    # sigmoid), so pr6 = pr*1e6 is an exact long in [0, 1e6] and
+    # w's unscaled value is exactly pr6*(1e6-pr6) <= 2.5e11 — the
+    # scaled-long path reproduces sw / g0s / g1s as the same rationals
+    # the wide-decimal sums computed (limb counts per magnitude:
+    # |w12| <= 2.5e11 -> 2-limb; |(y-pr)*1e6| <= 1e6 -> plain long sum,
+    # N_safe 9.2e12 rows/group; |(y-pr)6 * p2| <= 1.2e13 -> 3-limb).
+    # swp (scale 14) and swpp (scale 16) stay wide-decimal: their
+    # unscaled group sums need ~24+/28+ integer digits, and
+    # decimal(38)'s division typing cannot hold sum_digits + scale + 2
+    # past 38 (exact.py limb_sum_scaled's constraint) — reconstructing
+    # them exactly is impossible without rescaling the CONTRACT, which
+    # r17 deliberately leaves alone (OPTIMIZATION_r17.md).
+    pr6 = (F.col("pr") * F.lit(1_000_000)).cast("long")
+    w12 = pr6 * (F.lit(1_000_000) - pr6)
+    ym6 = F.col("y").cast("long") * F.lit(1_000_000) - pr6
+    p2m = (F.col("p") * 100).cast("long")
     m2 = wrow.groupBy("l_returnflag").agg(
-        F.sum("w").alias("sw"),
+        limb_sum_scaled(w12, 12, 24).alias("sw"),
         F.sum((F.col("w") * F.col("p")).cast("decimal(36,14)")).alias("swp"),
         F.sum(
             (F.col("w") * F.col("pp").cast("decimal(19,4)")).cast(
                 "decimal(38,16)"
             )
         ).alias("swpp"),
-        F.sum((F.col("y") - F.col("pr")).cast("decimal(8,6)")).alias("g0s"),
-        F.sum(
-            (
-                (F.col("y") - F.col("pr")).cast("decimal(9,6)") * F.col("p")
-            ).cast("decimal(28,8)")
-        ).alias("g1s"),
+        limb_sum_scaled(ym6, 6, 30, limbs=1).alias("g0s"),
+        limb_sum_scaled(ym6 * p2m, 8, 28, limbs=3).alias("g1s"),
     )
     s2 = m2.select(
         "l_returnflag",

@@ -256,7 +256,10 @@ def probe(spark, sf_dir: str) -> list[tuple[str, str, float, int]]:
         .cast("double")
         .alias("syy_l"),
         F.sum(d10 * d10).cast("double").alias("syy_d"),
-        F.sum(F.abs(F.shiftright(v2 * v2, 40))).alias("hi40_mag"),
+        # the 2-limb hi partial |sum(v>>20)| — the quantity whose wrap
+        # at 9.2e18 the 3-limb split exists to prevent; reporting it
+        # shows the headroom consumed scaling linearly with volume
+        F.abs(F.sum(F.shiftright(v2 * v2, 20))).alias("hi20_mag"),
         F.count("*").alias("n"),
     )
     t0 = time.time()
@@ -269,11 +272,11 @@ def probe(spark, sf_dir: str) -> list[tuple[str, str, float, int]]:
         if bits(r.sy_l) != bits(r.sy_d) or bits(r.syy_l) != bits(r.syy_d)
     )
     assert mism == 0, f"scaled-long/decimal sum mismatch in {mism} groups"
-    max_hi = max(r.hi40_mag for r in got)
+    max_hi = max(r.hi20_mag for r in got)
     rows.append(("exact", "limb-vs-decimal moment pass wall", wall, 0))
     rows.append(("exact", "bit-matching groups (of groups)", 0.0, len(got)))
     rows.append(("exact", "events rows summed", 0.0, sum(r.n for r in got)))
-    rows.append(("exact", "max |sum(hi40)| (vs 9.2e18 wrap)", 0.0, max_hi))
+    rows.append(("exact", "max |sum(v2^2 >> 20)| (wraps at 9.2e18)", 0.0, max_hi))
     return rows
 
 
