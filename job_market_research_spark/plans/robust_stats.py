@@ -475,6 +475,17 @@ def q_agg_welch_ttest(spark, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable aggregation over the filtered
     scan; everything after is 2-row algebra."""
+    # events.value is 2dp money (generator contract, probed in
+    # scripts/scale_probe.py's 'exact' family head), so v2 = round(v*100)
+    # is exactly DECIMAL(28,10)'s unscaled value / 1e8 and the
+    # scaled-long limb sums below are the SAME rationals as the
+    # wide-decimal sums they replace (r17; bit-identity at 10x volume
+    # in the probe). Magnitudes: |v2| <= ~5.6e4 -> 1-limb plain sum
+    # (N_safe 1.6e14 rows/group); v2^2 <= ~3.2e9 -> 2-limb
+    # (N_safe 8.8e12). value IS NOT NULL is already filtered.
+    from job_market_research_spark.exact import limb_sum_scaled
+
+    v2 = F.round(F.col("value") * 100).cast("long")
     s = (
         load(spark, sf_dir, "events")
         .filter(
@@ -484,15 +495,8 @@ def q_agg_welch_ttest(spark, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("value").cast("decimal(28,10)"))
-            .cast("double")
-            .alias("sy"),
-            F.sum(
-                F.col("value").cast("decimal(28,10)")
-                * F.col("value").cast("decimal(28,10)")
-            )
-            .cast("double")
-            .alias("syy"),
+            limb_sum_scaled(v2, 2, 32, limbs=1).cast("double").alias("sy"),
+            limb_sum_scaled(v2 * v2, 4, 32).cast("double").alias("syy"),
         )
     )
     m = s.select(
@@ -594,25 +598,38 @@ def q_agg_cuped_adjustment(spark, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     day = (F.unix_micros("ts") / _DAY_US).cast("long")
     d0 = ev.agg(F.min(day).alias("d0"))
+    # Per-user conditional sums on the scaled-long path (r17; same
+    # certifiable 2dp-events class as agg_welch_ttest — v2 is exactly
+    # the DECIMAL(28,10) unscaled value / 1e8, |v2| <= ~5.6e4, plain
+    # long sums safe to 1.6e14 rows/user). CASE-arm NULLs skip rows
+    # identically; an all-NULL arm stays NULL into the same coalesce.
+    # The OUTER x/y moments below stay wide-decimal: they sum derived
+    # per-user TOTALS whose magnitude grows with corpus volume (at the
+    # 100 TB design point a hot user's x2*y2 product exceeds the long
+    # range), so the scaled-long equivalence is not provably safe
+    # there (OPTIMIZATION_r17.md).
+    from job_market_research_spark.exact import limb_sum_scaled
+
+    v2 = F.round(F.col("value") * 100).cast("long")
     per_user = (
         ev.crossJoin(F.broadcast(d0))
         .groupBy("user_id")
         .agg(
             F.coalesce(
-                F.sum(
-                    F.when(
-                        day - F.col("d0") < CUPED_SPLIT_DAY,
-                        F.col("value").cast("decimal(28,10)"),
-                    )
+                limb_sum_scaled(
+                    F.when(day - F.col("d0") < CUPED_SPLIT_DAY, v2),
+                    2,
+                    32,
+                    limbs=1,
                 ).cast("double"),
                 F.lit(0.0),
             ).alias("x"),
             F.coalesce(
-                F.sum(
-                    F.when(
-                        day - F.col("d0") >= CUPED_SPLIT_DAY,
-                        F.col("value").cast("decimal(28,10)"),
-                    )
+                limb_sum_scaled(
+                    F.when(day - F.col("d0") >= CUPED_SPLIT_DAY, v2),
+                    2,
+                    32,
+                    limbs=1,
                 ).cast("double"),
                 F.lit(0.0),
             ).alias("y"),
