@@ -4722,7 +4722,16 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
     folds into the same closing aggregation as the four basket sums,
     so the whole query is one linear pipeline: join → pivot agg →
     per-row terms → bounded reduce."""
+    # Per-period spend sums on the scaled-long path (r17): price is
+    # raw 2dp money, so p2l = round(price*100) is exactly the
+    # DECIMAL(28,4) value's unscaled digits / 100 and the recombined
+    # decimal is the same rational as the conditional decimal SUM
+    # (|p2l| <= 1.2e7 -> 2-limb, N_safe ~8.8e12 rows/part). spend is
+    # only consumed as CAST(... AS DOUBLE)/q, a value-based conversion.
+    from job_market_research_spark.exact import limb_sum_scaled
+
     period0 = F.year("o_orderdate") < 1998
+    p2l = F.round(F.col("l_extendedprice") * 100).cast("long")
     pivot = (
         load(spark, sf_dir, "lineitem")
         .join(
@@ -4734,15 +4743,11 @@ def q_agg_price_index_fisher(spark, sf_dir: str) -> DataFrame:
             F.sum(F.when(period0, F.col("l_quantity").cast("long")))
             .cast("long")
             .alias("q0"),
-            F.sum(F.when(period0, F.col("l_extendedprice").cast("decimal(28,4)")))
-            .cast("decimal(28,4)")
-            .alias("spend0"),
+            limb_sum_scaled(F.when(period0, p2l), 2, 32).alias("spend0"),
             F.sum(F.when(~period0, F.col("l_quantity").cast("long")))
             .cast("long")
             .alias("q1"),
-            F.sum(F.when(~period0, F.col("l_extendedprice").cast("decimal(28,4)")))
-            .cast("decimal(28,4)")
-            .alias("spend1"),
+            limb_sum_scaled(F.when(~period0, p2l), 2, 32).alias("spend1"),
         )
         .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
     )
@@ -4988,10 +4993,21 @@ def q_agg_anova_twoway(spark, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("b"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
     )
+    # Cell moments on the scaled-long path (r17): y is already an exact
+    # long (integer cents, |y| <= ~5.6e7), so sum(y) and sum(y*y) as
+    # limb sums are the same rationals as the decimal SUMs they
+    # replace. |y| -> 2-limb (N_safe 8.8e12 rows/cell); y*y <= 3.2e15
+    # exceeds the 2-limb bound (N_safe would be ~3e9, under the 100 TB
+    # cell size) -> 3-limb (N_safe 8.8e12).
+    from job_market_research_spark.exact import (
+        _hilo3_sum_as_decimal,
+        _hilo_sum_as_decimal,
+    )
+
     cells = base.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s"),
-        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        _hilo_sum_as_decimal(F.col("y")).cast("double").alias("s"),
+        _hilo3_sum_as_decimal(F.col("y") * F.col("y"))
         .cast("double")
         .alias("q"),
     )

@@ -168,6 +168,15 @@ FORCE_REPROVE: frozenset[str] = frozenset(
         "agg_promo_revenue_share",
         "text_decontaminate",
         "dedup_minhash_lsh",
+        # r17 expression-level changes (scaled-long limb sums; values
+        # bit-identical by construction and locally re-proven, pinned
+        # for a driver row per the same standing rule)
+        "ml_ols_multivariate",
+        "ml_logreg_newton",
+        "agg_welch_ttest",
+        "agg_cuped_adjustment",
+        "agg_price_index_fisher",
+        "agg_anova_twoway",
     }
 )
 
