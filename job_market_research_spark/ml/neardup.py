@@ -272,6 +272,41 @@ def staged_shingle_profiles(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def staged_winnow_fps(spark, sf_dir: str) -> DataFrame:
+    """Persisted winnowing fingerprint table (doc_id, fp) — the MOSS
+    selection over char-gram hashes (see q_dedup_winnowing's docstring
+    for the algorithm and the let-binding idiom). STAGED per
+    (app, sf_dir): the fingerprint compute is the expensive leg (an
+    md5 per character position), and the inline form re-derived it per
+    consumer (sizes, df-cap count, anti-join left, both self-join
+    sides — census 12 scans / 17 exchanges; ReuseExchange dedupes only
+    the identical a/b subtrees). The (doc_id, fp) table is exactly
+    what a MOSS-style engine stores — at 100 TB the fingerprint pass
+    runs once, not six times. Docs with fewer than W grams
+    (len < K + W - 1) select no fingerprints — same rows the old
+    window-filter shape produced. Module-level (r17) so the BENCH_ALL
+    sweep can front the build as its own `stage:` row."""
+    corpus = augmented_corpus(spark, sf_dir)
+    gram_hash = (
+        f"CAST(conv(substring(md5(substring(text, CAST(i AS INT),"
+        f" {WIN_K})), 1, 8), 16, 10) AS BIGINT)"
+    )
+    hs = (
+        f"transform(sequence(1, length(text) - {WIN_K} + 1),"
+        f" i -> {gram_hash})"
+    )
+    fp_arr = (
+        f"element_at(transform(array({hs}), hs ->"
+        f" array_distinct(transform(sequence(1, size(hs) - {WIN_W - 1}),"
+        f" j -> array_min(slice(hs, CAST(j AS INT), {WIN_W}))))), 1)"
+    )
+    return _staged_frame(spark, "winnow_fps", sf_dir,
+        lambda: corpus.filter(
+            F.length("text") >= WIN_K + WIN_W - 1
+        ).select("doc_id", F.explode(F.expr(fp_arr)).alias("fp")),
+    )
+
+
 @query(
     "dedup_exact_hash",
     oracle=f"""
@@ -1520,34 +1555,7 @@ def q_dedup_winnowing(spark, sf_dir: str) -> DataFrame:
     solved here without the barrier). Similarity =
     shared / min(|A|,|B|) — the containment-style normalization that
     survives length mismatch."""
-    corpus = augmented_corpus(spark, sf_dir)
-    gram_hash = (
-        f"CAST(conv(substring(md5(substring(text, CAST(i AS INT),"
-        f" {WIN_K})), 1, 8), 16, 10) AS BIGINT)"
-    )
-    hs = (
-        f"transform(sequence(1, length(text) - {WIN_K} + 1),"
-        f" i -> {gram_hash})"
-    )
-    fp_arr = (
-        f"element_at(transform(array({hs}), hs ->"
-        f" array_distinct(transform(sequence(1, size(hs) - {WIN_W - 1}),"
-        f" j -> array_min(slice(hs, CAST(j AS INT), {WIN_W}))))), 1)"
-    )
-    # Docs with fewer than W grams (len < K + W - 1) select no
-    # fingerprints — same rows the old window-filter shape produced.
-    # STAGED per (app, sf_dir): the fingerprint compute is the
-    # expensive leg (an md5 per character position), and the inline
-    # form re-derived it per consumer (sizes, df-cap count, anti-join
-    # left, both self-join sides — census 12 scans / 17 exchanges;
-    # ReuseExchange dedupes only the identical a/b subtrees). The
-    # (doc_id, fp) table is exactly what a MOSS-style engine stores —
-    # at 100 TB the fingerprint pass runs once, not six times.
-    fps = _staged_frame(spark, "winnow_fps", sf_dir,
-        lambda: corpus.filter(
-            F.length("text") >= WIN_K + WIN_W - 1
-        ).select("doc_id", F.explode(F.expr(fp_arr)).alias("fp")),
-    )
+    fps = staged_winnow_fps(spark, sf_dir)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
     idx = df_capped(fps, "fp")
     a = idx.select(F.col("doc_id").alias("doc_a"), "fp")

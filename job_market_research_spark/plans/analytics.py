@@ -664,6 +664,31 @@ BASKET_MIN_SUPPORT = 3
 BASKET_TOP = 25
 
 
+def staged_basket_arrays(spark, sf_dir: str) -> DataFrame:
+    """Persisted per-order basket table (ok, sorted distinct parts
+    array) — the materialized form every market-basket pipeline writes
+    out first (see q_agg_basket_affinity's docstring). Module-level
+    (r17) so the BENCH_ALL sweep can front the build as its own
+    `stage:` row."""
+    from job_market_research_spark.staging import staged_frame
+
+    return staged_frame(spark, "basket_arrays", sf_dir,
+        lambda: (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("part"),
+            )
+            # collect_SET dedupes inside the aggregation, so the build
+            # is ONE shuffle on ok (a separate distinct() would add a
+            # (ok, part) shuffle first — measured 1.25-2.7 s vs
+            # 0.76-1.05 s cold at sf0.1, r14)
+            .groupBy("ok")
+            .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+        ),
+    )
+
+
 @query(
     "agg_basket_affinity",
     oracle=f"""
@@ -711,23 +736,7 @@ def q_agg_basket_affinity(spark, sf_dir: str) -> DataFrame:
     lift join. Same algebra as `text_pmi_collocations` on a different
     domain — lift is exp(PMI)."""
 
-    from job_market_research_spark.staging import staged_frame
-
-    baskets = staged_frame(spark, "basket_arrays", sf_dir,
-        lambda: (
-            load(spark, sf_dir, "lineitem")
-            .select(
-                F.col("l_orderkey").alias("ok"),
-                F.col("l_partkey").alias("part"),
-            )
-            # collect_SET dedupes inside the aggregation, so the build
-            # is ONE shuffle on ok (a separate distinct() would add a
-            # (ok, part) shuffle first — measured 1.25-2.7 s vs
-            # 0.76-1.05 s cold at sf0.1, r14)
-            .groupBy("ok")
-            .agg(F.sort_array(F.collect_set("part")).alias("parts"))
-        ),
-    )
+    baskets = staged_basket_arrays(spark, sf_dir)
     n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
     isup = (
         baskets.select(F.explode("parts").alias("part"))
